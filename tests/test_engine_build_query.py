@@ -1,0 +1,153 @@
+"""End-to-end: distributed build + query vs the single-process oracle.
+
+The conformance contract (SURVEY.md §5): identical match sets and
+orderings, bit-identical BM25 scores, identical statistics — on every
+corpus + query in the fixture set.
+"""
+
+import numpy as np
+import pytest
+
+from ts_type_filter_ray.oracle.index import build_oracle
+from ts_type_filter_ray.pipelines.build import BuiltIndex, build_index
+from ts_type_filter_ray.pipelines.query import (LocalSearcher, match_doc_ids,
+                                                query_stems)
+from ts_type_filter_ray.sources.corpus import read_corpus
+from ts_type_filter_ray.sources.synthetic import (GOLDEN_FIRE_HEAT,
+                                                  GOLDEN_SAME)
+
+QUERIES = [
+    "same", "thrall quench", "fire heat", "fire", "",
+    ["fire", "heat"], "zzznohit", "w1z w2z w3z", "Same FIRE", "w100z;",
+]
+
+
+@pytest.fixture(scope="module")
+def sonnets_index(ray_session, sonnets_corpus_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sonnets_index")
+    corpus = read_corpus(sonnets_corpus_dir)
+    # tiny doc partitions (64 docs) so multi-partition paths are exercised
+    idx = build_index(corpus, str(out), doc_part_bits=6,
+                      num_term_buckets=8, tokenize_batch_size=32)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def sonnets_oracle(sonnets_corpus_dir):
+    import pyarrow.dataset as pads
+    tbl = pads.dataset(sonnets_corpus_dir).to_table()
+    contents = tbl["content"].to_pylist()
+    return build_oracle(list(range(len(contents))), contents)
+
+
+def test_docs_invariants(sonnets_index):
+    import pyarrow.dataset as pads
+    docs = pads.dataset(sonnets_index.docs_dir).to_table()
+    assert docs.num_rows == 154
+    ids = sorted(docs["doc_id"].to_pylist())
+    assert ids == list(range(154))  # dense, deterministic doc_ids
+    assert len(set(docs["sha256"].to_pylist())) == 154  # no dup contents here
+
+
+def test_sha256_per_row_invariant(sonnets_index, sonnets_corpus_dir):
+    """The per-row invariant from BASELINE.json input_hint: every indexed
+    row's sha256 equals the sha256 of the input row's content."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+    docs = pads.dataset(sonnets_index.docs_dir).to_table().sort_by("doc_id")
+    src = pads.dataset(sonnets_corpus_dir).to_table()
+    expected = [hashlib.sha256(c.encode()).hexdigest()
+                for c in src["content"].to_pylist()]
+    assert docs["sha256"].to_pylist() == expected
+
+
+def test_stats_match_oracle(sonnets_index, sonnets_oracle):
+    ostats = sonnets_oracle.statistics()
+    s = sonnets_index.stats
+    assert s.num_documents == ostats["num_documents"] == 154
+    assert s.num_unique_terms == ostats["num_unique_words"]
+    assert s.num_postings == ostats["num_postings"]
+
+
+def test_boolean_match_rank_identical(sonnets_index, sonnets_oracle):
+    searcher = LocalSearcher(sonnets_index)
+    for q in QUERIES:
+        expected = sonnets_oracle.match(q)
+        got = searcher.match(q).tolist()
+        assert got == expected, f"query {q!r}"
+
+
+def test_golden_queries_through_engine(sonnets_index):
+    searcher = LocalSearcher(sonnets_index)
+    # corpus doc_ids are 0-based (sonnet i ↔ doc_id i-1)
+    assert searcher.match("same").tolist() == [i - 1 for i in GOLDEN_SAME]
+    assert searcher.match("fire heat").tolist() == [i - 1 for i in GOLDEN_FIRE_HEAT]
+
+
+def test_bm25_rank_and_score_identical(sonnets_index, sonnets_oracle):
+    searcher = LocalSearcher(sonnets_index)
+    for q in QUERIES:
+        expected = sonnets_oracle.bm25(q, k=10)
+        got = searcher.bm25(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in expected], f"query {q!r}"
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gs == es, f"score mismatch for doc {gd} query {q!r}"
+
+
+def test_bm25_pruning_agrees_with_bruteforce(sonnets_index, sonnets_oracle):
+    # k smaller than the match set so pruning can actually trigger
+    searcher = LocalSearcher(sonnets_index)
+    for q in ["fire heat", "w1z w2z w3z w4z w5z"]:
+        assert searcher.bm25(q, k=2) == sonnets_oracle.bm25(q, k=2)
+
+
+def test_pinned_docs(sonnets_index, sonnets_oracle):
+    sonnets_oracle.pin(100)
+    searcher = LocalSearcher(sonnets_index, pinned_doc_ids={100})
+    for q in ["same", "", "zzznohit"]:
+        assert searcher.match(q).tolist() == sonnets_oracle.match(q)
+    sonnets_oracle._pinned.clear()
+
+
+def test_one_off_match_path(sonnets_index, sonnets_oracle):
+    got = match_doc_ids(sonnets_index, "fire heat")
+    assert got.tolist() == sonnets_oracle.match("fire heat")
+
+
+def test_query_stems_forms():
+    assert query_stems("Fire  heat") == query_stems(["fire", "heat"])
+    assert query_stems("") == []
+
+
+def test_index_reload(sonnets_index):
+    idx2 = BuiltIndex.load(sonnets_index.root)
+    assert idx2.stats == sonnets_index.stats
+    s = LocalSearcher(idx2)
+    assert s.match("same").size == 3
+
+
+def test_code_corpus_conformance(ray_session, small_code_corpus_dir,
+                                 tmp_path_factory):
+    """Same contract on the skewed code corpus (hot terms, punctuation,
+    mixed case, duplicates, non-ASCII)."""
+    import pyarrow.dataset as pads
+    out = tmp_path_factory.mktemp("code_index")
+    corpus = read_corpus(small_code_corpus_dir)
+    idx = build_index(corpus, str(out), doc_part_bits=8, num_term_buckets=16,
+                      tokenize_batch_size=64)
+    tbl = pads.dataset(small_code_corpus_dir).to_table()
+    oracle = build_oracle(list(range(tbl.num_rows)), tbl["content"].to_pylist())
+
+    ostats = oracle.statistics()
+    assert idx.stats.num_documents == ostats["num_documents"] == 600
+    assert idx.stats.num_unique_terms == ostats["num_unique_words"]
+    assert idx.stats.num_postings == ostats["num_postings"]
+
+    searcher = LocalSearcher(idx)
+    for q in ["import", "def self return", "ident_1x", "uniq_5_0",
+              "jalapeños", "foo():", "by;", "Import DEF", "nohit_zz", ""]:
+        assert searcher.match(q).tolist() == oracle.match(q), f"query {q!r}"
+        got = searcher.bm25(q, k=10)
+        exp = oracle.bm25(q, k=10)
+        assert got == exp, f"bm25 mismatch {q!r}"

@@ -1,0 +1,218 @@
+"""Query engine over a built index: reference-identical boolean match and
+BM25 top-k with partition-level block-max pruning.
+
+Two serving shapes:
+
+- :class:`LocalSearcher` — the "warm actors" shape used for latency
+  benchmarks and conformance tests: loads the compressed postings for its
+  term buckets **once** (constructor), then answers queries from memory.
+  At cluster scale this class is exactly what each search actor in a pool
+  holds (one actor per hash(term) bucket group); single-node it simply
+  holds all buckets.
+
+- :func:`match_dataset` / :func:`bm25_dataset` — Dataset-shaped paths that
+  route a query's terms to their posting buckets via Parquet filter
+  pushdown, for one-off queries without a warm server.
+
+Semantics preserved from the reference (``ts_type_filter/inverted_index.py``):
+query may be ``str | list[str]`` (``:87-91``); disjunctive union
+(``:94-97``); pinned docs always included, empty query returns exactly the
+pinned set (``:67-68,94``); results ascending by doc_id ≡ insertion order
+(``:99-101``).
+
+Bit-identical BM25 vs the oracle: contributions are accumulated in
+ascending term order with the same float64 expression shapes (see
+``oracle/index.py::CorpusOracle.bm25``); ``avgdl`` derives from the same
+int sum / int count.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..state import postings as plib
+from ..text.porter2 import stem
+from ..text.tokenize import break_on_whitespace
+from .build import BuiltIndex, term_bucket
+
+Query = "str | list[str]"
+
+
+def query_stems(query) -> list[str]:
+    """Query → sorted distinct stems (mirrors ``inverted_index.py:87-92``;
+    sorted so score accumulation order is deterministic)."""
+    if isinstance(query, str):
+        query = [query]
+    words: list[str] = []
+    for part in query:
+        words.extend(break_on_whitespace(part))
+    return sorted({stem(w) for w in words})
+
+
+def _tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+               k1: float, b: float) -> np.ndarray:
+    # Same expression shape as oracle.bm25_tf_factor → bit-identical float64.
+    return (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+
+class LocalSearcher:
+    """Warm in-memory searcher over (a subset of) a built index.
+
+    ``buckets=None`` loads every bucket (single-node serving); a search
+    actor in a pool passes its assigned bucket list instead. Postings stay
+    varint-compressed in memory; rows decode on demand per query.
+    """
+
+    def __init__(self, index: BuiltIndex, buckets: list[int] | None = None,
+                 pinned_doc_ids: set[int] | None = None):
+        self._stats = index.stats
+        self._pinned = np.array(sorted(pinned_doc_ids or ()), dtype=np.int64)
+        # term → list of (part, df, max_impact, doc_enc, tf_enc, dl_enc)
+        self._postings: dict[str, list[tuple]] = defaultdict(list)
+        self._df: dict[str, int] = {}
+        dset = pads.dataset(index.postings_dir, partitioning="hive")
+        filt = None
+        if buckets is not None:
+            filt = pc.field("bucket").isin(buckets)
+        tbl = dset.to_table(filter=filt,
+                            columns=["term", "part", "df", "max_impact",
+                                     "doc_ids_enc", "tfs_enc", "dls_enc"])
+        terms = tbl["term"].to_pylist()
+        parts = tbl["part"].to_pylist()
+        dfs = tbl["df"].to_pylist()
+        imps = tbl["max_impact"].to_pylist()
+        d_enc = tbl["doc_ids_enc"].to_pylist()
+        t_enc = tbl["tfs_enc"].to_pylist()
+        l_enc = tbl["dls_enc"].to_pylist()
+        for i, term in enumerate(terms):
+            self._postings[term].append(
+                (parts[i], dfs[i], imps[i], d_enc[i], t_enc[i], l_enc[i]))
+            self._df[term] = self._df.get(term, 0) + dfs[i]
+        for rows in self._postings.values():
+            rows.sort(key=lambda r: r[0])
+
+    # -- boolean -------------------------------------------------------
+
+    def match(self, query) -> np.ndarray:
+        """Disjunctive match → ascending doc_ids (≡ insertion order),
+        pinned docs always included."""
+        stems = query_stems(query)
+        arrays = [self._pinned] if self._pinned.size else []
+        for term in stems:
+            for (_part, _df, _imp, d_enc, _t, _l) in self._postings.get(term, ()):
+                arrays.append(plib.decode_doc_ids(d_enc))
+        if not arrays:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrays))
+
+    # -- BM25 ----------------------------------------------------------
+
+    def idf(self, term: str) -> float:
+        df = self._df.get(term, 0)
+        n = self._stats.num_documents
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def bm25(self, query, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), tie-break (score desc, doc_id asc).
+
+        Partition-level block-max pruning: for each doc-partition p the
+        upper bound ub(p) = Σ_t idf(t)·max_impact(t,p) is computed from
+        the stored block-max metadata; partitions are scored in
+        descending ub order and skipped outright once ub(p) < the current
+        k-th best score — the WAND idea at (term, doc-partition)-block
+        granularity. Exactness: no document in p can score above ub(p).
+        """
+        stats = self._stats
+        avgdl = stats.avgdl
+        k1, b = stats.k1, stats.b
+        stems = query_stems(query)
+        term_rows: list[tuple[str, float, list[tuple]]] = []
+        for term in stems:
+            rows = self._postings.get(term)
+            if rows:
+                term_rows.append((term, self.idf(term), rows))
+        if not term_rows:
+            return []
+
+        # Upper bound per doc-partition.
+        ub: dict[int, float] = defaultdict(float)
+        for _term, idf, rows in term_rows:
+            for (part, _df, imp, *_rest) in rows:
+                ub[part] += idf * imp
+        parts_desc = sorted(ub, key=lambda p: -ub[p])
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+        for part in parts_desc:
+            if len(heap) == k and ub[part] < heap[0][0]:
+                break  # no doc in any remaining partition can enter top-k
+            scores: dict[int, float] = {}
+            for _term, idf, rows in term_rows:  # ascending term order
+                for (p, _df, _imp, d_enc, t_enc, l_enc) in rows:
+                    if p != part:
+                        continue
+                    doc_ids = plib.decode_doc_ids(d_enc)
+                    tfs = plib.decode_varints(t_enc).astype(np.float64)
+                    dls = plib.decode_varints(l_enc).astype(np.float64)
+                    contrib = idf * _tf_factor(tfs, dls, avgdl, k1, b)
+                    for d, c in zip(doc_ids.tolist(), contrib.tolist()):
+                        scores[d] = scores.get(d, 0.0) + c
+            for d, s in scores.items():
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        return [(-nd, s) for s, nd in sorted(heap, key=lambda x: (-x[0], -x[1]))]
+
+
+# -- Dataset-shaped one-off paths (no warm server) ----------------------
+
+
+def _load_rows_for_terms(index: BuiltIndex, stems: list[str]):
+    """Read only the posting rows for *stems*: bucket partitions prune the
+    file set, the term filter prunes row groups within them."""
+    if not stems:
+        return pa.table({"term": pa.array([], type=pa.string())})
+    buckets = sorted({term_bucket(s, index.stats.num_term_buckets)
+                      for s in stems})
+    dset = pads.dataset(index.postings_dir, partitioning="hive")
+    return dset.to_table(
+        filter=pc.field("bucket").isin(buckets) & pc.field("term").isin(stems),
+        columns=["term", "part", "df", "max_impact",
+                 "doc_ids_enc", "tfs_enc", "dls_enc"])
+
+
+def match_doc_ids(index: BuiltIndex, query,
+                  pinned_doc_ids: set[int] | None = None) -> np.ndarray:
+    """One-off boolean match straight off the Parquet index."""
+    stems = query_stems(query)
+    tbl = _load_rows_for_terms(index, stems)
+    arrays = [np.array(sorted(pinned_doc_ids), dtype=np.int64)] if pinned_doc_ids else []
+    if tbl.num_rows:
+        for buf in tbl["doc_ids_enc"].to_pylist():
+            arrays.append(plib.decode_doc_ids(buf))
+    if not arrays:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(arrays))
+
+
+def match_dataset(index: BuiltIndex, corpus, query,
+                  pinned_doc_ids: set[int] | None = None):
+    """Reference ``match()`` end-to-end: returns the matching *corpus rows*
+    in insertion order — a semi-join of the corpus against the matched
+    doc_id set (broadcast as a sorted array into each filter batch),
+    then ``sort("doc_id")`` (SURVEY.md §2.4 J3)."""
+    ids = match_doc_ids(index, query, pinned_doc_ids)
+
+    def keep(batch):
+        mask = pc.is_in(batch["doc_id"], value_set=pa.array(ids))
+        return batch.filter(mask)
+
+    return corpus.map_batches(keep, batch_format="pyarrow").sort("doc_id")
