@@ -1,0 +1,166 @@
+"""Training-data operators (dedup / ANN / text analysis) vs DuckDB oracles
+on the driver's sf0.001 testdata."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ts_type_filter_ray.functions import ann, dedup, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    c.sql(f"create view embeddings as select * from '{SF}/embeddings.parquet'")
+    return c
+
+
+def test_token_counts_vs_sql(docs, con):
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in textstats.token_counts(docs).take_all()}
+    exp = dict(con.sql(
+        r"select doc_id, case when trim(text)='' then 0 else "
+        r"len(regexp_split_to_array(trim(text),'\s+')) end from documents"
+    ).fetchall())
+    assert got == exp
+
+
+def test_term_df_tf_vs_sql(docs, con):
+    got = {r["term"]: (r["df"], r["tf"])
+           for r in textstats.term_df_tf(docs).take_all()}
+    exp = {t: (df, tf) for t, df, tf in con.sql(r"""
+        with toks as (
+          select doc_id, unnest(regexp_split_to_array(lower(trim(text)),'\s+')) as term
+          from documents where trim(text) <> '')
+        select term, count(distinct doc_id), count(*) from toks group by term
+    """).fetchall()}
+    assert got == exp
+
+
+def test_quality_scores_vs_sql(docs, con):
+    got = {r["doc_id"]: (r["n_tokens"], r["n_stopwords"], r["stopword_ratio"])
+           for r in textstats.quality_scores(docs).take_all()}
+    exp = {d: (nt, ns, ratio) for d, nt, ns, ratio in con.sql(r"""
+        with toks as (
+          select doc_id, unnest(regexp_split_to_array(lower(trim(text)),'\s+')) as term
+          from documents where trim(text) <> '')
+        select doc_id, count(*),
+               sum(case when term in ('the','and','of','a','to','in','is','it','that','for') then 1 else 0 end),
+               sum(case when term in ('the','and','of','a','to','in','is','it','that','for') then 1 else 0 end)::DOUBLE / count(*)
+        from toks group by doc_id
+    """).fetchall()}
+    assert got == exp
+
+
+def test_bpe_token_counts_vs_sql(docs, con):
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in textstats.bpe_token_counts(docs).take_all()}
+    exp = dict(con.sql(
+        r"select doc_id, len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))"
+        r" from documents").fetchall())
+    assert got == exp
+
+
+def test_fingerprints_vs_sql(docs, con):
+    got = {r["doc_id"]: r["fp"] for r in textstats.fingerprints(docs).take_all()}
+    exp = dict(con.sql(
+        r"select doc_id, md5(lower(regexp_replace(trim(text),'\s+',' ','g')))"
+        r" from documents").fetchall())
+    assert got == exp
+
+
+def test_exact_dedup_vs_sql(docs, con):
+    got = {r["sha256"]: (r["keep_doc_id"], r["n_copies"])
+           for r in dedup.exact_dedup_groups(docs).take_all()}
+    exp = {h: (k, n) for h, k, n in con.sql(
+        "select sha256(text), min(doc_id), count(*) from documents group by 1"
+    ).fetchall()}
+    assert got == exp
+
+
+def test_exact_dedup_finds_planted_dups(ray_session):
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "text": ["aaa bbb", "ccc", "aaa bbb", "ddd"]})
+    out = dedup.exact_dedup_groups(rd.from_arrow(tbl)).take_all()
+    by_n = {r["keep_doc_id"]: r["n_copies"] for r in out}
+    assert by_n == {1: 2, 2: 1, 4: 1}
+
+
+def test_minhash_estimates_jaccard(ray_session):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(3, 60)) + " x1 x2 x3"
+    far = " ".join(f"z{i}" for i in range(60))
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": [base, near, far]})
+    pairs = dedup.minhash_dedup_pairs(rd.from_arrow(tbl), num_perm=64,
+                                      bands=16, threshold=0.5)
+    found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 1) in found
+    assert all(p[1] != 2 and p[0] != 2 for p in found)
+    j = pairs["jaccard"].to_pylist()[list(found).index((0, 1))]
+    assert j == dedup.jaccard(base, near)
+
+
+def test_simhash_near_dups(ray_session):
+    base = " ".join(f"w{i}" for i in range(200))
+    near = base + " extra"
+    far = " ".join(f"z{i}" for i in range(200))
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": [base, near, far]})
+    out = dedup.simhash_near_dup_pairs(rd.from_arrow(tbl), max_hamming=3).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in found
+    assert not any(2 in p for p in found)
+
+
+def test_brute_force_topk_vs_numpy(emb):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out = ann.brute_force_topk(emb, query_ids=[0, 1, 2], k=5).take_all()
+    for qid in [0, 1, 2]:
+        rows = sorted([r for r in out if r["query_id"] == qid],
+                      key=lambda r: r["rank"])
+        sims = En[qid] @ En.T
+        order = np.lexsort((ids, -sims))[:5]
+        assert [r["vec_id"] for r in rows] == ids[order].tolist()
+
+
+def test_ivf_recall_reasonable(emb):
+    exact = ann.brute_force_topk(emb, query_ids=[0, 1], k=10).take_all()
+    approx = ann.ivf_topk(emb, query_ids=[0, 1], k=10,
+                          n_centroids=8, nprobe=4).take_all()
+    for qid in [0, 1]:
+        e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+        assert len(e & a) >= 5  # nprobe=4 of 8 lists → decent recall
+
+
+def test_language_id_runs(docs):
+    out = textstats.language_id(docs).take_all()
+    assert len(out) == docs.count()
+    assert all(r["pred_lang"] in ("en", "es", "fr", "de", "und") for r in out)
+
+
+def test_rolling_fingerprints_deterministic(docs):
+    a = textstats.rolling_fingerprints(docs.limit(20)).take_all()
+    b = textstats.rolling_fingerprints(docs.limit(20)).take_all()
+    assert sorted((r["doc_id"], r["fp64"]) for r in a) == \
+           sorted((r["doc_id"], r["fp64"]) for r in b)

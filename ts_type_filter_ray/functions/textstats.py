@@ -1,0 +1,240 @@
+"""Text-analysis operators over a documents Dataset — the "large-scale
+training-data pipeline" extensions: token counting, df tables, quality
+scoring, language-ID, fingerprinting.
+
+All hot paths are vectorized Arrow (`pyarrow.compute` split/flatten/
+parent-indices kernels + numpy bincount) — no per-row Python in the
+token-counting/df paths. Input shape: the driver's ``documents`` table
+(``doc_id:int64, text:string, lang:string, source:string, n_chars:int64``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Mean, Sum
+
+# fixed stopword list shared with the SQL oracles
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
+
+# BPE-ish pretokenizer: letter runs, digit runs, punctuation runs.
+# RE2- and re-compatible (no backrefs/lookaround) so the DuckDB oracle can
+# run the identical pattern.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def _tokens(batch: pa.Table):
+    """(list<str> tokens, flat tokens, parent doc indices) — zero-copy."""
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    return toks, flat, parents
+
+
+def token_counts(ds: Dataset) -> Dataset:
+    """(doc_id, n_tokens) — whitespace tokenization, reference breaker
+    semantics (``ts_type_filter/inverted_index.py:26-33``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks, _, _ = _tokens(batch)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_stats_by_lang(ds: Dataset) -> Dataset:
+    """(lang, n_docs, total_tokens, avg_tokens, total_chars) — the G2-style
+    global aggregates, pre-aggregated per batch implicitly by the small
+    groupby after a vectorized count."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks, _, _ = _tokens(batch)
+        return pa.table({
+            "lang": batch["lang"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_chars": batch["n_chars"],
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Mean("n_tokens", alias_name="avg_tokens"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+
+
+def term_df_tf(ds: Dataset) -> Dataset:
+    """(term, df, tf) over lowercased whitespace tokens: df = docs
+    containing the term (set semantics, ``inverted_index.py:61``), tf =
+    total occurrences. Partial aggregation per batch before the groupby
+    shuffle (SURVEY.md G1/G3)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, flat, parents = _tokens(batch)
+        flat = pc.utf8_lower(flat)
+        # encode terms to ints within the batch for a vectorized 2-key count
+        enc = pc.dictionary_encode(flat)
+        codes = enc.combine_chunks().indices.to_numpy(zero_copy_only=False)
+        vocab = enc.combine_chunks().dictionary.to_pylist()
+        par = parents.to_numpy(zero_copy_only=False)
+        key = par.astype(np.int64) * len(vocab) + codes
+        uniq, counts = np.unique(key, return_counts=True)
+        term_idx = (uniq % len(vocab)).astype(np.int64)
+        # per-batch partial: tf summed, df = distinct docs per term
+        tf = np.bincount(term_idx, weights=counts, minlength=len(vocab))
+        df = np.bincount(term_idx, minlength=len(vocab))
+        return pa.table({
+            "term": pa.array(vocab, type=pa.string()),
+            "df": pa.array(df, type=pa.int64()),
+            "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf")))
+
+
+def top_terms(ds: Dataset, k: int = 25) -> Dataset:
+    """Top-k terms by (df desc, term asc) — the reference's word-frequency
+    table (``inverted_index.py:148-153``) with the tie made deterministic."""
+    return term_df_tf(ds).sort(["df", "term"], descending=[True, False]).limit(k)
+
+
+def quality_scores(ds: Dataset) -> Dataset:
+    """(doc_id, n_tokens, n_stopwords, stopword_ratio, mean_token_len) —
+    simple quality-scoring features, fully vectorized."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks, flat, parents = _tokens(batch)
+        n = batch.num_rows
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parents.to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(pc.utf8_lower(flat),
+                           value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(par, weights=is_stop, minlength=n).astype(np.int64)
+        len_sum = np.bincount(par, weights=tok_len, minlength=n).astype(np.int64)
+        safe = np.maximum(n_tok, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "n_stopwords": pa.array(n_stop),
+            "stopword_ratio": pa.array(n_stop / safe, type=pa.float64()),
+            "mean_token_len": pa.array(len_sum / safe, type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bpe_token_counts(ds: Dataset) -> Dataset:
+    """(doc_id, n_bpe_tokens) under the BPE-ish regex pretokenizer — the
+    M12 token-counting analog without tiktoken (unavailable offline)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = pc.count_substring_regex(batch["text"], BPE_PATTERN)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pc.cast(counts, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(ds: Dataset) -> Dataset:
+    """(doc_id, fp) — md5 of the whitespace-normalized lowercased text, a
+    cheap canonical document fingerprint."""
+    ws = re.compile(r"\s+")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        fps = [hashlib.md5(ws.sub(" ", t.strip()).lower().encode("utf-8")).hexdigest()
+               for t in texts]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fp": pa.array(fps, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fingerprints(ds: Dataset, window: int = 16) -> Dataset:
+    """(doc_id, fp64) — polynomial rolling-hash fingerprint: min of the
+    rolling hashes of token windows (a winnowing-style document sketch).
+    Deterministic pure-int arithmetic."""
+    B = 1000003
+    MASK = (1 << 61) - 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            toks = text.split()
+            hs = np.array([int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                for t in toks], dtype=np.uint64)
+            if len(hs) == 0:
+                out.append(0)
+                continue
+            w = min(window, len(hs))
+            acc = np.zeros(len(hs) - w + 1, dtype=np.uint64)
+            for j in range(w):
+                acc = (acc * np.uint64(B) + hs[j:j + len(acc)]) & np.uint64(MASK)
+            out.append(int(acc.min()))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fp64": pa.array(out, type=pa.uint64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# -- language ID (n-gram/stopword heuristic) ----------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},
+    "es": {"el", "la", "de", "que", "y", "los", "en", "un", "por", "con"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+}
+
+
+class LangIdStage:
+    """Actor-pool language-ID stage: marker tables built once per actor.
+
+    Heuristic: argmax over per-language marker-hit ratios; ``und`` when no
+    marker hits (the synthetic corpora are English-ish, so most rows score
+    ``en`` or ``und``). Rows-only correctness check (non-SQL heuristic).
+    """
+
+    def __init__(self):
+        self._markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
+        self._langs = sorted(self._markers)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for text in batch["text"].to_pylist():
+            toks = text.lower().split()
+            if not toks:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            best_lang, best = "und", 0
+            for lang in self._langs:
+                hits = sum(1 for t in toks if t in self._markers[lang])
+                if hits > best:
+                    best, best_lang = hits, lang
+            preds.append(best_lang)
+            confs.append(best / len(toks))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(preds, type=pa.string()),
+            "confidence": pa.array(confs, type=pa.float64()),
+        })
+
+
+def language_id(ds: Dataset, concurrency=(1, 4)) -> Dataset:
+    return ds.map_batches(LangIdStage, batch_format="pyarrow",
+                          concurrency=concurrency)
