@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 query
+set) on sf0.001. ``queries()``/``oracle_sql()`` expose one entry per
+implemented operator family from SURVEY.md §2 plus the training-data
+extensions; SQL-expressible ones are checked value-exactly against DuckDB,
+stemmed/approximate ones get the rows-only check (full fidelity for those
+is covered by the pytest oracle suite, tests/test_engine_build_query.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,161 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+NEAR_DUP_THRESHOLD = 0.35
+TOP_TERMS_K = 25
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the distributed inverted index over the sf0.001
+    documents corpus and answer the fixed BM25 query set."""
+    from ts_type_filter_ray.pipelines.flagship import bm25_topk_table
+    return bm25_topk_table("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ts_type_filter_ray.functions import ann, dedup, textstats
+    from ts_type_filter_ray.pipelines import flagship
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ann_topk(sf_dir):
+        out = ann.brute_force_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+        # integer-only output: float similarity never crosses the oracle
+        # boundary (DuckDB computes f32, numpy f64)
+        return out.select_columns(["query_id", "rank", "vec_id"])
+
+    def near_dup(sf_dir):
+        return ann.embedding_near_dup_pairs(_emb(sf_dir), NEAR_DUP_THRESHOLD)
+
+    return {
+        # -- inverted index / BM25 (stemmed → rows-only; pytest oracle
+        #    covers rank/score identity) --
+        "bm25_topk": lambda sf: flagship.bm25_topk_table(sf),
+        "boolean_match": lambda sf: flagship.boolean_match_table(sf),
+        "index_statistics": lambda sf: flagship.index_statistics_table(sf),
+        # -- SQL-checked text analysis --
+        "token_counts": lambda sf: textstats.token_counts(_docs(sf)),
+        "doc_stats_by_lang": lambda sf: textstats.doc_stats_by_lang(_docs(sf)),
+        "term_df_tf": lambda sf: textstats.term_df_tf(_docs(sf)),
+        "top_terms": lambda sf: textstats.top_terms(_docs(sf), TOP_TERMS_K),
+        "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
+        "bpe_token_counts": lambda sf: textstats.bpe_token_counts(_docs(sf)),
+        "fingerprints": lambda sf: textstats.fingerprints(_docs(sf)),
+        # -- dedup --
+        "exact_dedup": lambda sf: dedup.exact_dedup_groups(_docs(sf)),
+        "minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(
+            _docs(sf), threshold=0.5),
+        "simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(_docs(sf)),
+        # -- similarity search --
+        "ann_topk": ann_topk,
+        "ann_ivf_topk": lambda sf: ann.ivf_topk(
+            _emb(sf), ANN_QUERY_IDS, k=ANN_K).select_columns(
+                ["query_id", "rank", "vec_id"]),
+        "embedding_near_dup": near_dup,
+        # -- misc text analysis (heuristic → rows-only) --
+        "language_id": lambda sf: textstats.language_id(_docs(sf)),
+        "rolling_fingerprints": lambda sf: textstats.rolling_fingerprints(
+            _docs(sf)),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = "('the','and','of','a','to','in','is','it','that','for')"
+    qids = "(0,1,2,3,4)"
+    dot = ("list_sum(list_transform(range(1, len({a}.embedding)+1), "
+           "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))")
+    return {
+        "token_counts": r"""
+            select doc_id,
+                   case when trim(text)='' then 0
+                        else len(regexp_split_to_array(trim(text),'\s+')) end
+                   as n_tokens
+            from documents""",
+        "doc_stats_by_lang": r"""
+            with t as (select lang, n_chars,
+                   case when trim(text)='' then 0
+                        else len(regexp_split_to_array(trim(text),'\s+')) end
+                   as n_tokens
+                   from documents)
+            select lang, count(*) as n_docs, sum(n_tokens) as total_tokens,
+                   avg(n_tokens) as avg_tokens, sum(n_chars) as total_chars
+            from t group by lang""",
+        "term_df_tf": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+')) as term
+              from documents where trim(text) <> '')
+            select term, count(distinct doc_id) as df, count(*) as tf
+            from toks group by term""",
+        "top_terms": rf"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+')) as term
+              from documents where trim(text) <> '')
+            select term, count(distinct doc_id) as df, count(*) as tf
+            from toks group by term
+            order by df desc, term asc limit {TOP_TERMS_K}""",
+        "quality_scores": rf"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+')) as term
+              from documents where trim(text) <> ''),
+            agg as (
+              select doc_id, count(*) as n_tokens,
+                     sum(case when term in {stop} then 1 else 0 end) as n_stop,
+                     sum(length(term)) as len_sum
+              from toks group by doc_id)
+            select d.doc_id,
+                   coalesce(a.n_tokens, 0) as n_tokens,
+                   coalesce(a.n_stop, 0) as n_stopwords,
+                   coalesce(a.n_stop::DOUBLE / a.n_tokens, 0.0) as stopword_ratio,
+                   coalesce(a.len_sum::DOUBLE / a.n_tokens, 0.0) as mean_token_len
+            from documents d left join agg a using (doc_id)""",
+        "bpe_token_counts": r"""
+            select doc_id,
+                   len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                   as n_bpe_tokens
+            from documents""",
+        "fingerprints": r"""
+            select doc_id,
+                   md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) as fp
+            from documents""",
+        "exact_dedup": """
+            select sha256(text) as sha256, min(doc_id) as keep_doc_id,
+                   count(*) as n_copies
+            from documents group by sha256(text)""",
+        "ann_topk": f"""
+            with nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select q.vec_id as query_id, t.vec_id as vec_id,
+                     ({dot.format(a='q', b='t')}) / (q.nv * t.nv) as sim
+              from nrm q, nrm t where q.vec_id in {qids}),
+            ranked as (
+              select query_id, vec_id,
+                     row_number() over (partition by query_id
+                                        order by sim desc, vec_id asc) as rank
+              from sims)
+            select query_id, rank, vec_id from ranked where rank <= {ANN_K}""",
+        "embedding_near_dup": f"""
+            with nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e)
+            select a.vec_id as id_a, b.vec_id as id_b
+            from nrm a join nrm b on a.vec_id < b.vec_id
+            where ({dot.format(a='a', b='b')}) / (a.nv * b.nv)
+                  >= {NEAR_DUP_THRESHOLD}""",
+    }

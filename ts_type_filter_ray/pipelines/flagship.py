@@ -1,0 +1,92 @@
+"""Flagship pipeline: build the inverted index over a corpus directory's
+``documents`` table and answer a fixed query set in boolean and BM25 mode.
+
+Used by ``__ray_entry__.entry()``/``queries()`` and ``bench.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+
+from ..sources.corpus import corpus_from_documents
+from .build import BuiltIndex, build_index
+from .query import LocalSearcher
+
+# Fixed query set over the driver documents vocabulary (TESTDATA.md):
+# hot terms, multi-term disjunctions, inflections requiring stemming,
+# no-hit terms, the empty query, list-form queries (FIXTURES.md F5).
+QUERY_SET: list[str | list[str]] = [
+    "spark",
+    "query fast",
+    "table row scan",
+    "queries",          # stems to "queri" == stem("query")
+    "joins merged",     # inflected forms
+    "nonexistentterm",
+    "",
+    ["hash", "partition"],
+    "the a of",
+    "window stream batch value part",
+]
+
+
+def _index_cache_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"graft_index_{tag}")
+
+
+def build_documents_index(sf_dir: str, force: bool = False) -> BuiltIndex:
+    """Build (or reuse the cached) index over ``{sf_dir}/documents.parquet``."""
+    out = _index_cache_dir(sf_dir)
+    if not force and os.path.exists(os.path.join(out, "stats.json")):
+        return BuiltIndex.load(out)
+    corpus = corpus_from_documents(sf_dir)
+    return build_index(corpus, out, doc_part_bits=12, num_term_buckets=16,
+                       tokenize_batch_size=128)
+
+
+def bm25_topk_table(sf_dir: str, k: int = 10,
+                    queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id, score) for the fixed query set."""
+    idx = build_documents_index(sf_dir)
+    searcher = LocalSearcher(idx)
+    qi, rk, di, sc = [], [], [], []
+    for i, q in enumerate(queries or QUERY_SET):
+        for r, (doc_id, score) in enumerate(searcher.bm25(q, k=k), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+            sc.append(score)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+        "score": pa.array(sc, type=pa.float64()),
+    })
+
+
+def boolean_match_table(sf_dir: str, queries: list | None = None) -> pa.Table:
+    """(query_idx, doc_id) match sets (insertion order ≡ doc_id asc)."""
+    idx = build_documents_index(sf_dir)
+    searcher = LocalSearcher(idx)
+    qi, di = [], []
+    for i, q in enumerate(queries or QUERY_SET):
+        for doc_id in searcher.match(q).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def index_statistics_table(sf_dir: str) -> pa.Table:
+    """The reference ``statistics()`` aggregates (G2) as a one-row table."""
+    idx = build_documents_index(sf_dir)
+    s = idx.stats
+    return pa.table({
+        "num_documents": pa.array([s.num_documents], type=pa.int64()),
+        "num_unique_terms": pa.array([s.num_unique_terms], type=pa.int64()),
+        "num_postings": pa.array([s.num_postings], type=pa.int64()),
+        "total_doc_len": pa.array([s.total_doc_len], type=pa.int64()),
+    })
