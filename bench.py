@@ -1,0 +1,156 @@
+"""Benchmark harness: headline index build + query latency over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) plus a larger synthetic
+code corpus, printing ONE JSON line.
+
+Modes:
+  python bench.py             # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # fresh processes at 8 and 32 CPUs on the
+                              # same input → throughput at both + scaling
+                              # efficiency (the N→4N criterion evidence)
+
+The headline metric is wall seconds for the full flagship pipeline; the
+queries dict carries per-stage seconds, build docs/sec and MB/sec, and
+query p50/p99 latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _corpus_dir(num_docs: int, seed: int = 42) -> str:
+    """Deterministic synthetic F1 code corpus, cached under /tmp."""
+    d = os.path.join(tempfile.gettempdir(), f"graft_bench_corpus_{num_docs}_{seed}")
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        from ts_type_filter_ray.sources.synthetic import generate_corpus
+        generate_corpus(d, num_docs=num_docs, seed=seed, num_files=16)
+        open(marker, "w").write("ok")
+    return d
+
+
+BENCH_QUERIES = [
+    "import", "def self return", "ident_1x ident_2x", "uniq_100_0",
+    "Import DEF Class", "foo():", "word1 word2 word3 word4",
+    "running tested functions", "nohit_zzz", "jalapeños naïve",
+]
+
+
+def run_bench(num_cpus: int, num_docs: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ts_type_filter_ray.pipelines.build import build_index
+    from ts_type_filter_ray.pipelines.query import LocalSearcher
+    from ts_type_filter_ray.sources.corpus import read_corpus
+
+    corpus_dir = _corpus_dir(num_docs)
+    corpus_bytes = sum(os.path.getsize(os.path.join(corpus_dir, f))
+                       for f in os.listdir(corpus_dir) if f.endswith(".parquet"))
+    # warm the page cache so we measure compute + shuffle, not first read
+    read_corpus(corpus_dir).count()
+
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"graft_bench_index_{num_docs}_{num_cpus}")
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    idx = build_index(read_corpus(corpus_dir), out_dir,
+                      tokenize_batch_size=256,
+                      tokenize_concurrency=(1, max(2, num_cpus - 2)))
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    searcher = LocalSearcher(idx)  # warm: load postings once
+    t_load = time.perf_counter() - t0
+
+    lat = []
+    for _ in range(5):
+        for q in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            searcher.bm25(q, k=10)
+            lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = statistics.median(lat)
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+
+    # driver-testdata flagship (sf dir) for cross-round comparability
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ts_type_filter_ray.pipelines.flagship import (bm25_topk_table,
+                                                       build_documents_index)
+    t0 = time.perf_counter()
+    build_documents_index(sf_dir, force=True)
+    bm25_topk_table(sf_dir)
+    t_sf = time.perf_counter() - t0
+
+    n = idx.stats.num_documents
+    result = {
+        "build_sec": round(t_build, 3),
+        "build_docs_per_sec": round(n / t_build, 1),
+        "build_mb_per_sec": round(corpus_bytes / 1e6 / t_build, 2),
+        "searcher_load_sec": round(t_load, 3),
+        "query_p50_ms": round(p50 * 1e3, 3),
+        "query_p99_ms": round(p99 * 1e3, 3),
+        "sf_flagship_sec": round(t_sf, 3),
+        "num_docs": n,
+        "num_terms": idx.stats.num_unique_terms,
+        "num_postings": idx.stats.num_postings,
+    }
+    ray.shutdown()
+    return result
+
+
+def main() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    num_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+
+    if "--scaling" in sys.argv:
+        # fresh processes at two parallelism levels on identical input
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_DOCS=str(num_docs))
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = run(8), run(32)
+        t_lo = lo["queries"]["build_sec"]
+        t_hi = hi["queries"]["build_sec"]
+        eff = (t_lo / t_hi) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling: build sec at 8 vs 32 cpus",
+            "sec_8": t_lo, "sec_32": t_hi,
+            "docs_per_sec_8": lo["queries"]["build_docs_per_sec"],
+            "docs_per_sec_32": hi["queries"]["build_docs_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "num_docs": num_docs,
+        }))
+        return
+
+    t0 = time.perf_counter()
+    q = run_bench(num_cpus, num_docs)
+    total = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "index build + BM25 query flagship wall time",
+        "value": round(q["build_sec"] + q["sf_flagship_sec"], 3),
+        "unit": "sec",
+        "queries": q,
+        "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "num_cpus": num_cpus,
+        "total_sec": round(total, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,60 +25,17 @@ from __future__ import annotations
 
 import json
 import os
-import zlib
 from dataclasses import dataclass
 
-import numpy as np
-import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from ..oracle.index import BM25_B, BM25_K1
 from ..stages.tokenizer import (DEFAULT_DOC_PART_BITS, TokenizePartials,
-                                merge_partials, prep_docs)
-from ..state import postings as plib
+                                make_bucket_merger, prep_docs)
+from ..state.postings import term_bucket  # noqa: F401  (re-export for query)
 
 DEFAULT_TERM_BUCKETS = 32
-
-
-def term_bucket(term: str, num_buckets: int) -> int:
-    """Stable cross-process term → bucket hash (zlib.crc32, not hash())."""
-    return zlib.crc32(term.encode("utf-8")) % num_buckets
-
-
-class PostingCompressor:
-    """Stateful actor-pool stage: merged rows → delta/varint-compressed
-    posting rows with block-max metadata (north-star mandated layout).
-    avgdl/k1/b are fixed per build → constructor state, once per actor."""
-
-    def __init__(self, avgdl: float, k1: float, b: float, num_buckets: int):
-        self._avgdl = avgdl
-        self._k1 = k1
-        self._b = b
-        self._buckets = num_buckets
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = batch["term"].to_pylist()
-        enc_docs, enc_tfs, enc_dls, impacts, buckets = [], [], [], [], []
-        for i in range(batch.num_rows):
-            doc_ids = np.asarray(batch["doc_ids"][i].as_py(), dtype=np.int64)
-            tfs = np.asarray(batch["tfs"][i].as_py(), dtype=np.int64)
-            dls = np.asarray(batch["dls"][i].as_py(), dtype=np.int64)
-            enc_docs.append(plib.encode_doc_ids(doc_ids))
-            enc_tfs.append(plib.encode_varints(tfs))
-            enc_dls.append(plib.encode_varints(dls))
-            impacts.append(plib.max_impact(tfs, dls, self._avgdl, self._k1, self._b))
-            buckets.append(term_bucket(terms[i], self._buckets))
-        return pa.table({
-            "term": batch["term"],
-            "part": batch["part"],
-            "bucket": pa.array(buckets, type=pa.int32()),
-            "df": batch["df"],
-            "doc_ids_enc": pa.array(enc_docs, type=pa.large_binary()),
-            "tfs_enc": pa.array(enc_tfs, type=pa.large_binary()),
-            "dls_enc": pa.array(enc_dls, type=pa.large_binary()),
-            "max_impact": pa.array(impacts, type=pa.float64()),
-        })
 
 
 @dataclass
@@ -151,20 +108,17 @@ def build_index(corpus: Dataset, out_dir: str, *,
     total_dl = int(agg["total_dl"])
     avgdl = total_dl / n_docs
 
-    # Pass B — tokenize → partial postings → shuffle → merge → compress.
+    # Pass B — tokenize → partial postings → bucket shuffle → vectorized
+    # merge+compress per bucket (the ONE wide shuffle; keyed by term
+    # bucket so group count is small and the merge is vectorized).
     partials = corpus.select_columns(["doc_id", "content"]).map_batches(
         TokenizePartials,
-        fn_constructor_args=(doc_part_bits,),
+        fn_constructor_args=(doc_part_bits, num_term_buckets),
         batch_format="pyarrow",
         batch_size=tokenize_batch_size,
         concurrency=tokenize_concurrency or (1, 16))
-    merged = partials.groupby(["term", "part"]).map_groups(
-        merge_partials, batch_format="pyarrow")
-    compressed = merged.map_batches(
-        PostingCompressor,
-        fn_constructor_args=(avgdl, k1, b, num_term_buckets),
-        batch_format="pyarrow",
-        concurrency=(1, 8))
+    compressed = partials.groupby("bucket").map_groups(
+        make_bucket_merger(avgdl, k1, b), batch_format="pyarrow")
     compressed.write_parquet(os.path.join(out_dir, "postings"),
                              partition_cols=["bucket"])
 

@@ -28,6 +28,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..text.porter2 import stem
 
@@ -49,15 +50,21 @@ class TokenizePartials:
     """Actor-pool stage: (doc_id, content) batches → partial posting rows.
 
     Output schema:
-      term:string, part:int32, doc_ids:list<int64>, tfs:list<int32>,
-      dls:list<int32>
+      term:string, part:int32, bucket:int32, doc_ids:list<int64>,
+      tfs:list<int32>, dls:list<int32>
     doc_ids ascending within each row (docs arrive in doc_id order within
-    a batch; the merge re-sorts defensively anyway).
+    a batch; the merge re-sorts defensively anyway). ``bucket`` is the
+    term's hash bucket — the downstream shuffle groups by bucket alone
+    (few large groups, vectorized merge) instead of per-(term, part)
+    (millions of tiny groups → per-group dispatch overhead dominates).
     """
 
-    def __init__(self, doc_part_bits: int = DEFAULT_DOC_PART_BITS):
+    def __init__(self, doc_part_bits: int = DEFAULT_DOC_PART_BITS,
+                 num_term_buckets: int = 32):
         self._part_bits = doc_part_bits
+        self._num_buckets = num_term_buckets
         self._stem = stem  # module-level lru_cache: hot vocab amortized per actor
+        self._bucket_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         _stem = self._stem
@@ -80,50 +87,102 @@ class TokenizePartials:
                 entry[1].append(tf)
                 entry[2].append(dl)
 
+        from ..state.postings import term_bucket
+
+        bcache = self._bucket_cache
+        nb = self._num_buckets
         terms = []
         parts = []
+        buckets = []
         l_doc = []
         l_tf = []
         l_dl = []
         for (term, part), (ds_, ts_, ls_) in acc.items():
             terms.append(term)
             parts.append(part)
+            bkt = bcache.get(term)
+            if bkt is None:
+                bkt = bcache[term] = term_bucket(term, nb)
+            buckets.append(bkt)
             l_doc.append(ds_)
             l_tf.append(ts_)
             l_dl.append(ls_)
         return pa.table({
             "term": pa.array(terms, type=pa.string()),
             "part": pa.array(parts, type=pa.int32()),
+            "bucket": pa.array(buckets, type=pa.int32()),
             "doc_ids": pa.array(l_doc, type=pa.list_(pa.int64())),
             "tfs": pa.array(l_tf, type=pa.list_(pa.int32())),
             "dls": pa.array(l_dl, type=pa.list_(pa.int32())),
         })
 
 
-def merge_partials(group: pa.Table) -> pa.Table:
-    """Merge one (term, part) group of partial posting rows into a single
-    uncompressed merged row. Used via ``groupby(["term","part"]).map_groups``.
+def make_bucket_merger(avgdl: float, k1: float, b: float):
+    """Per-bucket merge + delta/varint compression, used via
+    ``groupby("bucket").map_groups``.
 
-    Doc_ids are re-sorted ascending — determinism never depends on task
-    completion order (SURVEY.md §7.4).
+    One call merges ALL (term, part) posting lists of one term bucket:
+    the group's list columns are flattened to flat numpy arrays
+    (zero-copy Arrow kernels), lexsorted by (term, part, doc_id), sliced
+    at group boundaries, and each slice varint-encoded with its block-max
+    metadata. Vectorized across thousands of terms per call — the
+    per-(term,part)-group dispatch overhead of a fine-grained groupby
+    would dominate the build otherwise (measured 218 docs/s → see
+    BASELINE.md). Doc_ids are re-sorted ascending, so determinism never
+    depends on task completion order (SURVEY.md §7.4).
+
+    Scale note: one bucket's postings must fit one worker's heap —
+    ``num_term_buckets`` is the knob (32 locally; thousands at 10^12-doc
+    scale, keeping per-bucket state ~ total_postings/buckets).
     """
-    term = group["term"][0].as_py()
-    part = group["part"][0].as_py()
-    doc_ids = np.concatenate([np.asarray(x, dtype=np.int64)
-                              for x in group["doc_ids"].to_pylist()])
-    tfs = np.concatenate([np.asarray(x, dtype=np.int64)
-                          for x in group["tfs"].to_pylist()])
-    dls = np.concatenate([np.asarray(x, dtype=np.int64)
-                          for x in group["dls"].to_pylist()])
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
-    tfs = tfs[order]
-    dls = dls[order]
-    return pa.table({
-        "term": pa.array([term], type=pa.string()),
-        "part": pa.array([part], type=pa.int32()),
-        "df": pa.array([len(doc_ids)], type=pa.int64()),
-        "doc_ids": pa.array([doc_ids], type=pa.list_(pa.int64())),
-        "tfs": pa.array([tfs], type=pa.list_(pa.int32())),
-        "dls": pa.array([dls], type=pa.list_(pa.int32())),
-    })
+    from ..state import postings as plib
+
+    def merge(group: pa.Table) -> pa.Table:
+        bucket = group["bucket"][0].as_py()
+        enc = group["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        parts = group["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        dcol = group["doc_ids"].combine_chunks()
+        flat_doc = dcol.flatten().to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(dcol).to_numpy(zero_copy_only=False)
+        flat_tf = group["tfs"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat_dl = group["dls"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        key = (codes[parent] << np.int64(32)) | parts[parent]
+        order = np.lexsort((flat_doc, key))
+        key_s = key[order]
+        doc_s = flat_doc[order]
+        tf_s = flat_tf[order]
+        dl_s = flat_dl[order]
+
+        bounds = np.flatnonzero(np.diff(key_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(key_s)]))
+
+        terms_o, parts_o, dfs_o = [], [], []
+        d_enc, t_enc, l_enc, imps = [], [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            k = int(key_s[s])
+            terms_o.append(vocab[k >> 32])
+            parts_o.append(k & 0xFFFFFFFF)
+            dfs_o.append(e - s)
+            d_enc.append(plib.encode_doc_ids(doc_s[s:e]))
+            t_enc.append(plib.encode_varints(tf_s[s:e]))
+            l_enc.append(plib.encode_varints(dl_s[s:e]))
+            imps.append(plib.max_impact(tf_s[s:e], dl_s[s:e], avgdl, k1, b))
+        return pa.table({
+            "term": pa.array(terms_o, type=pa.string()),
+            "part": pa.array(parts_o, type=pa.int32()),
+            "bucket": pa.array([bucket] * len(terms_o), type=pa.int32()),
+            "df": pa.array(dfs_o, type=pa.int64()),
+            "doc_ids_enc": pa.array(d_enc, type=pa.large_binary()),
+            "tfs_enc": pa.array(t_enc, type=pa.large_binary()),
+            "dls_enc": pa.array(l_enc, type=pa.large_binary()),
+            "max_impact": pa.array(imps, type=pa.float64()),
+        })
+
+    return merge

@@ -1,0 +1,274 @@
+"""Checkpointed, resumable index build (north-rule requirement: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+Unit of work = an input **shard** (a group of corpus files). Each shard
+runs ONE single-pass Ray Data pipeline: read its row groups → tokenize →
+per-batch partial postings **and** per-doc metadata rows in a combined
+stream → atomically written to ``partials/shard=<i>/`` (write to a temp
+dir, rename). A manifest entry records the shard's lineage fingerprint
+(input files + row counts), counters (docs, tokens, postings rows) and a
+sha256 XOR rollup of its documents — the per-row invariant aggregated
+order-independently.
+
+Resume = re-run the same call: shards whose manifest entry is ``done``
+AND whose lineage fingerprint still matches are skipped (zero
+recomputation); only the cheap finalize (merge groupby over the partials,
+≪ tokenize cost) re-runs.
+
+The combined stream uses ``part = -1`` rows for doc metadata (postings
+rows always have ``part >= 0``); doc columns ride along nullable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from ..sources.corpus import _row_group_tasks, corpus_files
+from ..stages.tokenizer import DEFAULT_DOC_PART_BITS, TokenizePartials
+
+
+class TokenizeWithMeta(TokenizePartials):
+    """Single-pass stage: partial postings rows + doc-metadata rows
+    (sha256, doc_len, repo/path/lang) in one output stream."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        postings = super().__call__(
+            batch.select(["doc_id", "content"]))
+        n_post = postings.num_rows
+
+        contents = batch["content"].to_pylist()
+        shas = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in contents]
+        dls = [len(c.split()) for c in contents]
+        n_docs = batch.num_rows
+
+        def col(name: str, default: str = "") -> list:
+            if name in batch.column_names:
+                return batch[name].to_pylist()
+            return [default] * n_docs
+
+        meta = pa.table({
+            "term": pa.array(shas, type=pa.string()),   # sha rides in `term`
+            "part": pa.array([-1] * n_docs, type=pa.int32()),
+            "bucket": pa.array([-1] * n_docs, type=pa.int32()),
+            "doc_ids": pa.array([[d] for d in batch["doc_id"].to_pylist()],
+                                type=pa.list_(pa.int64())),
+            "tfs": pa.array([[]] * n_docs, type=pa.list_(pa.int32())),
+            "dls": pa.array([[dl] for dl in dls], type=pa.list_(pa.int32())),
+            "repo": pa.array(col("repo"), type=pa.string()),
+            "path": pa.array(col("path"), type=pa.string()),
+            "lang": pa.array(col("lang"), type=pa.string()),
+        })
+        pad = pa.table({
+            "repo": pa.array([None] * n_post, type=pa.string()),
+            "path": pa.array([None] * n_post, type=pa.string()),
+            "lang": pa.array([None] * n_post, type=pa.string()),
+        })
+        postings = pa.table({**{c: postings[c] for c in postings.column_names},
+                             **{c: pad[c] for c in pad.column_names}})
+        return pa.concat_tables([postings, meta])
+
+
+def _shard_fingerprint(tasks: list[dict]) -> str:
+    h = hashlib.sha256()
+    for t in tasks:
+        h.update(f"{t['path']}:{t['row_group']}:{t['doc_id_offset']}:"
+                 f"{t['num_rows']};".encode())
+    return h.hexdigest()
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def load_manifest(out_dir: str) -> dict:
+    p = _manifest_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"shards": {}}
+
+
+def _save_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
+                   doc_part_bits: int = DEFAULT_DOC_PART_BITS,
+                   num_term_buckets: int = 32,
+                   tokenize_batch_size: int = 256,
+                   max_shards_this_run: int | None = None) -> dict:
+    """Run (or resume) the tokenize pass shard by shard. Returns the
+    manifest. ``max_shards_this_run`` lets tests simulate an interruption.
+    """
+    import ray.data as rd
+
+    os.makedirs(os.path.join(out_dir, "partials"), exist_ok=True)
+    files = corpus_files(corpus_dir)
+    all_tasks = _row_group_tasks(files)
+    by_file: dict[str, list[dict]] = {}
+    for t in all_tasks:
+        by_file.setdefault(t["path"], []).append(t)
+    shard_files = [files[i::num_shards] for i in range(num_shards)]
+
+    manifest = load_manifest(out_dir)
+    done_this_run = 0
+    for shard_id, flist in enumerate(shard_files):
+        tasks = [t for f in flist for t in by_file[f]]
+        if not tasks:
+            continue
+        fp = _shard_fingerprint(tasks)
+        entry = manifest["shards"].get(str(shard_id))
+        if entry and entry["status"] == "done" and entry["fingerprint"] == fp:
+            continue  # checkpoint hit: zero recomputation
+        if max_shards_this_run is not None and done_this_run >= max_shards_this_run:
+            break
+
+        final_dir = os.path.join(out_dir, "partials", f"shard={shard_id}")
+        tmp_dir = final_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+
+        from ..sources.corpus import _ReadRowGroup
+        ds = rd.from_items(tasks, override_num_blocks=len(tasks))
+        stream = (ds.map_batches(_ReadRowGroup(None), batch_size=1,
+                                 batch_format="pyarrow")
+                  .map_batches(TokenizeWithMeta,
+                               fn_constructor_args=(doc_part_bits,
+                                                    num_term_buckets),
+                               batch_format="pyarrow",
+                               batch_size=tokenize_batch_size,
+                               concurrency=(1, 16)))
+        stream.write_parquet(tmp_dir)
+
+        # counters + sha rollup from the written doc-meta rows (small read)
+        meta = pads.dataset(tmp_dir).to_table(
+            filter=(pads.field("part") == -1), columns=["term", "dls"])
+        n_docs = meta.num_rows
+        total_dl = sum(x[0].as_py() for x in meta["dls"])
+        rollup = 0
+        for sha in meta["term"].to_pylist():
+            rollup ^= int(sha, 16)
+        os.replace(tmp_dir, final_dir)
+
+        manifest["shards"][str(shard_id)] = {
+            "status": "done",
+            "fingerprint": fp,
+            "files": flist,
+            "num_docs": n_docs,
+            "total_doc_len": int(total_dl),
+            "sha256_xor_rollup": f"{rollup:064x}",
+        }
+        _save_manifest(out_dir, manifest)
+        done_this_run += 1
+    return manifest
+
+
+def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
+                   doc_part_bits: int = DEFAULT_DOC_PART_BITS,
+                   k1: float | None = None, b: float | None = None):
+    """Merge all shard partials into the final index layout (same layout
+    as :func:`..pipelines.build.build_index`). Small relative to tokenize;
+    re-runs wholesale on resume."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..oracle.index import BM25_B, BM25_K1
+    from ..pipelines.build import BuiltIndex, IndexStats
+    from ..stages.tokenizer import make_bucket_merger
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    manifest = load_manifest(out_dir)
+    shards = manifest["shards"].values()
+    if not shards or any(s["status"] != "done" for s in shards):
+        raise RuntimeError("not all shards are done; run build_partials first")
+
+    n_docs = sum(s["num_docs"] for s in shards)
+    total_dl = sum(s["total_doc_len"] for s in shards)
+    avgdl = total_dl / n_docs
+
+    partials_dir = os.path.join(out_dir, "partials")
+    full = rd.read_parquet(partials_dir)
+
+    # docs table from the part == -1 rows
+    def to_docs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.equal(batch["part"], -1))
+        return pa.table({
+            "doc_id": pa.array([x[0] for x in batch["doc_ids"].to_pylist()],
+                               type=pa.int64()),
+            "sha256": batch["term"],
+            "doc_len": pa.array([x[0] for x in batch["dls"].to_pylist()],
+                                type=pa.int32()),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "lang": batch["lang"],
+        })
+
+    docs_dir = os.path.join(out_dir, "docs")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    full.map_batches(to_docs, batch_format="pyarrow").write_parquet(docs_dir)
+
+    # postings from the part >= 0 rows
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.greater_equal(batch["part"], 0))
+        return batch.select(["term", "part", "bucket", "doc_ids", "tfs", "dls"])
+
+    post_dir = os.path.join(out_dir, "postings")
+    shutil.rmtree(post_dir, ignore_errors=True)
+    compressed = (rd.read_parquet(partials_dir)
+                  .map_batches(posting_rows, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(make_bucket_merger(avgdl, k1, b),
+                              batch_format="pyarrow"))
+    compressed.write_parquet(post_dir, partition_cols=["bucket"])
+
+    df_dir = os.path.join(out_dir, "df")
+    shutil.rmtree(df_dir, ignore_errors=True)
+    df_tbl = (rd.read_parquet(post_dir, columns=["term", "df"])
+              .groupby("term").aggregate(Sum("df", alias_name="df")))
+    df_tbl.write_parquet(df_dir)
+    df_agg = rd.read_parquet(df_dir).aggregate(
+        Count(alias_name="n_terms"), Sum("df", alias_name="n_postings"))
+
+    stats = IndexStats(
+        num_documents=n_docs, total_doc_len=total_dl,
+        num_unique_terms=int(df_agg["n_terms"]),
+        num_postings=int(df_agg["n_postings"]),
+        k1=k1, b=b, doc_part_bits=doc_part_bits,
+        num_term_buckets=num_term_buckets)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats.__dict__, f, indent=1)
+    return BuiltIndex(root=out_dir, stats=stats)
+
+
+def build_index_checkpointed(corpus_dir: str, out_dir: str, *,
+                             num_shards: int = 4,
+                             doc_part_bits: int = DEFAULT_DOC_PART_BITS,
+                             num_term_buckets: int = 32,
+                             max_shards_this_run: int | None = None):
+    """Sharded single-pass build with resume. Interrupt at any point and
+    call again with the same arguments: completed shards are skipped."""
+    build_partials(corpus_dir, out_dir, num_shards=num_shards,
+                   doc_part_bits=doc_part_bits,
+                   num_term_buckets=num_term_buckets,
+                   max_shards_this_run=max_shards_this_run)
+    manifest = load_manifest(out_dir)
+    files = corpus_files(corpus_dir)
+    expected = {str(i) for i in range(num_shards) if files[i::num_shards]}
+    done = {sid for sid, s in manifest["shards"].items()
+            if s["status"] == "done"}
+    if not expected <= done:
+        return None  # interrupted run; resume later
+    return finalize_index(out_dir, num_term_buckets=num_term_buckets,
+                          doc_part_bits=doc_part_bits)

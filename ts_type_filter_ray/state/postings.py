@@ -20,7 +20,15 @@ Layout per (term, doc_partition) row:
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """Stable cross-process term → bucket hash (zlib.crc32, never the
+    process-seeded builtin ``hash``)."""
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
 def encode_varints(values: np.ndarray | list[int]) -> bytes:
