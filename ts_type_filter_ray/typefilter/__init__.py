@@ -12,14 +12,14 @@ from .ast import (Any, Array, Boolean, Define, FalseValue, Literal, Never,
                   Number, ParamDef, ParamRef, String, Struct, TrueValue, Type,
                   Union)
 from .parser import parse, strip_ts_comments
-from .pipeline import (TypeIndex, build_filtered_types, build_symbol_table,
-                       build_type_index, collect_string_literals,
-                       serialize_defs)
+from .pipeline import (PruneTypesStage, TypeIndex, build_filtered_types,
+                       build_symbol_table, build_type_index,
+                       collect_string_literals, prune_source, serialize_defs)
 
 __all__ = [
     "Any", "Array", "Boolean", "Define", "FalseValue", "Literal", "Never",
     "Number", "ParamDef", "ParamRef", "String", "Struct", "TrueValue",
-    "Type", "Union", "parse", "strip_ts_comments", "TypeIndex",
+    "Type", "Union", "parse", "strip_ts_comments", "TypeIndex", "PruneTypesStage", "prune_source",
     "build_filtered_types", "build_symbol_table", "build_type_index",
     "collect_string_literals", "serialize_defs",
 ]
