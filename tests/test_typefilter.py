@@ -246,3 +246,65 @@ def test_optional_field_dropped_required_collapses():
     # the singleton union path-compresses A's struct into Root
     out = prune_source(src, "x")
     assert out == 'type Root={keep:"x"};'
+
+
+# -- comprehensive menu round-trip (exercises every grammar feature the
+#    reference's 43-type menu does: multi-param generics with extends,
+#    CHOOSE sentinel, unicode literals, hints, optionals, parenthesized
+#    union arrays; structure mirrors tests/test_parser.py:133-203) --
+
+COMPREHENSIVE = """
+type Cart={items:Item[]};
+type Item=ComboMeal<Sizes>|Sandwich|Wrap|SideOrder<any,any>|Drink<any,any>;
+type ComboMeal<SIZE extends Sizes>={name:"Combo Meal",size:SIZE,main:Sandwich|CHOOSE,side:SideOrder<"Curly Fries"|"Tots",SIZE>|CHOOSE,drink:Drink<any,any>|CHOOSE};
+type Sandwich=GenericSandwich<"Classic Stack"|"Double Stack"|"Veggie Stack">;
+type GenericSandwich<NAME>={name:NAME,style:"Plain"|"Toasted"|CHOOSE,options?:(Toppings|Sauces)[]};
+type Wrap={name:"Garden Wrap"|"Spicy Wrap",options?:(Toppings|Sauces)[]};
+type SideOrder<NAME extends "Curly Fries"|"Tots",SIZE extends SideSizes>={name:NAME,size:SIZE,dip:Dip|CHOOSE};
+type SideSizes="Small"|"Large"|CHOOSE;
+type Sizes="Small"|"Medium"|"Large"|CHOOSE;
+type Drink<NAME extends DrinkNames,SIZE extends Sizes>={name:NAME,size:SIZE,options?:Ice[]};
+type DrinkNames="Cola"|"Diet Cola"|"Lemon Fizz"|"Iced Tea";
+type Ice={name:"Ice",amount:"Regular"|"Light"|"No"};
+type Toppings={amount:Amount,name:"Lettuce"|"Tomato"|"Jalapeños"};
+type Sauces={amount:Amount,name:"House Sauce"|"Fire Sauce"};
+type Dip={name:"Ranch"|"Queso"|"None"};
+type Amount="No"|"Regular"|"Extra";
+// Hint: Use CHOOSE when customer doesn't specify an option
+type CHOOSE="CHOOSE";
+"""
+
+
+def test_comprehensive_round_trip():
+    defs = parse(COMPREHENSIVE)
+    out = [d if isinstance(d, str) else d.format() for d in defs]
+    expected = COMPREHENSIVE.strip().splitlines()
+    for o, e in zip(out, expected):
+        if e.startswith("// Hint:"):
+            assert o == "//" + e[8:]
+        else:
+            assert o == e
+    assert len(out) == len(expected)
+
+
+def test_comprehensive_round_trip_no_semicolons():
+    lines = [ln[:-1] if ln.endswith(";") else ln
+             for ln in COMPREHENSIVE.strip().splitlines()]
+    defs = parse("\n".join(lines))
+    out = [d if isinstance(d, str) else d.format() for d in defs]
+    expected = COMPREHENSIVE.strip().splitlines()
+    for o, e in zip(out, expected):
+        if not e.startswith("// Hint:"):
+            assert o == e
+
+
+def test_comprehensive_prune():
+    defs = parse(COMPREHENSIVE)
+    symbols, indexer = build_type_index(defs)
+    # CHOOSE is not pinned in this menu: empty query prunes everything
+    reachable = build_filtered_types(defs, symbols, indexer, "")
+    assert [d.format() for d in reachable] == ["type Cart=never;"]
+    # a drink query keeps the drink subtree
+    out = prune_source(COMPREHENSIVE, "lemon fizz small")
+    assert '"Lemon Fizz"' in out
+    assert '"Classic Stack"' not in out

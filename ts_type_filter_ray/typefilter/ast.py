@@ -131,7 +131,9 @@ class Literal(TNode):
         self.pinned = pinned
 
     def format(self) -> str:
-        return json.dumps(self.text)
+        # ensure_ascii=False: unicode literals ("Jalapeños") round-trip as
+        # real characters, matching the reference's to_json_string output.
+        return json.dumps(self.text, ensure_ascii=False)
 
     def collect_literals(self, out: list) -> None:
         if isinstance(self.text, str):
