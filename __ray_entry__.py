@@ -81,7 +81,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": lambda sf: textstats.language_id(_docs(sf)),
         "rolling_fingerprints": lambda sf: textstats.rolling_fingerprints(
             _docs(sf)),
+        # -- typefilter capability family (AST semantics → rows-only;
+        #    fidelity covered by tests/test_typefilter.py goldens) --
+        "prune_types": _prune_types,
+        "validate_carts": _validate_carts,
+        "normalize_carts": _normalize_carts,
+        # -- multimodal plumbing (stubbed codecs, deterministic fake) --
+        "decode_media": _decode_media,
     }
+
+
+def _prune_types(sf_dir: str):
+    import ray.data as rd
+
+    from ts_type_filter_ray.sources.typefixtures import prune_queries_table
+    from ts_type_filter_ray.typefilter import PruneTypesStage
+    return rd.from_arrow(prune_queries_table()).map_batches(
+        PruneTypesStage, batch_format="pyarrow",
+        concurrency=2).select_columns(["query", "pruned"])
+
+
+def _validate_carts(sf_dir: str):
+    import ray.data as rd
+
+    from ts_type_filter_ray.sources.typefixtures import (MENU_SOURCE,
+                                                         carts_table)
+    from ts_type_filter_ray.typefilter.validator import ValidateCartsStage
+    return rd.from_arrow(carts_table()).map_batches(
+        ValidateCartsStage, fn_constructor_args=(MENU_SOURCE, "Cart"),
+        batch_format="pyarrow", concurrency=2)
+
+
+def _normalize_carts(sf_dir: str):
+    import ray.data as rd
+
+    from ts_type_filter_ray.sources.typefixtures import (MENU_SOURCE,
+                                                         carts_table)
+    from ts_type_filter_ray.typefilter import parse
+    from ts_type_filter_ray.typefilter.normalize import (NormalizeCartsStage,
+                                                         create_normalizer_spec)
+    spec = create_normalizer_spec(parse(MENU_SOURCE))
+    return rd.from_arrow(carts_table()).map_batches(
+        NormalizeCartsStage, fn_constructor_args=(spec,),
+        batch_format="pyarrow", concurrency=2)
+
+
+def _decode_media(sf_dir: str):
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.multimodal import (FakeDecoder,
+                                                         decode_media,
+                                                         synthesize_media_table)
+    return decode_media(rd.from_arrow(synthesize_media_table(96)),
+                        decoder=FakeDecoder(), batch_size=16, concurrency=2)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -152,18 +152,34 @@ class LocalSearcher:
         for part in parts_desc:
             if len(heap) == k and ub[part] < heap[0][0]:
                 break  # no doc in any remaining partition can enter top-k
-            scores: dict[int, float] = {}
+            # Vectorized per-partition scoring in ascending-term order,
+            # accumulated as an exact left fold → bit-identical float64
+            # scores vs the oracle.
+            doc_arrays: list[np.ndarray] = []
+            contrib_arrays: list[np.ndarray] = []
             for _term, idf, rows in term_rows:  # ascending term order
                 for (p, _df, _imp, d_enc, t_enc, l_enc) in rows:
                     if p != part:
                         continue
-                    doc_ids = plib.decode_doc_ids(d_enc)
+                    doc_arrays.append(plib.decode_doc_ids(d_enc))
                     tfs = plib.decode_varints(t_enc).astype(np.float64)
                     dls = plib.decode_varints(l_enc).astype(np.float64)
-                    contrib = idf * _tf_factor(tfs, dls, avgdl, k1, b)
-                    for d, c in zip(doc_ids.tolist(), contrib.tolist()):
-                        scores[d] = scores.get(d, 0.0) + c
-            for d, s in scores.items():
+                    contrib_arrays.append(idf * _tf_factor(tfs, dls, avgdl, k1, b))
+            if not doc_arrays:
+                continue
+            # Left-fold accumulation per doc in term order: a doc appears
+            # at most once per term array, so fancy-indexed += is exact
+            # and matches the oracle's sequential `scores[d] += c`.
+            # (np.add.reduceat is NOT a left fold — it right-associates.)
+            uniq = np.unique(np.concatenate(doc_arrays))
+            sums = np.zeros(uniq.size, dtype=np.float64)
+            for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
+                sums[np.searchsorted(uniq, docs_t)] += contrib_t
+            if uniq.size > k:
+                # only this partition's top-k can enter the global top-k
+                sel = np.lexsort((uniq, -sums))[:k]
+                uniq, sums = uniq[sel], sums[sel]
+            for d, s in zip(uniq.tolist(), sums.tolist()):
                 item = (s, -d)
                 if len(heap) < k:
                     heapq.heappush(heap, item)

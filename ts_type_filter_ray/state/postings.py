@@ -31,8 +31,10 @@ def term_bucket(term: str, num_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
-def encode_varints(values: np.ndarray | list[int]) -> bytes:
-    """LEB128-encode a sequence of non-negative ints."""
+_SMALL = 64  # below this, the scalar loop beats numpy's fixed call overhead
+
+
+def _encode_varints_small(values) -> bytes:
     out = bytearray()
     for v in values:
         v = int(v)
@@ -47,8 +49,33 @@ def encode_varints(values: np.ndarray | list[int]) -> bytes:
     return bytes(out)
 
 
-def decode_varints(buf: bytes) -> np.ndarray:
-    """Decode LEB128 bytes back to an int64 array."""
+def encode_varints(values: np.ndarray | list[int]) -> bytes:
+    """LEB128-encode a sequence of non-negative ints.
+
+    Hybrid: scalar loop for short lists (posting rows are mostly tiny —
+    per-call numpy overhead dominates there), vectorized numpy above
+    ``_SMALL`` elements (hot terms)."""
+    if len(values) < _SMALL:
+        return _encode_varints_small(values)
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes per value = number of 7-bit groups
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    total = int(nb.sum())
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(starts, nb)
+    groups = (np.repeat(v, nb) >> (np.uint64(7) * offsets.astype(np.uint64))) \
+        & np.uint64(0x7F)
+    is_last = np.arange(total, dtype=np.int64) == np.repeat(ends - 1, nb)
+    out = (groups | np.where(is_last, np.uint64(0), np.uint64(0x80)))
+    return out.astype(np.uint8).tobytes()
+
+
+def _decode_varints_small(buf: bytes) -> np.ndarray:
     out = []
     shift = 0
     cur = 0
@@ -63,11 +90,34 @@ def decode_varints(buf: bytes) -> np.ndarray:
     return np.asarray(out, dtype=np.int64)
 
 
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to an int64 array (hybrid scalar/numpy,
+    same rationale as :func:`encode_varints`)."""
+    if len(buf) < _SMALL:
+        return _decode_varints_small(buf)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.empty(0, dtype=np.int64)
+    term_idx = np.flatnonzero(a < 128)        # terminal byte of each varint
+    starts = np.empty_like(term_idx)
+    starts[0] = 0
+    starts[1:] = term_idx[:-1] + 1
+    lengths = term_idx - starts + 1
+    offsets = np.arange(a.size, dtype=np.int64) - np.repeat(starts, lengths)
+    pieces = (a & 0x7F).astype(np.int64) << (7 * offsets)
+    return np.add.reduceat(pieces, starts)
+
+
 def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
     """Delta+varint encode an ascending doc_id array."""
-    arr = np.asarray(doc_ids, dtype=np.int64)
-    if arr.size == 0:
+    n = len(doc_ids)
+    if n == 0:
         return b""
+    if n < _SMALL:
+        ids = [int(x) for x in doc_ids]
+        deltas = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+        return _encode_varints_small(deltas)
+    arr = np.asarray(doc_ids, dtype=np.int64)
     deltas = np.empty_like(arr)
     deltas[0] = arr[0]
     np.subtract(arr[1:], arr[:-1], out=deltas[1:])
@@ -84,9 +134,13 @@ def decode_doc_ids(buf: bytes) -> np.ndarray:
 def max_impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
                k1: float, b: float) -> float:
     """Block-max metadata: max BM25 tf-factor over the row's postings."""
+    if len(tfs) == 0:
+        return 0.0
+    if len(tfs) < _SMALL:
+        return max(
+            (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            for tf, dl in zip(tfs, dls))
     tfs = np.asarray(tfs, dtype=np.float64)
     dls = np.asarray(dls, dtype=np.float64)
-    if tfs.size == 0:
-        return 0.0
     denom = tfs + k1 * (1.0 - b + b * dls / avgdl)
     return float(np.max(tfs * (k1 + 1.0) / denom))
