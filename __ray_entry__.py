@@ -32,6 +32,16 @@ def _emb(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _events_mod():
+    from ts_type_filter_ray.functions import events
+    return events
+
+
 def entry() -> Any:
     """Flagship: build the distributed inverted index over the sf0.001
     documents corpus and answer the fixed BM25 query set."""
@@ -81,6 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": lambda sf: textstats.language_id(_docs(sf)),
         "rolling_fingerprints": lambda sf: textstats.rolling_fingerprints(
             _docs(sf)),
+        # -- stream-shaped windowed operators over the events log --
+        "tumbling_window": lambda sf: _events_mod().tumbling_window_agg(
+            _events(sf), window_sec=3600),
+        "sessionize": lambda sf: _events_mod().sessionize(
+            _events(sf), gap_sec=1800),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -137,6 +152,8 @@ def _decode_media(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
+    from ts_type_filter_ray.functions.events import (SESSIONIZE_SQL,
+                                                     TUMBLING_HOUR_SQL)
     stop = "('the','and','of','a','to','in','is','it','that','for')"
     qids = "(0,1,2,3,4)"
     dot = ("list_sum(list_transform(range(1, len({a}.embedding)+1), "
@@ -201,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies
             from documents group by sha256(text)""",
+        "tumbling_window": TUMBLING_HOUR_SQL,
+        "sessionize": SESSIONIZE_SQL.format(gap=1800),
         "ann_topk": f"""
             with nrm as (
               select vec_id, embedding,

@@ -30,7 +30,7 @@ def _corpus_dir(num_docs: int, seed: int = 42) -> str:
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         from ts_type_filter_ray.sources.synthetic import generate_corpus
-        generate_corpus(d, num_docs=num_docs, seed=seed, num_files=16)
+        generate_corpus(d, num_docs=num_docs, seed=seed, num_files=32)
         open(marker, "w").write("ok")
     return d
 
@@ -68,7 +68,7 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
     t0 = time.perf_counter()
     idx = build_index(read_corpus(corpus_dir), out_dir,
                       tokenize_batch_size=256,
-                      tokenize_concurrency=(1, max(2, num_cpus - 2)))
+                      tokenize_concurrency=max(4, num_cpus - 4))
     t_build = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -113,7 +113,7 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
 
 def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    num_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+    num_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "150000"))
 
     if "--scaling" in sys.argv:
         # fresh processes at two parallelism levels on identical input

@@ -1,0 +1,115 @@
+"""Extension-surface parity: injectable breaker/stemmer, highlight,
+pipeline specs, fenced-JSON extraction, windowed event operators."""
+
+import duckdb
+import pytest
+import ray.data as rd
+
+from ts_type_filter_ray.functions import events
+from ts_type_filter_ray.functions.textstats import extract_fenced_json
+from ts_type_filter_ray.oracle.index import Index
+from ts_type_filter_ray.pipelines.build import build_index
+from ts_type_filter_ray.pipelines.query import (LocalSearcher, highlight,
+                                                highlight_matches)
+from ts_type_filter_ray.pipelines.spec import PipelineSpec
+from ts_type_filter_ray.sources.corpus import read_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+class IdentityStemmer:
+    def stem(self, word):
+        return word
+
+
+def test_injectable_stemmer_oracle():
+    # duck-typed stemmer contract (inverted_index.py:36-39)
+    idx = Index(stemmer=IdentityStemmer())
+    idx.add("Running dogs")
+    assert idx.match("Running") == ["Running dogs"]
+    assert idx.match("run") == []  # no stemming with identity
+
+
+def test_injectable_stemmer_engine(ray_session, sonnets_corpus_dir,
+                                   tmp_path_factory):
+    out = tmp_path_factory.mktemp("ident_idx")
+    ident = lambda w: w  # noqa: E731
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=8, num_term_buckets=8,
+                      stemmer=ident)
+    # identity stemming: "thralled" no longer matches "thrall"
+    # (the searcher takes the same injected stemmer as the build)
+    s = LocalSearcher(idx, stemmer=ident)
+    assert s.match("thrall").size == 0
+    assert s.match("thralled").size == 1
+
+
+def test_highlight():
+    out = highlight("fire", "the fire burns fires bright")
+    assert "[bold green]fire[/bold green]" in out
+    assert "[bold green]fires[/bold green]" in out
+    assert "burns" in out and "[bold green]burns" not in out
+
+
+def test_highlight_matches_pipeline(ray_session, sonnets_corpus_dir,
+                                    tmp_path_factory):
+    out = tmp_path_factory.mktemp("hl_idx")
+    corpus = read_corpus(sonnets_corpus_dir)
+    idx = build_index(corpus, str(out), doc_part_bits=8, num_term_buckets=8)
+    rows = highlight_matches(idx, read_corpus(sonnets_corpus_dir),
+                             "fire").take_all()
+    assert rows
+    assert any("[bold green]fire[/bold green]" in r["content"] for r in rows)
+
+
+def test_pipeline_spec(ray_session):
+    ds = rd.from_items([{"x": i} for i in range(10)])
+
+    def double(ds, times=1):
+        for _ in range(times):
+            ds = ds.map_batches(lambda b: {"x": b["x"] * 2},
+                                batch_format="numpy")
+        return ds
+
+    def head(ds, n=3):
+        return ds.limit(n)
+
+    spec = PipelineSpec({"double": double, "head": head},
+                        config={"double": {"times": 1}})
+    trace = []
+    out = spec.run(ds, overrides={"head.n": 2, "double.times": 2}, trace=trace)
+    assert trace == ["double", "head"]
+    vals = sorted(r["x"] for r in out.take_all())
+    assert len(vals) == 2 and all(v % 4 == 0 for v in vals)
+    with pytest.raises(KeyError):
+        spec.run(ds, overrides={"nope.k": 1})
+
+
+def test_extract_fenced_json():
+    assert extract_fenced_json('```json\n{"a": 1}\n```') == {"a": 1}
+    assert extract_fenced_json('```\n[1, 2]\n```') == [1, 2]
+    assert extract_fenced_json('{"b": 2}') == {"b": 2}
+
+
+def test_tumbling_window_vs_sql(ray_session):
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = {(r["user_id"], r["window_start"]):
+           (r["n_events"], r["value_cents"], r["first_event"], r["last_event"])
+           for r in events.tumbling_window_agg(ds, 3600).take_all()}
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{SF}/events.parquet'")
+    exp = {(u, w): (n, v, f, l) for u, w, n, v, f, l in
+           con.sql(events.TUMBLING_HOUR_SQL).fetchall()}
+    assert got == exp
+
+
+def test_sessionize_vs_sql(ray_session):
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"],
+                          r["max_session_events"])
+           for r in events.sessionize(ds, 1800).take_all()}
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{SF}/events.parquet'")
+    exp = {u: (s, n, m) for u, s, n, m in
+           con.sql(events.SESSIONIZE_SQL.format(gap=1800)).fetchall()}
+    assert got == exp

@@ -1,0 +1,112 @@
+"""Stream-shaped operators over the ordered ``events`` log
+(``event_id, ts, user_id, event_type, value, props``).
+
+Ray Data has no event-time windowing; per the engine's design rules the
+input is treated as a partitioned ordered log: windows are computed as
+vectorized batch transforms + a keyed groupby, sessions as
+``groupby(user).map_groups`` over ts-sorted groups (ordering assumption:
+within a user, (ts, event_id) is a total order — both the engine and the
+SQL oracle sort by it).
+
+Money-valued sums are carried as integer cents (``round(value*100)``) so
+distributed partial-sum order can never produce float drift vs the
+oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def tumbling_window_agg(ds: Dataset, window_sec: int = 3600) -> Dataset:
+    """Per (user_id, tumbling window): event count, exact value-cents sum,
+    min/max event ids. Window start is the epoch-truncated timestamp.
+
+    Partial aggregation happens implicitly per batch via the vectorized
+    window computation; the groupby shuffles one row per input row here
+    (counts are small) — at scale, add a per-batch combine first.
+    """
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())  # µs since epoch
+        win = pc.multiply(
+            pc.divide(ts, 1_000_000 * window_sec), 1_000_000 * window_sec)
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "window_start": win.cast(pa.timestamp("us")),
+            "value_cents": cents,
+            "event_id": batch["event_id"],
+        })
+
+    return (ds.map_batches(add_window, batch_format="pyarrow")
+            .groupby(["user_id", "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_cents", alias_name="value_cents"),
+                       Min("event_id", alias_name="first_event"),
+                       Max("event_id", alias_name="last_event")))
+
+
+def sessionize(ds: Dataset, gap_sec: int = 1800) -> Dataset:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds ``gap_sec``. Output per user:
+    (user_id, n_sessions, n_events, max_session_events).
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy() // 1_000_000
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_sec
+        session_ids = np.cumsum(new_session)
+        counts = np.bincount(session_ids)[1:]
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [int(session_ids[-1])],
+            "n_events": [len(ts)],
+            "max_session_events": [int(counts.max())],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# Oracle for window_sec=3600 (date_trunc avoids to_timestamp's
+# TIMESTAMPTZ/session-timezone hazards; both sides floor naive time).
+TUMBLING_HOUR_SQL = """
+    select user_id,
+           date_trunc('hour', ts) as window_start,
+           count(*) as n_events,
+           sum(cast(round(value * 100) as bigint)) as value_cents,
+           min(event_id) as first_event,
+           max(event_id) as last_event
+    from events group by 1, 2"""
+
+SESSIONIZE_SQL = """
+    with ordered as (
+      select user_id, event_id, floor(epoch(ts))::BIGINT as t,
+             lag(floor(epoch(ts))::BIGINT) over
+                 (partition by user_id order by ts, event_id) as prev_t
+      from events),
+    marked as (
+      select user_id, event_id, t,
+             case when prev_t is null or t - prev_t > {gap}
+                  then 1 else 0 end as new_session
+      from ordered),
+    sessions as (
+      select user_id, event_id,
+             sum(new_session) over (partition by user_id
+                                    order by t, event_id
+                                    rows unbounded preceding) as session_id
+      from marked),
+    per_session as (
+      select user_id, session_id, count(*) as n
+      from sessions group by 1, 2)
+    select user_id, count(*) as n_sessions, sum(n) as n_events,
+           max(n) as max_session_events
+    from per_session group by user_id"""

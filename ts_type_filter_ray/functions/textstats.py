@@ -191,6 +191,18 @@ def rolling_fingerprints(ds: Dataset, window: int = 16) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_FENCE_RE = re.compile(r"^\s*```(?:json)?\s*\n?(.*?)\n?\s*```\s*$",
+                       re.DOTALL)
+
+
+def extract_fenced_json(text: str):
+    """Strip an optional ```` ```json ```` fence and parse — the
+    reference's extract stage (``samples/menu/menu.py:274-284``, M11)."""
+    import json as _json
+    m = _FENCE_RE.match(text)
+    return _json.loads(m.group(1) if m else text)
+
+
 # -- language ID (n-gram/stopword heuristic) ----------------------------
 
 _LANG_MARKERS = {

@@ -84,6 +84,7 @@ def build_index(corpus: Dataset, out_dir: str, *,
                 num_term_buckets: int = DEFAULT_TERM_BUCKETS,
                 tokenize_batch_size: int = 256,
                 tokenize_concurrency: int | tuple[int, int] | None = None,
+                breaker=None, stemmer=None,
                 k1: float = BM25_K1, b: float = BM25_B) -> BuiltIndex:
     """Build the full index under *out_dir* and return its handle.
 
@@ -113,7 +114,8 @@ def build_index(corpus: Dataset, out_dir: str, *,
     # bucket so group count is small and the merge is vectorized).
     partials = corpus.select_columns(["doc_id", "content"]).map_batches(
         TokenizePartials,
-        fn_constructor_args=(doc_part_bits, num_term_buckets),
+        fn_constructor_args=(doc_part_bits, num_term_buckets,
+                             breaker, stemmer),
         batch_format="pyarrow",
         batch_size=tokenize_batch_size,
         concurrency=tokenize_concurrency or (1, 16))

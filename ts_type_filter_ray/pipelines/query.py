@@ -45,15 +45,18 @@ from .build import BuiltIndex, term_bucket
 Query = "str | list[str]"
 
 
-def query_stems(query) -> list[str]:
+def query_stems(query, stemmer=None, breaker=None) -> list[str]:
     """Query → sorted distinct stems (mirrors ``inverted_index.py:87-92``;
-    sorted so score accumulation order is deterministic)."""
+    sorted so score accumulation order is deterministic). ``stemmer``/
+    ``breaker`` must match the ones the index was built with."""
     if isinstance(query, str):
         query = [query]
+    _break = breaker or break_on_whitespace
+    _stem = stemmer or stem
     words: list[str] = []
     for part in query:
-        words.extend(break_on_whitespace(part))
-    return sorted({stem(w) for w in words})
+        words.extend(_break(part))
+    return sorted({_stem(w) for w in words})
 
 
 def _tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
@@ -71,8 +74,11 @@ class LocalSearcher:
     """
 
     def __init__(self, index: BuiltIndex, buckets: list[int] | None = None,
-                 pinned_doc_ids: set[int] | None = None):
+                 pinned_doc_ids: set[int] | None = None,
+                 stemmer=None, breaker=None):
         self._stats = index.stats
+        self._stemmer = stemmer
+        self._breaker = breaker
         self._pinned = np.array(sorted(pinned_doc_ids or ()), dtype=np.int64)
         # term → list of (part, df, max_impact, doc_enc, tf_enc, dl_enc)
         self._postings: dict[str, list[tuple]] = defaultdict(list)
@@ -103,7 +109,7 @@ class LocalSearcher:
     def match(self, query) -> np.ndarray:
         """Disjunctive match → ascending doc_ids (≡ insertion order),
         pinned docs always included."""
-        stems = query_stems(query)
+        stems = query_stems(query, self._stemmer, self._breaker)
         arrays = [self._pinned] if self._pinned.size else []
         for term in stems:
             for (_part, _df, _imp, d_enc, _t, _l) in self._postings.get(term, ()):
@@ -132,7 +138,7 @@ class LocalSearcher:
         stats = self._stats
         avgdl = stats.avgdl
         k1, b = stats.k1, stats.b
-        stems = query_stems(query)
+        stems = query_stems(query, self._stemmer, self._breaker)
         term_rows: list[tuple[str, float, list[tuple]]] = []
         for term in stems:
             rows = self._postings.get(term)
@@ -217,6 +223,37 @@ def match_doc_ids(index: BuiltIndex, query,
     if not arrays:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(arrays))
+
+
+def highlight(query, text: str) -> str:
+    """Wrap whitespace tokens whose stem matches a query stem in
+    ``[bold green]`` markup — reference ``Index.highlight``
+    (``inverted_index.py:103-129``), including its quirk of stemming the
+    raw (punctuation-bearing) token for the membership test."""
+    import re
+    stems = set(query_stems(query))
+    parts = re.split(r"(\s+)", text)
+    out = []
+    for part in parts:
+        if part and not part.isspace() and stem(part) in stems:
+            out.append(f"[bold green]{part}[/bold green]")
+        else:
+            out.append(part)
+    return "".join(out)
+
+
+def highlight_matches(index: BuiltIndex, corpus, query,
+                      pinned_doc_ids: set[int] | None = None):
+    """Boolean match + per-row highlight map over the matched corpus rows
+    (M6 as a batch transform over the semi-joined match set)."""
+    matched = match_dataset(index, corpus, query, pinned_doc_ids)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        texts = [highlight(query, t) for t in batch["content"].to_pylist()]
+        return batch.set_column(batch.schema.get_field_index("content"),
+                                "content", pa.array(texts, type=pa.large_string()))
+
+    return matched.map_batches(mark, batch_format="pyarrow")
 
 
 def match_dataset(index: BuiltIndex, corpus, query,

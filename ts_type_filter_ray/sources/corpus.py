@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data import Dataset
+from ray.data.block import BlockMetadata
+from ray.data.datasource import Datasource, ReadTask
 
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
@@ -49,24 +51,55 @@ def _row_group_tasks(files: list[str]) -> list[dict]:
     return tasks
 
 
-class _ReadRowGroup:
-    """Reads one row-group per input row and stamps dense doc_ids.
+def _read_one_row_group(path: str, rg: int, offset: int,
+                        columns: list[str] | None) -> pa.Table:
+    tbl = pq.ParquetFile(path).read_row_group(rg, columns=columns)
+    doc_ids = pa.array(range(offset, offset + tbl.num_rows), type=pa.int64())
+    return tbl.append_column("doc_id", doc_ids)
 
-    Runs as ``map_batches(batch_size=1)`` over the task table — each Ray
-    task streams exactly one row-group out of storage (column-pruned).
-    """
 
-    def __init__(self, columns: list[str] | None):
+class CorpusDatasource(Datasource):
+    """One independent ``ReadTask`` per parquet row-group with real
+    num_rows/size_bytes metadata, so the streaming executor schedules
+    reads in parallel and never bundles the whole corpus into one task
+    (a ``from_items`` task-descriptor table has ~100-byte rows — the
+    executor coalesces those into a single bundle and the fused
+    read→tokenize stage ends up on ONE actor; measured 0% tokenize
+    scaling before this class existed)."""
+
+    def __init__(self, files: list[str], columns: list[str] | None = None,
+                 tasks: list[dict] | None = None):
+        """``tasks`` overrides the metadata pass — used by the sharded
+        checkpointed build, whose doc_id offsets are global while the
+        shard's file list is a subset."""
         self._columns = columns
+        self._tasks = tasks if tasks is not None else _row_group_tasks(files)
+        # footer metadata: uncompressed byte size per row group
+        self._sizes = []
+        by_path: dict[str, pq.ParquetFile] = {}
+        for t in self._tasks:
+            pf = by_path.setdefault(t["path"], pq.ParquetFile(t["path"]))
+            self._sizes.append(
+                pf.metadata.row_group(t["row_group"]).total_byte_size)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        assert batch.num_rows == 1
-        path = batch["path"][0].as_py()
-        rg = batch["row_group"][0].as_py()
-        offset = batch["doc_id_offset"][0].as_py()
-        tbl = pq.ParquetFile(path).read_row_group(rg, columns=self._columns)
-        doc_ids = pa.array(range(offset, offset + tbl.num_rows), type=pa.int64())
-        return tbl.append_column("doc_id", doc_ids)
+    def estimate_inmemory_data_size(self) -> int:
+        return sum(self._sizes)
+
+    def get_name(self) -> str:
+        return "Corpus"
+
+    def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
+        out = []
+        for t, size in zip(self._tasks, self._sizes):
+            meta = BlockMetadata(num_rows=t["num_rows"], size_bytes=size,
+                                 exec_stats=None, input_files=[t["path"]])
+            path, rg, off = t["path"], t["row_group"], t["doc_id_offset"]
+            cols = self._columns
+            out.append(ReadTask(
+                lambda p=path, r=rg, o=off, c=cols:
+                    [_read_one_row_group(p, r, o, c)],
+                meta))
+        return out
 
 
 def read_corpus(path_or_dir: str | list[str],
@@ -77,10 +110,7 @@ def read_corpus(path_or_dir: str | list[str],
     files = corpus_files(path_or_dir)
     if not files:
         raise FileNotFoundError(f"no parquet files under {path_or_dir!r}")
-    tasks = _row_group_tasks(files)
-    ds = rd.from_items(tasks, override_num_blocks=len(tasks))
-    return ds.map_batches(_ReadRowGroup(columns), batch_size=1,
-                          batch_format="pyarrow")
+    return rd.read_datasource(CorpusDatasource(files, columns))
 
 
 def corpus_from_documents(sf_dir: str) -> Dataset:

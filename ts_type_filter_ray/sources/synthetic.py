@@ -197,6 +197,6 @@ def generate_corpus(out_dir: str, num_docs: int, seed: int = 42,
         if chunk.num_rows == 0:
             break
         p = os.path.join(out_dir, f"part-{f:05d}.parquet")
-        pq.write_table(chunk, p, row_group_size=4096)
+        pq.write_table(chunk, p, row_group_size=1024)
         files.append(p)
     return files

@@ -60,14 +60,23 @@ class TokenizePartials:
     """
 
     def __init__(self, doc_part_bits: int = DEFAULT_DOC_PART_BITS,
-                 num_term_buckets: int = 32):
+                 num_term_buckets: int = 32,
+                 breaker=None, stemmer=None):
+        """``breaker``/``stemmer`` preserve the reference's extension
+        surface (``Index(extractor=None, breaker=None, stemmer=None)``,
+        ``inverted_index.py:36-39``); defaults are the reference-
+        equivalent whitespace breaker + Porter2. The extractor hook is
+        the corpus projection itself (``content`` is the text stream)."""
         self._part_bits = doc_part_bits
         self._num_buckets = num_term_buckets
-        self._stem = stem  # module-level lru_cache: hot vocab amortized per actor
+        # module-level lru_cache: hot vocab amortized per actor
+        self._stem = stemmer if stemmer is not None else stem
+        self._break = breaker  # None → str.split fast path
         self._bucket_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         _stem = self._stem
+        _break = self._break
         part_bits = self._part_bits
         doc_ids = batch["doc_id"].to_pylist()
         contents = batch["content"].to_pylist()
@@ -75,7 +84,7 @@ class TokenizePartials:
         # per (term, part) → [doc_ids], [tfs], [dls]
         acc: dict[tuple[str, int], tuple[list[int], list[int], list[int]]] = {}
         for doc_id, content in zip(doc_ids, contents):
-            words = content.split()
+            words = content.split() if _break is None else _break(content)
             dl = len(words)
             counts = Counter(map(_stem, words))
             part = doc_id >> part_bits

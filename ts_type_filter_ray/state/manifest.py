@@ -137,16 +137,14 @@ def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(final_dir, ignore_errors=True)
 
-        from ..sources.corpus import _ReadRowGroup
-        ds = rd.from_items(tasks, override_num_blocks=len(tasks))
-        stream = (ds.map_batches(_ReadRowGroup(None), batch_size=1,
-                                 batch_format="pyarrow")
-                  .map_batches(TokenizeWithMeta,
-                               fn_constructor_args=(doc_part_bits,
-                                                    num_term_buckets),
-                               batch_format="pyarrow",
-                               batch_size=tokenize_batch_size,
-                               concurrency=(1, 16)))
+        from ..sources.corpus import CorpusDatasource
+        ds = rd.read_datasource(CorpusDatasource(flist, tasks=tasks))
+        stream = ds.map_batches(TokenizeWithMeta,
+                                fn_constructor_args=(doc_part_bits,
+                                                     num_term_buckets),
+                                batch_format="pyarrow",
+                                batch_size=tokenize_batch_size,
+                                concurrency=(1, 16))
         stream.write_parquet(tmp_dir)
 
         # counters + sha rollup from the written doc-meta rows (small read)
