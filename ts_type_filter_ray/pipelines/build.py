@@ -32,7 +32,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..oracle.index import BM25_B, BM25_K1
 from ..stages.tokenizer import (DEFAULT_DOC_PART_BITS, TokenizePartials,
-                                make_bucket_merger, prep_docs)
+                                prep_docs)
 from ..state.postings import term_bucket  # noqa: F401  (re-export for query)
 
 DEFAULT_TERM_BUCKETS = 32
@@ -84,7 +84,7 @@ def build_index(corpus: Dataset, out_dir: str, *,
                 num_term_buckets: int = DEFAULT_TERM_BUCKETS,
                 tokenize_batch_size: int = 256,
                 tokenize_concurrency: int | tuple[int, int] | None = None,
-                breaker=None, stemmer=None,
+                breaker=None, stemmer=None, keep_partials: bool = False,
                 k1: float = BM25_K1, b: float = BM25_B) -> BuiltIndex:
     """Build the full index under *out_dir* and return its handle.
 
@@ -109,9 +109,12 @@ def build_index(corpus: Dataset, out_dir: str, *,
     total_dl = int(agg["total_dl"])
     avgdl = total_dl / n_docs
 
-    # Pass B — tokenize → partial postings → bucket shuffle → vectorized
-    # merge+compress per bucket (the ONE wide shuffle; keyed by term
-    # bucket so group count is small and the merge is vectorized).
+    # Pass B — tokenize → partial postings spilled to Parquet partitioned
+    # by term bucket. This replaces an in-object-store groupby shuffle
+    # with a shuffle-free partitioned write: each tokenize task appends
+    # its own files under every bucket directory (dictionary-encoded +
+    # snappy on disk ≈ 3-4x smaller than the in-memory exchange).
+    partials_dir = os.path.join(out_dir, "partials")
     partials = corpus.select_columns(["doc_id", "content"]).map_batches(
         TokenizePartials,
         fn_constructor_args=(doc_part_bits, num_term_buckets,
@@ -119,24 +122,24 @@ def build_index(corpus: Dataset, out_dir: str, *,
         batch_format="pyarrow",
         batch_size=tokenize_batch_size,
         concurrency=tokenize_concurrency or (1, 16))
-    compressed = partials.groupby("bucket").map_groups(
-        make_bucket_merger(avgdl, k1, b), batch_format="pyarrow")
-    compressed.write_parquet(os.path.join(out_dir, "postings"),
-                             partition_cols=["bucket"])
+    partials.write_parquet(partials_dir, partition_cols=["bucket"])
 
-    # Small global df table (term → df across parts) for idf + stats.
-    post_meta = rd.read_parquet(os.path.join(out_dir, "postings"),
-                                columns=["term", "df"])
-    df_tbl = post_meta.groupby("term").aggregate(Sum("df", alias_name="df"))
-    df_tbl.write_parquet(os.path.join(out_dir, "df"))
-    df_agg = rd.read_parquet(os.path.join(out_dir, "df")).aggregate(
-        Count(alias_name="n_terms"), Sum("df", alias_name="n_postings"))
+    # Pass C — one merge task per bucket directory (shared-nothing:
+    # bucket partitioning makes each task independent; idempotent
+    # partition-named outputs allow re-runs to skip finished buckets).
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, "postings"), ignore_errors=True)
+    n_terms, n_postings = merge_partial_buckets(
+        partials_dir, os.path.join(out_dir, "postings"), avgdl, k1, b)
+
+    if not keep_partials:
+        shutil.rmtree(partials_dir, ignore_errors=True)
 
     stats = IndexStats(
         num_documents=n_docs,
         total_doc_len=total_dl,
-        num_unique_terms=int(df_agg["n_terms"]),
-        num_postings=int(df_agg["n_postings"]),
+        num_unique_terms=n_terms,
+        num_postings=n_postings,
         k1=k1, b=b,
         doc_part_bits=doc_part_bits,
         num_term_buckets=num_term_buckets,
@@ -144,3 +147,78 @@ def build_index(corpus: Dataset, out_dir: str, *,
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats.__dict__, f, indent=1)
     return BuiltIndex(root=out_dir, stats=stats)
+
+
+def _merge_one_bucket(bucket_dirs: list[str], out_dir: str, bucket: int,
+                      avgdl: float, k1: float, b: float) -> tuple[int, int]:
+    """Merge one bucket's partial files into its final postings file.
+    Returns (distinct terms, total postings). Idempotent: writes to a
+    temp file and renames; a ``_SUCCESS`` marker short-circuits re-runs."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..stages.tokenizer import merge_bucket_table
+
+    dest = os.path.join(out_dir, f"bucket={bucket}")
+    marker = os.path.join(dest, "_SUCCESS")
+    if os.path.exists(marker):
+        tbl = pq.read_table(os.path.join(dest, "merged.parquet"),
+                            columns=["term", "df"])
+    else:
+        files = [os.path.join(d, f)
+                 for d in bucket_dirs for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        part_tbl = pads.dataset(files).to_table()
+        part_tbl = part_tbl.append_column(
+            "bucket", pa.array([bucket] * part_tbl.num_rows, type=pa.int32()))
+        merged = merge_bucket_table(part_tbl, avgdl, k1, b)
+        merged = merged.drop_columns(["bucket"])  # hive dir carries it
+        os.makedirs(dest, exist_ok=True)
+        tmp = os.path.join(dest, ".merged.parquet.tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, os.path.join(dest, "merged.parquet"))
+        open(marker, "w").close()
+        tbl = merged
+    import pyarrow.compute as pc
+    n_terms = pc.count_distinct(tbl["term"]).as_py()
+    n_postings = pc.sum(tbl["df"]).as_py() or 0
+    return int(n_terms), int(n_postings)
+
+
+def merge_partial_buckets(partials_dir: str, postings_dir: str,
+                          avgdl: float, k1: float, b: float) -> tuple[int, int]:
+    """Launch one Ray task per ``bucket=*`` partial directory and reduce
+    their (n_terms, n_postings) counters. Raw ``ray.remote`` tasks by
+    design: the data is already partitioned on disk, so this is a
+    shared-nothing per-partition job — a Dataset ``groupby`` here would
+    re-shuffle data that is already placed (SURVEY.md §7; every term
+    lives in exactly one bucket, so per-bucket distinct-term counts sum
+    to the global count)."""
+    import ray
+
+    os.makedirs(postings_dir, exist_ok=True)
+    # discover bucket=<i> dirs (directly under partials_dir, or nested
+    # one level down under shard=<s>/ for the checkpointed build)
+    by_bucket: dict[int, list[str]] = {}
+
+    def scan(d: str) -> None:
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if not os.path.isdir(p):
+                continue
+            if name.startswith("bucket="):
+                bucket = int(name.split("=", 1)[1])
+                if bucket >= 0:
+                    by_bucket.setdefault(bucket, []).append(p)
+            elif name.startswith("shard="):
+                scan(p)
+
+    scan(partials_dir)
+    merge_task = ray.remote(_merge_one_bucket)
+    refs = [merge_task.remote(dirs, postings_dir, bucket, avgdl, k1, b)
+            for bucket, dirs in sorted(by_bucket.items())]
+    results = ray.get(refs)
+    n_terms = sum(r[0] for r in results)
+    n_postings = sum(r[1] for r in results)
+    return n_terms, n_postings

@@ -126,19 +126,19 @@ class TokenizePartials:
         })
 
 
-def make_bucket_merger(avgdl: float, k1: float, b: float):
-    """Per-bucket merge + delta/varint compression, used via
-    ``groupby("bucket").map_groups``.
+def merge_bucket_table(group: pa.Table, avgdl: float, k1: float,
+                       b: float) -> pa.Table:
+    """Merge + delta/varint-compress ALL partial posting rows of one term
+    bucket, given as a single Arrow table.
 
-    One call merges ALL (term, part) posting lists of one term bucket:
-    the group's list columns are flattened to flat numpy arrays
-    (zero-copy Arrow kernels), lexsorted by (term, part, doc_id), sliced
-    at group boundaries, and each slice varint-encoded with its block-max
-    metadata. Vectorized across thousands of terms per call — the
-    per-(term,part)-group dispatch overhead of a fine-grained groupby
-    would dominate the build otherwise (measured 218 docs/s → see
-    BASELINE.md). Doc_ids are re-sorted ascending, so determinism never
-    depends on task completion order (SURVEY.md §7.4).
+    The list columns are flattened to flat numpy arrays (zero-copy Arrow
+    kernels), lexsorted by (term, part, doc_id), sliced at group
+    boundaries, and each slice varint-encoded with its block-max
+    metadata. Vectorized across thousands of terms per call — a
+    per-(term,part) fine-grained groupby pays per-group dispatch overhead
+    that dominates the build (measured 218 docs/s → see BASELINE.md).
+    Doc_ids are re-sorted ascending, so determinism never depends on task
+    completion order (SURVEY.md §7.4).
 
     Scale note: one bucket's postings must fit one worker's heap —
     ``num_term_buckets`` is the knob (32 locally; thousands at 10^12-doc
@@ -146,52 +146,57 @@ def make_bucket_merger(avgdl: float, k1: float, b: float):
     """
     from ..state import postings as plib
 
+    group = group.combine_chunks()
+    bucket = group["bucket"][0].as_py()
+    enc = group["term"].combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    parts = group["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    dcol = group["doc_ids"].combine_chunks()
+    flat_doc = dcol.flatten().to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(dcol).to_numpy(zero_copy_only=False)
+    flat_tf = group["tfs"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat_dl = group["dls"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+    key = (codes[parent] << np.int64(32)) | parts[parent]
+    order = np.lexsort((flat_doc, key))
+    key_s = key[order]
+    doc_s = flat_doc[order]
+    tf_s = flat_tf[order]
+    dl_s = flat_dl[order]
+
+    bounds = np.flatnonzero(np.diff(key_s)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(key_s)]))
+
+    terms_o, parts_o, dfs_o = [], [], []
+    d_enc, t_enc, l_enc, imps = [], [], [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        k = int(key_s[s])
+        terms_o.append(vocab[k >> 32])
+        parts_o.append(k & 0xFFFFFFFF)
+        dfs_o.append(e - s)
+        d_enc.append(plib.encode_doc_ids(doc_s[s:e]))
+        t_enc.append(plib.encode_varints(tf_s[s:e]))
+        l_enc.append(plib.encode_varints(dl_s[s:e]))
+        imps.append(plib.max_impact(tf_s[s:e], dl_s[s:e], avgdl, k1, b))
+    return pa.table({
+        "term": pa.array(terms_o, type=pa.string()),
+        "part": pa.array(parts_o, type=pa.int32()),
+        "bucket": pa.array([bucket] * len(terms_o), type=pa.int32()),
+        "df": pa.array(dfs_o, type=pa.int64()),
+        "doc_ids_enc": pa.array(d_enc, type=pa.large_binary()),
+        "tfs_enc": pa.array(t_enc, type=pa.large_binary()),
+        "dls_enc": pa.array(l_enc, type=pa.large_binary()),
+        "max_impact": pa.array(imps, type=pa.float64()),
+    })
+
+
+def make_bucket_merger(avgdl: float, k1: float, b: float):
+    """Adapter for ``groupby("bucket").map_groups`` over partial rows."""
     def merge(group: pa.Table) -> pa.Table:
-        bucket = group["bucket"][0].as_py()
-        enc = group["term"].combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = enc.dictionary.to_pylist()
-        parts = group["part"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-        dcol = group["doc_ids"].combine_chunks()
-        flat_doc = dcol.flatten().to_numpy(zero_copy_only=False)
-        parent = pc.list_parent_indices(dcol).to_numpy(zero_copy_only=False)
-        flat_tf = group["tfs"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat_dl = group["dls"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).astype(np.int64)
-
-        key = (codes[parent] << np.int64(32)) | parts[parent]
-        order = np.lexsort((flat_doc, key))
-        key_s = key[order]
-        doc_s = flat_doc[order]
-        tf_s = flat_tf[order]
-        dl_s = flat_dl[order]
-
-        bounds = np.flatnonzero(np.diff(key_s)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(key_s)]))
-
-        terms_o, parts_o, dfs_o = [], [], []
-        d_enc, t_enc, l_enc, imps = [], [], [], []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            k = int(key_s[s])
-            terms_o.append(vocab[k >> 32])
-            parts_o.append(k & 0xFFFFFFFF)
-            dfs_o.append(e - s)
-            d_enc.append(plib.encode_doc_ids(doc_s[s:e]))
-            t_enc.append(plib.encode_varints(tf_s[s:e]))
-            l_enc.append(plib.encode_varints(dl_s[s:e]))
-            imps.append(plib.max_impact(tf_s[s:e], dl_s[s:e], avgdl, k1, b))
-        return pa.table({
-            "term": pa.array(terms_o, type=pa.string()),
-            "part": pa.array(parts_o, type=pa.int32()),
-            "bucket": pa.array([bucket] * len(terms_o), type=pa.int32()),
-            "df": pa.array(dfs_o, type=pa.int64()),
-            "doc_ids_enc": pa.array(d_enc, type=pa.large_binary()),
-            "tfs_enc": pa.array(t_enc, type=pa.large_binary()),
-            "dls_enc": pa.array(l_enc, type=pa.large_binary()),
-            "max_impact": pa.array(imps, type=pa.float64()),
-        })
-
+        return merge_bucket_table(group, avgdl, k1, b)
     return merge

@@ -145,11 +145,13 @@ def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
                                 batch_format="pyarrow",
                                 batch_size=tokenize_batch_size,
                                 concurrency=(1, 16))
-        stream.write_parquet(tmp_dir)
+        # bucket-partitioned spill: the merge reads shard=*/bucket=<i>
+        # directly, no shuffle (doc-meta rows land under bucket=-1)
+        stream.write_parquet(tmp_dir, partition_cols=["bucket"])
 
         # counters + sha rollup from the written doc-meta rows (small read)
-        meta = pads.dataset(tmp_dir).to_table(
-            filter=(pads.field("part") == -1), columns=["term", "dls"])
+        meta = pads.dataset(os.path.join(tmp_dir, "bucket=-1")).to_table(
+            columns=["term", "dls"])
         n_docs = meta.num_rows
         total_dl = sum(x[0].as_py() for x in meta["dls"])
         rollup = 0
@@ -177,11 +179,10 @@ def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
     as :func:`..pipelines.build.build_index`). Small relative to tokenize;
     re-runs wholesale on resume."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     from ..oracle.index import BM25_B, BM25_K1
-    from ..pipelines.build import BuiltIndex, IndexStats
-    from ..stages.tokenizer import make_bucket_merger
+    from ..pipelines.build import (BuiltIndex, IndexStats,
+                                   merge_partial_buckets)
 
     k1 = BM25_K1 if k1 is None else k1
     b = BM25_B if b is None else b
@@ -195,12 +196,16 @@ def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
     avgdl = total_dl / n_docs
 
     partials_dir = os.path.join(out_dir, "partials")
-    full = rd.read_parquet(partials_dir)
 
-    # docs table from the part == -1 rows
+    # docs table from the doc-meta rows (bucket=-1 dirs)
+    meta_dirs = [os.path.join(partials_dir, s, "bucket=-1")
+                 for s in sorted(os.listdir(partials_dir))
+                 if s.startswith("shard=")]
+    meta_files = [os.path.join(d, f)
+                  for d in meta_dirs for f in sorted(os.listdir(d))
+                  if f.endswith(".parquet")]
+
     def to_docs(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        batch = batch.filter(pc.equal(batch["part"], -1))
         return pa.table({
             "doc_id": pa.array([x[0] for x in batch["doc_ids"].to_pylist()],
                                type=pa.int64()),
@@ -214,35 +219,19 @@ def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
 
     docs_dir = os.path.join(out_dir, "docs")
     shutil.rmtree(docs_dir, ignore_errors=True)
-    full.map_batches(to_docs, batch_format="pyarrow").write_parquet(docs_dir)
+    rd.read_parquet(meta_files).map_batches(
+        to_docs, batch_format="pyarrow").write_parquet(docs_dir)
 
-    # postings from the part >= 0 rows
-    def posting_rows(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        batch = batch.filter(pc.greater_equal(batch["part"], 0))
-        return batch.select(["term", "part", "bucket", "doc_ids", "tfs", "dls"])
-
+    # postings: per-bucket merge tasks over the shard=*/bucket=<i> spill
     post_dir = os.path.join(out_dir, "postings")
     shutil.rmtree(post_dir, ignore_errors=True)
-    compressed = (rd.read_parquet(partials_dir)
-                  .map_batches(posting_rows, batch_format="pyarrow")
-                  .groupby("bucket")
-                  .map_groups(make_bucket_merger(avgdl, k1, b),
-                              batch_format="pyarrow"))
-    compressed.write_parquet(post_dir, partition_cols=["bucket"])
-
-    df_dir = os.path.join(out_dir, "df")
-    shutil.rmtree(df_dir, ignore_errors=True)
-    df_tbl = (rd.read_parquet(post_dir, columns=["term", "df"])
-              .groupby("term").aggregate(Sum("df", alias_name="df")))
-    df_tbl.write_parquet(df_dir)
-    df_agg = rd.read_parquet(df_dir).aggregate(
-        Count(alias_name="n_terms"), Sum("df", alias_name="n_postings"))
+    n_terms, n_postings = merge_partial_buckets(
+        partials_dir, post_dir, avgdl, k1, b)
 
     stats = IndexStats(
         num_documents=n_docs, total_doc_len=total_dl,
-        num_unique_terms=int(df_agg["n_terms"]),
-        num_postings=int(df_agg["n_postings"]),
+        num_unique_terms=n_terms,
+        num_postings=n_postings,
         k1=k1, b=b, doc_part_bits=doc_part_bits,
         num_term_buckets=num_term_buckets)
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
