@@ -67,7 +67,7 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
 
     t0 = time.perf_counter()
     idx = build_index(read_corpus(corpus_dir), out_dir,
-                      tokenize_batch_size=256,
+                      tokenize_batch_size=1024,
                       tokenize_concurrency=max(4, num_cpus - 4))
     t_build = time.perf_counter() - t0
 
