@@ -1,0 +1,51 @@
+"""Distributed search-actor pool: rank/score identity with the oracle and
+the local searcher."""
+
+import pytest
+
+from ts_type_filter_ray.oracle.index import build_oracle
+from ts_type_filter_ray.pipelines.build import build_index
+from ts_type_filter_ray.pipelines.query import LocalSearcher
+from ts_type_filter_ray.pipelines.serve import SearchService
+from ts_type_filter_ray.sources.corpus import read_corpus
+
+QUERIES = ["same", "thrall quench", "fire heat", "", "zzznohit",
+           "w1z w2z w3z", ["fire", "heat"]]
+
+
+@pytest.fixture(scope="module")
+def served(ray_session, sonnets_corpus_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("serve_idx")
+    # small doc partitions so the pool actually splits work (154 docs,
+    # 16-doc parts → 10 partitions over 3 actors)
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    svc = SearchService(idx.root, num_actors=3)
+    local = LocalSearcher(idx)
+    import pyarrow.dataset as pads
+    tbl = pads.dataset(sonnets_corpus_dir).to_table()
+    oracle = build_oracle(list(range(tbl.num_rows)),
+                          tbl["content"].to_pylist())
+    return svc, local, oracle
+
+
+def test_match_identical(served):
+    svc, local, oracle = served
+    for q in QUERIES:
+        assert svc.match(q).tolist() == oracle.match(q), f"query {q!r}"
+
+
+def test_bm25_identical(served):
+    svc, local, oracle = served
+    for q in QUERIES:
+        got = svc.bm25(q, k=5)
+        assert got == oracle.bm25(q, k=5) == local.bm25(q, k=5), f"{q!r}"
+
+
+def test_pinned_routing(ray_session, sonnets_corpus_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("serve_idx_pin")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    svc = SearchService(idx.root, num_actors=3, pinned_doc_ids={100, 3})
+    assert svc.match("").tolist() == [3, 100]
+    assert 100 in svc.match("same").tolist()

@@ -1,0 +1,122 @@
+"""Distributed query serving: a pool of search actors, each owning a set
+of **doc partitions** (``part = doc_id >> doc_part_bits``).
+
+Why doc-partitioned (not term-partitioned): a document's BM25 score sums
+contributions from many terms, and terms hash across buckets — a
+term-partitioned pool would have to ship per-doc partial scores between
+actors. With doc partitioning every actor holds *all* terms' posting rows
+for its docs (Parquet filter pushdown on ``part``), computes complete
+scores locally with the same left-fold term order as the oracle, and
+returns only its local top-k; the coordinator merges k·A candidates.
+Exact, rank-identical, O(k) network per actor.
+
+Global statistics (N, avgdl, per-term df) are computed once and broadcast
+via ``ray.put`` — the small-side broadcast pattern (SURVEY.md §2.4 J1).
+
+This module is the multi-node serving shape; ``LocalSearcher`` remains
+the single-process warm path (it is also what each actor wraps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray
+
+from .build import BuiltIndex
+from .query import LocalSearcher, query_stems
+
+
+class _DocPartSearcher:
+    """One search actor: all posting rows whose ``part`` is in its
+    assigned set, plus the broadcast global df table."""
+
+    def __init__(self, index_root: str, parts: list[int], df_ref,
+                 pinned_doc_ids: list[int] | None = None):
+        index = BuiltIndex.load(index_root)
+        self._searcher = LocalSearcher.__new__(LocalSearcher)
+        s = self._searcher
+        s._stats = index.stats
+        s._stemmer = None
+        s._breaker = None
+        s._pinned = np.array(sorted(pinned_doc_ids or ()), dtype=np.int64)
+        from collections import defaultdict
+        s._postings = defaultdict(list)
+        dset = pads.dataset(index.postings_dir, partitioning="hive")
+        tbl = dset.to_table(filter=pc.field("part").isin(parts),
+                            columns=["term", "part", "df", "max_impact",
+                                     "doc_ids_enc", "tfs_enc", "dls_enc"])
+        for i in range(tbl.num_rows):
+            s._postings[tbl["term"][i].as_py()].append(
+                (tbl["part"][i].as_py(), tbl["df"][i].as_py(),
+                 tbl["max_impact"][i].as_py(), tbl["doc_ids_enc"][i].as_py(),
+                 tbl["tfs_enc"][i].as_py(), tbl["dls_enc"][i].as_py()))
+        for rows in s._postings.values():
+            rows.sort(key=lambda r: r[0])
+        # GLOBAL df (idf must be global even though this actor only holds
+        # a doc-slice of each posting list). Ray auto-dereferences the
+        # broadcast ObjectRef argument — one shared plasma copy per node.
+        s._df = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+
+    def match(self, query) -> list[int]:
+        return self._searcher.match(query).tolist()
+
+    def bm25(self, query, k: int) -> list[tuple[int, float]]:
+        return self._searcher.bm25(query, k)
+
+
+class SearchService:
+    """Search-actor pool over a built index.
+
+    >>> svc = SearchService(index.root, num_actors=4)
+    >>> svc.bm25("fire heat", k=10)   # rank-identical to LocalSearcher
+    """
+
+    def __init__(self, index_root: str, num_actors: int = 4,
+                 pinned_doc_ids: set[int] | None = None):
+        index = BuiltIndex.load(index_root)
+        self._stats = index.stats
+
+        meta = pads.dataset(index.postings_dir, partitioning="hive").to_table(
+            columns=["term", "part", "df"])
+        # global df per term (sum over doc partitions)
+        df: dict[str, int] = {}
+        terms = meta["term"].to_pylist()
+        dfs = meta["df"].to_pylist()
+        for t, d in zip(terms, dfs):
+            df[t] = df.get(t, 0) + d
+        df_ref = ray.put(df)
+
+        parts = sorted(set(meta["part"].to_pylist()))
+        num_actors = max(1, min(num_actors, len(parts)))
+        assign = [parts[i::num_actors] for i in range(num_actors)]
+        pinned = sorted(pinned_doc_ids or ())
+        actor_cls = ray.remote(_DocPartSearcher)
+        part_bits = index.stats.doc_part_bits
+        self._actors = []
+        for sub in assign:
+            # pinned docs route to the actor owning their partition
+            sub_set = set(sub)
+            sub_pinned = [d for d in pinned if (d >> part_bits) in sub_set]
+            self._actors.append(actor_cls.remote(index_root, sub, df_ref,
+                                                 sub_pinned))
+
+    def match(self, query) -> np.ndarray:
+        """Union of per-actor matches, ascending doc_id (insertion order)."""
+        parts = ray.get([a.match.remote(query) for a in self._actors])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in parts]))
+
+    def bm25(self, query, k: int = 10) -> list[tuple[int, float]]:
+        """Global top-k from per-actor local top-k's — exact because every
+        doc's full score lives on exactly one actor."""
+        locals_ = ray.get([a.bm25.remote(query, k) for a in self._actors])
+        merged = [item for sub in locals_ for item in sub]
+        merged.sort(key=lambda ds: (-ds[1], ds[0]))
+        return merged[:k]
+
+    def stems(self, query) -> list[str]:
+        return query_stems(query)
