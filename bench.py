@@ -117,6 +117,9 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         # fresh processes at two parallelism levels on identical input
+        lo_n, hi_n = (int(x) for x in
+                      os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(","))
+
         def run(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_DOCS=str(num_docs))
@@ -124,15 +127,15 @@ def main() -> None:
                                  capture_output=True, text=True, check=True).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        lo, hi = run(8), run(32)
+        lo, hi = run(lo_n), run(hi_n)
         t_lo = lo["queries"]["build_sec"]
         t_hi = hi["queries"]["build_sec"]
-        eff = (t_lo / t_hi) / (32 / 8)
+        eff = (t_lo / t_hi) / (hi_n / lo_n)
         print(json.dumps({
-            "metric": "scaling: build sec at 8 vs 32 cpus",
-            "sec_8": t_lo, "sec_32": t_hi,
-            "docs_per_sec_8": lo["queries"]["build_docs_per_sec"],
-            "docs_per_sec_32": hi["queries"]["build_docs_per_sec"],
+            "metric": f"scaling: build sec at {lo_n} vs {hi_n} cpus",
+            f"sec_{lo_n}": t_lo, f"sec_{hi_n}": t_hi,
+            f"docs_per_sec_{lo_n}": lo["queries"]["build_docs_per_sec"],
+            f"docs_per_sec_{hi_n}": hi["queries"]["build_docs_per_sec"],
             "scaling_efficiency": round(eff, 3),
             "num_docs": num_docs,
         }))

@@ -1,0 +1,127 @@
+"""CLI entry points mirroring the reference's ``query.sh`` / ``stats.sh``
+samples (``samples/inverted_index/query.py``, ``stats.py`` — SURVEY.md
+§3.1/§3.2) plus ``build``:
+
+  python -m ts_type_filter_ray build  --corpus DIR --out INDEX [--shards N]
+  python -m ts_type_filter_ray query  INDEX "terms ..." [--bm25] [-k K] [--highlight --corpus DIR]
+  python -m ts_type_filter_ray stats  INDEX [--top N]
+
+Owns its Ray session (guarded init — the driver/test contract forbids
+library code from calling ray.init, but a CLI run is standalone).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def df_table(index, limit: int | None = None) -> list[tuple[str, int]]:
+    """Global (term, df) sorted (df desc, term asc) — the reference's
+    word-frequency table (``inverted_index.py:148-153``) with the
+    deterministic tie-break."""
+    import pyarrow.dataset as pads
+    meta = pads.dataset(index.postings_dir, partitioning="hive").to_table(
+        columns=["term", "df"])
+    acc: dict[str, int] = {}
+    for t, d in zip(meta["term"].to_pylist(), meta["df"].to_pylist()):
+        acc[t] = acc.get(t, 0) + d
+    out = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out[:limit] if limit else out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ts_type_filter_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from a parquet corpus dir")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--shards", type=int, default=0,
+                   help=">0: checkpointed sharded build (resumable)")
+    b.add_argument("--buckets", type=int, default=32)
+
+    q = sub.add_parser("query", help="boolean or BM25 query an index")
+    q.add_argument("index")
+    q.add_argument("terms")
+    q.add_argument("--bm25", action="store_true")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--highlight", action="store_true")
+    q.add_argument("--corpus", help="corpus dir (needed for --highlight)")
+
+    st = sub.add_parser("stats", help="print index statistics")
+    st.add_argument("index")
+    st.add_argument("--top", type=int, default=20)
+
+    args = ap.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+
+    from .pipelines.build import BuiltIndex, build_index
+    from .pipelines.query import LocalSearcher, highlight
+    from .sources.corpus import read_corpus
+
+    if args.cmd == "build":
+        if args.shards > 0:
+            from .state.manifest import build_index_checkpointed
+            idx = build_index_checkpointed(args.corpus, args.out,
+                                           num_shards=args.shards,
+                                           num_term_buckets=args.buckets)
+            if idx is None:
+                print("build interrupted; re-run to resume")
+                return 1
+        else:
+            idx = build_index(read_corpus(args.corpus), args.out,
+                              num_term_buckets=args.buckets)
+        s = idx.stats
+        print(f"built {s.num_documents} docs, {s.num_unique_terms} terms, "
+              f"{s.num_postings} postings -> {args.out}")
+        return 0
+
+    if args.cmd == "query":
+        searcher = LocalSearcher(BuiltIndex.load(args.index))
+        if args.bm25:
+            for doc_id, score in searcher.bm25(args.terms, k=args.k):
+                print(f"{doc_id}\t{score:.6f}")
+        else:
+            ids = searcher.match(args.terms)
+            print(f"Found {ids.size} matches.")
+            if args.highlight and args.corpus:
+                import pyarrow.compute as pc_
+                tbl = (read_corpus(args.corpus)
+                       .filter(lambda r: r["doc_id"] in set(ids.tolist()))
+                       .to_pandas())
+                for _, row in tbl.sort_values("doc_id").iterrows():
+                    print(f"--- doc {row['doc_id']} ({row['path']}) ---")
+                    print(highlight(args.terms, row["content"]))
+            else:
+                print(" ".join(map(str, ids.tolist())))
+        return 0
+
+    if args.cmd == "stats":
+        idx = BuiltIndex.load(args.index)
+        s = idx.stats
+        # reference output shape (inverted_index.py:143-153)
+        print(f"Number of documents: {s.num_documents}")
+        print(f"Number of unique words: {s.num_unique_terms}")
+        print(f"Number of postings: {s.num_postings}")
+        print()
+        print("Word Frequency Table:")
+        for term, df in df_table(idx, args.top):
+            print(f"{term}: {df}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
