@@ -1,0 +1,119 @@
+"""Randomized conformance: engine vs oracle on a seeded random corpus with
+many random queries, plus property tests for the stemmer and codec."""
+
+import random
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ts_type_filter_ray.oracle.index import build_oracle
+from ts_type_filter_ray.pipelines.build import build_index
+from ts_type_filter_ray.pipelines.query import (LocalSearcher, bm25_dataset,
+                                                match_doc_ids)
+from ts_type_filter_ray.sources.corpus import read_corpus
+from ts_type_filter_ray.text.porter2 import stem
+
+# -- stemmer properties -------------------------------------------------
+
+token_strategy = st.text(
+    alphabet=string.ascii_letters + string.digits + "'’-_.;:!()[]{}éñüßÆ日",
+    min_size=1, max_size=24)
+
+
+@given(token_strategy)
+@settings(max_examples=300, deadline=None)
+def test_stem_total_and_deterministic(word):
+    s1 = stem(word)
+    assert isinstance(s1, str)
+    assert stem(word) == s1
+    # stemming lowercases (reference stemmer behavior); skip words whose
+    # case round-trip is lossy (e.g. ß → SS → ss)
+    if word.upper().lower() == word.lower():
+        assert stem(word.upper()) == stem(word.lower())
+
+
+@given(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=2))
+@settings(max_examples=50, deadline=None)
+def test_short_words_identity(word):
+    assert stem(word) == word
+
+
+# -- randomized corpus conformance --------------------------------------
+
+VOCAB = (["run", "running", "runs", "ran", "jumped", "jumping", "cats",
+          "cat", "dogs", "happily", "happy", "nationalization", "import",
+          "def;", "(x)", "Grosse", "naïve", "tied", "ties", "cries"]
+         + [f"w{i}" for i in range(120)])
+
+
+def _random_corpus_dir(tmp_path, n_docs=160, seed=1234):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = random.Random(seed)
+    docs = []
+    for _ in range(n_docs):
+        n = rng.randint(0, 40)
+        docs.append(" ".join(rng.choice(VOCAB) for _ in range(n)))
+    tbl = pa.table({
+        "repo": pa.array(["fuzz"] * n_docs),
+        "path": pa.array([f"d{i}" for i in range(n_docs)]),
+        "commit": pa.array(["c"] * n_docs),
+        "lang": pa.array(["txt"] * n_docs),
+        "content": pa.array(docs, type=pa.large_string()),
+    })
+    d = tmp_path / "fuzz_corpus"
+    d.mkdir()
+    pq.write_table(tbl.slice(0, 77), str(d / "a.parquet"), row_group_size=20)
+    pq.write_table(tbl.slice(77), str(d / "b.parquet"), row_group_size=20)
+    return str(d), docs
+
+
+def test_random_corpus_conformance(ray_session, tmp_path):
+    corpus_dir, docs = _random_corpus_dir(tmp_path)
+    idx = build_index(read_corpus(corpus_dir), str(tmp_path / "idx"),
+                      doc_part_bits=5, num_term_buckets=8,
+                      tokenize_batch_size=37)
+    oracle = build_oracle(list(range(len(docs))), docs)
+    searcher = LocalSearcher(idx)
+
+    assert idx.stats.num_documents == len(docs)
+    ostats = oracle.statistics()
+    assert idx.stats.num_unique_terms == ostats["num_unique_words"]
+    assert idx.stats.num_postings == ostats["num_postings"]
+
+    rng = random.Random(99)
+    for i in range(120):
+        n_terms = rng.randint(0, 5)
+        q = " ".join(rng.choice(VOCAB) for _ in range(n_terms))
+        assert searcher.match(q).tolist() == oracle.match(q), f"q={q!r}"
+        k = rng.choice([1, 3, 10])
+        assert searcher.bm25(q, k=k) == oracle.bm25(q, k=k), f"q={q!r} k={k}"
+        if i % 20 == 0:  # the one-off parquet paths too (slower)
+            assert match_doc_ids(idx, q).tolist() == oracle.match(q)
+            assert bm25_dataset(idx, q, k=k) == oracle.bm25(q, k=k)
+
+
+def test_empty_and_whitespace_docs(ray_session, tmp_path):
+    """Docs that tokenize to nothing must still index (doc_len 0) and
+    never match any query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    docs = ["", "   ", "\n\t ", "real words here"]
+    tbl = pa.table({
+        "repo": pa.array(["e"] * 4), "path": pa.array(list("abcd")),
+        "commit": pa.array(["c"] * 4), "lang": pa.array(["txt"] * 4),
+        "content": pa.array(docs, type=pa.large_string()),
+    })
+    d = tmp_path / "empty_corpus"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "a.parquet"))
+    idx = build_index(read_corpus(str(d)), str(tmp_path / "idx2"),
+                      num_term_buckets=4)
+    oracle = build_oracle([0, 1, 2, 3], docs)
+    s = LocalSearcher(idx)
+    assert idx.stats.num_documents == 4
+    assert s.match("words").tolist() == oracle.match("words") == [3]
+    assert s.match("").tolist() == []
+    assert s.bm25("real here", k=4) == oracle.bm25("real here", k=4)

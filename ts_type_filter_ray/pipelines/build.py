@@ -3,22 +3,26 @@ table + global stats, all Parquet under one index root.
 
 Ray-Data-first shape (SURVEY.md §3.1 "Ray shape", §7):
 
-  corpus ──map_batches(prep_docs)──────────► docs/   (doc_id, sha256, doc_len, …)
+  corpus ──map_batches(prep_docs)──────────► docs/  (doc_id, sha256, doc_len, …)
          └─map_batches(TokenizePartials)──► partial posting rows
-               groupby(["term","part"]) ──► merged rows     (the ONE shuffle)
-               map_batches(PostingCompressor, actor pool) ─► postings/
+               write_parquet(partition_cols=["bucket"]) ► partials/bucket=*
+               one merge task per bucket ─► postings/bucket=*  (+ counters)
   docs ── Count/Sum aggregates ───────────► stats.json  (N, avgdl → BM25)
-  postings ─ groupby("term").sum(df) ─────► df/ (term → global df)
 
 The per-batch partial aggregation inside ``TokenizePartials`` is the
-combiner that bounds the shuffle; ``part = doc_id >> doc_part_bits``
-bounds every merge group (hot-term skew, SURVEY.md §4). Postings are
-written partitioned by ``bucket = hash(term) % num_term_buckets`` so a
-query routes to its buckets' files only.
+combiner that bounds the exchange; ``part = doc_id >> doc_part_bits``
+bounds every posting row (hot-term skew, SURVEY.md §4). The exchange
+itself is a **bucket-partitioned Parquet spill** rather than an
+object-store groupby shuffle — measured faster and better-scaling here,
+and it doubles as the checkpoint artifact (state/manifest.py shares the
+layout and the merge). Postings land partitioned by
+``bucket = crc32(term) % num_term_buckets`` so a query routes to its
+buckets' files only; per-term df stays derivable because each term lives
+in exactly one bucket.
 
 Index root layout (all Parquet + one JSON):
-  root/docs/*.parquet       root/postings/bucket=*/*.parquet
-  root/df/*.parquet         root/stats.json
+  root/docs/*.parquet     root/postings/bucket=*/merged.parquet
+  root/stats.json         (root/partials/bucket=* during the build)
 """
 
 from __future__ import annotations
@@ -68,10 +72,6 @@ class BuiltIndex:
     @property
     def postings_dir(self) -> str:
         return os.path.join(self.root, "postings")
-
-    @property
-    def df_dir(self) -> str:
-        return os.path.join(self.root, "df")
 
     @classmethod
     def load(cls, root: str) -> "BuiltIndex":

@@ -42,9 +42,6 @@ from ..text.porter2 import stem
 from ..text.tokenize import break_on_whitespace
 from .build import BuiltIndex, term_bucket
 
-Query = "str | list[str]"
-
-
 def query_stems(query, stemmer=None, breaker=None) -> list[str]:
     """Query → sorted distinct stems (mirrors ``inverted_index.py:87-92``;
     sorted so score accumulation order is deterministic). ``stemmer``/
@@ -269,3 +266,36 @@ def match_dataset(index: BuiltIndex, corpus, query,
         return batch.filter(mask)
 
     return corpus.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def bm25_dataset(index: BuiltIndex, query, k: int = 10) -> list[tuple[int, float]]:
+    """One-off BM25 top-k straight off the Parquet index (no warm
+    searcher): reads only the query terms' posting rows via bucket + term
+    pushdown, then scores with the same left-fold term order as
+    :class:`LocalSearcher` — rank- and score-identical."""
+    stats = index.stats
+    stems = query_stems(query)
+    tbl = _load_rows_for_terms(index, stems)
+    if tbl.num_rows == 0:
+        return []
+    avgdl, k1, b = stats.avgdl, stats.k1, stats.b
+    n = stats.num_documents
+    # group rows per term (global df across parts first, for idf)
+    by_term: dict[str, list[int]] = {}
+    terms = tbl["term"].to_pylist()
+    for i, t in enumerate(terms):
+        by_term.setdefault(t, []).append(i)
+    scores: dict[int, float] = {}
+    for term in sorted(by_term):
+        rows = by_term[term]
+        df = sum(tbl["df"][i].as_py() for i in rows)
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for i in rows:
+            doc_ids = plib.decode_doc_ids(tbl["doc_ids_enc"][i].as_py())
+            tfs = plib.decode_varints(tbl["tfs_enc"][i].as_py()).astype(np.float64)
+            dls = plib.decode_varints(tbl["dls_enc"][i].as_py()).astype(np.float64)
+            contrib = idf * _tf_factor(tfs, dls, avgdl, k1, b)
+            for d, c in zip(doc_ids.tolist(), contrib.tolist()):
+                scores[d] = scores.get(d, 0.0) + c
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
