@@ -32,9 +32,13 @@ QUERY_SET: list[str | list[str]] = [
 ]
 
 
+INDEX_LAYOUT_VERSION = 2  # bump when the on-disk index layout changes
+
+
 def _index_cache_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"graft_index_{tag}")
+    return os.path.join(tempfile.gettempdir(),
+                        f"graft_index_v{INDEX_LAYOUT_VERSION}_{tag}")
 
 
 def build_documents_index(sf_dir: str, force: bool = False) -> BuiltIndex:
