@@ -66,9 +66,17 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
+    import os
+
     from .pipelines.build import BuiltIndex, build_index
     from .pipelines.query import LocalSearcher, highlight
     from .sources.corpus import read_corpus
+
+    if args.cmd in ("query", "stats") and \
+            not os.path.exists(os.path.join(args.index, "stats.json")):
+        print(f"error: no index at {args.index!r} (missing stats.json)",
+              file=sys.stderr)
+        return 2
 
     if args.cmd == "build":
         if args.shards > 0:
