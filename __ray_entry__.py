@@ -103,7 +103,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_carts": _normalize_carts,
         # -- multimodal plumbing (stubbed codecs, deterministic fake) --
         "decode_media": _decode_media,
+        # -- composed curation pipeline (quality → exact dedup →
+        #    minhash near-dup → language), per-stage drop report --
+        "curation_report": _curation_report,
     }
+
+
+def _curation_report(sf_dir: str):
+    from ts_type_filter_ray.pipelines.curation import curation_report_table
+    return curation_report_table(sf_dir, keep_langs=("en", "und"))
 
 
 def _prune_types(sf_dir: str):
