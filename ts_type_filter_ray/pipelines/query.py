@@ -100,6 +100,28 @@ class LocalSearcher:
             self._df[term] = self._df.get(term, 0) + dfs[i]
         for rows in self._postings.values():
             rows.sort(key=lambda r: r[0])
+        # decoded-postings cache: hot terms (import/def/...) decode once
+        # per searcher, not once per query; bounded LRU-ish eviction
+        self._decoded: dict[tuple[str, int], tuple] = {}
+        self._decoded_budget = 64 << 20  # ~64MB of decoded arrays
+        self._decoded_bytes = 0
+
+    def _decode_row(self, term: str, row: tuple):
+        part, _df, _imp, d_enc, t_enc, l_enc = row
+        key = (term, part)
+        hit = self._decoded.get(key)
+        if hit is not None:
+            return hit
+        out = (plib.decode_doc_ids(d_enc),
+               plib.decode_varints(t_enc).astype(np.float64),
+               plib.decode_varints(l_enc).astype(np.float64))
+        size = out[0].nbytes * 3
+        if self._decoded_bytes + size > self._decoded_budget:
+            self._decoded.clear()
+            self._decoded_bytes = 0
+        self._decoded[key] = out
+        self._decoded_bytes += size
+        return out
 
     # -- boolean -------------------------------------------------------
 
@@ -109,8 +131,8 @@ class LocalSearcher:
         stems = query_stems(query, self._stemmer, self._breaker)
         arrays = [self._pinned] if self._pinned.size else []
         for term in stems:
-            for (_part, _df, _imp, d_enc, _t, _l) in self._postings.get(term, ()):
-                arrays.append(plib.decode_doc_ids(d_enc))
+            for row in self._postings.get(term, ()):
+                arrays.append(self._decode_row(term, row)[0])
         if not arrays:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(arrays))
@@ -161,12 +183,11 @@ class LocalSearcher:
             doc_arrays: list[np.ndarray] = []
             contrib_arrays: list[np.ndarray] = []
             for _term, idf, rows in term_rows:  # ascending term order
-                for (p, _df, _imp, d_enc, t_enc, l_enc) in rows:
-                    if p != part:
+                for row in rows:
+                    if row[0] != part:
                         continue
-                    doc_arrays.append(plib.decode_doc_ids(d_enc))
-                    tfs = plib.decode_varints(t_enc).astype(np.float64)
-                    dls = plib.decode_varints(l_enc).astype(np.float64)
+                    doc_ids, tfs, dls = self._decode_row(_term, row)
+                    doc_arrays.append(doc_ids)
                     contrib_arrays.append(idf * _tf_factor(tfs, dls, avgdl, k1, b))
             if not doc_arrays:
                 continue

@@ -41,6 +41,9 @@ class _DocPartSearcher:
         s._stemmer = None
         s._breaker = None
         s._pinned = np.array(sorted(pinned_doc_ids or ()), dtype=np.int64)
+        s._decoded = {}
+        s._decoded_budget = 64 << 20
+        s._decoded_bytes = 0
         from collections import defaultdict
         s._postings = defaultdict(list)
         dset = pads.dataset(index.postings_dir, partitioning="hive")
