@@ -22,7 +22,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 
 def _embedding_matrix(batch: pa.Table) -> np.ndarray:
