@@ -26,11 +26,15 @@ import time
 
 def _corpus_dir(num_docs: int, seed: int = 42) -> str:
     """Deterministic synthetic F1 code corpus, cached under /tmp."""
-    d = os.path.join(tempfile.gettempdir(), f"graft_bench_corpus_{num_docs}_{seed}")
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_BENCH_LEN", "20,200").split(","))
+    d = os.path.join(tempfile.gettempdir(),
+                     f"graft_bench_corpus_{num_docs}_{seed}_{lo}_{hi}")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         from ts_type_filter_ray.sources.synthetic import generate_corpus
-        generate_corpus(d, num_docs=num_docs, seed=seed, num_files=32)
+        generate_corpus(d, num_docs=num_docs, seed=seed, num_files=32,
+                        doc_len_range=(lo, hi))
         open(marker, "w").write("ok")
     return d
 

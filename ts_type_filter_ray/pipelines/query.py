@@ -72,7 +72,7 @@ class LocalSearcher:
 
     def __init__(self, index: BuiltIndex, buckets: list[int] | None = None,
                  pinned_doc_ids: set[int] | None = None,
-                 stemmer=None, breaker=None):
+                 stemmer=None, breaker=None, warm_top_terms: int = 32):
         self._stats = index.stats
         self._stemmer = stemmer
         self._breaker = breaker
@@ -105,6 +105,13 @@ class LocalSearcher:
         self._decoded: dict[tuple[str, int], tuple] = {}
         self._decoded_budget = 64 << 20  # ~64MB of decoded arrays
         self._decoded_bytes = 0
+        # eagerly decode the highest-df terms so the first hot-term query
+        # doesn't pay the cold decode (p99 was dominated by it)
+        if warm_top_terms:
+            hot = sorted(self._df, key=self._df.get, reverse=True)
+            for term in hot[:warm_top_terms]:
+                for row in self._postings[term]:
+                    self._decode_row(term, row)
 
     def _decode_row(self, term: str, row: tuple):
         part, _df, _imp, d_enc, t_enc, l_enc = row

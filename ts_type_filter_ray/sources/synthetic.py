@@ -117,7 +117,8 @@ def _zipf_weights(n: int, s: float = 1.3) -> np.ndarray:
 
 
 def generate_corpus(out_dir: str, num_docs: int, seed: int = 42,
-                    num_files: int = 8, dup_fraction: float = 0.01) -> list[str]:
+                    num_files: int = 8, dup_fraction: float = 0.01,
+                    doc_len_range: tuple[int, int] = (20, 200)) -> list[str]:
     """Write the F1 synthetic corpus as ``num_files`` parquet files under
     *out_dir*; returns the file paths (deterministic order). Idempotent:
     regenerating with the same arguments produces byte-identical content.
@@ -138,7 +139,7 @@ def generate_corpus(out_dir: str, num_docs: int, seed: int = 42,
     repo_w = _zipf_weights(len(repos), 1.05)
     dirs = ["src", "lib", "pkg", "core", "util", "api", "cmd", "internal"]
 
-    lens = rng.integers(20, 200, size=num_docs)
+    lens = rng.integers(doc_len_range[0], doc_len_range[1], size=num_docs)
     doc_repo = rng.choice(len(repos), size=num_docs, p=repo_w)
     doc_lang = rng.choice(len(_LANGS), size=num_docs, p=np.array(_LANG_W))
 
