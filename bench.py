@@ -72,6 +72,8 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
     t0 = time.perf_counter()
     idx = build_index(read_corpus(corpus_dir), out_dir,
                       tokenize_batch_size=1024,
+                      doc_part_bits=14,  # ~16k-doc partitions: block-max
+                      # pruning gets real skip opportunities at bench scale
                       tokenize_concurrency=max(2, num_cpus - 4))
     t_build = time.perf_counter() - t0
 
