@@ -179,8 +179,10 @@ def oracle_sql() -> dict[str, str]:
                         else len(regexp_split_to_array(trim(text),'\s+')) end
                    as n_tokens
                    from documents)
-            select lang, count(*) as n_docs, sum(n_tokens) as total_tokens,
-                   avg(n_tokens) as avg_tokens, sum(n_chars) as total_chars
+            select lang, count(*) as n_docs,
+                   sum(n_tokens)::BIGINT as total_tokens,
+                   avg(n_tokens) as avg_tokens,
+                   sum(n_chars)::BIGINT as total_chars
             from t group by lang""",
         "term_df_tf": r"""
             with toks as (
@@ -209,7 +211,7 @@ def oracle_sql() -> dict[str, str]:
               from toks group by doc_id)
             select d.doc_id,
                    coalesce(a.n_tokens, 0) as n_tokens,
-                   coalesce(a.n_stop, 0) as n_stopwords,
+                   coalesce(a.n_stop, 0)::BIGINT as n_stopwords,
                    coalesce(a.n_stop::DOUBLE / a.n_tokens, 0.0) as stopword_ratio,
                    coalesce(a.len_sum::DOUBLE / a.n_tokens, 0.0) as mean_token_len
             from documents d left join agg a using (doc_id)""",

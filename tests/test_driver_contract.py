@@ -52,6 +52,13 @@ def test_query_matches_oracle(ray_session, con, name):
     for col in got.columns:
         g = got[col].to_numpy()
         e = exp[col].to_numpy()
+        # the driver hashes canonicalized values; a DuckDB HUGEINT/Decimal
+        # (object dtype) vs engine int64 passes `==` but fails the hash —
+        # require matching dtype KIND (int32 vs int64 is known-tolerated:
+        # ann_topk was hash-green in round 1 with an int32 rank column)
+        assert got[col].dtype.kind == exp[col].dtype.kind, (
+            f"dtype-kind mismatch in column {col}: "
+            f"{got[col].dtype} vs {exp[col].dtype}")
         assert (g == e).all(), f"value mismatch in column {col}"
 
 

@@ -45,12 +45,20 @@ def tumbling_window_agg(ds: Dataset, window_sec: int = 3600) -> Dataset:
             "event_id": batch["event_id"],
         })
 
+    def fix_ts_unit(t: pa.Table) -> pa.Table:
+        # Ray's groupby normalizes the timestamp key to timestamp[s];
+        # restore µs so the schema matches the DuckDB oracle exactly.
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(i, "window_start",
+                            t["window_start"].cast(pa.timestamp("us")))
+
     return (ds.map_batches(add_window, batch_format="pyarrow")
             .groupby(["user_id", "window_start"])
             .aggregate(Count(alias_name="n_events"),
                        Sum("value_cents", alias_name="value_cents"),
                        Min("event_id", alias_name="first_event"),
-                       Max("event_id", alias_name="last_event")))
+                       Max("event_id", alias_name="last_event"))
+            .map_batches(fix_ts_unit, batch_format="pyarrow"))
 
 
 def sessionize(ds: Dataset, gap_sec: int = 1800) -> Dataset:
@@ -82,7 +90,7 @@ TUMBLING_HOUR_SQL = """
     select user_id,
            date_trunc('hour', ts) as window_start,
            count(*) as n_events,
-           sum(cast(round(value * 100) as bigint)) as value_cents,
+           sum(cast(round(value * 100) as bigint))::BIGINT as value_cents,
            min(event_id) as first_event,
            max(event_id) as last_event
     from events group by 1, 2"""
@@ -107,6 +115,6 @@ SESSIONIZE_SQL = """
     per_session as (
       select user_id, session_id, count(*) as n
       from sessions group by 1, 2)
-    select user_id, count(*) as n_sessions, sum(n) as n_events,
+    select user_id, count(*) as n_sessions, sum(n)::BIGINT as n_events,
            max(n) as max_session_events
     from per_session group by user_id"""
