@@ -91,3 +91,36 @@ def test_manifest_records_rollup_and_counters(ray_session,
         assert s["fingerprint"]
         assert len(s["sha256_xor_rollup"]) == 64
         assert s["total_doc_len"] > 0
+
+
+def test_reshard_invalidates_stale_partials(ray_session,
+                                            small_code_corpus_dir,
+                                            tmp_path_factory, direct_index):
+    """Re-running into the same out_dir with different --shards (or bucket
+    params) must wipe incompatible partials, not double-count them
+    (ADVICE r1)."""
+    out = str(tmp_path_factory.mktemp("ckpt_idx4"))
+    build_index_checkpointed(small_code_corpus_dir, out, num_shards=5,
+                             doc_part_bits=8, num_term_buckets=16)
+    # different shard count: old partials are incompatible
+    idx = build_index_checkpointed(small_code_corpus_dir, out, num_shards=3,
+                                   doc_part_bits=8, num_term_buckets=16)
+    m = load_manifest(out)
+    assert m["params"]["num_shards"] == 3
+    assert set(m["shards"]) == {"0", "1", "2"}
+    shard_dirs = sorted(d for d in os.listdir(os.path.join(out, "partials"))
+                        if d.startswith("shard="))
+    assert shard_dirs == ["shard=0", "shard=1", "shard=2"]
+    assert idx.stats.num_documents == direct_index.stats.num_documents
+    assert idx.stats.num_postings == direct_index.stats.num_postings
+    assert idx.stats.total_doc_len == direct_index.stats.total_doc_len
+
+
+def test_finalize_param_mismatch_raises(ray_session, small_code_corpus_dir,
+                                        tmp_path_factory):
+    from ts_type_filter_ray.state.manifest import finalize_index
+    out = str(tmp_path_factory.mktemp("ckpt_idx5"))
+    build_index_checkpointed(small_code_corpus_dir, out, num_shards=2,
+                             doc_part_bits=8, num_term_buckets=8)
+    with pytest.raises(RuntimeError, match="params"):
+        finalize_index(out, num_term_buckets=32, doc_part_bits=8)

@@ -164,3 +164,27 @@ def test_rolling_fingerprints_deterministic(docs):
     b = textstats.rolling_fingerprints(docs.limit(20)).take_all()
     assert sorted((r["doc_id"], r["fp64"]) for r in a) == \
            sorted((r["doc_id"], r["fp64"]) for r in b)
+
+
+def test_blank_docs_zero_tokens(ray_session):
+    """Blank/whitespace-only docs: n_tokens must be 0 (reference
+    ``''.strip().split() == []``) and no '' term may be emitted — Arrow's
+    utf8_split_whitespace returns [''] for those rows (ADVICE r1)."""
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["hello world", "", "   \t\n ", "the end"]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["t"] * 4),
+        "n_chars": pa.array([11, 0, 6, 7], type=pa.int64()),
+    })
+    tc = {r["doc_id"]: r["n_tokens"]
+          for r in textstats.token_counts(rd.from_arrow(tbl)).take_all()}
+    assert tc == {0: 2, 1: 0, 2: 0, 3: 2}
+    terms = {r["term"]: (r["df"], r["tf"])
+             for r in textstats.term_df_tf(rd.from_arrow(tbl)).take_all()}
+    assert "" not in terms
+    assert terms["the"] == (1, 1)
+    qs = {r["doc_id"]: r for r in
+          textstats.quality_scores(rd.from_arrow(tbl)).take_all()}
+    assert qs[1]["n_tokens"] == 0 and qs[1]["stopword_ratio"] == 0.0
+    assert qs[2]["n_tokens"] == 0 and qs[2]["mean_token_len"] == 0.0

@@ -49,3 +49,17 @@ def test_pinned_routing(ray_session, sonnets_corpus_dir, tmp_path_factory):
     svc = SearchService(idx.root, num_actors=3, pinned_doc_ids={100, 3})
     assert svc.match("").tolist() == [3, 100]
     assert 100 in svc.match("same").tolist()
+
+
+def test_pinned_doc_in_postingless_partition(ray_session, sonnets_corpus_dir,
+                                             tmp_path_factory):
+    """A pinned doc whose partition has no posting rows (e.g. an empty
+    document) must still appear in every match — reference rule
+    inverted_index.py:94 (ADVICE r1)."""
+    out = tmp_path_factory.mktemp("serve_idx_pin2")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    # doc_id 5000 → part 312, far outside the 154-doc corpus's partitions
+    svc = SearchService(idx.root, num_actors=3, pinned_doc_ids={5000, 3})
+    assert svc.match("").tolist() == [3, 5000]
+    assert 5000 in svc.match("same").tolist()

@@ -29,11 +29,27 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 def _tokens(batch: pa.Table):
-    """(list<str> tokens, flat tokens, parent doc indices) — zero-copy."""
-    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(batch["text"]))
+    """(n_tokens int64 array, flat tokens, parent doc indices) — zero-copy.
+
+    Arrow's ``utf8_split_whitespace`` returns ``['']`` (length 1) for
+    blank/whitespace-only text; the reference breaker
+    (``inverted_index.py:33``, ``''.strip().split() == []``) and the SQL
+    oracles treat blank docs as 0 tokens, so mask those rows out here.
+    """
+    trimmed = pc.utf8_trim_whitespace(batch["text"])
+    toks = pc.utf8_split_whitespace(trimmed)
+    n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
-    return toks, flat, parents
+    empty = pc.equal(trimmed, "")
+    if pc.any(empty).as_py():
+        n_tok = pc.if_else(empty, pa.scalar(0, pa.int64()), n_tok)
+        # only blank docs yield '' tokens (runs of whitespace are one
+        # separator), so this removes exactly their phantom token
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parents = parents.filter(keep)
+    return n_tok, flat, parents
 
 
 def token_counts(ds: Dataset) -> Dataset:
@@ -41,10 +57,10 @@ def token_counts(ds: Dataset) -> Dataset:
     semantics (``ts_type_filter/inverted_index.py:26-33``)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks, _, _ = _tokens(batch)
+        n_tok, _, _ = _tokens(batch)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_tokens": n_tok,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -56,10 +72,10 @@ def doc_stats_by_lang(ds: Dataset) -> Dataset:
     groupby after a vectorized count."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks, _, _ = _tokens(batch)
+        n_tok, _, _ = _tokens(batch)
         return pa.table({
             "lang": batch["lang"],
-            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_tokens": n_tok,
             "n_chars": batch["n_chars"],
         })
 
@@ -78,7 +94,11 @@ def term_df_tf(ds: Dataset) -> Dataset:
     shuffle (SURVEY.md G1/G3)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks, flat, parents = _tokens(batch)
+        _, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64()),
+                             "tf": pa.array([], type=pa.int64())})
         flat = pc.utf8_lower(flat)
         # encode terms to ints within the batch for a vectorized 2-key count
         enc = pc.dictionary_encode(flat)
@@ -113,9 +133,9 @@ def quality_scores(ds: Dataset) -> Dataset:
     simple quality-scoring features, fully vectorized."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks, flat, parents = _tokens(batch)
+        n_tok_arr, flat, parents = _tokens(batch)
         n = batch.num_rows
-        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = n_tok_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         par = parents.to_numpy(zero_copy_only=False)
         is_stop = pc.is_in(pc.utf8_lower(flat),
                            value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)

@@ -37,8 +37,17 @@ INDEX_LAYOUT_VERSION = 2  # bump when the on-disk index layout changes
 
 def _index_cache_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # key on the input's content identity (size+mtime of documents.parquet),
+    # not just the path: a changed corpus under the same path must not
+    # silently reuse a stale index (ADVICE r1)
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "na"
     return os.path.join(tempfile.gettempdir(),
-                        f"graft_index_v{INDEX_LAYOUT_VERSION}_{tag}")
+                        f"graft_index_v{INDEX_LAYOUT_VERSION}_{tag}_{fp}")
 
 
 def build_documents_index(sf_dir: str, force: bool = False) -> BuiltIndex:

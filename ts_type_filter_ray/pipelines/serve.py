@@ -97,11 +97,18 @@ class SearchService:
         pinned = sorted(pinned_doc_ids or ())
         actor_cls = ray.remote(_DocPartSearcher)
         part_bits = index.stats.doc_part_bits
+        # a pinned doc whose partition produced no posting rows (e.g. an
+        # empty document) still must appear in every match
+        # (inverted_index.py:94) — route those leftovers to actor 0
+        all_parts = set(parts)
+        leftover = [d for d in pinned if (d >> part_bits) not in all_parts]
         self._actors = []
-        for sub in assign:
+        for i, sub in enumerate(assign):
             # pinned docs route to the actor owning their partition
             sub_set = set(sub)
             sub_pinned = [d for d in pinned if (d >> part_bits) in sub_set]
+            if i == 0:
+                sub_pinned = sorted(sub_pinned + leftover)
             self._actors.append(actor_cls.remote(index_root, sub, df_ref,
                                                  sub_pinned))
 

@@ -119,11 +119,30 @@ def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
         by_file.setdefault(t["path"], []).append(t)
     shard_files = [files[i::num_shards] for i in range(num_shards)]
 
+    # partials from a different sharding/bucketing layout are incompatible:
+    # resuming into them would mix or double-count postings (ADVICE r1).
+    # num_shards in the key also makes orphaned shard ids impossible.
+    params = {"num_shards": num_shards, "num_term_buckets": num_term_buckets,
+              "doc_part_bits": doc_part_bits}
     manifest = load_manifest(out_dir)
+    if manifest["shards"] and manifest.get("params") != params:
+        shutil.rmtree(os.path.join(out_dir, "partials"), ignore_errors=True)
+        os.makedirs(os.path.join(out_dir, "partials"), exist_ok=True)
+        manifest = {"shards": {}}
+    manifest["params"] = params
+
     done_this_run = 0
     for shard_id, flist in enumerate(shard_files):
         tasks = [t for f in flist for t in by_file[f]]
         if not tasks:
+            # the file set shrank and left this shard empty: remove its
+            # stale partials so finalize cannot double-count them
+            if str(shard_id) in manifest["shards"]:
+                del manifest["shards"][str(shard_id)]
+                shutil.rmtree(os.path.join(out_dir, "partials",
+                                           f"shard={shard_id}"),
+                              ignore_errors=True)
+                _save_manifest(out_dir, manifest)
             continue
         fp = _shard_fingerprint(tasks)
         entry = manifest["shards"].get(str(shard_id))
@@ -190,6 +209,12 @@ def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
     shards = manifest["shards"].values()
     if not shards or any(s["status"] != "done" for s in shards):
         raise RuntimeError("not all shards are done; run build_partials first")
+    params = manifest.get("params")
+    if params and (params["num_term_buckets"] != num_term_buckets
+                   or params["doc_part_bits"] != doc_part_bits):
+        raise RuntimeError(
+            f"finalize params {num_term_buckets=}/{doc_part_bits=} do not "
+            f"match the partials' build params {params}; rebuild partials")
 
     n_docs = sum(s["num_docs"] for s in shards)
     total_dl = sum(s["total_doc_len"] for s in shards)
@@ -197,10 +222,17 @@ def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
 
     partials_dir = os.path.join(out_dir, "partials")
 
+    # only merge shard dirs the manifest vouches for; delete anything else
+    # on disk (stale leftovers would duplicate postings)
+    valid = {f"shard={sid}" for sid in manifest["shards"]}
+    for d in sorted(os.listdir(partials_dir)):
+        if d.startswith("shard=") and d not in valid:
+            shutil.rmtree(os.path.join(partials_dir, d), ignore_errors=True)
+
     # docs table from the doc-meta rows (bucket=-1 dirs)
     meta_dirs = [os.path.join(partials_dir, s, "bucket=-1")
                  for s in sorted(os.listdir(partials_dir))
-                 if s.startswith("shard=")]
+                 if s.startswith("shard=") and s in valid]
     meta_files = [os.path.join(d, f)
                   for d in meta_dirs for f in sorted(os.listdir(d))
                   if f.endswith(".parquet")]
