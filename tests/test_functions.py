@@ -108,12 +108,11 @@ def test_minhash_estimates_jaccard(ray_session):
     tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
                     "text": [base, near, far]})
     pairs = dedup.minhash_dedup_pairs(rd.from_arrow(tbl), num_perm=64,
-                                      bands=16, threshold=0.5)
-    found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+                                      bands=16, threshold=0.5).take_all()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     assert (0, 1) in found
-    assert all(p[1] != 2 and p[0] != 2 for p in found)
-    j = pairs["jaccard"].to_pylist()[list(found).index((0, 1))]
-    assert j == dedup.jaccard(base, near)
+    assert all(b != 2 and a != 2 for a, b in found)
+    assert found[(0, 1)] == dedup.jaccard(base, near)
 
 
 def test_simhash_near_dups(ray_session):
@@ -188,3 +187,35 @@ def test_blank_docs_zero_tokens(ray_session):
           textstats.quality_scores(rd.from_arrow(tbl)).take_all()}
     assert qs[1]["n_tokens"] == 0 and qs[1]["stopword_ratio"] == 0.0
     assert qs[2]["n_tokens"] == 0 and qs[2]["mean_token_len"] == 0.0
+
+
+def test_minhash_giant_dup_cluster_no_blowup(ray_session):
+    """A 1,000-copy duplicate cluster must complete without quadratic
+    pair blowup: representative election caps a B-member bucket at B-1
+    star pairs instead of B(B-1)/2 (VERDICT r1)."""
+    base = " ".join(f"w{i}" for i in range(40))
+    n = 1000
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n + 1)), type=pa.int64()),
+        "text": [base] * n + [" ".join(f"z{i}" for i in range(40))],
+    })
+    pairs = dedup.minhash_dedup_pairs(rd.from_arrow(tbl), num_perm=32,
+                                      bands=8, threshold=0.5,
+                                      bucket_pair_cap=64).take_all()
+    # star pairs only: (0, x) for every other copy — O(B), not O(B²)
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in pairs)
+    drop = {r["id_b"] for r in pairs}
+    assert drop == set(range(1, n))  # every non-representative is linked
+
+
+def test_embedding_near_dup_multiblock_exact(emb):
+    """The K>1 block-pair sweep must produce the identical pair set as a
+    single block (exactness does not depend on the blocking)."""
+    one = sorted((r["id_a"], r["id_b"]) for r in
+                 ann.embedding_near_dup_pairs(emb, 0.35,
+                                              block_rows=10**9).take_all())
+    many = sorted((r["id_a"], r["id_b"]) for r in
+                  ann.embedding_near_dup_pairs(emb, 0.35,
+                                               block_rows=37).take_all())
+    assert one == many and len(one) > 0

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 from ray.data import Dataset
+from ray.data.datasource import Datasource
 
 
 def _embedding_matrix(batch: pa.Table) -> np.ndarray:
@@ -106,42 +107,115 @@ def brute_force_topk(ds: Dataset, query_ids: list[int], k: int = 10,
                                                   batch_format="pyarrow")
 
 
+def _load_block(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read one spilled embedding block → (vec_ids, L2-normalized f64)."""
+    import pyarrow.dataset as pads
+    tbl = pads.dataset(path).to_table(columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = tbl["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, _normalize(flat.reshape(len(ids), -1))
+
+
+def _block_pair_table(path_i: str, path_j: str, same: bool,
+                      threshold: float) -> pa.Table:
+    ids_i, emb_i = _load_block(path_i)
+    if same:
+        ids_j, emb_j = ids_i, emb_i
+    else:
+        ids_j, emb_j = _load_block(path_j)
+    sims = emb_i @ emb_j.T
+    ii, jj = np.nonzero(sims >= threshold)
+    a = ids_i[ii]
+    b = ids_j[jj]
+    if same:
+        # a<b keeps each pair once and drops self-pairs
+        keep = a < b
+        a, b = a[keep], b[keep]
+    else:
+        # cross blocks hold disjoint id sets and each unordered pair is
+        # visited exactly once (i<j sweep): canonicalize by min/max
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                     "id_b": pa.array(b, type=pa.int64())})
+
+
+class _BlockPairDatasource(Datasource):
+    """One ``ReadTask`` per block pair (K·(K+1)/2 tasks) so the executor
+    runs the exact O(N²) pair sweep as independent, memory-bounded tasks
+    (2 blocks resident per task) — never a driver-side matrix."""
+
+    def __init__(self, spill_dir: str, num_blocks: int, threshold: float,
+                 block_bytes: list[int]):
+        self._spill = spill_dir
+        self._k = num_blocks
+        self._threshold = threshold
+        self._sizes = block_bytes
+
+    def estimate_inmemory_data_size(self):
+        return sum(self._sizes) * self._k  # each block read ~K times
+
+    def get_name(self):
+        return "EmbeddingBlockPairs"
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+        out = []
+        for i in range(self._k):
+            for j in range(i, self._k):
+                pi = f"{self._spill}/block={i}"
+                pj = f"{self._spill}/block={j}"
+                meta = BlockMetadata(
+                    num_rows=None,
+                    size_bytes=self._sizes[i] + self._sizes[j],
+                    exec_stats=None, input_files=[pi, pj])
+                thr = self._threshold
+                out.append(ReadTask(
+                    lambda a=pi, b=pj, s=(i == j), t=thr:
+                        [_block_pair_table(a, b, s, t)],
+                    meta))
+        return out
+
+
 def embedding_near_dup_pairs(ds: Dataset, threshold: float = 0.35,
-                             concurrency=(1, 8)) -> Dataset:
-    """All (id_a < id_b) pairs with cosine ≥ threshold: blocked matmul of
-    each batch against the full broadcast matrix (exact; the N×N baseline
-    for the LSH/IVF approximations). O(N²/B) per batch — the sf-scale
-    oracle, not the 100 TB path (that's :func:`ivf_topk`-style bucketing)."""
-    import pyarrow.compute as pc_  # noqa: F401
+                             block_rows: int = 8192,
+                             spill_dir: str | None = None) -> Dataset:
+    """All (id_a < id_b) pairs with cosine ≥ threshold — **exact** at any
+    scale. Pass 1 streams the embeddings into K = ⌈N/block_rows⌉ hash
+    blocks of partitioned Parquet; pass 2 is one Ray task per block pair,
+    each loading two blocks, doing one float64 matmul, and emitting the
+    qualifying pairs. Work is inherently O(N²) (so is the output bound —
+    that is this operator's contract); memory is O(block² ) per task and
+    the driver never sees a matrix. The sub-quadratic *approximate* path
+    is :func:`ivf_topk`-style bucketing."""
+    import glob
+    import tempfile
 
-    all_rows = ds.select_columns(["vec_id", "embedding"]).take_all()
-    all_rows.sort(key=lambda r: r["vec_id"])
-    full = _normalize(np.array([r["embedding"] for r in all_rows],
-                               dtype=np.float64))
-    full_ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    full_ref = ray.put((full, full_ids))
+    import ray.data as rd
 
-    class PairFinder:
-        def __init__(self):
-            self._full, self._ids = ray.get(full_ref)
+    n = ds.count()
+    k = max(1, -(-n // block_rows))
+    spill = spill_dir or tempfile.mkdtemp(prefix="graft_emb_blocks_")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _normalize(_embedding_matrix(batch))
-            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            sims = emb @ self._full.T
-            rows_a, rows_b = [], []
-            for i in range(len(vids)):
-                hits = np.flatnonzero(sims[i] >= threshold)
-                for j in hits:
-                    a, b = int(vids[i]), int(self._ids[j])
-                    if a < b:
-                        rows_a.append(a)
-                        rows_b.append(b)
-            return pa.table({"id_a": pa.array(rows_a, type=pa.int64()),
-                             "id_b": pa.array(rows_b, type=pa.int64())})
+    def add_block(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "embedding": batch["embedding"],
+            "block": pa.array((vid % k).astype(np.int32)),
+        })
 
-    return ds.map_batches(PairFinder, batch_format="pyarrow",
-                          concurrency=concurrency)
+    (ds.select_columns(["vec_id", "embedding"])
+       .map_batches(add_block, batch_format="pyarrow")
+       .write_parquet(spill, partition_cols=["block"]))
+
+    sizes = []
+    for i in range(k):
+        files = glob.glob(f"{spill}/block={i}/*.parquet")
+        sizes.append(sum(__import__("os").path.getsize(f) for f in files))
+    return rd.read_datasource(
+        _BlockPairDatasource(spill, k, threshold, sizes))
 
 
 # ------------------------------------------------------------------ IVF

@@ -6,8 +6,11 @@ Shapes (all Ray-Data-first, per the guide's dedup patterns):
            → min-doc_id winner per group.
 - minhash: shingle→signature per batch (pure-int, seeded, process-stable
            hashing — never Python ``hash()``) → explode to
-           (band, band_hash, doc_id) rows → ``groupby`` buckets →
-           candidate pairs → verify with exact Jaccard.
+           (band, band_hash, doc_id) rows → coarse-partition groupby with
+           a vectorized per-bucket segment scan (degenerate buckets
+           capped by representative election) → candidate pairs →
+           distributed exact-Jaccard verify: two hash joins against
+           per-doc shingle sketches, vectorized set intersection.
 - simhash: 64-bit simhash per doc; near-dup candidates via 4-band exact
            blocking (Hamming ≤ 3 ⇒ at least one of 4 bands equal).
 """
@@ -15,10 +18,10 @@ Shapes (all Ray-Data-first, per the guide's dedup patterns):
 from __future__ import annotations
 
 import hashlib
-import itertools
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
@@ -64,11 +67,35 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
                               dtype=np.uint64))
 
 
+def _mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61-1) for uint64 arrays with a, x < 2^61, fully
+    vectorized: 32-bit-split 64×64→128 multiply, then Mersenne folding
+    (2^64 ≡ 8 mod p). Broadcasts like ``a * x``."""
+    mask32 = np.uint64(0xFFFFFFFF)
+    p = np.uint64(_MERSENNE)
+    ah, al = a >> np.uint64(32), a & mask32
+    xh, xl = x >> np.uint64(32), x & mask32
+    # 128-bit product = hi·2^64 + lo  (numpy uint64 * wraps mod 2^64)
+    t = al * xl
+    k = t >> np.uint64(32)
+    t2 = ah * xl + k
+    w1 = t2 & mask32
+    w2 = t2 >> np.uint64(32)
+    t3 = al * xh + w1
+    hi = ah * xh + w2 + (t3 >> np.uint64(32))
+    lo = a * x
+    # v mod p: v ≡ (v >> 61) + (v & p); hi < 2^58 so hi<<3 fits
+    r = (lo & p) + ((hi << np.uint64(3)) | (lo >> np.uint64(61)))
+    r = (r & p) + (r >> np.uint64(61))
+    return np.where(r >= p, r - p, r)
+
+
 class MinHashStage:
     """Actor-pool stage: text → num_perm-wide MinHash signature.
 
     Permutations ``h_i(x) = (a_i * x + b_i) mod p`` with seeded a/b built
-    once per actor; vectorized over the shingle set per doc.
+    once per actor; the (num_perm × n_shingles) mod-mul is one vectorized
+    uint64 broadcast (no per-permutation Python, no object dtype).
     """
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
@@ -82,14 +109,14 @@ class MinHashStage:
         hs = _shingle_hashes(text, self._k)
         if hs.size == 0:
             return np.zeros(self._num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) in python-int space to avoid u64 overflow:
-        # do the mod-mul in object-free numpy via 128-bit-safe split
-        out = np.empty(self._num_perm, dtype=np.uint64)
-        hs_i = hs.astype(object)
-        for i in range(self._num_perm):
-            vals = (int(self._a[i]) * hs_i + int(self._b[i])) % _MERSENNE
-            out[i] = np.uint64(min(vals))
-        return out
+        p = np.uint64(_MERSENNE)
+        hs = (hs & p) + (hs >> np.uint64(61))  # hs mod p (≤ p+7 → one sub)
+        hs = np.where(hs >= p, hs - p, hs)
+        vals = _mulmod_mersenne61(self._a[:, None], hs[None, :])
+        vals += self._b[:, None]
+        vals = (vals & p) + (vals >> np.uint64(61))
+        vals = np.where(vals >= p, vals - p, vals)
+        return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t) for t in batch["text"].to_pylist()]
@@ -107,38 +134,99 @@ def minhash_signatures(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
                           batch_format="pyarrow", concurrency=concurrency)
 
 
-def lsh_candidate_pairs(sigs: Dataset, bands: int = 16) -> Dataset:
-    """Signatures → distinct candidate (id_a, id_b) pairs via banded LSH:
-    explode to (band, band_hash, doc_id), groupby the bucket, emit pairs
-    within each bucket, dedup. a<b ordering makes pairs canonical."""
+def _segment_index_pairs(band: np.ndarray, bhash: np.ndarray,
+                         did: np.ndarray,
+                         cap: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate pairs for every equal-(band,bhash) segment, returned as
+    (order, ia, ib): positions into the (band,bhash,doc_id)-lexsorted
+    arrays, with did[order][ia] < did[order][ib] per pair. Segments of
+    size ≤ cap emit all pairs; larger (degenerate, e.g. B identical docs
+    → B²/2 pairs) segments elect the min doc_id as representative and emit
+    only (rep, other) star pairs — O(B), and every non-representative
+    member still gets linked for dropping."""
+    order = np.lexsort((did, bhash, band))
+    band, bhash, did = band[order], bhash[order], did[order]
+    n = len(did)
+    new_seg = np.ones(n, dtype=bool)
+    new_seg[1:] = (band[1:] != band[:-1]) | (bhash[1:] != bhash[:-1])
+    starts = np.flatnonzero(new_seg)
+    lens = np.diff(np.append(starts, n))
+    ia_out: list[np.ndarray] = []
+    ib_out: list[np.ndarray] = []
+    # loop only over multi-member segments (singletons dominate)
+    for s, L in zip(starts[lens > 1].tolist(), lens[lens > 1].tolist()):
+        if L <= cap:
+            ia, ib = np.triu_indices(L, k=1)
+        else:
+            ia = np.zeros(L - 1, dtype=np.int64)
+            ib = np.arange(1, L, dtype=np.int64)
+        ia_out.append(ia + s)  # doc_ids ascend within a segment
+        ib_out.append(ib + s)
+    if not ia_out:
+        z = np.empty(0, dtype=np.int64)
+        return order, z, z
+    return order, np.concatenate(ia_out), np.concatenate(ib_out)
+
+
+def lsh_candidate_pairs(sigs: Dataset, bands: int = 16,
+                        bucket_pair_cap: int = 64,
+                        num_parts: int = 64) -> Dataset:
+    """Signatures → distinct candidate (id_a, id_b) pairs via banded LSH.
+
+    Scale shape: explode to (band, band_hash, doc_id) rows, group by a
+    COARSE partition of the band-hash space (``num_parts`` groups, not one
+    Python dispatch per bucket), and run one vectorized segment scan per
+    partition. Degenerate buckets are capped via representative election
+    (see :func:`_segment_pairs`). a<b ordering makes pairs canonical.
+    """
 
     def explode(batch: pa.Table) -> pa.Table:
-        b_ids, b_hash, d_ids = [], [], []
-        for doc_id, sig in zip(batch["doc_id"].to_pylist(),
-                               batch["sig"].to_pylist()):
-            sig = np.asarray(sig, dtype=np.uint64)
-            rows = np.array_split(sig, bands)
-            for bi, row in enumerate(rows):
-                b_ids.append(bi)
-                b_hash.append(_stable_hash64(",".join(map(str, row))))
-                d_ids.append(doc_id)
+        sig_col = batch["sig"].combine_chunks()
+        n_docs = batch.num_rows
+        if n_docs == 0 or len(sig_col) == 0:
+            return pa.table({"part": pa.array([], type=pa.int32()),
+                             "band": pa.array([], type=pa.int32()),
+                             "bhash": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        num_perm = len(sig_col[0])
+        sig = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(
+            n_docs, num_perm).astype(np.uint64)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # hash each band's rows: fold the band's permutation minima with
+        # the vectorized Mersenne mod-mul chain (process-stable, no Python)
+        bounds = np.linspace(0, num_perm, bands + 1).astype(int)
+        b_ids = np.empty((bands, n_docs), dtype=np.int32)
+        b_hash = np.empty((bands, n_docs), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15 % _MERSENNE)
+        p = np.uint64(_MERSENNE)
+        for bi in range(bands):
+            acc = np.full(n_docs, np.uint64(bi + 1))
+            for c in range(bounds[bi], bounds[bi + 1]):
+                x = sig[:, c]
+                x = (x & p) + (x >> np.uint64(61))
+                x = np.where(x >= p, x - p, x)
+                acc = _mulmod_mersenne61(acc ^ x, mult)
+            b_ids[bi] = bi
+            b_hash[bi] = acc
         return pa.table({
-            "band": pa.array(b_ids, type=pa.int32()),
-            "bhash": pa.array(b_hash, type=pa.uint64()),
-            "doc_id": pa.array(d_ids, type=pa.int64()),
+            "part": pa.array((b_hash.ravel() % num_parts).astype(np.int32)),
+            "band": pa.array(b_ids.ravel()),
+            "bhash": pa.array(b_hash.ravel()),
+            "doc_id": pa.array(np.tile(dids, bands), type=pa.int64()),
         })
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        a_col, b_col = [], []
-        for a, b in itertools.combinations(ids, 2):
-            a_col.append(a)
-            b_col.append(b)
-        return pa.table({"id_a": pa.array(a_col, type=pa.int64()),
-                         "id_b": pa.array(b_col, type=pa.int64())})
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order, ia, ib = _segment_index_pairs(
+            group["band"].to_numpy(zero_copy_only=False),
+            group["bhash"].to_numpy(zero_copy_only=False),
+            did, bucket_pair_cap)
+        did = did[order]
+        return pa.table({"id_a": pa.array(did[ia], type=pa.int64()),
+                         "id_b": pa.array(did[ib], type=pa.int64())})
 
     cand = (sigs.map_batches(explode, batch_format="pyarrow")
-            .groupby(["band", "bhash"])
+            .groupby("part")
             .map_groups(pairs, batch_format="pyarrow"))
     return cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
 
@@ -151,40 +239,160 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def shingle_sketches(ds: Dataset, shingle_k: int = 3) -> Dataset:
+    """(doc_id, shingles:binary) — each doc's sorted unique shingle hash
+    set packed as little-endian uint64 bytes, the exact-Jaccard
+    verification payload (≈ one uint64 per token; the text itself never
+    enters the verify shuffle). Binary, not list<uint64>, because Arrow's
+    hash join rejects nested non-key fields."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sk = [_shingle_hashes(t, shingle_k).tobytes()
+              for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "shingles": pa.array(sk, type=pa.binary()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _attach_blobs(cand: Dataset, blobs: Dataset,
+                  num_parts: int = 32) -> Dataset:
+    """Distributed equi-join of candidate pairs against a per-doc binary
+    payload (doc_id, blob): each pair picks up ``blob_a``/``blob_b``.
+
+    Implemented as two groupby-union shuffles (the repo's reliable
+    sort-shuffle machinery — ``Dataset.join``'s hash-shuffle aggregators
+    deadlock under small CPU budgets and drop schemas on empty
+    partitions): (1) key by doc_id per pair side, union with the payload
+    rows, vectorized searchsorted attach per coarse partition; (2) key by
+    the pair, zip the two halves back together."""
+
+    def halves(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "id_a": pa.array(np.tile(a, 2), type=pa.int64()),
+            "id_b": pa.array(np.tile(b, 2), type=pa.int64()),
+            "side": pa.array(np.repeat(np.array([0, 1], dtype=np.int8), n)),
+            "blob": pa.array([None] * (2 * n), type=pa.binary()),
+        })
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["doc_id"].cast(pa.int64()),
+            "id_a": pa.array([None] * n, type=pa.int64()),
+            "id_b": pa.array([None] * n, type=pa.int64()),
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
+            "blob": batch["blob"],
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(batch["key"], num_parts - 1),
+                       pa.int32())
+        return batch.append_column("part", part)
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        is_payload = side == -1
+        pk = key[is_payload]
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        blob_arr = group["blob"].combine_chunks().filter(
+            pa.array(is_payload)).take(pa.array(order))
+        half_idx = np.flatnonzero(~is_payload)
+        pos = np.searchsorted(pk, key[half_idx])
+        # every candidate id comes from the payload's domain
+        got = blob_arr.take(pa.array(pos))
+        sub = group.take(pa.array(half_idx))
+        return pa.table({
+            "id_a": sub["id_a"], "id_b": sub["id_b"], "side": sub["side"],
+            "blob": got,
+        })
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        part = ((a * 1000003 + b) % num_parts).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    def zip_pair(group: pa.Table) -> pa.Table:
+        a = group["id_a"].to_numpy(zero_copy_only=False)
+        b = group["id_b"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, b, a))
+        assert len(a) % 2 == 0, "unpaired half in pair-zip"
+        a, b = a[order], b[order]
+        blob = group["blob"].combine_chunks().take(pa.array(order))
+        # rows alternate side 0 / side 1 per pair after the sort
+        return pa.table({
+            "id_a": pa.array(a[0::2], type=pa.int64()),
+            "id_b": pa.array(b[0::2], type=pa.int64()),
+            "blob_a": blob.take(pa.array(np.arange(0, len(a), 2))),
+            "blob_b": blob.take(pa.array(np.arange(1, len(a), 2))),
+        })
+
+    pay = blobs.map_batches(payload_rows, batch_format="pyarrow")
+    half = cand.map_batches(halves, batch_format="pyarrow")
+    attached = (half.union(pay)
+                .map_batches(add_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(attach, batch_format="pyarrow"))
+    return (attached
+            .map_batches(add_pair_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(zip_pair, batch_format="pyarrow"))
+
+
 def minhash_dedup_pairs(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
-                        bands: int = 16, threshold: float = 0.5) -> pa.Table:
+                        bands: int = 16, threshold: float = 0.5,
+                        bucket_pair_cap: int = 64) -> Dataset:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
-    verification. Returns the verified pair table
-    (id_a, id_b, jaccard:double).
+    verification. Returns a Dataset (id_a, id_b, jaccard:double), sorted
+    by (id_a, id_b).
 
-    Verification joins candidate texts back by broadcasting the candidate
-    id set into a corpus filter (semi-join; candidates ≪ corpus)."""
+    Fully distributed: candidates are joined against per-doc shingle
+    sketches with the groupby-union shuffle join (:func:`_attach_blobs`)
+    and verified with a vectorized set intersection inside
+    ``map_batches``. Nothing is materialized on the driver; a
+    high-duplication crawl where candidates ≈ corpus streams through the
+    same two shuffles."""
     sigs = minhash_signatures(ds, num_perm, shingle_k)
-    cand = lsh_candidate_pairs(sigs, bands).take_all()
-    if not cand:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    need = sorted({r["id_a"] for r in cand} | {r["id_b"] for r in cand})
-    need_arr = pa.array(need, type=pa.int64())
+    cand = (lsh_candidate_pairs(sigs, bands, bucket_pair_cap)
+            .select_columns(["id_a", "id_b"]))
+    sk = shingle_sketches(ds, shingle_k).rename_columns(
+        {"shingles": "blob"})
+    joined = _attach_blobs(cand, sk)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return batch.filter(pc.is_in(batch["doc_id"], value_set=need_arr))
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch["id_a"].to_numpy(zero_copy_only=False)
+        b_ids = batch["id_b"].to_numpy(zero_copy_only=False)
+        sh_a = batch["blob_a"].to_pylist()
+        sh_b = batch["blob_b"].to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        for i in range(len(a_ids)):
+            sa = np.frombuffer(sh_a[i], dtype=np.uint64)
+            sb = np.frombuffer(sh_b[i], dtype=np.uint64)
+            if sa.size == 0 and sb.size == 0:
+                j = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                keep_a.append(int(a_ids[i]))
+                keep_b.append(int(b_ids[i]))
+                jac.append(j)
+        return pa.table({"id_a": pa.array(keep_a, type=pa.int64()),
+                         "id_b": pa.array(keep_b, type=pa.int64()),
+                         "jaccard": pa.array(jac, type=pa.float64())})
 
-    texts = {r["doc_id"]: r["text"]
-             for r in ds.map_batches(keep, batch_format="pyarrow")
-                        .select_columns(["doc_id", "text"]).take_all()}
-    a_out, b_out, j_out = [], [], []
-    for r in sorted(cand, key=lambda r: (r["id_a"], r["id_b"])):
-        j = jaccard(texts[r["id_a"]], texts[r["id_b"]], shingle_k)
-        if j >= threshold:
-            a_out.append(r["id_a"])
-            b_out.append(r["id_b"])
-            j_out.append(j)
-    return pa.table({"id_a": pa.array(a_out, type=pa.int64()),
-                     "id_b": pa.array(b_out, type=pa.int64()),
-                     "jaccard": pa.array(j_out, type=pa.float64())})
+    return (joined.map_batches(verify, batch_format="pyarrow")
+            .sort(["id_a", "id_b"]))
 
 
 # -------------------------------------------------------------- simhash
@@ -218,42 +426,62 @@ def simhash_values(ds: Dataset, concurrency=(1, 8)) -> Dataset:
                           concurrency=concurrency)
 
 
-def simhash_near_dup_pairs(ds: Dataset, max_hamming: int = 3) -> Dataset:
+def _hamming64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(
+        axis=1).astype(np.int32)
+
+
+def simhash_near_dup_pairs(ds: Dataset, max_hamming: int = 3,
+                           bucket_pair_cap: int = 64,
+                           num_parts: int = 64) -> Dataset:
     """Near-dup (id_a, id_b, hamming) via 4-band blocking: with 4 16-bit
     bands, Hamming ≤ 3 guarantees one identical band (pigeonhole), so the
-    ``groupby`` bucket pass finds all qualifying pairs without an n²
-    comparison."""
+    bucket pass finds all qualifying pairs without an n² comparison.
+
+    Same scale shape as the LSH path: vectorized explode, one vectorized
+    segment scan per coarse partition, degenerate buckets capped via
+    representative election, vectorized popcount verification.
+    """
 
     def explode(batch: pa.Table) -> pa.Table:
-        band, key, doc, sim = [], [], [], []
-        for d, h in zip(batch["doc_id"].to_pylist(),
-                        batch["simhash"].to_pylist()):
-            for bi in range(4):
-                band.append(bi)
-                key.append((h >> (16 * bi)) & 0xFFFF)
-                doc.append(d)
-                sim.append(h)
-        return pa.table({"band": pa.array(band, type=pa.int32()),
-                         "key": pa.array(key, type=pa.int32()),
-                         "doc_id": pa.array(doc, type=pa.int64()),
-                         "simhash": pa.array(sim, type=pa.uint64())})
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(h)
+        band = np.repeat(np.arange(4, dtype=np.int32), n)
+        key = np.concatenate(
+            [((h >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int32)
+             for bi in range(4)])
+        return pa.table({
+            "part": pa.array(((band.astype(np.int64) << 16) | key)
+                             % num_parts, type=pa.int32()),
+            "band": pa.array(band),
+            "key": pa.array(key),
+            "doc_id": pa.array(np.tile(dids, 4), type=pa.int64()),
+            "simhash": pa.array(np.tile(h, 4)),
+        })
 
     def pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group["doc_id"].to_pylist(),
-                          group["simhash"].to_pylist()))
-        a_c, b_c, h_c = [], [], []
-        for (da, ha), (db, hb) in itertools.combinations(rows, 2):
-            ham = bin(ha ^ hb).count("1")
-            if ham <= max_hamming:
-                a_c.append(da)
-                b_c.append(db)
-                h_c.append(ham)
-        return pa.table({"id_a": pa.array(a_c, type=pa.int64()),
-                         "id_b": pa.array(b_c, type=pa.int64()),
-                         "hamming": pa.array(h_c, type=pa.int32())})
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order, ia, ib = _segment_index_pairs(
+            group["band"].to_numpy(zero_copy_only=False),
+            group["key"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            did, bucket_pair_cap)
+        did = did[order]
+        h = group["simhash"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)[order]
+        if len(ia) == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int32())})
+        ham = _hamming64(h[ia] ^ h[ib])
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(did[ia][keep], type=pa.int64()),
+                         "id_b": pa.array(did[ib][keep], type=pa.int64()),
+                         "hamming": pa.array(ham[keep], type=pa.int32())})
 
     sim = simhash_values(ds)
     cand = (sim.map_batches(explode, batch_format="pyarrow")
-            .groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow"))
+            .groupby("part").map_groups(pairs, batch_format="pyarrow"))
     return cand.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))

@@ -3,10 +3,10 @@
 
 Ray Data has no event-time windowing; per the engine's design rules the
 input is treated as a partitioned ordered log: windows are computed as
-vectorized batch transforms + a keyed groupby, sessions as
-``groupby(user).map_groups`` over ts-sorted groups (ordering assumption:
-within a user, (ts, event_id) is a total order — both the engine and the
-SQL oracle sort by it).
+vectorized batch transforms + a keyed groupby, sessions as one vectorized
+numpy scan per coarse user-hash partition (ordering assumption: within a
+user, (ts, event_id) is a total order — both the engine and the SQL
+oracle sort by it).
 
 Money-valued sums are carried as integer cents (``round(value*100)``) so
 distributed partial-sum order can never produce float drift vs the
@@ -16,7 +16,6 @@ oracle.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -61,27 +60,60 @@ def tumbling_window_agg(ds: Dataset, window_sec: int = 3600) -> Dataset:
             .map_batches(fix_ts_unit, batch_format="pyarrow"))
 
 
-def sessionize(ds: Dataset, gap_sec: int = 1800) -> Dataset:
+def sessionize(ds: Dataset, gap_sec: int = 1800,
+               num_parts: int = 64) -> Dataset:
     """Gap-based sessions per user: a new session starts when the gap to
     the previous event exceeds ``gap_sec``. Output per user:
     (user_id, n_sessions, n_events, max_session_events).
+
+    Scale shape: group by a coarse user-hash partition (``num_parts``
+    groups, not one group per user — per-group Python dispatch measured
+    13.7× slower in the r1 postings build) and run one vectorized numpy
+    session scan per partition: sort by (user, t, event_id), mark
+    boundaries with diffs, aggregate per user with bincount/reduceat.
     """
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("int64").to_numpy() // 1_000_000
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_sec
-        session_ids = np.cumsum(new_session)
-        counts = np.bincount(session_ids)[1:]
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_sessions": [int(session_ids[-1])],
-            "n_events": [len(ts)],
-            "max_session_events": [int(counts.max())],
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(batch["user_id"], num_parts - 1), pa.int32())
+        return pa.table({
+            "part": part,
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            # second-resolution time, identical to the oracle's
+            # floor(epoch(ts))::BIGINT
+            "t": pc.divide(batch["ts"].cast(pa.int64()), 1_000_000),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_part(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, u))
+        u, t = u[order], t[order]
+        n = len(u)
+        user_change = np.ones(n, dtype=bool)
+        user_change[1:] = u[1:] != u[:-1]
+        new_session = user_change.copy()
+        new_session[1:] |= (t[1:] - t[:-1]) > gap_sec
+        # contiguous codes for users and sessions (sessions nest in users)
+        ucode = np.cumsum(user_change) - 1
+        scode = np.cumsum(new_session) - 1
+        session_len = np.bincount(scode)
+        # first session index of each user → per-user max via reduceat
+        user_first_session = scode[user_change]
+        max_len = np.maximum.reduceat(session_len, user_first_session)
+        return pa.table({
+            "user_id": pa.array(u[user_change], type=pa.int64()),
+            "n_sessions": pa.array(
+                np.bincount(ucode, weights=new_session).astype(np.int64)),
+            "n_events": pa.array(np.bincount(ucode).astype(np.int64)),
+            "max_session_events": pa.array(max_len.astype(np.int64)),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow"))
 
 
 # Oracle for window_sec=3600 (date_trunc avoids to_timestamp's
