@@ -12,6 +12,8 @@ from ts_type_filter_ray.typefilter.normalize import (create_normalizer,
                                                      merge_normalizer_specs,
                                                      normalize1, normalize2)
 from ts_type_filter_ray.typefilter.validator import create_validator
+from ts_type_filter_ray.typefilter.validator_pydantic import \
+    create_validator_v1
 
 # -- normalizer specs ---------------------------------------------------
 
@@ -163,11 +165,15 @@ def V(src: str, root: str):
 ])
 def test_validator_cases(src, root, value, expected):
     assert V(src, root)(value) is expected
+    # V1 (dynamic Pydantic model) must agree on every V2 case
+    assert create_validator_v1(parse(src), root)(value) is expected
 
 
 def test_validator_root_errors():
     with pytest.raises(ValueError, match="not found"):
         V("type A=1;", "Missing")
+    with pytest.raises(ValueError, match="not found"):
+        create_validator_v1(parse("type A=1;"), "Missing")
     with pytest.raises(ValueError, match="parameters"):
         V("type A<T>={x:T};", "A")
 
@@ -215,3 +221,43 @@ def test_stages_over_ray(ray_session):
                               batch_format="pyarrow",
                               concurrency=1).take_all()
     assert [r["valid"] for r in valid] == [False, True, False]
+
+
+def test_validator_v1_menu_cart():
+    """V1 (Pydantic) agrees with V2 on the nested menu-cart graph,
+    including generics bound positionally through the symbol chain."""
+    src = '''
+    type Cart={items:Item[]};
+    type Item=Burger|Drink<"Cola"|"Tea">;
+    type Burger={name:"burger",options?:Option[]};
+    type Option={name:"cheese"|"bacon",amount:"No"|"Regular"|"Extra"};
+    type Drink<NAME>={name:NAME,size:"S"|"L"};
+    '''
+    v1 = create_validator_v1(parse(src), "Cart")
+    assert v1({"items": []})
+    assert v1({"items": [{"name": "burger"}]})
+    assert v1({"items": [{"name": "burger",
+                          "options": [{"name": "cheese",
+                                       "amount": "Extra"}]}]})
+    assert v1({"items": [{"name": "Cola", "size": "S"}]})
+    assert not v1({"items": [{"name": "Cola", "size": "XL"}]})
+    assert not v1({"items": [{"name": "burger", "extra": 1}]})
+    assert not v1({"items": [{"name": "pizza"}]})
+
+
+def test_validate_carts_stage_pydantic_mode(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from ts_type_filter_ray.typefilter.validator import ValidateCartsStage
+
+    src = 'type Cart={name:"a",opt?:"x"};'
+    tbl = pa.table({"cart": pa.array(
+        ['{"name": "a"}', '{"name": "a", "opt": "x"}',
+         '{"name": "b"}', '{"name": "a", "zzz": 1}'])})
+    out = (rd.from_arrow(tbl)
+           .map_batches(ValidateCartsStage,
+                        fn_constructor_args=(src, "Cart", "pydantic"),
+                        batch_format="pyarrow", concurrency=1)
+           .take_all())
+    assert [r["valid"] for r in out] == [True, True, False, False]

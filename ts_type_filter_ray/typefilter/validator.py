@@ -197,11 +197,16 @@ def create_validator(defs: list, root_name: str) -> Validator:
 class ValidateCartsStage:
     """Actor-pool stage: validate a column of JSON cart strings against a
     type graph; validator compiled once per actor (V2 as a batch
-    transform)."""
+    transform). ``mode="pydantic"`` swaps in the V1 dynamic-model
+    validator (:mod:`.validator_pydantic`) behind the same surface."""
 
-    def __init__(self, source: str, root_name: str):
+    def __init__(self, source: str, root_name: str, mode: str = "closure"):
         from .parser import parse
-        self._validate = create_validator(parse(source), root_name)
+        if mode == "pydantic":
+            from .validator_pydantic import create_validator_v1
+            self._validate = create_validator_v1(parse(source), root_name)
+        else:
+            self._validate = create_validator(parse(source), root_name)
 
     def __call__(self, batch):
         import json
