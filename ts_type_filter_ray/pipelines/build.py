@@ -3,11 +3,13 @@ table + global stats, all Parquet under one index root.
 
 Ray-Data-first shape (SURVEY.md §3.1 "Ray shape", §7):
 
-  corpus ──map_batches(prep_docs)──────────► docs/  (doc_id, sha256, doc_len, …)
-         └─map_batches(TokenizePartials)──► partial posting rows
+  corpus ─map_batches(TokenizePartials, emit_meta=True) ─ ONE pass:
+               partial posting rows + per-doc metadata rows
                write_parquet(partition_cols=["bucket"]) ► partials/bucket=*
-               one merge task per bucket ─► postings/bucket=*  (+ counters)
+               (metadata rows land under bucket=-1)
+  bucket=-1 ──map_batches(meta_rows_to_docs)──► docs/  (doc_id, sha256, …)
   docs ── Count/Sum aggregates ───────────► stats.json  (N, avgdl → BM25)
+  bucket>=0 ── one merge task per bucket ─► postings/bucket=* (+ counters)
 
 The per-batch partial aggregation inside ``TokenizePartials`` is the
 combiner that bounds the exchange; ``part = doc_id >> doc_part_bits``
@@ -35,8 +37,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from ..oracle.index import BM25_B, BM25_K1
-from ..stages.tokenizer import (DEFAULT_DOC_PART_BITS, TokenizePartials,
-                                prep_docs)
+from ..stages.tokenizer import DEFAULT_DOC_PART_BITS, TokenizePartials
 from ..state.postings import term_bucket  # noqa: F401  (re-export for query)
 
 DEFAULT_TERM_BUCKETS = 32
@@ -93,15 +94,41 @@ def build_index(corpus: Dataset, out_dir: str, *,
     """
     os.makedirs(out_dir, exist_ok=True)
 
+    import shutil
+
     import ray.data as rd
 
-    # Pass A — docs table + global doc stats (content never leaves the
-    # tasks). The aggregate reads the written docs table back, pruned to
-    # doc_len, instead of re-executing prep.
-    docs = corpus.map_batches(prep_docs, batch_format="pyarrow")
-    docs.write_parquet(os.path.join(out_dir, "docs"))
-    agg = rd.read_parquet(os.path.join(out_dir, "docs"),
-                          columns=["doc_len"]).aggregate(
+    # ONE corpus pass — tokenize emits partial posting rows AND per-doc
+    # metadata rows (sha256/doc_len, ``bucket = -1``) in the same stream,
+    # spilled to Parquet partitioned by term bucket. This replaces an
+    # in-object-store groupby shuffle with a shuffle-free partitioned
+    # write: each tokenize task appends its own files under every bucket
+    # directory (dictionary-encoded + snappy on disk ≈ 3-4x smaller than
+    # the in-memory exchange). The combined stream halves corpus reads vs
+    # the r1 two-pass layout and keeps doc_len on the same breaker as the
+    # postings.
+    partials_dir = os.path.join(out_dir, "partials")
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    partials = corpus.map_batches(
+        TokenizePartials,
+        fn_constructor_args=(doc_part_bits, num_term_buckets,
+                             breaker, stemmer, True),
+        batch_format="pyarrow",
+        batch_size=tokenize_batch_size,
+        concurrency=tokenize_concurrency or (1, 16))
+    partials.write_parquet(partials_dir, partition_cols=["bucket"])
+
+    # docs table + global doc stats from the (small, content-free)
+    # metadata partition
+    from ..stages.tokenizer import meta_rows_to_docs
+    if not os.path.isdir(os.path.join(partials_dir, "bucket=-1")):
+        raise ValueError("cannot build an index over an empty corpus")
+    docs_dir = os.path.join(out_dir, "docs")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    (rd.read_parquet(os.path.join(partials_dir, "bucket=-1"))
+       .map_batches(meta_rows_to_docs, batch_format="pyarrow")
+       .write_parquet(docs_dir))
+    agg = rd.read_parquet(docs_dir, columns=["doc_len"]).aggregate(
         Count(alias_name="n"), Sum("doc_len", alias_name="total_dl"))
     n_docs = int(agg["n"])
     if n_docs == 0:
@@ -109,25 +136,9 @@ def build_index(corpus: Dataset, out_dir: str, *,
     total_dl = int(agg["total_dl"])
     avgdl = total_dl / n_docs
 
-    # Pass B — tokenize → partial postings spilled to Parquet partitioned
-    # by term bucket. This replaces an in-object-store groupby shuffle
-    # with a shuffle-free partitioned write: each tokenize task appends
-    # its own files under every bucket directory (dictionary-encoded +
-    # snappy on disk ≈ 3-4x smaller than the in-memory exchange).
-    partials_dir = os.path.join(out_dir, "partials")
-    partials = corpus.select_columns(["doc_id", "content"]).map_batches(
-        TokenizePartials,
-        fn_constructor_args=(doc_part_bits, num_term_buckets,
-                             breaker, stemmer),
-        batch_format="pyarrow",
-        batch_size=tokenize_batch_size,
-        concurrency=tokenize_concurrency or (1, 16))
-    partials.write_parquet(partials_dir, partition_cols=["bucket"])
-
-    # Pass C — one merge task per bucket directory (shared-nothing:
-    # bucket partitioning makes each task independent; idempotent
+    # one merge task per bucket directory (shared-nothing: bucket
+    # partitioning makes each task independent; idempotent
     # partition-named outputs allow re-runs to skip finished buckets).
-    import shutil
     shutil.rmtree(os.path.join(out_dir, "postings"), ignore_errors=True)
     n_terms, n_postings = merge_partial_buckets(
         partials_dir, os.path.join(out_dir, "postings"), avgdl, k1, b)

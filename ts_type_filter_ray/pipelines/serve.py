@@ -20,6 +20,7 @@ the single-process warm path (it is also what each actor wraps).
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import ray
@@ -41,22 +42,12 @@ class _DocPartSearcher:
         s._stemmer = None
         s._breaker = None
         s._pinned = np.array(sorted(pinned_doc_ids or ()), dtype=np.int64)
-        s._decoded = {}
-        s._decoded_budget = 64 << 20
-        s._decoded_bytes = 0
-        from collections import defaultdict
-        s._postings = defaultdict(list)
         dset = pads.dataset(index.postings_dir, partitioning="hive")
         tbl = dset.to_table(filter=pc.field("part").isin(parts),
                             columns=["term", "part", "df", "max_impact",
                                      "doc_ids_enc", "tfs_enc", "dls_enc"])
-        for i in range(tbl.num_rows):
-            s._postings[tbl["term"][i].as_py()].append(
-                (tbl["part"][i].as_py(), tbl["df"][i].as_py(),
-                 tbl["max_impact"][i].as_py(), tbl["doc_ids_enc"][i].as_py(),
-                 tbl["tfs_enc"][i].as_py(), tbl["dls_enc"][i].as_py()))
-        for rows in s._postings.values():
-            rows.sort(key=lambda r: r[0])
+        s._ingest(tbl)  # Arrow-native load (same path as LocalSearcher)
+        s._init_cache(warm_top_terms=0)
         # GLOBAL df (idf must be global even though this actor only holds
         # a doc-slice of each posting list). Ray auto-dereferences the
         # broadcast ObjectRef argument — one shared plasma copy per node.
@@ -83,12 +74,27 @@ class SearchService:
 
         meta = pads.dataset(index.postings_dir, partitioning="hive").to_table(
             columns=["term", "part", "df"])
-        # global df per term (sum over doc partitions)
-        df: dict[str, int] = {}
-        terms = meta["term"].to_pylist()
-        dfs = meta["df"].to_pylist()
-        for t, d in zip(terms, dfs):
-            df[t] = df.get(t, 0) + d
+        # global df per term (sum over doc partitions) — vectorized:
+        # sort by term, reduceat over run starts
+        import pyarrow.compute as pc2
+        order = pc2.sort_indices(meta["term"])
+        terms_sorted = meta["term"].take(order)
+        df_sorted = meta["df"].take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = pc2.dictionary_encode(terms_sorted)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
+        n = len(codes)
+        if n:
+            change = np.ones(n, dtype=bool)
+            change[1:] = codes[1:] != codes[:-1]
+            starts = np.flatnonzero(change)
+            df = dict(zip(vocab,
+                          np.add.reduceat(df_sorted, starts).tolist()))
+        else:
+            df = {}
         df_ref = ray.put(df)
 
         parts = sorted(set(meta["part"].to_pylist()))

@@ -59,20 +59,31 @@ class TokenizePartials:
     (millions of tiny groups → per-group dispatch overhead dominates).
     """
 
+    #: columns never passed through into doc-meta rows
+    CORE_COLUMNS = ("doc_id", "content")
+
     def __init__(self, doc_part_bits: int = DEFAULT_DOC_PART_BITS,
                  num_term_buckets: int = 32,
-                 breaker=None, stemmer=None):
+                 breaker=None, stemmer=None, emit_meta: bool = False):
         """``breaker``/``stemmer`` preserve the reference's extension
         surface (``Index(extractor=None, breaker=None, stemmer=None)``,
         ``inverted_index.py:36-39``); defaults are the reference-
         equivalent whitespace breaker + Porter2. The extractor hook is
-        the corpus projection itself (``content`` is the text stream)."""
+        the corpus projection itself (``content`` is the text stream).
+
+        ``emit_meta=True`` makes this a SINGLE-PASS stage: alongside the
+        partial posting rows it emits one doc-metadata row per input doc
+        (``part = bucket = -1``; sha256 rides in ``term``, doc_len in
+        ``dls``; non-core input columns pass through) — the corpus is
+        read and tokenized exactly once, and doc_len comes from the same
+        breaker as the postings."""
         self._part_bits = doc_part_bits
         self._num_buckets = num_term_buckets
         # module-level lru_cache: hot vocab amortized per actor
         self._stem = stemmer if stemmer is not None else stem
         self._break = breaker  # None → str.split fast path
         self._bucket_cache: dict[str, int] = {}
+        self._emit_meta = emit_meta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         _stem = self._stem
@@ -83,9 +94,11 @@ class TokenizePartials:
 
         # per (term, part) → [doc_ids], [tfs], [dls]
         acc: dict[tuple[str, int], tuple[list[int], list[int], list[int]]] = {}
+        doc_lens: list[int] = []
         for doc_id, content in zip(doc_ids, contents):
             words = content.split() if _break is None else _break(content)
             dl = len(words)
+            doc_lens.append(dl)
             counts = Counter(map(_stem, words))
             part = doc_id >> part_bits
             for term, tf in counts.items():
@@ -116,7 +129,7 @@ class TokenizePartials:
             l_doc.append(ds_)
             l_tf.append(ts_)
             l_dl.append(ls_)
-        return pa.table({
+        postings = pa.table({
             "term": pa.array(terms, type=pa.string()),
             "part": pa.array(parts, type=pa.int32()),
             "bucket": pa.array(buckets, type=pa.int32()),
@@ -124,6 +137,49 @@ class TokenizePartials:
             "tfs": pa.array(l_tf, type=pa.list_(pa.int32())),
             "dls": pa.array(l_dl, type=pa.list_(pa.int32())),
         })
+        if not self._emit_meta:
+            return postings
+
+        n_docs = batch.num_rows
+        n_post = postings.num_rows
+        shas = [hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in contents]
+        passthrough = [name for name in batch.column_names
+                       if name not in self.CORE_COLUMNS]
+        meta_cols = {
+            "term": pa.array(shas, type=pa.string()),   # sha rides in term
+            "part": pa.array([-1] * n_docs, type=pa.int32()),
+            "bucket": pa.array([-1] * n_docs, type=pa.int32()),
+            "doc_ids": pa.array([[d] for d in doc_ids],
+                                type=pa.list_(pa.int64())),
+            "tfs": pa.array([[]] * n_docs, type=pa.list_(pa.int32())),
+            "dls": pa.array([[dl] for dl in doc_lens],
+                            type=pa.list_(pa.int32())),
+        }
+        post_cols = {c: postings[c] for c in postings.column_names}
+        for name in passthrough:
+            col = batch[name]
+            meta_cols[name] = col
+            post_cols[name] = pa.nulls(n_post, type=col.type)
+        return pa.concat_tables([pa.table(post_cols), pa.table(meta_cols)])
+
+
+_META_CORE = {"term", "part", "bucket", "doc_ids", "tfs", "dls"}
+
+
+def meta_rows_to_docs(batch: pa.Table) -> pa.Table:
+    """``bucket=-1`` doc-metadata rows (emitted by
+    ``TokenizePartials(emit_meta=True)``) → docs-table rows
+    (doc_id, sha256, doc_len, + passthrough metadata columns)."""
+    cols = {
+        "doc_id": pc.list_flatten(batch["doc_ids"]).cast(pa.int64()),
+        "sha256": batch["term"],
+        "doc_len": pc.list_flatten(batch["dls"]).cast(pa.int32()),
+    }
+    for name in batch.column_names:
+        if name not in _META_CORE:
+            cols[name] = batch[name]
+    return pa.table(cols)
 
 
 def merge_bucket_table(group: pa.Table, avgdl: float, k1: float,

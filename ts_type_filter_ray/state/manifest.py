@@ -35,43 +35,12 @@ from ..stages.tokenizer import DEFAULT_DOC_PART_BITS, TokenizePartials
 
 class TokenizeWithMeta(TokenizePartials):
     """Single-pass stage: partial postings rows + doc-metadata rows
-    (sha256, doc_len, repo/path/lang) in one output stream."""
+    (sha256, doc_len, passthrough metadata) in one output stream — now
+    just ``TokenizePartials(emit_meta=True)`` (the unified single-pass
+    stage that also powers the non-checkpointed ``build_index``)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
-        postings = super().__call__(
-            batch.select(["doc_id", "content"]))
-        n_post = postings.num_rows
-
-        contents = batch["content"].to_pylist()
-        shas = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in contents]
-        dls = [len(c.split()) for c in contents]
-        n_docs = batch.num_rows
-
-        def col(name: str, default: str = "") -> list:
-            if name in batch.column_names:
-                return batch[name].to_pylist()
-            return [default] * n_docs
-
-        meta = pa.table({
-            "term": pa.array(shas, type=pa.string()),   # sha rides in `term`
-            "part": pa.array([-1] * n_docs, type=pa.int32()),
-            "bucket": pa.array([-1] * n_docs, type=pa.int32()),
-            "doc_ids": pa.array([[d] for d in batch["doc_id"].to_pylist()],
-                                type=pa.list_(pa.int64())),
-            "tfs": pa.array([[]] * n_docs, type=pa.list_(pa.int32())),
-            "dls": pa.array([[dl] for dl in dls], type=pa.list_(pa.int32())),
-            "repo": pa.array(col("repo"), type=pa.string()),
-            "path": pa.array(col("path"), type=pa.string()),
-            "lang": pa.array(col("lang"), type=pa.string()),
-        })
-        pad = pa.table({
-            "repo": pa.array([None] * n_post, type=pa.string()),
-            "path": pa.array([None] * n_post, type=pa.string()),
-            "lang": pa.array([None] * n_post, type=pa.string()),
-        })
-        postings = pa.table({**{c: postings[c] for c in postings.column_names},
-                             **{c: pad[c] for c in pad.column_names}})
-        return pa.concat_tables([postings, meta])
+    def __init__(self, doc_part_bits, num_term_buckets):
+        super().__init__(doc_part_bits, num_term_buckets, emit_meta=True)
 
 
 def _shard_fingerprint(tasks: list[dict]) -> str:
@@ -237,17 +206,7 @@ def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
                   for d in meta_dirs for f in sorted(os.listdir(d))
                   if f.endswith(".parquet")]
 
-    def to_docs(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pa.array([x[0] for x in batch["doc_ids"].to_pylist()],
-                               type=pa.int64()),
-            "sha256": batch["term"],
-            "doc_len": pa.array([x[0] for x in batch["dls"].to_pylist()],
-                                type=pa.int32()),
-            "repo": batch["repo"],
-            "path": batch["path"],
-            "lang": batch["lang"],
-        })
+    from ..stages.tokenizer import meta_rows_to_docs as to_docs
 
     docs_dir = os.path.join(out_dir, "docs")
     shutil.rmtree(docs_dir, ignore_errors=True)
