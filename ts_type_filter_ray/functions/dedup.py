@@ -398,9 +398,21 @@ def minhash_dedup_pairs(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
 # -------------------------------------------------------------- simhash
 
 
+def _md5_hash64(token: str) -> int:
+    """64-bit token hash ≡ DuckDB ``md5_number_lower`` (little-endian of
+    md5 digest bytes 8..16) — chosen so the SQL oracle can reproduce the
+    simhash exactly."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[8:],
+                          "little")
+
+
 class SimHashStage:
-    """Actor-pool stage: 64-bit SimHash over whitespace tokens (tf-weighted
-    bit votes; stable blake2b token hashing)."""
+    """Actor-pool stage: 64-bit SimHash over whitespace tokens
+    (tf-weighted bit votes; md5-based token hashing shared with the
+    DuckDB oracle). Bit voting is one vectorized (tokens × 64) broadcast
+    per doc."""
+
+    _BITS = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -409,14 +421,14 @@ class SimHashStage:
             if not toks:
                 out.append(0)
                 continue
-            votes = np.zeros(64, dtype=np.int64)
             vals, counts = np.unique(np.array(toks), return_counts=True)
-            for tok, cnt in zip(vals.tolist(), counts.tolist()):
-                h = _stable_hash64(tok)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                votes += np.where(bits.astype(bool), cnt, -cnt)
+            hs = np.fromiter((_md5_hash64(t) for t in vals.tolist()),
+                             dtype=np.uint64, count=len(vals))
+            bits = ((hs[:, None] >> self._BITS) & np.uint64(1)).astype(bool)
+            signed = np.where(bits, counts[:, None], -counts[:, None])
+            votes = signed.sum(axis=0)
             bits_out = (votes > 0).astype(np.uint64)
-            out.append(int((bits_out << np.arange(64, dtype=np.uint64)).sum()))
+            out.append(int((bits_out << self._BITS).sum()))
         return pa.table({"doc_id": batch["doc_id"],
                          "simhash": pa.array(out, type=pa.uint64())})
 

@@ -186,24 +186,33 @@ def fingerprints(ds: Dataset) -> Dataset:
 def rolling_fingerprints(ds: Dataset, window: int = 16) -> Dataset:
     """(doc_id, fp64) — polynomial rolling-hash fingerprint: min of the
     rolling hashes of token windows (a winnowing-style document sketch).
-    Deterministic pure-int arithmetic."""
+
+    Window hash of tokens t_i..t_{i+w-1} is
+    ``Σ_j h(t_{i+j})·B^{w-1-j} mod (2^61-1)`` with the md5-based token
+    hash shared with DuckDB (``md5_number_lower``) — exact modular
+    arithmetic on both sides, so the SQL oracle value-checks this."""
+    from .dedup import _md5_hash64, _mulmod_mersenne61
     B = 1000003
-    MASK = (1 << 61) - 1
+    P = (1 << 61) - 1
 
     def fn(batch: pa.Table) -> pa.Table:
         out = []
         for text in batch["text"].to_pylist():
             toks = text.split()
-            hs = np.array([int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                for t in toks], dtype=np.uint64)
-            if len(hs) == 0:
+            if not toks:
                 out.append(0)
                 continue
+            hs = np.fromiter((_md5_hash64(t) % P for t in toks),
+                             dtype=np.uint64, count=len(toks))
             w = min(window, len(hs))
-            acc = np.zeros(len(hs) - w + 1, dtype=np.uint64)
-            for j in range(w):
-                acc = (acc * np.uint64(B) + hs[j:j + len(acc)]) & np.uint64(MASK)
+            n_win = len(hs) - w + 1
+            acc = np.zeros(n_win, dtype=np.uint64)
+            power = 1
+            for j in range(w - 1, -1, -1):  # exponent w-1-j grows as j falls
+                acc += _mulmod_mersenne61(np.uint64(power), hs[j:j + n_win])
+                acc = (acc & np.uint64(P)) + (acc >> np.uint64(61))
+                power = (power * B) % P
+            acc = np.where(acc >= P, acc - np.uint64(P), acc)
             out.append(int(acc.min()))
         return pa.table({"doc_id": batch["doc_id"],
                          "fp64": pa.array(out, type=pa.uint64())})
