@@ -7,8 +7,8 @@ Ray-Data-first shape (SURVEY.md §3.1 "Ray shape", §7):
                partial posting rows + per-doc metadata rows
                write_parquet(partition_cols=["bucket"]) ► partials/bucket=*
                (metadata rows land under bucket=-1)
-  bucket=-1 ──map_batches(meta_rows_to_docs)──► docs/  (doc_id, sha256, …)
-  docs ── Count/Sum aggregates ───────────► stats.json  (N, avgdl → BM25)
+  bucket=-1 ── one task per meta file ────► docs/  (doc_id, sha256, …)
+               + (N, avgdl) reduce ───────► stats.json  (BM25 globals)
   bucket>=0 ── one merge task per bucket ─► postings/bucket=* (+ counters)
 
 The per-batch partial aggregation inside ``TokenizePartials`` is the
@@ -34,7 +34,6 @@ import os
 from dataclasses import dataclass
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
 
 from ..oracle.index import BM25_B, BM25_K1
 from ..stages.tokenizer import DEFAULT_DOC_PART_BITS, TokenizePartials
@@ -65,6 +64,7 @@ class IndexStats:
 class BuiltIndex:
     root: str
     stats: IndexStats
+    timings: dict | None = None  # per-phase wall seconds (fresh builds)
 
     @property
     def docs_dir(self) -> str:
@@ -96,8 +96,6 @@ def build_index(corpus: Dataset, out_dir: str, *,
 
     import shutil
 
-    import ray.data as rd
-
     # ONE corpus pass — tokenize emits partial posting rows AND per-doc
     # metadata rows (sha256/doc_len, ``bucket = -1``) in the same stream,
     # spilled to Parquet partitioned by term bucket. This replaces an
@@ -107,41 +105,61 @@ def build_index(corpus: Dataset, out_dir: str, *,
     # the in-memory exchange). The combined stream halves corpus reads vs
     # the r1 two-pass layout and keeps doc_len on the same breaker as the
     # postings.
+    import time
+    timings: dict[str, float] = {}
+
     partials_dir = os.path.join(out_dir, "partials")
     shutil.rmtree(partials_dir, ignore_errors=True)
-    partials = corpus.map_batches(
-        TokenizePartials,
-        fn_constructor_args=(doc_part_bits, num_term_buckets,
-                             breaker, stemmer, True),
-        batch_format="pyarrow",
-        batch_size=tokenize_batch_size,
-        concurrency=tokenize_concurrency or (1, 16))
+    t0 = time.perf_counter()
+    if breaker is None and stemmer is None:
+        # default path: stateless task pool → the executor fuses
+        # read → tokenize → write into one task per block (partials never
+        # transit the object store, every CPU serves every stage)
+        from ..stages.tokenizer import tokenize_task
+        partials = corpus.map_batches(
+            tokenize_task,
+            fn_kwargs={"doc_part_bits": doc_part_bits,
+                       "num_term_buckets": num_term_buckets,
+                       "emit_meta": True},
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size)
+    else:
+        # opaque user callables → actor pool (loaded once per actor)
+        partials = corpus.map_batches(
+            TokenizePartials,
+            fn_constructor_args=(doc_part_bits, num_term_buckets,
+                                 breaker, stemmer, True),
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            concurrency=tokenize_concurrency or (1, 16))
     partials.write_parquet(partials_dir, partition_cols=["bucket"])
+    timings["tokenize_spill"] = time.perf_counter() - t0
 
     # docs table + global doc stats from the (small, content-free)
-    # metadata partition
-    from ..stages.tokenizer import meta_rows_to_docs
+    # metadata partition — one raw Ray task per meta file (a Dataset
+    # read→map→write→read→aggregate here costs ~2 s of fixed job-launch
+    # overhead per build, dwarfing the actual work; the task count still
+    # scales with the corpus because meta files ∝ tokenize output blocks)
     if not os.path.isdir(os.path.join(partials_dir, "bucket=-1")):
         raise ValueError("cannot build an index over an empty corpus")
     docs_dir = os.path.join(out_dir, "docs")
     shutil.rmtree(docs_dir, ignore_errors=True)
-    (rd.read_parquet(os.path.join(partials_dir, "bucket=-1"))
-       .map_batches(meta_rows_to_docs, batch_format="pyarrow")
-       .write_parquet(docs_dir))
-    agg = rd.read_parquet(docs_dir, columns=["doc_len"]).aggregate(
-        Count(alias_name="n"), Sum("doc_len", alias_name="total_dl"))
-    n_docs = int(agg["n"])
+    t0 = time.perf_counter()
+    n_docs, total_dl = _write_docs_table(
+        os.path.join(partials_dir, "bucket=-1"), docs_dir)
+    timings["docs_table"] = time.perf_counter() - t0
     if n_docs == 0:
         raise ValueError("cannot build an index over an empty corpus")
-    total_dl = int(agg["total_dl"])
     avgdl = total_dl / n_docs
 
     # one merge task per bucket directory (shared-nothing: bucket
     # partitioning makes each task independent; idempotent
     # partition-named outputs allow re-runs to skip finished buckets).
     shutil.rmtree(os.path.join(out_dir, "postings"), ignore_errors=True)
+    t0 = time.perf_counter()
     n_terms, n_postings = merge_partial_buckets(
         partials_dir, os.path.join(out_dir, "postings"), avgdl, k1, b)
+    timings["merge"] = time.perf_counter() - t0
 
     if not keep_partials:
         shutil.rmtree(partials_dir, ignore_errors=True)
@@ -157,7 +175,47 @@ def build_index(corpus: Dataset, out_dir: str, *,
     )
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats.__dict__, f, indent=1)
-    return BuiltIndex(root=out_dir, stats=stats)
+    return BuiltIndex(root=out_dir, stats=stats, timings=timings)
+
+
+def _docs_from_meta_files(srcs: list[str], dest: str) -> tuple[int, int]:
+    """One docs-table shard: a bundle of meta parquet files → one docs
+    parquet file. Returns (n_docs, total_doc_len) for the reduce."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.tokenizer import meta_rows_to_docs
+
+    docs = pa.concat_tables(
+        [meta_rows_to_docs(pq.read_table(s)) for s in srcs])
+    pq.write_table(docs, dest)
+    dl = pc.sum(docs["doc_len"]).as_py() or 0
+    return docs.num_rows, int(dl)
+
+
+def _write_docs_table(meta_dir: str, docs_dir: str,
+                      max_tasks: int = 32) -> tuple[int, int]:
+    """Fan bundled Ray tasks over the meta files; reduce
+    (n_docs, total_doc_len). Bundling keeps the task count bounded —
+    per-task driver dispatch is the non-scaling cost on one node."""
+    import ray
+
+    os.makedirs(docs_dir, exist_ok=True)
+    files = sorted(f for f in os.listdir(meta_dir) if f.endswith(".parquet"))
+    n_bundles = max(1, min(len(files), max_tasks))
+    task = ray.remote(_docs_from_meta_files)
+    refs = []
+    for b in range(n_bundles):
+        lo = b * len(files) // n_bundles
+        hi = (b + 1) * len(files) // n_bundles
+        if hi <= lo:
+            continue
+        refs.append(task.remote(
+            [os.path.join(meta_dir, f) for f in files[lo:hi]],
+            os.path.join(docs_dir, f"docs_{b:05d}.parquet")))
+    results = ray.get(refs)
+    return sum(r[0] for r in results), sum(r[1] for r in results)
 
 
 def _merge_one_bucket(bucket_dirs: list[str], out_dir: str, bucket: int,
@@ -170,6 +228,16 @@ def _merge_one_bucket(bucket_dirs: list[str], out_dir: str, bucket: int,
     import pyarrow.parquet as pq
 
     from ..stages.tokenizer import merge_bucket_table
+
+    # many merge tasks run concurrently, each in its own worker process
+    # whose arrow pool defaults to ALL cores — 64 tasks x 32 threads
+    # thrashes the (slow) memory bus into inverse scaling; one thread per
+    # task is the right shape when the task level is already parallel
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    except Exception:
+        pass
 
     dest = os.path.join(out_dir, f"bucket={bucket}")
     marker = os.path.join(dest, "_SUCCESS")
@@ -226,7 +294,13 @@ def merge_partial_buckets(partials_dir: str, postings_dir: str,
                 scan(p)
 
     scan(partials_dir)
-    merge_task = ray.remote(_merge_one_bucket)
+    # Bucket merges are memory-bandwidth-bound (read+flatten+sort), not
+    # CPU-bound: beyond ~16 concurrent streams per node the bus thrashes
+    # and the wave runs SLOWER (measured 5.1 s at 32 concurrent vs 2.3 s
+    # at 16 on this VM). Price each task so at most ~16 run per node.
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    per_task_cpus = max(1, total_cpus // 16)
+    merge_task = ray.remote(num_cpus=per_task_cpus)(_merge_one_bucket)
     refs = [merge_task.remote(dirs, postings_dir, bucket, avgdl, k1, b)
             for bucket, dirs in sorted(by_bucket.items())]
     results = ray.get(refs)

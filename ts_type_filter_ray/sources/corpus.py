@@ -89,16 +89,44 @@ class CorpusDatasource(Datasource):
         return "Corpus"
 
     def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
+        """Bundle contiguous row groups into ≤ ``parallelism`` tasks.
+
+        One task per row group (r1) made task count ∝ corpus size: on
+        this VM the driver dispatches ~100-150 tasks/s, so 160 read
+        tasks cost ~1-2 s of serial driver time at ANY cpu count — a
+        non-scaling floor. Honoring the executor's parallelism hint
+        keeps tasks ≫ cpus without drowning the dispatcher."""
+        tasks = self._tasks
+        # Ray's default parallelism hint floors at 200, which defeats the
+        # bundling; cap at 4 tasks per cluster CPU (plenty of slack for
+        # stragglers, bounded dispatch cost)
+        try:
+            import ray
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            n_cpus = 8
+        n_bundles = max(1, min(len(tasks), parallelism, 4 * n_cpus))
+        cols = self._columns
         out = []
-        for t, size in zip(self._tasks, self._sizes):
-            meta = BlockMetadata(num_rows=t["num_rows"], size_bytes=size,
-                                 exec_stats=None, input_files=[t["path"]])
-            path, rg, off = t["path"], t["row_group"], t["doc_id_offset"]
-            cols = self._columns
-            out.append(ReadTask(
-                lambda p=path, r=rg, o=off, c=cols:
-                    [_read_one_row_group(p, r, o, c)],
-                meta))
+        for b in range(n_bundles):
+            lo = b * len(tasks) // n_bundles
+            hi = (b + 1) * len(tasks) // n_bundles
+            if hi <= lo:
+                continue
+            bundle = tasks[lo:hi]
+            size = sum(self._sizes[lo:hi])
+            meta = BlockMetadata(
+                num_rows=sum(t["num_rows"] for t in bundle),
+                size_bytes=size, exec_stats=None,
+                input_files=sorted({t["path"] for t in bundle}))
+            specs = [(t["path"], t["row_group"], t["doc_id_offset"])
+                     for t in bundle]
+
+            def read_bundle(specs=specs, c=cols):
+                return [pa.concat_tables(
+                    [_read_one_row_group(p, r, o, c) for p, r, o in specs])]
+
+            out.append(ReadTask(read_bundle, meta))
         return out
 
 

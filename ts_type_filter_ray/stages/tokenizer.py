@@ -86,6 +86,124 @@ class TokenizePartials:
         self._emit_meta = emit_meta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._break is None:
+            postings, doc_lens = self._tokenize_vectorized(batch)
+        else:
+            postings, doc_lens = self._tokenize_python(batch)
+        if not self._emit_meta:
+            return postings
+        doc_ids = batch["doc_id"].to_pylist()
+        contents = batch["content"].to_pylist()
+
+        n_docs = batch.num_rows
+        n_post = postings.num_rows
+        shas = [hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in contents]
+        passthrough = [name for name in batch.column_names
+                       if name not in self.CORE_COLUMNS]
+        meta_cols = {
+            "term": pa.array(shas, type=pa.string()),   # sha rides in term
+            "part": pa.array([-1] * n_docs, type=pa.int32()),
+            "bucket": pa.array([-1] * n_docs, type=pa.int32()),
+            "doc_ids": pa.array([[d] for d in doc_ids],
+                                type=pa.list_(pa.int64())),
+            "tfs": pa.array([[]] * n_docs, type=pa.list_(pa.int32())),
+            "dls": pa.array([[dl] for dl in doc_lens],
+                            type=pa.list_(pa.int32())),
+        }
+        post_cols = {c: postings[c] for c in postings.column_names}
+        for name in passthrough:
+            col = batch[name]
+            meta_cols[name] = col
+            post_cols[name] = pa.nulls(n_post, type=col.type)
+        return pa.concat_tables([pa.table(post_cols), pa.table(meta_cols)])
+
+    def _tokenize_vectorized(self, batch: pa.Table):
+        """Default-breaker fast path: Arrow split → dictionary-encode →
+        stem only the batch's UNIQUE tokens → numpy run aggregation →
+        ListArray outputs. No per-token Python and no per-posting dict
+        churn (the r1 Counter loop was memory-bound: Python string/dict
+        traffic saturated this VM's bus at 28 actors)."""
+        from ..state.postings import term_bucket
+
+        n_docs = batch.num_rows
+        doc_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_trim_whitespace(batch["content"])
+        toks = pc.utf8_split_whitespace(trimmed)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        # Arrow yields [''] for blank docs where str.split() yields []
+        if pc.any(pc.equal(trimmed, "")).as_py():
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            parents = parents.filter(keep)
+        par = parents.to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(par, minlength=n_docs).astype(np.int32)
+        doc_lens = n_tok.tolist()
+
+        empty_cols = {
+            "term": pa.array([], type=pa.string()),
+            "part": pa.array([], type=pa.int32()),
+            "bucket": pa.array([], type=pa.int32()),
+            "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+            "tfs": pa.array([], type=pa.list_(pa.int32())),
+            "dls": pa.array([], type=pa.list_(pa.int32())),
+        }
+        if len(flat) == 0:
+            return pa.table(empty_cols), doc_lens
+
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
+        _stem = self._stem
+        stems_u = np.array([_stem(t) for t in vocab])
+        stem_vocab, sid_inverse = np.unique(stems_u, return_inverse=True)
+        token_sid = sid_inverse[codes]
+
+        # tf per (stemmed term, doc): one vectorized unique over a fused key
+        key = token_sid.astype(np.int64) * n_docs + par
+        uniq, tf = np.unique(key, return_counts=True)
+        sid_e = uniq // n_docs
+        docidx_e = uniq % n_docs
+        part_e = (doc_np[docidx_e] >> self._part_bits).astype(np.int64)
+
+        # run boundaries over (sid, part): docidx ascends within sid, so
+        # part is non-decreasing within each sid run
+        n_e = len(uniq)
+        new_run = np.ones(n_e, dtype=bool)
+        new_run[1:] = (sid_e[1:] != sid_e[:-1]) | (part_e[1:] != part_e[:-1])
+        starts = np.flatnonzero(new_run)
+        offsets = pa.array(np.append(starts, n_e).astype(np.int32))
+
+        run_sids = sid_e[starts]
+        run_terms = stem_vocab[run_sids].tolist()
+        bcache = self._bucket_cache
+        nb = self._num_buckets
+        bucket_vocab = np.empty(len(stem_vocab), dtype=np.int32)
+        for i, t in enumerate(stem_vocab.tolist()):
+            bkt = bcache.get(t)
+            if bkt is None:
+                bkt = bcache[t] = term_bucket(t, nb)
+            bucket_vocab[i] = bkt
+
+        postings = pa.table({
+            "term": pa.array(run_terms, type=pa.string()),
+            "part": pa.array(part_e[starts].astype(np.int32)),
+            "bucket": pa.array(bucket_vocab[run_sids]),
+            "doc_ids": pa.ListArray.from_arrays(
+                offsets, pa.array(doc_np[docidx_e], type=pa.int64())),
+            "tfs": pa.ListArray.from_arrays(
+                offsets, pa.array(tf.astype(np.int32))),
+            "dls": pa.ListArray.from_arrays(
+                offsets, pa.array(n_tok[docidx_e], type=pa.int32())),
+        })
+        return postings, doc_lens
+
+    def _tokenize_python(self, batch: pa.Table):
+        """Custom-breaker path: the reference-shaped per-doc loop (a
+        user-supplied breaker is an opaque Python callable)."""
         _stem = self._stem
         _break = self._break
         part_bits = self._part_bits
@@ -96,7 +214,7 @@ class TokenizePartials:
         acc: dict[tuple[str, int], tuple[list[int], list[int], list[int]]] = {}
         doc_lens: list[int] = []
         for doc_id, content in zip(doc_ids, contents):
-            words = content.split() if _break is None else _break(content)
+            words = _break(content)
             dl = len(words)
             doc_lens.append(dl)
             counts = Counter(map(_stem, words))
@@ -137,31 +255,26 @@ class TokenizePartials:
             "tfs": pa.array(l_tf, type=pa.list_(pa.int32())),
             "dls": pa.array(l_dl, type=pa.list_(pa.int32())),
         })
-        if not self._emit_meta:
-            return postings
+        return postings, doc_lens
 
-        n_docs = batch.num_rows
-        n_post = postings.num_rows
-        shas = [hashlib.sha256(c.encode("utf-8")).hexdigest()
-                for c in contents]
-        passthrough = [name for name in batch.column_names
-                       if name not in self.CORE_COLUMNS]
-        meta_cols = {
-            "term": pa.array(shas, type=pa.string()),   # sha rides in term
-            "part": pa.array([-1] * n_docs, type=pa.int32()),
-            "bucket": pa.array([-1] * n_docs, type=pa.int32()),
-            "doc_ids": pa.array([[d] for d in doc_ids],
-                                type=pa.list_(pa.int64())),
-            "tfs": pa.array([[]] * n_docs, type=pa.list_(pa.int32())),
-            "dls": pa.array([[dl] for dl in doc_lens],
-                            type=pa.list_(pa.int32())),
-        }
-        post_cols = {c: postings[c] for c in postings.column_names}
-        for name in passthrough:
-            col = batch[name]
-            meta_cols[name] = col
-            post_cols[name] = pa.nulls(n_post, type=col.type)
-        return pa.concat_tables([pa.table(post_cols), pa.table(meta_cols)])
+
+_TOKENIZER_SINGLETONS: dict[tuple, TokenizePartials] = {}
+
+
+def tokenize_task(batch: pa.Table, *, doc_part_bits: int,
+                  num_term_buckets: int, emit_meta: bool) -> pa.Table:
+    """Task-pool form of :class:`TokenizePartials` for the default
+    breaker/stemmer: a per-worker-process singleton keyed by params (the
+    stem lru-cache is module-level, so worker reuse keeps it warm). As a
+    plain function the executor fuses read → tokenize → write into ONE
+    task — the partial rows never transit the object store, and no CPU
+    is pinned to an actor pool while the write stage starves."""
+    key = (doc_part_bits, num_term_buckets, emit_meta)
+    tok = _TOKENIZER_SINGLETONS.get(key)
+    if tok is None:
+        tok = _TOKENIZER_SINGLETONS[key] = TokenizePartials(
+            doc_part_bits, num_term_buckets, emit_meta=emit_meta)
+    return tok(batch)
 
 
 _META_CORE = {"term", "part", "bucket", "doc_ids", "tfs", "dls"}
@@ -228,17 +341,23 @@ def merge_bucket_table(group: pa.Table, avgdl: float, k1: float,
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(key_s)]))
 
-    terms_o, parts_o, dfs_o = [], [], []
-    d_enc, t_enc, l_enc, imps = [], [], [], []
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        k = int(key_s[s])
-        terms_o.append(vocab[k >> 32])
-        parts_o.append(k & 0xFFFFFFFF)
-        dfs_o.append(e - s)
-        d_enc.append(plib.encode_doc_ids(doc_s[s:e]))
-        t_enc.append(plib.encode_varints(tf_s[s:e]))
-        l_enc.append(plib.encode_varints(dl_s[s:e]))
-        imps.append(plib.max_impact(tf_s[s:e], dl_s[s:e], avgdl, k1, b))
+    # whole-bucket vectorized encode: per-run byte slices of one LEB128
+    # pass; block-max via maximum.reduceat (bit-identical to the per-run
+    # max — IEEE max is order-free)
+    deltas = doc_s.astype(np.int64).copy()
+    deltas[1:] -= doc_s[:-1]
+    deltas[starts] = doc_s[starts]
+    d_enc = plib.encode_varints_sliced(deltas, starts)
+    t_enc = plib.encode_varints_sliced(tf_s, starts)
+    l_enc = plib.encode_varints_sliced(dl_s, starts)
+    tf_f = tf_s.astype(np.float64)
+    dl_f = dl_s.astype(np.float64)
+    contrib = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+    imps = np.maximum.reduceat(contrib, starts)
+    run_keys = key_s[starts]
+    terms_o = [vocab[c] for c in (run_keys >> np.int64(32)).tolist()]
+    parts_o = (run_keys & np.int64(0xFFFFFFFF)).astype(np.int32)
+    dfs_o = ends - starts
     return pa.table({
         "term": pa.array(terms_o, type=pa.string()),
         "part": pa.array(parts_o, type=pa.int32()),
