@@ -19,6 +19,7 @@ from typing import Any
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
 NEAR_DUP_THRESHOLD = 0.35
+NGRAM_JACCARD_T = 0.5
 TOP_TERMS_K = 25
 
 
@@ -81,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(
             _docs(sf), threshold=0.5),
         "simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(_docs(sf)),
+        "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
+            _docs(sf), shingle_k=3, threshold=NGRAM_JACCARD_T),
         # -- similarity search --
         "ann_topk": ann_topk,
         "ann_ivf_topk": lambda sf: ann.ivf_topk(
@@ -246,6 +249,31 @@ def oracle_sql() -> dict[str, str]:
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies
             from documents group by sha256(text)""",
+        "ngram_jaccard": rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            sh as (
+              select distinct doc_id, g from (
+                select doc_id,
+                       arr[p] || ' ' || arr[p+1] || ' ' || arr[p+2] as g
+                from (select doc_id, arr,
+                             unnest(range(1, len(arr)-1))::INT as p
+                      from base where len(arr) >= 3)
+                union all
+                select doc_id, array_to_string(arr, ' ') as g
+                from base where len(arr) < 3)),
+            sz as (select doc_id, count(*) as n from sh group by doc_id),
+            inter as (
+              select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+              from sh a join sh b on a.g = b.g and a.doc_id < b.doc_id
+              group by 1, 2)
+            select i.id_a, i.id_b,
+                   i.i::DOUBLE / (sa.n + sb.n - i.i) as jaccard
+            from inter i
+            join sz sa on sa.doc_id = i.id_a
+            join sz sb on sb.doc_id = i.id_b
+            where i.i::DOUBLE / (sa.n + sb.n - i.i) >= {NGRAM_JACCARD_T}""",
         "rolling_fingerprints": rf"""
             with base as (
               select doc_id, regexp_split_to_array(trim(text),'\s+') as arr

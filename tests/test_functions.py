@@ -221,3 +221,16 @@ def test_embedding_near_dup_multiblock_exact(emb):
                   ann.embedding_near_dup_pairs(emb, 0.35,
                                                block_rows=37).take_all())
     assert one == many and len(one) > 0
+
+
+def test_ngram_jaccard_exact(ray_session):
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(2, 30)) + " x1 x2"
+    far = " ".join(f"z{i}" for i in range(30))
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": [base, near, far]})
+    out = dedup.ngram_jaccard_pairs(rd.from_arrow(tbl),
+                                    threshold=0.3).take_all()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert set(found) == {(0, 1)}
+    assert found[(0, 1)] == dedup.jaccard(base, near)  # exact, not approx
