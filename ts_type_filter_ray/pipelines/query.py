@@ -127,7 +127,10 @@ class LocalSearcher:
         # decoded-postings cache: hot terms (import/def/...) decode once
         # per searcher, not once per query; bounded LRU-ish eviction
         self._decoded: dict[tuple[str, int], tuple] = {}
-        self._decoded_budget = 64 << 20  # ~64MB of decoded arrays
+        # must hold warm_top_terms decoded hot rows (32 hot terms on the
+        # 150k bench ≈ 115 MB) — a budget below that evicts the warm set
+        # during warming and the first hot query pays the decode anyway
+        self._decoded_budget = 256 << 20
         self._decoded_bytes = 0
         # eagerly decode the highest-df terms so the first hot-term query
         # doesn't pay the cold decode (p99 was dominated by it)
@@ -208,6 +211,15 @@ class LocalSearcher:
                 ub[int(self._part[i])] += idf * self._imp[i]
         parts_desc = sorted(ub, key=lambda p: -ub[p])
 
+        # dense per-partition score buffer (2^part_bits slots), reused
+        # across partitions with sparse resets — replaces the
+        # unique+searchsorted path (the warm-query hot spot: sorting
+        # ~500k ids per hot 3-term query). Guarded by size: enormous
+        # partitions fall back to the sparse path.
+        part_bits = stats.doc_part_bits
+        dense_ok = part_bits <= 22
+        buf = np.zeros(1 << part_bits, dtype=np.float64) if dense_ok else None
+
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
         for part in parts_desc:
             if len(heap) == k and ub[part] < heap[0][0]:
@@ -230,10 +242,21 @@ class LocalSearcher:
             # at most once per term array, so fancy-indexed += is exact
             # and matches the oracle's sequential `scores[d] += c`.
             # (np.add.reduceat is NOT a left fold — it right-associates.)
-            uniq = np.unique(np.concatenate(doc_arrays))
-            sums = np.zeros(uniq.size, dtype=np.float64)
-            for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
-                sums[np.searchsorted(uniq, docs_t)] += contrib_t
+            if dense_ok:
+                base = np.int64(part) << np.int64(part_bits)
+                for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
+                    buf[docs_t - base] += contrib_t
+                # BM25 contributions are strictly positive (idf>0,
+                # tf_factor>0), so touched ⇔ nonzero
+                nz = np.flatnonzero(buf)
+                uniq = nz + base
+                sums = buf[nz].copy()
+                buf[nz] = 0.0  # sparse reset for the next partition
+            else:
+                uniq = np.unique(np.concatenate(doc_arrays))
+                sums = np.zeros(uniq.size, dtype=np.float64)
+                for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
+                    sums[np.searchsorted(uniq, docs_t)] += contrib_t
             if uniq.size > k:
                 # only this partition's top-k can enter the global top-k
                 sel = np.lexsort((uniq, -sums))[:k]
