@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- inverted index / BM25 (stemmed → rows-only; pytest oracle
         #    covers rank/score identity) --
         "bm25_topk": lambda sf: flagship.bm25_topk_table(sf),
+        "bm25_topk_served": lambda sf: flagship.bm25_topk_served_table(sf),
         "boolean_match": lambda sf: flagship.boolean_match_table(sf),
         "index_statistics": lambda sf: flagship.index_statistics_table(sf),
         # -- SQL-checked text analysis --
@@ -106,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_carts": _normalize_carts,
         # -- multimodal plumbing (stubbed codecs, deterministic fake) --
         "decode_media": _decode_media,
+        "frame_sample": _frame_sample,
+        "resize_media": _resize_media,
         # -- composed curation pipeline (quality → exact dedup →
         #    minhash near-dup → language), per-stage drop report --
         "curation_report": _curation_report,
@@ -160,6 +163,24 @@ def _decode_media(sf_dir: str):
                                                          synthesize_media_table)
     return decode_media(rd.from_arrow(synthesize_media_table(96)),
                         decoder=FakeDecoder(), batch_size=16, concurrency=2)
+
+
+def _frame_sample(sf_dir: str):
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.multimodal import (frame_sample,
+                                                         synthesize_media_table)
+    return frame_sample(rd.from_arrow(synthesize_media_table(96)),
+                        every_k=8, batch_size=16, concurrency=2)
+
+
+def _resize_media(sf_dir: str):
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.multimodal import (resize_media,
+                                                         synthesize_media_table)
+    return resize_media(rd.from_arrow(synthesize_media_table(96)),
+                        target_h=8, target_w=8, batch_size=16, concurrency=2)
 
 
 def oracle_sql() -> dict[str, str]:

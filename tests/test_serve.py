@@ -63,3 +63,14 @@ def test_pinned_doc_in_postingless_partition(ray_session, sonnets_corpus_dir,
     svc = SearchService(idx.root, num_actors=3, pinned_doc_ids={5000, 3})
     assert svc.match("").tolist() == [3, 5000]
     assert 5000 in svc.match("same").tolist()
+
+
+def test_flagship_served_identical_to_local(ray_session):
+    """The driver's bm25_topk_served entry must equal bm25_topk exactly
+    (distributed doc-partitioned serving is rank- and score-identical)."""
+    from ts_type_filter_ray.pipelines.flagship import (bm25_topk_served_table,
+                                                       bm25_topk_table)
+    sf = "/root/testdata/sf0.001"
+    local = bm25_topk_table(sf)
+    served = bm25_topk_served_table(sf, num_actors=3)
+    assert local.equals(served)

@@ -110,6 +110,77 @@ class FrameSampleStage:
         })
 
 
+def frame_sample(ds: Dataset, every_k: int = 10, frame_bytes: int = 256,
+                 batch_size: int = 16, concurrency=(1, 8)) -> Dataset:
+    """Video payloads → sampled frames (flat_map shape: one row per
+    sampled frame)."""
+    return ds.map_batches(FrameSampleStage,
+                          fn_constructor_args=(every_k, frame_bytes),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def real_resize(pixels: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """STUB — real image resampling needs Pillow/opencv, not present in
+    this container. Inject a kernel into ResizeStage when available."""
+    raise NotImplementedError(
+        "image resizing requires codec/imaging libraries not present in "
+        "this environment; inject a kernel into ResizeStage")
+
+
+def _nearest_resize(pixels: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic stand-in kernel: nearest-neighbor subsample of a 2-D
+    byte grid (the vectorized index arithmetic IS the real shape; only
+    the interpolation quality is fake)."""
+    h, w = pixels.shape
+    ri = (np.arange(th) * h) // th
+    ci = (np.arange(tw) * w) // tw
+    return pixels[ri[:, None], ci[None, :]]
+
+
+class ResizeStage:
+    """Actor-pool stage: resize image payloads to (target_h, target_w).
+
+    The fake path interprets the payload as a row-major byte grid whose
+    width rides in ``meta`` (falling back to a square-ish guess) —
+    schema, batch sizing and the vectorized index arithmetic are real;
+    swap ``kernel=`` for a Pillow/opencv resampler when available.
+    Output: (item_id, height, width, resized:binary).
+    """
+
+    def __init__(self, target_h: int = 16, target_w: int = 16, kernel=None):
+        self._th = target_h
+        self._tw = target_w
+        self._kernel = kernel if kernel is not None else _nearest_resize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for item in batch.to_pylist():
+            payload = item["payload"]
+            meta = json.loads(item.get("meta") or "{}")
+            w = int(meta.get("width", 0)) or max(1, int(len(payload) ** 0.5))
+            h = max(1, len(payload) // w)
+            grid = np.frombuffer(payload[:h * w], dtype=np.uint8).reshape(h, w)
+            outs.append(self._kernel(grid, self._th, self._tw).tobytes())
+            ids.append(item["item_id"])
+        n = len(ids)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "height": pa.array([self._th] * n, type=pa.int32()),
+            "width": pa.array([self._tw] * n, type=pa.int32()),
+            "resized": pa.array(outs, type=pa.binary()),
+        })
+
+
+def resize_media(ds: Dataset, target_h: int = 16, target_w: int = 16,
+                 kernel=None, batch_size: int = 16,
+                 concurrency=(1, 8)) -> Dataset:
+    return ds.map_batches(ResizeStage,
+                          fn_constructor_args=(target_h, target_w, kernel),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media rows for plumbing tests."""
     import random

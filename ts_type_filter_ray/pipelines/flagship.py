@@ -80,6 +80,31 @@ def bm25_topk_table(sf_dir: str, k: int = 10,
     })
 
 
+def bm25_topk_served_table(sf_dir: str, k: int = 10,
+                           num_actors: int = 4,
+                           queries: list | None = None) -> pa.Table:
+    """Same result as :func:`bm25_topk_table` but answered by the
+    distributed ``SearchService`` actor pool (doc-partitioned searchers,
+    global-df broadcast, per-actor local top-k merge) — the multi-node
+    serving shape, exercised end-to-end in the driver gate."""
+    from .serve import SearchService
+    idx = build_documents_index(sf_dir)
+    svc = SearchService(idx.root, num_actors=num_actors)
+    qi, rk, di, sc = [], [], [], []
+    for i, q in enumerate(queries or QUERY_SET):
+        for r, (doc_id, score) in enumerate(svc.bm25(q, k=k), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+            sc.append(score)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+        "score": pa.array(sc, type=pa.float64()),
+    })
+
+
 def boolean_match_table(sf_dir: str, queries: list | None = None) -> pa.Table:
     """(query_idx, doc_id) match sets (insertion order ≡ doc_id asc)."""
     idx = build_documents_index(sf_dir)
