@@ -40,3 +40,34 @@ def test_delta_compression_is_compact():
     ids = np.arange(1_000_000, 1_010_000, dtype=np.int64)
     enc = encode_doc_ids(ids)
     assert len(enc) < 3 + len(ids) * 1.01
+
+
+def test_merge_fallback_on_interleaved_doc_ranges():
+    """Rows whose doc ranges interleave violate the row-sort fast path's
+    assumption; the monotonicity guard must detect it and fall back to
+    the full lexsort, producing sorted postings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ts_type_filter_ray.stages.tokenizer import merge_bucket_table
+    from ts_type_filter_ray.state.postings import (decode_doc_ids,
+                                                   decode_varints)
+
+    tbl = pa.table({
+        "term": pa.array(["t", "t", "u"]),
+        "part": pa.array([0, 0, 0], type=pa.int32()),
+        "bucket": pa.array([0, 0, 0], type=pa.int32()),
+        # interleaved: [1,5,9] vs [2,6] (not disjoint ranges)
+        "doc_ids": pa.array([[1, 5, 9], [2, 6], [3]],
+                            type=pa.list_(pa.int64())),
+        "tfs": pa.array([[1, 2, 3], [4, 5], [6]],
+                        type=pa.list_(pa.int32())),
+        "dls": pa.array([[10, 10, 10], [20, 20], [30]],
+                        type=pa.list_(pa.int32())),
+    })
+    out = merge_bucket_table(tbl, avgdl=10.0, k1=1.2, b=0.75)
+    rows = {r["term"]: r for r in out.to_pylist()}
+    assert decode_doc_ids(rows["t"]["doc_ids_enc"]).tolist() == [1, 2, 5, 6, 9]
+    assert decode_varints(rows["t"]["tfs_enc"]).tolist() == [1, 4, 2, 5, 3]
+    assert rows["t"]["df"] == 5
+    assert decode_doc_ids(rows["u"]["doc_ids_enc"]).tolist() == [3]

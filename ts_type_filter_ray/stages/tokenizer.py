@@ -300,14 +300,16 @@ def merge_bucket_table(group: pa.Table, avgdl: float, k1: float,
     """Merge + delta/varint-compress ALL partial posting rows of one term
     bucket, given as a single Arrow table.
 
-    The list columns are flattened to flat numpy arrays (zero-copy Arrow
-    kernels), lexsorted by (term, part, doc_id), sliced at group
-    boundaries, and each slice varint-encoded with its block-max
-    metadata. Vectorized across thousands of terms per call — a
-    per-(term,part) fine-grained groupby pays per-group dispatch overhead
-    that dominates the build (measured 218 docs/s → see BASELINE.md).
-    Doc_ids are re-sorted ascending, so determinism never depends on task
-    completion order (SURVEY.md §7.4).
+    Fast path: partial rows are emitted sorted by (term, part) within
+    each tokenize batch, and each batch covers a doc range disjoint from
+    its neighbors' — so sorting the ROWS by (term, part, first_doc_id)
+    and gathering yields fully sorted postings without ever sorting the
+    posting instances themselves (#rows ≪ #postings; this replaced a
+    whole-bucket lexsort that dominated the merge at 2.4M docs). A
+    vectorized monotonicity check guards the assumption; any violation
+    (e.g. a custom corpus with interleaved doc ids) falls back to the
+    full (term, part, doc_id) lexsort. Each run is then varint-encoded
+    with its block-max metadata in one whole-bucket pass.
 
     Scale note: one bucket's postings must fit one worker's heap —
     ``num_term_buckets`` is the knob (32 locally; thousands at 10^12-doc
@@ -323,23 +325,63 @@ def merge_bucket_table(group: pa.Table, avgdl: float, k1: float,
     parts = group["part"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     dcol = group["doc_ids"].combine_chunks()
-    flat_doc = dcol.flatten().to_numpy(zero_copy_only=False)
-    parent = pc.list_parent_indices(dcol).to_numpy(zero_copy_only=False)
-    flat_tf = group["tfs"].combine_chunks().flatten().to_numpy(
+    tcol = group["tfs"].combine_chunks()
+    lcol = group["dls"].combine_chunks()
+    row_len = pc.list_value_length(dcol).to_numpy(
         zero_copy_only=False).astype(np.int64)
-    flat_dl = group["dls"].combine_chunks().flatten().to_numpy(
+    flat_doc_raw = dcol.flatten().to_numpy(zero_copy_only=False)
+    # first doc_id per row via exclusive cumsum (robust to array slicing,
+    # unlike raw ListArray.offsets)
+    row_first_idx = np.concatenate(([0], np.cumsum(row_len)))[:-1]
+    nonempty = row_len > 0
+    first_doc = np.zeros(len(row_len), dtype=np.int64)
+    first_doc[nonempty] = flat_doc_raw[row_first_idx[nonempty]]
+
+    # row-level sort + gather
+    row_order = np.lexsort((first_doc, parts, codes))
+    key_rows = (codes[row_order] << np.int64(32)) | parts[row_order]
+    len_s = row_len[row_order]
+    post_cum = np.concatenate(([0], np.cumsum(len_s)))
+    total = int(post_cum[-1])
+    new_run_row = np.ones(len(key_rows), dtype=bool)
+    new_run_row[1:] = key_rows[1:] != key_rows[:-1]
+    starts = post_cum[:-1][new_run_row]
+    run_row_starts = np.flatnonzero(new_run_row)
+    ends = np.append(starts[1:], total)
+
+    take = pa.array(row_order)
+    doc_s = pc.list_flatten(dcol.take(take)).to_numpy(zero_copy_only=False)
+    tf_s = pc.list_flatten(tcol.take(take)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    dl_s = pc.list_flatten(lcol.take(take)).to_numpy(
         zero_copy_only=False).astype(np.int64)
 
-    key = (codes[parent] << np.int64(32)) | parts[parent]
-    order = np.lexsort((flat_doc, key))
-    key_s = key[order]
-    doc_s = flat_doc[order]
-    tf_s = flat_tf[order]
-    dl_s = flat_dl[order]
-
-    bounds = np.flatnonzero(np.diff(key_s)) + 1
-    starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [len(key_s)]))
+    # monotonicity guard: doc_ids must strictly ascend within each run
+    if total:
+        run_boundary = np.zeros(total, dtype=bool)
+        run_boundary[starts] = True
+        sorted_ok = bool(np.all((np.diff(doc_s) > 0) | run_boundary[1:]))
+    else:
+        sorted_ok = True
+    if not sorted_ok:
+        # fallback: full posting-level lexsort (order-independent result)
+        parent = pc.list_parent_indices(dcol).to_numpy(zero_copy_only=False)
+        flat_tf = tcol.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat_dl = lcol.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        key = (codes[parent] << np.int64(32)) | parts[parent]
+        order = np.lexsort((flat_doc_raw, key))
+        key_s = key[order]
+        doc_s = flat_doc_raw[order]
+        tf_s = flat_tf[order]
+        dl_s = flat_dl[order]
+        bounds = np.flatnonzero(np.diff(key_s)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [total]))
+        run_keys = key_s[starts]
+    else:
+        run_keys = key_rows[run_row_starts]
 
     # whole-bucket vectorized encode: per-run byte slices of one LEB128
     # pass; block-max via maximum.reduceat (bit-identical to the per-run
@@ -354,7 +396,6 @@ def merge_bucket_table(group: pa.Table, avgdl: float, k1: float,
     dl_f = dl_s.astype(np.float64)
     contrib = tf_f * (k1 + 1.0) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
     imps = np.maximum.reduceat(contrib, starts)
-    run_keys = key_s[starts]
     terms_o = [vocab[c] for c in (run_keys >> np.int64(32)).tolist()]
     parts_o = (run_keys & np.int64(0xFFFFFFFF)).astype(np.int32)
     dfs_o = ends - starts
