@@ -144,7 +144,7 @@ def main() -> None:
         # GRAFT_SCALE_LEVELS=8,32 measures the bus-saturated regime.
         lo_n, hi_n = (int(x) for x in
                       os.environ.get("GRAFT_SCALE_LEVELS", "2,8").split(","))
-        trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+        trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
         # scaling runs use a larger corpus than the latency bench: at
         # 150k docs the 32-cpu build is ~4 s and fixed job overhead
         # dominates the ratio; 600k keeps the measured part the workload
