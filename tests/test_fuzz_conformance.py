@@ -117,3 +117,37 @@ def test_empty_and_whitespace_docs(ray_session, tmp_path):
     assert s.match("words").tolist() == oracle.match("words") == [3]
     assert s.match("").tolist() == []
     assert s.bm25("real here", k=4) == oracle.bm25("real here", k=4)
+
+
+@given(st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(12)]),
+             min_size=0, max_size=25),
+    min_size=2, max_size=8),
+    st.sampled_from([0.2, 0.5, 0.8]))
+@settings(max_examples=20, deadline=None)
+def test_ngram_jaccard_matches_bruteforce(ray_session, docs_tokens, thresh):
+    """ngram_jaccard_pairs must equal brute-force pairwise Jaccard over
+    shingle sets on arbitrary small corpora (small vocab → heavy shingle
+    sharing, the worst case for the co-occurrence counting)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions import dedup
+
+    texts = [" ".join(t) for t in docs_tokens]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               rd.from_arrow(tbl), threshold=thresh).take_all()}
+    exp = {}
+    for a in range(len(texts)):
+        if not texts[a].split():
+            continue  # blank docs are excluded by contract
+        for b in range(a + 1, len(texts)):
+            if not texts[b].split():
+                continue
+            j = dedup.jaccard(texts[a], texts[b])
+            if j >= thresh:
+                exp[(a, b)] = j
+    assert got == exp

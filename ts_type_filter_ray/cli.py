@@ -104,9 +104,16 @@ def main(argv: list[str] | None = None) -> int:
             ids = searcher.match(args.terms)
             print(f"Found {ids.size} matches.")
             if args.highlight and args.corpus:
+                import pyarrow as pa
                 import pyarrow.compute as pc_
+                id_set = pa.array(ids, type=pa.int64())
+
+                def keep(batch):
+                    return batch.filter(
+                        pc_.is_in(batch["doc_id"], value_set=id_set))
+
                 tbl = (read_corpus(args.corpus)
-                       .filter(lambda r: r["doc_id"] in set(ids.tolist()))
+                       .map_batches(keep, batch_format="pyarrow")
                        .to_pandas())
                 for _, row in tbl.sort_values("doc_id").iterrows():
                     print(f"--- doc {row['doc_id']} ({row['path']}) ---")
