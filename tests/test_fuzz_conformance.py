@@ -151,3 +151,31 @@ def test_ngram_jaccard_matches_bruteforce(ray_session, docs_tokens, thresh):
             if j >= thresh:
                 exp[(a, b)] = j
     assert got == exp
+
+
+def test_vectorized_tokenizer_matches_python_on_exotic_whitespace(ray_session):
+    """Arrow utf8_split_whitespace must agree with Python str.split()
+    (the oracle's breaker) on every whitespace class — NBSP, NEL, LS,
+    information separators, zero-width non-spaces, and blank docs."""
+    import pyarrow as pa
+
+    from ts_type_filter_ray.stages.tokenizer import TokenizePartials
+    from ts_type_filter_ray.text.tokenize import break_on_whitespace
+
+    texts = ["a\xa0b c", "x\x85y", "l1 l2", "f\x1cg\x1dh\x1ei\x1fj",
+             "zw​joined stays", "", "   \t ", "a\x0bb\x0cc",
+             "Ünïco\xa0dé words", "plain old text"]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "content": pa.array(texts, type=pa.large_string()),
+    })
+    fast = TokenizePartials(8, 4)
+    slow = TokenizePartials(8, 4, breaker=break_on_whitespace)
+
+    def canon(tbl):
+        return sorted(
+            (r["term"], r["part"], r["bucket"], tuple(r["doc_ids"]),
+             tuple(r["tfs"]), tuple(r["dls"]))
+            for r in tbl.to_pylist())
+
+    assert canon(fast(batch)) == canon(slow(batch))
