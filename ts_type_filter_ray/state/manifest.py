@@ -126,13 +126,17 @@ def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
         shutil.rmtree(final_dir, ignore_errors=True)
 
         from ..sources.corpus import CorpusDatasource
+        from ..stages.tokenizer import tokenize_task
         ds = rd.read_datasource(CorpusDatasource(flist, tasks=tasks))
-        stream = ds.map_batches(TokenizeWithMeta,
-                                fn_constructor_args=(doc_part_bits,
-                                                     num_term_buckets),
+        # stateless task pool → read→tokenize→write fuse into one task
+        # per block, same as the non-checkpointed build
+        stream = ds.map_batches(tokenize_task,
+                                fn_kwargs={
+                                    "doc_part_bits": doc_part_bits,
+                                    "num_term_buckets": num_term_buckets,
+                                    "emit_meta": True},
                                 batch_format="pyarrow",
-                                batch_size=tokenize_batch_size,
-                                concurrency=(1, 16))
+                                batch_size=tokenize_batch_size)
         # bucket-partitioned spill: the merge reads shard=*/bucket=<i>
         # directly, no shuffle (doc-meta rows land under bucket=-1)
         stream.write_parquet(tmp_dir, partition_cols=["bucket"])
