@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf), window_sec=3600),
         "sessionize": lambda sf: _events_mod().sessionize(
             _events(sf), gap_sec=1800),
+        "hopping_window": lambda sf: _events_mod().hopping_window_agg(
+            _events(sf), window_sec=3600, hop_sec=900),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -184,7 +186,8 @@ def _resize_media(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
-    from ts_type_filter_ray.functions.events import (SESSIONIZE_SQL,
+    from ts_type_filter_ray.functions.events import (HOPPING_SQL,
+                                                     SESSIONIZE_SQL,
                                                      TUMBLING_HOUR_SQL)
     from ts_type_filter_ray.functions.textstats import _LANG_MARKERS
     stop = "('the','and','of','a','to','in','is','it','that','for')"
@@ -375,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
             from allsims a join allsims b on a.doc_id < b.doc_id
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "tumbling_window": TUMBLING_HOUR_SQL,
+        "hopping_window": HOPPING_SQL.format(k=4, hop_us=900 * 1_000_000),
         "sessionize": SESSIONIZE_SQL.format(gap=1800),
         "ann_topk": f"""
             with nrm as (

@@ -113,3 +113,33 @@ def test_sessionize_vs_sql(ray_session):
     exp = {u: (s, n, m) for u, s, n, m in
            con.sql(events.SESSIONIZE_SQL.format(gap=1800)).fetchall()}
     assert got == exp
+
+
+def test_hopping_window_covers_each_event_k_times(ray_session):
+    """Every event must land in exactly window/hop windows, each with a
+    hop-aligned start s where s <= t < s + window."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    ts = [dt.datetime(2024, 1, 1, 0, 7), dt.datetime(2024, 1, 1, 1, 2)]
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array([5, 5], type=pa.int64()),
+        "event_type": pa.array(["a", "a"]),
+        "value": pa.array([1.0, 2.0], type=pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    })
+    out = events.hopping_window_agg(rd.from_arrow(tbl), window_sec=3600,
+                                    hop_sec=900).take_all()
+    # event 1 at 00:07 → windows 00:00, 23:45, 23:30, 23:15 (prev day)
+    # event 2 at 01:02 → windows 01:00, 00:45, 00:30, 00:15
+    assert len(out) == 8
+    for r in out:
+        s = r["window_start"]
+        assert s.minute % 15 == 0 and r["n_events"] == 1
+    cents = {r["window_start"].isoformat(): r["value_cents"] for r in out}
+    assert cents["2024-01-01T01:00:00"] == 200
+    assert cents["2024-01-01T00:00:00"] == 100

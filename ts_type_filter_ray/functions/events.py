@@ -60,6 +60,50 @@ def tumbling_window_agg(ds: Dataset, window_sec: int = 3600) -> Dataset:
             .map_batches(fix_ts_unit, batch_format="pyarrow"))
 
 
+def hopping_window_agg(ds: Dataset, window_sec: int = 3600,
+                       hop_sec: int = 900) -> Dataset:
+    """Overlapping (hopping) windows: every event lands in the
+    ``window_sec / hop_sec`` windows covering it. Per (user_id,
+    window_start): event count and exact value-cents sum.
+
+    Vectorized explode (one tiled copy per hop offset — the fan-out
+    factor is the window/hop ratio, a constant) + the same keyed
+    groupby as the tumbling path. ``window_sec`` must be a multiple of
+    ``hop_sec``.
+    """
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    k = window_sec // hop_sec
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)  # µs
+        hop_us = 1_000_000 * hop_sec
+        base = (ts // hop_us) * hop_us  # latest hop-aligned start ≤ ts
+        offs = (np.arange(k, dtype=np.int64) * hop_us)[:, None]
+        win = (base[None, :] - offs).ravel()
+        n = len(ts)
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(np.tile(
+                batch["user_id"].to_numpy(zero_copy_only=False), k)),
+            "window_start": pa.array(win).cast(pa.timestamp("us")),
+            "value_cents": pa.array(np.tile(cents, k)),
+        })
+
+    def fix_ts_unit(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(i, "window_start",
+                            t["window_start"].cast(pa.timestamp("us")))
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["user_id", "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_cents", alias_name="value_cents"))
+            .map_batches(fix_ts_unit, batch_format="pyarrow"))
+
+
 def sessionize(ds: Dataset, gap_sec: int = 1800,
                num_parts: int = 64) -> Dataset:
     """Gap-based sessions per user: a new session starts when the gap to
@@ -126,6 +170,21 @@ TUMBLING_HOUR_SQL = """
            min(event_id) as first_event,
            max(event_id) as last_event
     from events group by 1, 2"""
+
+# Oracle for hopping windows: every event joins the window/hop
+# hop-aligned starts covering it (make_timestamp takes epoch µs).
+HOPPING_SQL = """
+    with hop as (select unnest(range(0, {k})) as j),
+    ev as (
+      select user_id,
+             cast(round(value * 100) as bigint) as cents,
+             (epoch_us(ts) // {hop_us}) * {hop_us} as base
+      from events)
+    select user_id,
+           make_timestamp(base - j * {hop_us}) as window_start,
+           count(*) as n_events,
+           sum(cents)::BIGINT as value_cents
+    from ev, hop group by 1, 2"""
 
 SESSIONIZE_SQL = """
     with ordered as (
