@@ -43,6 +43,11 @@ def _events_mod():
     return events
 
 
+def _rel_mod():
+    from ts_type_filter_ray.functions import relational
+    return relational
+
+
 def entry() -> Any:
     """Flagship: build the distributed inverted index over the sf0.001
     documents corpus and answer the fixed BM25 query set."""
@@ -95,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": lambda sf: textstats.language_id(_docs(sf)),
         "rolling_fingerprints": lambda sf: textstats.rolling_fingerprints(
             _docs(sf)),
+        # -- relational shapes over the TPC-H-ish tables --
+        "pricing_summary": _pricing_summary,
+        "revenue_by_nation": _revenue_by_nation,
         # -- stream-shaped windowed operators over the events log --
         "tumbling_window": lambda sf: _events_mod().tumbling_window_agg(
             _events(sf), window_sec=3600),
@@ -115,6 +123,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    minhash near-dup → language), per-stage drop report --
         "curation_report": _curation_report,
     }
+
+
+def _pricing_summary(sf_dir: str):
+    from ts_type_filter_ray.functions.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def _revenue_by_nation(sf_dir: str):
+    from ts_type_filter_ray.functions.relational import revenue_by_nation
+    return revenue_by_nation(sf_dir)
 
 
 def _curation_report(sf_dir: str):
@@ -377,6 +395,8 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash))::INT as hamming
             from allsims a join allsims b on a.doc_id < b.doc_id
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "pricing_summary": _rel_mod().PRICING_SUMMARY_SQL,
+        "revenue_by_nation": _rel_mod().REVENUE_BY_NATION_SQL,
         "tumbling_window": TUMBLING_HOUR_SQL,
         "hopping_window": HOPPING_SQL.format(k=4, hop_us=900 * 1_000_000),
         "sessionize": SESSIONIZE_SQL.format(gap=1800),

@@ -1,0 +1,177 @@
+"""Relational pipelines over the driver's TPC-H-ish tables — the classic
+warehouse shapes expressed Ray-Data-first:
+
+- :func:`pricing_summary` (TPC-H Q1 shape): column-pruned read with a
+  row-group-friendly date filter, a vectorized per-batch COMBINER (the
+  group domain is tiny — returnflag × linestatus — so each batch emits
+  ≤ a handful of partial rows), then a small ``groupby`` merge. The
+  shuffle moves O(batches × groups) rows, never O(rows).
+- :func:`revenue_by_nation` (join shape): the dimension side
+  (customer ⋈ nation: custkey → nation name) is broadcast ONCE via
+  ``ray.put`` and read per actor task — never a shuffle join for a
+  dimension that is orders of magnitude smaller than the fact table
+  (SURVEY.md §2.4, guide's broadcast-join pattern). Per batch: one
+  ``np.searchsorted`` lookup + bincount partial, then a tiny groupby.
+
+Money flows as integer cents (``round(x*100)::int64``) end-to-end, so
+distributed partial-sum order can never produce float drift vs the
+DuckDB oracles — both queries are value-exact in the driver gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+# Q1-style cutoff: inclusive upper bound on l_shipdate
+SHIP_CUTOFF = "1998-09-02"
+
+
+def pricing_summary(sf_dir: str) -> Dataset:
+    """(l_returnflag, l_linestatus, n_rows, sum_qty_c, sum_price_c,
+    sum_disc_c) for lineitems shipped on or before :data:`SHIP_CUTOFF`.
+    Quantities/prices/discounts ride as exact integer cents."""
+    cutoff = pa.scalar(np.datetime64(SHIP_CUTOFF + "T23:59:59.999999"),
+                       type=pa.timestamp("us"))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], cutoff))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "l_returnflag": pa.array([], type=pa.string()),
+                "l_linestatus": pa.array([], type=pa.string()),
+                "n_rows": pa.array([], type=pa.int64()),
+                "sum_qty_c": pa.array([], type=pa.int64()),
+                "sum_price_c": pa.array([], type=pa.int64()),
+                "sum_disc_c": pa.array([], type=pa.int64()),
+            })
+        flag = batch["l_returnflag"].to_pylist()
+        status = batch["l_linestatus"].to_pylist()
+        keys = np.array([f"{a}|{b}" for a, b in zip(flag, status)])
+        uniq, codes = np.unique(keys, return_inverse=True)
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        price = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            "l_returnflag": pa.array([u.split("|")[0] for u in uniq]),
+            "l_linestatus": pa.array([u.split("|")[1] for u in uniq]),
+            "n_rows": pa.array(np.bincount(codes, minlength=k)
+                               .astype(np.int64)),
+            "sum_qty_c": pa.array(np.bincount(codes, weights=qty,
+                                              minlength=k).astype(np.int64)),
+            "sum_price_c": pa.array(np.bincount(codes, weights=price,
+                                                minlength=k)
+                                    .astype(np.int64)),
+            "sum_disc_c": pa.array(np.bincount(codes, weights=disc,
+                                               minlength=k)
+                                   .astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_qty_c", alias_name="sum_qty_c"),
+                       Sum("sum_price_c", alias_name="sum_price_c"),
+                       Sum("sum_disc_c", alias_name="sum_disc_c")))
+
+
+PRICING_SUMMARY_SQL = f"""
+    select l_returnflag, l_linestatus,
+           count(*) as n_rows,
+           sum(cast(round(l_quantity * 100) as bigint))::BIGINT as sum_qty_c,
+           sum(cast(round(l_extendedprice * 100) as bigint))::BIGINT
+               as sum_price_c,
+           sum(cast(round(l_discount * 100) as bigint))::BIGINT as sum_disc_c
+    from lineitem
+    where l_shipdate <= timestamp '{SHIP_CUTOFF} 23:59:59.999999'
+    group by l_returnflag, l_linestatus"""
+
+
+def _nation_lookup(sf_dir: str):
+    """Dimension build (driver-side, dims are tiny): sorted custkeys +
+    parallel nation names, ready for ``np.searchsorted`` lookups."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkey_to_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                            nat["n_name"].to_pylist()))
+    custkey = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnation = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(custkey)
+    names = sorted(set(nkey_to_name.values()))
+    name_code = {n: i for i, n in enumerate(names)}
+    codes = np.array([name_code[nkey_to_name[int(k)]]
+                      for k in cnation[order]], dtype=np.int64)
+    return custkey[order], codes, names
+
+
+def revenue_by_nation(sf_dir: str) -> Dataset:
+    """(n_name, n_orders, revenue_c): orders ⋈ customer ⋈ nation with the
+    dimension broadcast (``ray.put`` once, searchsorted per batch)."""
+    custkey_sorted, nation_code, names = _nation_lookup(sf_dir)
+    dim_ref = ray.put((custkey_sorted, nation_code))
+    n_names = len(names)
+
+    class JoinAgg:
+        def __init__(self):
+            self._custkey, self._code = ray.get(dim_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self._custkey, ck)
+            # every order references an existing customer (FK contract)
+            code = self._code[pos]
+            cents = np.rint(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)
+            return pa.table({
+                "n_name": pa.array(names, type=pa.string()),
+                "n_orders": pa.array(
+                    np.bincount(code, minlength=n_names).astype(np.int64)),
+                "revenue_c": pa.array(
+                    np.bincount(code, weights=cents,
+                                minlength=n_names).astype(np.int64)),
+            })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    out = (orders.map_batches(JoinAgg, batch_format="pyarrow",
+                              concurrency=(1, 8))
+           .groupby("n_name")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue_c", alias_name="revenue_c")))
+
+    def drop_empty(batch: pa.Table) -> pa.Table:
+        # nations with no orders exist only as zero partials
+        return batch.filter(pc.greater(batch["n_orders"], 0))
+
+    return out.map_batches(drop_empty, batch_format="pyarrow")
+
+
+REVENUE_BY_NATION_SQL = """
+    select n.n_name,
+           count(*) as n_orders,
+           sum(cast(round(o.o_totalprice * 100) as bigint))::BIGINT
+               as revenue_c
+    from orders o
+    join customer c on c.c_custkey = o.o_custkey
+    join nation n on n.n_nationkey = c.c_nationkey
+    group by n.n_name"""
