@@ -143,3 +143,29 @@ def test_hopping_window_covers_each_event_k_times(ray_session):
     cents = {r["window_start"].isoformat(): r["value_cents"] for r in out}
     assert cents["2024-01-01T01:00:00"] == 200
     assert cents["2024-01-01T00:00:00"] == 100
+
+
+def test_value_percentiles_disc_semantics(ray_session):
+    """percentile_disc semantics: 1-based index ceil(p*n) into sorted
+    values; negative cents and single-row types must work."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    vals = {"a": [0.10, 0.20, 0.30, 0.40], "b": [-1.25]}
+    rows = [(t, v) for t, vs in vals.items() for v in vs]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 1)] * len(rows),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), type=pa.int64()),
+        "event_type": pa.array([r[0] for r in rows]),
+        "value": pa.array([r[1] for r in rows], type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    out = {r["event_type"]: r for r in
+           events.event_value_percentiles(rd.from_arrow(tbl)).take_all()}
+    assert out["a"]["p50_c"] == 20 and out["a"]["p90_c"] == 40 \
+        and out["a"]["p99_c"] == 40 and out["a"]["n_events"] == 4
+    assert out["b"]["p50_c"] == -125 and out["b"]["n_events"] == 1

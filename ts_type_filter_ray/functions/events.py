@@ -160,6 +160,68 @@ def sessionize(ds: Dataset, gap_sec: int = 1800,
             .map_groups(per_part, batch_format="pyarrow"))
 
 
+def event_value_percentiles(ds: Dataset,
+                            ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+                            ) -> Dataset:
+    """Exact per-event_type value percentiles (p50/p90/p99 over integer
+    cents) — the distributed-quantile shape done EXACTLY, not with a
+    sketch: per-batch (event_type, cents) histogram partials → one
+    ``groupby`` merge of the (small, bounded-domain) histogram → a
+    per-type vectorized cumulative scan. Shuffle size is O(distinct
+    cents per type), never O(rows); semantics ≡ SQL ``percentile_disc``
+    (1-based index ⌈p·n⌉ into the sorted values)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist())
+        types, codes = np.unique(et, return_inverse=True)
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        key = codes.astype(np.int64) * (1 << 33) + (cents + (1 << 32))
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(types[(uk >> 33)].tolist(),
+                                   type=pa.string()),
+            "cents": pa.array((uk & ((1 << 33) - 1)) - (1 << 32),
+                              type=pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n")))
+
+    def scan(group: pa.Table) -> pa.Table:
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cents)
+        cents, n = cents[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        cols = {"event_type": pa.array([group["event_type"][0].as_py()]),
+                "n_events": pa.array([total], type=pa.int64())}
+        for p in ps:
+            idx = max(1, int(np.ceil(p * total)))  # percentile_disc
+            v = cents[np.searchsorted(cum, idx, side="left")]
+            cols[f"p{int(p * 100)}_c"] = pa.array([int(v)], type=pa.int64())
+        return pa.table(cols)
+
+    # few event types → per-group dispatch is not a hot path here
+    return hist.groupby("event_type").map_groups(scan,
+                                                 batch_format="pyarrow")
+
+
+PERCENTILES_SQL = """
+    select event_type,
+           count(*) as n_events,
+           percentile_disc(0.5) within group
+               (order by cast(round(value*100) as bigint))::BIGINT as p50_c,
+           percentile_disc(0.9) within group
+               (order by cast(round(value*100) as bigint))::BIGINT as p90_c,
+           percentile_disc(0.99) within group
+               (order by cast(round(value*100) as bigint))::BIGINT as p99_c
+    from events group by event_type"""
+
+
 # Oracle for window_sec=3600 (date_trunc avoids to_timestamp's
 # TIMESTAMPTZ/session-timezone hazards; both sides floor naive time).
 TUMBLING_HOUR_SQL = """
