@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": lambda sf: textstats.doc_stats_by_lang(_docs(sf)),
         "term_df_tf": lambda sf: textstats.term_df_tf(_docs(sf)),
         "top_terms": lambda sf: textstats.top_terms(_docs(sf), TOP_TERMS_K),
+        "top_terms_by_lang": lambda sf: textstats.top_terms_by_lang(
+            _docs(sf), k=5),
         "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
         "bpe_token_counts": lambda sf: textstats.bpe_token_counts(_docs(sf)),
         "fingerprints": lambda sf: textstats.fingerprints(_docs(sf)),
@@ -264,6 +266,21 @@ def oracle_sql() -> dict[str, str]:
             select term, count(distinct doc_id) as df, count(*) as tf
             from toks group by term
             order by df desc, term asc limit {TOP_TERMS_K}""",
+        "top_terms_by_lang": r"""
+            with toks as (
+              select doc_id, lang,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            df as (
+              select lang, term, count(distinct doc_id) as df
+              from toks group by lang, term),
+            ranked as (
+              select lang, term, df,
+                     row_number() over (partition by lang
+                                        order by df desc, term asc) as rank
+              from df)
+            select lang, rank, term, df from ranked where rank <= 5""",
         "quality_scores": rf"""
             with toks as (
               select doc_id,

@@ -128,6 +128,63 @@ def top_terms(ds: Dataset, k: int = 25) -> Dataset:
     return term_df_tf(ds).sort(["df", "term"], descending=[True, False]).limit(k)
 
 
+def top_terms_by_lang(ds: Dataset, k: int = 5) -> Dataset:
+    """Grouped top-k: per language, the k terms with highest df
+    (tie-break term asc) — (lang, rank, term, df). Same combiner shape
+    as :func:`term_df_tf` with ``lang`` joining the key, then one
+    vectorized per-lang selection (languages are few; the heavy lifting
+    is the per-batch partial aggregation, not the final scan)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        flat = pc.utf8_lower(flat)
+        langs = np.asarray(batch["lang"].to_pylist())
+        lang_u, lang_codes = np.unique(langs, return_inverse=True)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary.to_pylist()
+        par = parents.to_numpy(zero_copy_only=False)
+        # distinct (lang, term, doc) → df partial per (lang, term)
+        key = (lang_codes[par].astype(np.int64) * len(vocab) + codes
+               ) * len(langs) + par
+        uniq = np.unique(key)
+        lt = uniq // len(langs)
+        lt_u, df = np.unique(lt, return_counts=True)
+        return pa.table({
+            "lang": pa.array(lang_u[(lt_u // len(vocab))].tolist(),
+                             type=pa.string()),
+            "term": pa.array([vocab[c] for c in
+                              (lt_u % len(vocab)).tolist()],
+                             type=pa.string()),
+            "df": pa.array(df.astype(np.int64)),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "term"])
+              .aggregate(Sum("df", alias_name="df")))
+
+    def topk(group: pa.Table) -> pa.Table:
+        terms = np.asarray(group["term"].to_pylist())
+        df = group["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -df))[:k]
+        n = len(order)
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()] * n,
+                             type=pa.string()),
+            "rank": pa.array(np.arange(1, n + 1), type=pa.int64()),
+            "term": pa.array(terms[order].tolist(), type=pa.string()),
+            "df": pa.array(df[order]),
+        })
+
+    return merged.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
 def quality_scores(ds: Dataset) -> Dataset:
     """(doc_id, n_tokens, n_stopwords, stopword_ratio, mean_token_len) —
     simple quality-scoring features, fully vectorized."""
