@@ -59,14 +59,38 @@ def exact_dedup_groups(ds: Dataset) -> Dataset:
 # -------------------------------------------------------------- minhash
 
 
+_SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15 % _MERSENNE)
+_token_hash_cache: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
+    h = _token_hash_cache.get(tok)
+    if h is None:
+        if len(_token_hash_cache) > 1_000_000:
+            _token_hash_cache.clear()
+        h = _token_hash_cache[tok] = _stable_hash64(tok) % _MERSENNE
+    return h
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct hashes of the token k-grams of *text* (whole text as one
+    shingle when shorter than k). Hashes are an order-sensitive
+    Mersenne-mulmod fold over per-token hashes — one vectorized pass per
+    gram position instead of per-shingle string building + digesting
+    (the r1 hot spot: millions of blake2b calls over joined strings).
+    Equal token sequences ⇒ equal hashes, so Jaccard over these sets ≡
+    Jaccard over the literal k-gram strings (modulo 2^-61 collisions)."""
     toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([_stable_hash64(s) for s in shingles],
-                              dtype=np.uint64))
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    w = min(k, len(th))
+    n_sh = len(th) - w + 1
+    acc = np.zeros(n_sh, dtype=np.uint64)
+    for j in range(w):
+        acc = _mulmod_mersenne61(acc ^ th[j:j + n_sh], _SHINGLE_MULT)
+    return np.unique(acc)
 
 
 def _mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
