@@ -34,6 +34,7 @@ _EXPORTS = {
     # validators: V2 is the supported surface (reference
     # create_validator2); V1 is the Pydantic port
     "create_validator": ".typefilter.validator",
+    "create_validator2": ".typefilter.validator",
     "ValidateCartsStage": ".typefilter.validator",
     "create_validator_v1": ".typefilter.validator_pydantic",
     "create_validator_model": ".typefilter.validator_pydantic",

@@ -194,6 +194,12 @@ def create_validator(defs: list, root_name: str) -> Validator:
     return compiler.node(root, {})([])
 
 
+# reference name parity: the reference exports this compiled-closure
+# validator as ``create_validator2`` (its ``create_validator`` is the
+# Pydantic V1 path — see ``.validator_pydantic``)
+create_validator2 = create_validator
+
+
 class ValidateCartsStage:
     """Actor-pool stage: validate a column of JSON cart strings against a
     type graph; validator compiled once per actor (V2 as a batch
