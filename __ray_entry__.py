@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- relational shapes over the TPC-H-ish tables --
         "pricing_summary": _pricing_summary,
         "revenue_by_nation": _revenue_by_nation,
+        "customers_without_big_orders": lambda sf:
+            _rel_mod().customers_without_big_orders(sf),
+        "running_totals": lambda sf: _rel_mod().running_totals(sf),
         # -- stream-shaped windowed operators over the events log --
         "tumbling_window": lambda sf: _events_mod().tumbling_window_agg(
             _events(sf), window_sec=3600),
@@ -416,6 +419,9 @@ def oracle_sql() -> dict[str, str]:
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "pricing_summary": _rel_mod().PRICING_SUMMARY_SQL,
         "revenue_by_nation": _rel_mod().REVENUE_BY_NATION_SQL,
+        "customers_without_big_orders":
+            _rel_mod().CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
+        "running_totals": _rel_mod().RUNNING_TOTALS_SQL,
         "tumbling_window": TUMBLING_HOUR_SQL,
         "hopping_window": HOPPING_SQL.format(k=4, hop_us=900 * 1_000_000),
         "value_percentiles": _events_mod().PERCENTILES_SQL,

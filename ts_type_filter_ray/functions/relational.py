@@ -175,3 +175,119 @@ REVENUE_BY_NATION_SQL = """
     join customer c on c.c_custkey = o.o_custkey
     join nation n on n.n_nationkey = c.c_nationkey
     group by n.n_name"""
+
+
+BIG_ORDER_CUTOFF = 300_000.0
+
+
+def customers_without_big_orders(sf_dir: str,
+                                 num_parts: int = 64) -> Dataset:
+    """(c_custkey, c_name) for customers with NO order above
+    :data:`BIG_ORDER_CUTOFF` — the anti-join shape, distributed: distinct
+    qualifying fact-side custkeys (never broadcast — at scale the fact
+    side's distinct keys are big) union-shuffled with the customer rows
+    on a coarse custkey partition; a vectorized np.isin per partition
+    drops matched customers. No driver-side id sets."""
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "c_name": batch["c_name"],
+            "is_cust": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+        })
+
+    def order_marks(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch["o_totalprice"], BIG_ORDER_CUTOFF))
+        keys = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        n = len(keys)
+        return pa.table({
+            "key": pa.array(keys, type=pa.int64()),
+            "c_name": pa.array([None] * n, type=pa.string()),
+            "is_cust": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pc.cast(pc.bit_wise_and(batch["key"], num_parts - 1),
+                            pa.int32()))
+
+    def anti(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        is_cust = group["is_cust"].to_numpy(
+            zero_copy_only=False).astype(bool)
+        ordered_keys = np.unique(key[~is_cust])
+        keep = is_cust & ~np.isin(key, ordered_keys)
+        sub = group.filter(pa.array(keep))
+        return pa.table({"c_custkey": sub["key"],
+                         "c_name": sub["c_name"]})
+
+    stream = (cust.map_batches(cust_rows, batch_format="pyarrow")
+              .union(orders.map_batches(order_marks,
+                                        batch_format="pyarrow")))
+    return (stream.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(anti, batch_format="pyarrow"))
+
+
+CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = f"""
+    select c_custkey, c_name from customer c
+    where not exists (select 1 from orders o
+                      where o.o_custkey = c.c_custkey
+                        and o.o_totalprice > {BIG_ORDER_CUTOFF})"""
+
+
+def running_totals(sf_dir: str, num_parts: int = 64) -> Dataset:
+    """(event_id, user_id, running_cents): per-user cumulative value-cents
+    in (ts, event_id) order — the ordered analytic-window shape Ray Data
+    lacks natively, as one vectorized segment scan per coarse user-hash
+    partition (same pattern as sessionize; int cents ⇒ value-exact)."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64())
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(batch["user_id"],
+                                            num_parts - 1), pa.int32()),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "cents": cents,
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        run = np.cumsum(cents)
+        # subtract each user's prefix: running within user = global
+        # cumsum minus the cumsum just before the user's first row
+        change = np.ones(len(u), dtype=bool)
+        change[1:] = u[1:] != u[:-1]
+        ucode = np.cumsum(change) - 1
+        base = np.concatenate(([0], run[:-1]))[change]
+        return pa.table({
+            "event_id": pa.array(eid, type=pa.int64()),
+            "user_id": pa.array(u, type=pa.int64()),
+            "running_cents": pa.array(run - base[ucode], type=pa.int64()),
+        })
+
+    return (events.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(scan, batch_format="pyarrow"))
+
+
+RUNNING_TOTALS_SQL = """
+    select event_id, user_id,
+           sum(cast(round(value * 100) as bigint)) over
+               (partition by user_id order by ts, event_id
+                rows unbounded preceding)::BIGINT as running_cents
+    from events"""
