@@ -234,3 +234,15 @@ def test_ngram_jaccard_exact(ray_session):
     found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
     assert set(found) == {(0, 1)}
     assert found[(0, 1)] == dedup.jaccard(base, near)  # exact, not approx
+
+
+def test_minhash_auto_banding_recall():
+    """Threshold-aware banding: detection probability at the threshold
+    must be >= 95% whenever some banding of num_perm can reach it."""
+    from ts_type_filter_ray.functions.dedup import optimal_bands
+    for t in (0.3, 0.5, 0.7, 0.8):
+        b = optimal_bands(64, t)
+        r = 64 // b
+        assert 1 - (1 - t**r) ** b >= 0.95, (t, b)
+    # and it is the most selective qualifying choice at t=0.8
+    assert optimal_bands(64, 0.8) <= optimal_bands(64, 0.4)

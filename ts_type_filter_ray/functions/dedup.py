@@ -194,6 +194,27 @@ def _segment_index_pairs(band: np.ndarray, bhash: np.ndarray,
     return order, np.concatenate(ia_out), np.concatenate(ib_out)
 
 
+def optimal_bands(num_perm: int, threshold: float) -> int:
+    """Pick the band count whose LSH S-curve best serves *threshold*,
+    biased toward recall: exact verification makes false positives cost
+    only compute, while a missed true pair is unrecoverable. Chooses the
+    most selective banding whose detection probability at the threshold
+    is still ≥ 95% (falling back to the highest-recall option)."""
+    # fewer bands ⇒ longer rows ⇒ more selective buckets (fewer false
+    # candidates) but lower detection probability: take the FIRST (most
+    # selective) banding that still reaches 95% detection
+    for bands in (1, 2, 4, 8, 16, 32, 64):
+        if bands > num_perm or num_perm % bands:
+            continue
+        rows = num_perm // bands
+        p_detect = 1.0 - (1.0 - threshold ** rows) ** bands
+        if p_detect >= 0.95:
+            return bands
+    # nothing reaches 95%: maximize recall (most bands, shortest rows)
+    return max(b for b in (1, 2, 4, 8, 16, 32, 64)
+               if b <= num_perm and num_perm % b == 0)
+
+
 def lsh_candidate_pairs(sigs: Dataset, bands: int = 16,
                         bucket_pair_cap: int = 64,
                         num_parts: int = 64) -> Dataset:
@@ -376,7 +397,7 @@ def _attach_blobs(cand: Dataset, blobs: Dataset,
 
 
 def minhash_dedup_pairs(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
-                        bands: int = 16, threshold: float = 0.5,
+                        bands: int | None = None, threshold: float = 0.5,
                         bucket_pair_cap: int = 64) -> Dataset:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
     verification. Returns a Dataset (id_a, id_b, jaccard:double), sorted
@@ -387,7 +408,14 @@ def minhash_dedup_pairs(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
     and verified with a vectorized set intersection inside
     ``map_batches``. Nothing is materialized on the driver; a
     high-duplication crawl where candidates ≈ corpus streams through the
-    same two shuffles."""
+    same two shuffles.
+
+    ``bands=None`` picks the banding from the threshold
+    (:func:`optimal_bands`): r1's fixed 16×4 banding detected only ~63 %
+    of J=0.5 borderline pairs; at t=0.5 the auto choice (32×2) detects
+    >99.97 % and the exact verify discards the extra false candidates."""
+    if bands is None:
+        bands = optimal_bands(num_perm, threshold)
     sigs = minhash_signatures(ds, num_perm, shingle_k)
     cand = (lsh_candidate_pairs(sigs, bands, bucket_pair_cap)
             .select_columns(["id_a", "id_b"]))
