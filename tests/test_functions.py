@@ -191,10 +191,11 @@ def test_blank_docs_zero_tokens(ray_session):
     assert qs[2]["n_tokens"] == 0 and qs[2]["mean_token_len"] == 0.0
 
 
-def test_minhash_giant_dup_cluster_no_blowup(ray_session):
+def test_minhash_giant_dup_cluster_no_candidate_blowup(ray_session):
     """A 1,000-copy duplicate cluster must complete without quadratic
-    pair blowup: representative election caps a B-member bucket at B-1
-    star pairs instead of B(B-1)/2 (VERDICT r1)."""
+    CANDIDATE work: representative election caps a B-member bucket at
+    B-1 star pairs instead of B(B-1)/2 (VERDICT r1); with
+    ``expand_exact_clusters=False`` the pair LISTING stays the star."""
     base = " ".join(f"w{i}" for i in range(40))
     n = 1000
     tbl = pa.table({
@@ -203,12 +204,33 @@ def test_minhash_giant_dup_cluster_no_blowup(ray_session):
     })
     pairs = dedup.minhash_dedup_pairs(rd.from_arrow(tbl), num_perm=32,
                                       bands=8, threshold=0.5,
-                                      bucket_pair_cap=64).take_all()
+                                      bucket_pair_cap=64,
+                                      expand_exact_clusters=False).take_all()
     # star pairs only: (0, x) for every other copy — O(B), not O(B²)
     assert len(pairs) == n - 1
     assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in pairs)
     drop = {r["id_b"] for r in pairs}
     assert drop == set(range(1, n))  # every non-representative is linked
+
+
+def test_minhash_exact_cluster_expansion_complete(ray_session):
+    """Default ``expand_exact_clusters=True`` restores the FULL clique
+    for an over-cap exact-duplicate cluster (ADVICE r2): verified J=1.0
+    star pairs are transitively expanded, so the pair output equals the
+    n² oracle's listing despite the candidate cap."""
+    base = " ".join(f"w{i}" for i in range(40))
+    n = 150  # > bucket_pair_cap → star candidates, then expansion
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n + 1)), type=pa.int64()),
+        "text": [base] * n + [" ".join(f"z{i}" for i in range(40))],
+    })
+    pairs = dedup.minhash_dedup_pairs(rd.from_arrow(tbl), num_perm=32,
+                                      bands=8, threshold=0.5,
+                                      bucket_pair_cap=64).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert got == want
+    assert all(r["jaccard"] == 1.0 for r in pairs)
 
 
 def test_embedding_near_dup_multiblock_exact(emb):

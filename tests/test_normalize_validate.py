@@ -245,6 +245,25 @@ def test_validator_v1_menu_cart():
     assert not v1({"items": [{"name": "pizza"}]})
 
 
+def test_validator_v1_generic_struct_instantiated_twice():
+    """A generic struct instantiated more than once (Box<"x"> and
+    Box<"y">) must build two distinct models, not raise a spurious
+    'Recursive type detected' (ADVICE r2): only an IN-PROGRESS revisit of
+    the same Struct node is recursion."""
+    src = 'type A={x:Box<"x">,y:Box<"y">};type Box<T>={v:T};'
+    v1 = create_validator_v1(parse(src), "A")
+    assert v1({"x": {"v": "x"}, "y": {"v": "y"}})
+    assert not v1({"x": {"v": "y"}, "y": {"v": "y"}})  # bindings distinct
+    assert not v1({"x": {"v": "x"}, "y": {"v": "x"}})
+    # V2 agrees
+    v2 = V(src, "A")
+    assert v2({"x": {"v": "x"}, "y": {"v": "y"}})
+    assert not v2({"x": {"v": "y"}, "y": {"v": "y"}})
+    # true recursion is still rejected
+    with pytest.raises(ValueError, match="Recursive"):
+        create_validator_v1(parse("type A={self:A};"), "A")
+
+
 def test_validate_carts_stage_pydantic_mode(ray_session):
     import ray.data as rd
     import pyarrow as pa

@@ -143,17 +143,21 @@ def _block_pair_table(path_i: str, path_j: str, same: bool,
 class _BlockPairDatasource(Datasource):
     """One ``ReadTask`` per block pair (K·(K+1)/2 tasks) so the executor
     runs the exact O(N²) pair sweep as independent, memory-bounded tasks
-    (2 blocks resident per task) — never a driver-side matrix."""
+    (2 blocks resident per task) — never a driver-side matrix.
 
-    def __init__(self, spill_dir: str, num_blocks: int, threshold: float,
+    ``block_dirs`` are the block directories ACTUALLY present after the
+    spill — enumerated, not assumed, because ``vid % k`` residue classes
+    can be empty under skewed/sparse vec_ids and a missing directory
+    would otherwise fault inside the read task (ADVICE r2)."""
+
+    def __init__(self, block_dirs: list[str], threshold: float,
                  block_bytes: list[int]):
-        self._spill = spill_dir
-        self._k = num_blocks
+        self._dirs = block_dirs
         self._threshold = threshold
         self._sizes = block_bytes
 
     def estimate_inmemory_data_size(self):
-        return sum(self._sizes) * self._k  # each block read ~K times
+        return sum(self._sizes) * len(self._dirs)  # each block read ~K times
 
     def get_name(self):
         return "EmbeddingBlockPairs"
@@ -162,10 +166,10 @@ class _BlockPairDatasource(Datasource):
         from ray.data.block import BlockMetadata
         from ray.data.datasource import ReadTask
         out = []
-        for i in range(self._k):
-            for j in range(i, self._k):
-                pi = f"{self._spill}/block={i}"
-                pj = f"{self._spill}/block={j}"
+        k = len(self._dirs)
+        for i in range(k):
+            for j in range(i, k):
+                pi, pj = self._dirs[i], self._dirs[j]
                 meta = BlockMetadata(
                     num_rows=None,
                     size_bytes=self._sizes[i] + self._sizes[j],
@@ -210,12 +214,15 @@ def embedding_near_dup_pairs(ds: Dataset, threshold: float = 0.35,
        .map_batches(add_block, batch_format="pyarrow")
        .write_parquet(spill, partition_cols=["block"]))
 
-    sizes = []
-    for i in range(k):
-        files = glob.glob(f"{spill}/block={i}/*.parquet")
-        sizes.append(sum(__import__("os").path.getsize(f) for f in files))
+    # enumerate the block dirs that actually materialized (empty residue
+    # classes under vid % k write nothing)
+    import os
+    dirs = sorted(d for d in glob.glob(f"{spill}/block=*")
+                  if glob.glob(f"{d}/*.parquet"))
+    sizes = [sum(os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet"))
+             for d in dirs]
     return rd.read_datasource(
-        _BlockPairDatasource(spill, k, threshold, sizes))
+        _BlockPairDatasource(dirs, threshold, sizes))
 
 
 # ------------------------------------------------------------------ IVF
@@ -224,10 +231,17 @@ def embedding_near_dup_pairs(ds: Dataset, threshold: float = 0.35,
 def train_centroids(ds: Dataset, n_centroids: int = 16, iters: int = 3,
                     sample_ids: list[int] | None = None) -> np.ndarray:
     """Distributed Lloyd iterations: centroids init from the first
-    ``n_centroids`` vectors (deterministic), each iteration is a
-    map_batches partial-sum (sum, count per centroid) + tiny driver reduce."""
+    ``n_centroids`` vectors (deterministic). Each iteration emits
+    per-batch partial (cid, dim, s=Σemb, n) rows and reduces them with a
+    ``groupby(["cid", "dim"]).aggregate(Sum)`` IN the cluster — the
+    driver pulls only the final (n_centroids × dim)-row table, a size
+    independent of the corpus (r2 pulled every batch's partials to the
+    driver, O(#batches·centroids·dim))."""
+    from ray.data.aggregate import Sum
+
     init_ids = sample_ids or list(range(n_centroids))
     cents, _ = load_query_matrix(ds, init_ids)
+    dim = cents.shape[1]
 
     for _ in range(iters):
         c_ref = ray.put(cents)
@@ -239,20 +253,28 @@ def train_centroids(ds: Dataset, n_centroids: int = 16, iters: int = 3,
             sums = np.zeros_like(c)
             np.add.at(sums, assign, emb)
             counts = np.bincount(assign, minlength=c.shape[0])
+            k_c = c.shape[0]
+            # one row per (cid, dim); n rides on every dim row (constant
+            # within a cid, so the aggregated n is count·dim-consistent)
             return pa.table({
-                "cid": pa.array(np.arange(c.shape[0]), type=pa.int32()),
-                "vsum": pa.array(sums.tolist(),
-                                 type=pa.list_(pa.float64())),
-                "n": pa.array(counts, type=pa.int64()),
+                "cid": pa.array(np.repeat(np.arange(k_c, dtype=np.int32),
+                                          dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32),
+                                        k_c)),
+                "s": pa.array(sums.ravel(), type=pa.float64()),
+                "n": pa.array(np.repeat(counts, dim), type=pa.int64()),
             })
 
-        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        dim = cents.shape[1]
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["cid", "dim"])
+               .aggregate(Sum("s", alias_name="s"),
+                          Sum("n", alias_name="n"))
+               .take_all())  # ≤ n_centroids·dim rows — small by contract
         sums = np.zeros((cents.shape[0], dim))
         counts = np.zeros(cents.shape[0], dtype=np.int64)
-        for r in rows:
-            sums[r["cid"]] += np.asarray(r["vsum"])
-            counts[r["cid"]] += r["n"]
+        for r in agg:
+            sums[r["cid"], r["dim"]] = r["s"]
+            counts[r["cid"]] = r["n"] if r["dim"] == 0 else counts[r["cid"]]
         nz = counts > 0
         cents[nz] = _normalize(sums[nz] / counts[nz, None])
     return cents

@@ -25,7 +25,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .partitioning import auto_num_parts
 
 _MERSENNE = (1 << 61) - 1
 
@@ -162,14 +164,18 @@ def minhash_signatures(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
 
 def _segment_index_pairs(band: np.ndarray, bhash: np.ndarray,
                          did: np.ndarray,
-                         cap: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                         cap: int | None) -> tuple[np.ndarray, np.ndarray,
+                                                   np.ndarray]:
     """Candidate pairs for every equal-(band,bhash) segment, returned as
     (order, ia, ib): positions into the (band,bhash,doc_id)-lexsorted
-    arrays, with did[order][ia] < did[order][ib] per pair. Segments of
-    size ≤ cap emit all pairs; larger (degenerate, e.g. B identical docs
-    → B²/2 pairs) segments elect the min doc_id as representative and emit
-    only (rep, other) star pairs — O(B), and every non-representative
-    member still gets linked for dropping."""
+    arrays, with did[order][ia] < did[order][ib] per pair. ``cap=None``
+    emits ALL pairs of every segment (complete — required when the
+    operator's contract is the full n² pair set). With a finite cap,
+    segments of size ≤ cap emit all pairs; larger (degenerate, e.g. B
+    identical docs → B²/2 pairs) segments elect the min doc_id as
+    representative and emit only (rep, other) star pairs — O(B), every
+    non-representative member still linked for dropping, but
+    member–member pairs are NOT emitted."""
     order = np.lexsort((did, bhash, band))
     band, bhash, did = band[order], bhash[order], did[order]
     n = len(did)
@@ -181,7 +187,7 @@ def _segment_index_pairs(band: np.ndarray, bhash: np.ndarray,
     ib_out: list[np.ndarray] = []
     # loop only over multi-member segments (singletons dominate)
     for s, L in zip(starts[lens > 1].tolist(), lens[lens > 1].tolist()):
-        if L <= cap:
+        if cap is None or L <= cap:
             ia, ib = np.triu_indices(L, k=1)
         else:
             ia = np.zeros(L - 1, dtype=np.int64)
@@ -216,7 +222,7 @@ def optimal_bands(num_perm: int, threshold: float) -> int:
 
 
 def lsh_candidate_pairs(sigs: Dataset, bands: int = 16,
-                        bucket_pair_cap: int = 64,
+                        bucket_pair_cap: int | None = 64,
                         num_parts: int = 64) -> Dataset:
     """Signatures → distinct candidate (id_a, id_b) pairs via banded LSH.
 
@@ -224,7 +230,9 @@ def lsh_candidate_pairs(sigs: Dataset, bands: int = 16,
     COARSE partition of the band-hash space (``num_parts`` groups, not one
     Python dispatch per bucket), and run one vectorized segment scan per
     partition. Degenerate buckets are capped via representative election
-    (see :func:`_segment_pairs`). a<b ordering makes pairs canonical.
+    (see :func:`_segment_index_pairs`) — the cap's completeness effect is
+    documented on :func:`minhash_dedup_pairs`. a<b ordering makes pairs
+    canonical.
     """
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -398,7 +406,9 @@ def _attach_blobs(cand: Dataset, blobs: Dataset,
 
 def minhash_dedup_pairs(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
                         bands: int | None = None, threshold: float = 0.5,
-                        bucket_pair_cap: int = 64) -> Dataset:
+                        bucket_pair_cap: int | None = 64,
+                        expand_exact_clusters: bool = True,
+                        num_parts: int | None = None) -> Dataset:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
     verification. Returns a Dataset (id_a, id_b, jaccard:double), sorted
     by (id_a, id_b).
@@ -413,15 +423,35 @@ def minhash_dedup_pairs(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
     ``bands=None`` picks the banding from the threshold
     (:func:`optimal_bands`): r1's fixed 16×4 banding detected only ~63 %
     of J=0.5 borderline pairs; at t=0.5 the auto choice (32×2) detects
-    >99.97 % and the exact verify discards the extra false candidates."""
+    >99.97 % and the exact verify discards the extra false candidates.
+
+    **Completeness contract of ``bucket_pair_cap`` (default 64):** any
+    (band, band-hash) bucket larger than the cap — in practice a cluster
+    of exact/near-exact duplicates sharing a band signature — emits only
+    (min-id, other) STAR candidates, not all member–member pairs, so the
+    verified pair output is a spanning star per such cluster rather than
+    its full clique. Every member is still linked for drop decisions
+    (dedup keep/drop is unaffected); only the PAIR LISTING is reduced,
+    bounding candidate work at O(B) instead of O(B²) per degenerate
+    bucket. ``expand_exact_clusters=True`` restores the full clique for
+    EXACT-duplicate clusters after verification: verified star pairs with
+    Jaccard == 1.0 mean identical shingle sets, and set equality is
+    transitive, so the member–member pairs (all Jaccard 1.0) are emitted
+    without re-verification. Near-exact (J < 1) member–member pairs
+    inside an over-cap bucket remain unreported — pass
+    ``bucket_pair_cap=None`` to force complete candidate enumeration
+    (quadratic in the duplicate-cluster size) when that listing is the
+    requirement."""
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
     if bands is None:
         bands = optimal_bands(num_perm, threshold)
     sigs = minhash_signatures(ds, num_perm, shingle_k)
-    cand = (lsh_candidate_pairs(sigs, bands, bucket_pair_cap)
+    cand = (lsh_candidate_pairs(sigs, bands, bucket_pair_cap, num_parts)
             .select_columns(["id_a", "id_b"]))
     sk = shingle_sketches(ds, shingle_k).rename_columns(
         {"shingles": "blob"})
-    joined = _attach_blobs(cand, sk)
+    joined = _attach_blobs(cand, sk, num_parts=min(num_parts, 4096))
 
     def verify(batch: pa.Table) -> pa.Table:
         a_ids = batch["id_a"].to_numpy(zero_copy_only=False)
@@ -445,13 +475,41 @@ def minhash_dedup_pairs(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
                          "id_b": pa.array(keep_b, type=pa.int64()),
                          "jaccard": pa.array(jac, type=pa.float64())})
 
-    return (joined.map_batches(verify, batch_format="pyarrow")
-            .sort(["id_a", "id_b"]))
+    verified = joined.map_batches(verify, batch_format="pyarrow")
+    if expand_exact_clusters and bucket_pair_cap is not None:
+        # Restore the full clique for exact-duplicate clusters reduced to
+        # stars by the cap: J(rep,x)=1 and J(rep,y)=1 ⇒ identical shingle
+        # sets ⇒ J(x,y)=1 — valid to emit without re-verifying. A pair may
+        # also have been found directly through an under-cap bucket, so a
+        # final pair-keyed groupby dedups (jaccard values agree at 1.0).
+        def expand(group: pa.Table) -> pa.Table:
+            jac = group["jaccard"].to_numpy(zero_copy_only=False)
+            exact = np.sort(
+                group["id_b"].to_numpy(zero_copy_only=False)[jac == 1.0])
+            m = len(exact)
+            if m < 2:
+                return pa.table({"id_a": pa.array([], type=pa.int64()),
+                                 "id_b": pa.array([], type=pa.int64()),
+                                 "jaccard": pa.array([], type=pa.float64())})
+            ia, ib = np.triu_indices(m, k=1)
+            return pa.table({
+                "id_a": pa.array(exact[ia], type=pa.int64()),
+                "id_b": pa.array(exact[ib], type=pa.int64()),
+                "jaccard": pa.array(np.ones(len(ia)), type=pa.float64()),
+            })
+
+        clique = verified.groupby("id_a").map_groups(
+            expand, batch_format="pyarrow")
+        verified = (verified.union(clique)
+                    .groupby(["id_a", "id_b"])
+                    .aggregate(Max("jaccard", alias_name="jaccard")))
+    return verified.sort(["id_a", "id_b"])
 
 
 def ngram_jaccard_pairs(ds: Dataset, shingle_k: int = 3,
                         threshold: float = 0.5,
-                        num_parts: int = 64) -> Dataset:
+                        num_parts: int | None = None,
+                        max_shingle_df: int | None = 8192) -> Dataset:
     """EXACT n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard) for
     every pair of non-blank docs with token-``shingle_k``-gram Jaccard
     ≥ threshold.
@@ -464,11 +522,21 @@ def ngram_jaccard_pairs(ds: Dataset, shingle_k: int = 3,
     sizes; |A∪B| = |A|+|B|-|A∩B| needs no further join because the set
     sizes ride with every exploded row. Exact ⇒ SQL-oracle checkable.
 
-    Scale note: unlike MinHash-LSH this pays O(Σ_s df(s)²) in the
-    candidate pass — it is the exact complement for corpora whose
-    shingle df is bounded (shared k-grams are rare by construction;
-    stopword-like shingles can be df-capped upstream).
+    Scale note: the candidate pass pays O(Σ_s df(s)²). ``max_shingle_df``
+    bounds it: a shingle shared by more than that many docs (a
+    stopword-like k-gram — 8192² = 67M pair emissions from ONE shingle)
+    is skipped in the co-occurrence scan and its skip is logged. The
+    shingle still counts toward both docs' set SIZES, so any reported
+    jaccard is exact-or-underestimated, never inflated — pairs whose
+    intersection ≥ threshold·union without the capped shingles are still
+    found exactly; pairs that need a capped (near-ubiquitous) shingle to
+    clear the threshold are dropped. ``max_shingle_df=None`` restores the
+    unconditional exactness contract. Because every occurrence of a
+    shingle lands in the same partition (``part = hash % num_parts``),
+    the per-segment length in the scan IS the shingle's global df.
     """
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
         dids, shs, sizes = [], [], []
@@ -504,8 +572,20 @@ def ngram_jaccard_pairs(ds: Dataset, shingle_k: int = 3,
         new_seg[1:] = sh[1:] != sh[:-1]
         starts = np.flatnonzero(new_seg)
         lens = np.diff(np.append(starts, n))
+        if max_shingle_df is not None:
+            over = int(np.count_nonzero(lens > max_shingle_df))
+            if over:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: skipping %d shingle(s) with df > "
+                    "%d (max df seen: %d) — pairs needing them to clear the "
+                    "threshold are dropped", over, max_shingle_df,
+                    int(lens.max()))
+            sel = (lens > 1) & (lens <= max_shingle_df)
+        else:
+            sel = lens > 1
         a_i, b_i = [], []
-        for s, L in zip(starts[lens > 1].tolist(), lens[lens > 1].tolist()):
+        for s, L in zip(starts[sel].tolist(), lens[sel].tolist()):
             ia, ib = np.triu_indices(L, k=1)
             a_i.append(ia + s)
             b_i.append(ib + s)
@@ -562,28 +642,68 @@ def _md5_hash64(token: str) -> int:
 
 
 class SimHashStage:
-    """Actor-pool stage: 64-bit SimHash over whitespace tokens
+    """Actor-pool stage: 64-bit SimHash over lowercased whitespace tokens
     (tf-weighted bit votes; md5-based token hashing shared with the
-    DuckDB oracle). Bit voting is one vectorized (tokens × 64) broadcast
-    per doc."""
+    DuckDB oracle).
+
+    Fully vectorized per batch: Arrow split → dictionary-encode → md5
+    ONLY the batch's unique tokens (cached across batches in actor
+    state — the tokenizer's unique-token trick), per-(doc, token) tf via
+    one fused-key ``np.unique``, bit votes via ``np.add.reduceat`` over
+    the (occurrences × 64) signed matrix. Integer vote sums ⇒
+    order-free ⇒ identical to the per-doc loop it replaced."""
 
     _BITS = np.arange(64, dtype=np.uint64)
 
+    def __init__(self):
+        self._hash_cache: dict[str, int] = {}
+
+    def _hash_unique(self, vocab: list[str]) -> np.ndarray:
+        cache = self._hash_cache
+        if len(cache) > 2_000_000:
+            cache.clear()
+        out = np.empty(len(vocab), dtype=np.uint64)
+        for i, t in enumerate(vocab):
+            h = cache.get(t)
+            if h is None:
+                h = cache[t] = _md5_hash64(t)
+            out[i] = h
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            toks = text.lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            vals, counts = np.unique(np.array(toks), return_counts=True)
-            hs = np.fromiter((_md5_hash64(t) for t in vals.tolist()),
-                             dtype=np.uint64, count=len(vals))
-            bits = ((hs[:, None] >> self._BITS) & np.uint64(1)).astype(bool)
-            signed = np.where(bits, counts[:, None], -counts[:, None])
-            votes = signed.sum(axis=0)
-            bits_out = (votes > 0).astype(np.uint64)
-            out.append(int((bits_out << self._BITS).sum()))
+        n_docs = batch.num_rows
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"]))
+        toks = pc.utf8_split_whitespace(trimmed)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        # Arrow yields [''] for blank docs where str.split() yields []
+        if pc.any(pc.equal(trimmed, "")).as_py():
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            parents = parents.filter(keep)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            vocab = enc.dictionary.to_pylist()
+            hs_u = self._hash_unique(vocab)
+            par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+            # tf per (doc, token): one vectorized unique over a fused key
+            key = par * len(vocab) + codes
+            uniq, cnt = np.unique(key, return_counts=True)
+            d_e = uniq // len(vocab)
+            c_e = uniq % len(vocab)
+            bits_u = ((hs_u[:, None] >> self._BITS) & np.uint64(1)
+                      ).astype(bool)                       # (vocab, 64)
+            signed = np.where(bits_u[c_e], cnt[:, None], -cnt[:, None])
+            doc_starts = np.flatnonzero(np.diff(d_e, prepend=-1))
+            votes = np.add.reduceat(signed, doc_starts, axis=0)
+            sim = ((votes > 0).astype(np.uint64)
+                   << self._BITS[None, :]).sum(axis=1, dtype=np.uint64)
+            out[d_e[doc_starts]] = sim
         return pa.table({"doc_id": batch["doc_id"],
                          "simhash": pa.array(out, type=pa.uint64())})
 
@@ -600,16 +720,26 @@ def _hamming64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dup_pairs(ds: Dataset, max_hamming: int = 3,
-                           bucket_pair_cap: int = 64,
-                           num_parts: int = 64) -> Dataset:
-    """Near-dup (id_a, id_b, hamming) via 4-band blocking: with 4 16-bit
-    bands, Hamming ≤ 3 guarantees one identical band (pigeonhole), so the
-    bucket pass finds all qualifying pairs without an n² comparison.
+                           bucket_pair_cap: int | None = None,
+                           num_parts: int | None = None) -> Dataset:
+    """ALL near-dup (id_a, id_b, hamming) pairs via 4-band blocking: with
+    4 16-bit bands, Hamming ≤ 3 guarantees one identical band
+    (pigeonhole), so the bucket pass finds every qualifying pair without
+    an n² comparison — the output is complete (equals the n² SQL oracle).
+
+    ``bucket_pair_cap`` defaults to **None** (no cap): popcount
+    verification is cheap, and a finite cap silently drops member–member
+    pairs of any (band, key) bucket larger than the cap, violating the
+    completeness contract. Pass a finite cap only as an explicit opt-in
+    when a duplicate-saturated corpus makes the quadratic PAIR OUTPUT
+    itself (the contract's own lower bound) unaffordable — with a cap,
+    output degrades to (min-id, other) star pairs per oversized bucket.
 
     Same scale shape as the LSH path: vectorized explode, one vectorized
-    segment scan per coarse partition, degenerate buckets capped via
-    representative election, vectorized popcount verification.
+    segment scan per coarse partition, vectorized popcount verification.
     """
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -1,0 +1,40 @@
+"""Coarse-partition sizing shared by the shuffle-join / segment-scan
+family (dedup, curation, events, relational).
+
+Every ``groupby("part").map_groups(...)`` stage in that family
+materializes roughly ``rows / num_parts`` rows in one task, so a fixed
+``num_parts`` stops being safe at 100× the data (the same scaling note
+``num_term_buckets`` documents for the index build). This helper derives
+the partition count from the input row count and a target rows-per-task
+budget instead.
+
+Power-of-two result by contract: several call sites key the partition
+with ``pc.bit_wise_and(key, num_parts - 1)``, which is only a uniform
+hash-mod when ``num_parts`` is a power of two.
+"""
+
+from __future__ import annotations
+
+DEFAULT_TARGET_ROWS = 64_000
+MIN_PARTS = 16
+MAX_PARTS = 65_536
+
+
+def auto_num_parts(ds_or_count, target_rows: int = DEFAULT_TARGET_ROWS,
+                   min_parts: int = MIN_PARTS,
+                   max_parts: int = MAX_PARTS) -> int:
+    """Partition count for a coarse-partition segment scan over
+    *ds_or_count* rows: smallest power of two ≥ rows / target_rows,
+    clamped to [min_parts, max_parts].
+
+    Accepts an ``int`` row count or a ``ray.data.Dataset`` (its
+    ``count()`` is metadata-only for plain Parquet reads — pass a count
+    explicitly when the input is a derived pipeline whose execution you
+    don't want to trigger twice).
+    """
+    n = ds_or_count if isinstance(ds_or_count, int) else ds_or_count.count()
+    want = max(1, -(-n // max(1, target_rows)))
+    parts = 1
+    while parts < want:
+        parts <<= 1
+    return max(min_parts, min(max_parts, parts))

@@ -240,6 +240,27 @@ def fingerprints(ds: Dataset) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_MD5_MODP_CACHE: dict[str, int] = {}
+
+
+def _md5_modp_unique(vocab: list[str]) -> np.ndarray:
+    """md5_number_lower(token) mod (2^61-1) for a batch's UNIQUE tokens,
+    cached per worker process — the tokenizer's unique-token trick applied
+    to the md5-hashing stages (the md5 calls were their hot spot)."""
+    from .dedup import _md5_hash64
+    P = (1 << 61) - 1
+    cache = _MD5_MODP_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    out = np.empty(len(vocab), dtype=np.uint64)
+    for i, t in enumerate(vocab):
+        h = cache.get(t)
+        if h is None:
+            h = cache[t] = _md5_hash64(t) % P
+        out[i] = h
+    return out
+
+
 def rolling_fingerprints(ds: Dataset, window: int = 16) -> Dataset:
     """(doc_id, fp64) — polynomial rolling-hash fingerprint: min of the
     rolling hashes of token windows (a winnowing-style document sketch).
@@ -247,30 +268,42 @@ def rolling_fingerprints(ds: Dataset, window: int = 16) -> Dataset:
     Window hash of tokens t_i..t_{i+w-1} is
     ``Σ_j h(t_{i+j})·B^{w-1-j} mod (2^61-1)`` with the md5-based token
     hash shared with DuckDB (``md5_number_lower``) — exact modular
-    arithmetic on both sides, so the SQL oracle value-checks this."""
-    from .dedup import _md5_hash64, _mulmod_mersenne61
+    arithmetic on both sides, so the SQL oracle value-checks this.
+
+    Tokens are hashed once per batch-unique token (process-level cache,
+    :func:`_md5_modp_unique`); only the per-doc window fold — w ≤ 16
+    vectorized passes — remains per-document work."""
+    from .dedup import _mulmod_mersenne61
     B = 1000003
     P = (1 << 61) - 1
 
     def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            toks = text.split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.fromiter((_md5_hash64(t) % P for t in toks),
-                             dtype=np.uint64, count=len(toks))
-            w = min(window, len(hs))
-            n_win = len(hs) - w + 1
-            acc = np.zeros(n_win, dtype=np.uint64)
-            power = 1
-            for j in range(w - 1, -1, -1):  # exponent w-1-j grows as j falls
-                acc += _mulmod_mersenne61(np.uint64(power), hs[j:j + n_win])
-                acc = (acc & np.uint64(P)) + (acc >> np.uint64(61))
-                power = (power * B) % P
-            acc = np.where(acc >= P, acc - np.uint64(P), acc)
-            out.append(int(acc.min()))
+        n = batch.num_rows
+        out = np.zeros(n, dtype=np.uint64)
+        _, flat, parents = _tokens(batch)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            hs_all = _md5_modp_unique(enc.dictionary.to_pylist())[codes]
+            par = parents.to_numpy(zero_copy_only=False)
+            doc_starts = np.flatnonzero(np.diff(par, prepend=-1))
+            doc_ends = np.append(doc_starts[1:], len(par))
+            for s, e in zip(doc_starts.tolist(), doc_ends.tolist()):
+                hs = hs_all[s:e]
+                w = min(window, len(hs))
+                n_win = len(hs) - w + 1
+                acc = np.zeros(n_win, dtype=np.uint64)
+                power = 1
+                # exponent w-1-j grows as j falls
+                for j in range(w - 1, -1, -1):
+                    acc += _mulmod_mersenne61(np.uint64(power),
+                                              hs[j:j + n_win])
+                    acc = (acc & np.uint64(P)) + (acc >> np.uint64(61))
+                    power = (power * B) % P
+                acc = np.where(acc >= P, acc - np.uint64(P), acc)
+                out[par[s]] = acc.min()
         return pa.table({"doc_id": batch["doc_id"],
                          "fp64": pa.array(out, type=pa.uint64())})
 
@@ -300,35 +333,43 @@ _LANG_MARKERS = {
 
 
 class LangIdStage:
-    """Actor-pool language-ID stage: marker tables built once per actor.
+    """Actor-pool language-ID stage: marker value-sets built once per
+    actor (``__init__``), per batch one vectorized ``pc.is_in`` per
+    language over the flattened lowercased tokens + a ``bincount`` per
+    doc — no per-token Python (r2's loop was the slowest per-byte
+    heuristic stage).
 
-    Heuristic: argmax over per-language marker-hit ratios; ``und`` when no
-    marker hits (the synthetic corpora are English-ish, so most rows score
-    ``en`` or ``und``). Rows-only correctness check (non-SQL heuristic).
+    Heuristic: argmax over per-language marker hits, ties to the
+    alphabetically-first language (``np.argmax`` first-max ≡ the old
+    strictly-greater loop over sorted langs); ``und`` when no marker
+    hits. Value-checked against a marker-count SQL oracle.
     """
 
     def __init__(self):
-        self._markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
-        self._langs = sorted(self._markers)
+        self._langs = sorted(_LANG_MARKERS)
+        self._value_sets = [pa.array(sorted(_LANG_MARKERS[lang]))
+                            for lang in self._langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for text in batch["text"].to_pylist():
-            toks = text.lower().split()
-            if not toks:
-                preds.append("und")
-                confs.append(0.0)
-                continue
-            best_lang, best = "und", 0
-            for lang in self._langs:
-                hits = sum(1 for t in toks if t in self._markers[lang])
-                if hits > best:
-                    best, best_lang = hits, lang
-            preds.append(best_lang)
-            confs.append(best / len(toks))
+        n = batch.num_rows
+        n_tok_arr, flat, parents = _tokens(batch)
+        n_tok = n_tok_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_l = pc.utf8_lower(flat)
+        par = parents.to_numpy(zero_copy_only=False)
+        hits = np.zeros((n, len(self._langs)), dtype=np.int64)
+        if len(flat_l):
+            for li, vs in enumerate(self._value_sets):
+                mask = pc.is_in(flat_l, value_set=vs).to_numpy(
+                    zero_copy_only=False)
+                hits[:, li] = np.bincount(par, weights=mask, minlength=n)
+        best = hits.max(axis=1)
+        arg = hits.argmax(axis=1)
+        langs = np.asarray(self._langs)
+        preds = np.where(best > 0, langs[arg], "und")
+        confs = best / np.maximum(n_tok, 1)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "pred_lang": pa.array(preds, type=pa.string()),
+            "pred_lang": pa.array(preds.tolist(), type=pa.string()),
             "confidence": pa.array(confs, type=pa.float64()),
         })
 

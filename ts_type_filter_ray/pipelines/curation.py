@@ -26,25 +26,32 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from ..functions import dedup, textstats
+from ..functions.partitioning import auto_num_parts
 
 _KIND_BASE = 0
 _KIND_EXACT_LOSER = 1
 _KIND_NEAR_DROP = 2
 
 
-def exact_dup_losers(docs: Dataset, num_parts: int = 64) -> Dataset:
+def exact_dup_losers(docs: Dataset, num_parts: int | None = None) -> Dataset:
     """(doc_id,) of every doc that is NOT the min-doc_id winner of its
     sha256 group — fully distributed: coarse partition of the sha space,
     vectorized segment scan per partition."""
+    if num_parts is None:
+        num_parts = auto_num_parts(docs)
 
     def add_sha(batch: pa.Table) -> pa.Table:
-        shas = [hashlib.sha256(t.encode("utf-8")).digest()[:8]
-                for t in batch["text"].to_pylist()]
-        key = np.frombuffer(b"".join(shas), dtype=np.uint64)
+        digests = [hashlib.sha256(t.encode("utf-8")).digest()
+                   for t in batch["text"].to_pylist()]
+        # 8-byte prefix partitions/sorts; the FULL 32-byte hex is what the
+        # segment scan compares, so a prefix collision cannot conflate two
+        # distinct documents (ADVICE r2)
+        key = np.frombuffer(b"".join(d[:8] for d in digests),
+                            dtype=np.uint64)
         return pa.table({
             "part": pa.array((key % num_parts).astype(np.int32)),
             "key": pa.array(key),
-            "sha256": pa.array([s.hex() for s in shas], type=pa.string()),
+            "sha256": pa.array([d.hex() for d in digests], type=pa.string()),
             "doc_id": batch["doc_id"],
         })
 
@@ -106,13 +113,18 @@ def curate(docs: Dataset, *,
            keep_langs: tuple[str, ...] | None = None,
            jaccard_threshold: float = 0.8,
            out_dir: str | None = None,
-           num_parts: int = 64) -> tuple[Dataset, dict]:
+           num_parts: int | None = None) -> tuple[Dataset, dict]:
     """Return (curated dataset, per-stage drop counts).
 
     *docs* must have ``doc_id:int64, text:string`` (+ any payload
     columns, carried through). The report is one small driver aggregate;
-    per-doc state never leaves the cluster.
+    per-doc state never leaves the cluster. ``num_parts=None`` derives
+    the coarse-partition count from the corpus row count
+    (:func:`..functions.partitioning.auto_num_parts`) so per-partition
+    ``map_groups`` tasks stay memory-bounded at any corpus size.
     """
+    if num_parts is None:
+        num_parts = auto_num_parts(docs)
     schema = docs.schema()  # ray.data Schema wrapper
     payload_names = list(schema.names)
     payload_types = dict(zip(schema.names, schema.types))

@@ -90,6 +90,8 @@ def _strict_number():
 class _Converter:
     def __init__(self):
         self._cache: dict[str, PyAny] = {}
+        self._in_progress: set[int] = set()  # Struct node ids being built
+        self._model_seq = 0  # unique model name per struct instantiation
 
     def convert(self, symbols: Symbols, node, required: bool):
         if isinstance(node, ParamRef):
@@ -155,24 +157,31 @@ class _Converter:
         return self._cache[d.name]
 
     def _struct(self, symbols: Symbols, node: Struct, required: bool):
-        model_name = f"DynamicModel_{id(node)}"
-        if model_name in self._cache:
-            raise ValueError(f"Recursive type detected: {model_name}")
-        self._cache[model_name] = None  # recursion guard
-        fields = {}
-        for raw_name, ftype in node.obj.items():
-            optional = raw_name.endswith("?")
-            name = raw_name.rstrip("?")
-            ptype = self.convert(symbols, ftype, required=not optional)
-            if not required or optional:
-                ptype = Optional[ptype]
-            fields[name] = (ptype,
-                            Field(...) if required and not optional else None)
-        model = create_model(
-            model_name, **fields,
-            __config__=ConfigDict(strict=True, extra="forbid"))
-        self._cache[model_name] = model
-        return model
+        # Only an IN-PROGRESS revisit is recursion. A completed struct may
+        # legitimately be instantiated again — e.g. a generic used twice,
+        # Box<"x"> and Box<"y"> — with different bindings, so each
+        # instantiation builds a fresh, uniquely named model (ADVICE r2;
+        # the reference's V1 path raised spuriously here, TODO.md:5-8).
+        if id(node) in self._in_progress:
+            raise ValueError(f"Recursive type detected: Struct_{id(node)}")
+        self._in_progress.add(id(node))
+        try:
+            self._model_seq += 1
+            model_name = f"DynamicModel_{id(node)}_{self._model_seq}"
+            fields = {}
+            for raw_name, ftype in node.obj.items():
+                optional = raw_name.endswith("?")
+                name = raw_name.rstrip("?")
+                ptype = self.convert(symbols, ftype, required=not optional)
+                if not required or optional:
+                    ptype = Optional[ptype]
+                fields[name] = (ptype, Field(...)
+                                if required and not optional else None)
+            return create_model(
+                model_name, **fields,
+                __config__=ConfigDict(strict=True, extra="forbid"))
+        finally:
+            self._in_progress.discard(id(node))
 
 
 def create_validator_model(defs: list, root_name: str):
