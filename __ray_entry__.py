@@ -75,6 +75,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_served": lambda sf: flagship.bm25_topk_served_table(sf),
         "boolean_match": lambda sf: flagship.boolean_match_table(sf),
         "index_statistics": lambda sf: flagship.index_statistics_table(sf),
+        # -- identity-stemmer index mode: the SAME distributed
+        #    build→spill→merge→decode→match machinery with stemming
+        #    replaced by lower(), which makes it ANSI-SQL-expressible and
+        #    puts the flagship core on the value-exact gate (VERDICT r2 #1)
+        "boolean_match_nostem":
+            lambda sf: flagship.boolean_match_nostem_table(sf),
+        "index_statistics_nostem":
+            lambda sf: flagship.index_statistics_nostem_table(sf),
         # -- SQL-checked text analysis --
         "token_counts": lambda sf: textstats.token_counts(_docs(sf)),
         "doc_stats_by_lang": lambda sf: textstats.doc_stats_by_lang(_docs(sf)),
@@ -236,6 +244,16 @@ def oracle_sql() -> dict[str, str]:
         f"({e},{pow(_B, e, _P)}::HUGEINT)" for e in range(16))
     dot = ("list_sum(list_transform(range(1, len({a}.embedding)+1), "
            "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))")
+
+    # (query_idx, term) VALUES rows for the identity-stemmer boolean-match
+    # oracle, derived from the SAME query set + breaker + stemmer the
+    # engine path uses (constants at plan time, like the lang markers)
+    from ts_type_filter_ray.pipelines.flagship import (NOSTEM_QUERY_SET,
+                                                       identity_stemmer)
+    from ts_type_filter_ray.pipelines.query import query_stems
+    nostem_rows = ",".join(
+        f"({qi},'{t}')" for qi, q in enumerate(NOSTEM_QUERY_SET)
+        for t in query_stems(q, stemmer=identity_stemmer))
     return {
         "token_counts": r"""
             select doc_id,
@@ -309,6 +327,29 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) as fp
             from documents""",
+        "boolean_match_nostem": rf"""
+            with q(query_idx, term) as (values {nostem_rows}),
+            toks as (
+              select distinct doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                       as term
+                from documents where trim(text) <> ''))
+            select distinct q.query_idx, t.doc_id
+            from q join toks t using (term)""",
+        "index_statistics_nostem": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> '')
+            select (select count(*) from documents)::BIGINT as num_documents,
+                   (select count(distinct term) from toks)::BIGINT
+                       as num_unique_terms,
+                   (select count(*) from
+                       (select distinct doc_id, term from toks))::BIGINT
+                       as num_postings,
+                   (select count(*) from toks)::BIGINT as total_doc_len""",
         "exact_dedup": """
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies

@@ -34,9 +34,36 @@ QUERY_SET: list[str | list[str]] = [
 
 INDEX_LAYOUT_VERSION = 2  # bump when the on-disk index layout changes
 
+# Query set for the IDENTITY-STEMMER (lowercase-only) index mode: no
+# stemming means every step — tokenize, spill, merge, decode, match — is
+# expressible in ANSI SQL over lowercased whitespace tokens, which puts
+# the flagship build→merge→query machinery itself on the driver's
+# value-exact DuckDB gate (VERDICT r2 top item). Mixed case exercises the
+# lowercase normalization; "" exercises the empty-query path (no pinned
+# docs here → empty match set on both sides).
+NOSTEM_QUERY_SET: list[str] = [
+    "spark",
+    "query fast",
+    "Table ROW Scan",
+    "nonexistentterm",
+    "",
+    "the a of",
+    "hash partition window stream",
+]
 
-def _index_cache_dir(sf_dir: str) -> str:
+
+def identity_stemmer(token: str) -> str:
+    """Lowercase-only "stemmer" — the reference's extension surface
+    (``inverted_index.py:36-39``) with stemming disabled; keeps the
+    lowercase step the reference's stem() performs so match is
+    case-insensitive and ≡ SQL ``lower()``."""
+    return token.lower()
+
+
+def _index_cache_dir(sf_dir: str, variant: str = "") -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if variant:
+        tag = f"{tag}_{variant}"
     # key on the input's content identity (size+mtime of documents.parquet),
     # not just the path: a changed corpus under the same path must not
     # silently reuse a stale index (ADVICE r1)
@@ -58,6 +85,19 @@ def build_documents_index(sf_dir: str, force: bool = False) -> BuiltIndex:
     corpus = corpus_from_documents(sf_dir)
     return build_index(corpus, out, doc_part_bits=12, num_term_buckets=16,
                        tokenize_batch_size=128)
+
+
+def build_documents_index_nostem(sf_dir: str,
+                                 force: bool = False) -> BuiltIndex:
+    """Identity-stemmer build over the same corpus — the full distributed
+    tokenize → bucket spill → merge path with stemming replaced by
+    lowercase, so its outputs are DuckDB-expressible (value-exact gate)."""
+    out = _index_cache_dir(sf_dir, variant="nostem")
+    if not force and os.path.exists(os.path.join(out, "stats.json")):
+        return BuiltIndex.load(out)
+    corpus = corpus_from_documents(sf_dir)
+    return build_index(corpus, out, doc_part_bits=12, num_term_buckets=16,
+                       tokenize_batch_size=128, stemmer=identity_stemmer)
 
 
 def bm25_topk_table(sf_dir: str, k: int = 10,
@@ -121,6 +161,38 @@ def boolean_match_table(sf_dir: str, queries: list | None = None) -> pa.Table:
 def index_statistics_table(sf_dir: str) -> pa.Table:
     """The reference ``statistics()`` aggregates (G2) as a one-row table."""
     idx = build_documents_index(sf_dir)
+    s = idx.stats
+    return pa.table({
+        "num_documents": pa.array([s.num_documents], type=pa.int64()),
+        "num_unique_terms": pa.array([s.num_unique_terms], type=pa.int64()),
+        "num_postings": pa.array([s.num_postings], type=pa.int64()),
+        "total_doc_len": pa.array([s.total_doc_len], type=pa.int64()),
+    })
+
+
+def boolean_match_nostem_table(sf_dir: str,
+                               queries: list | None = None) -> pa.Table:
+    """(query_idx, doc_id) match sets from the IDENTITY-STEMMER index —
+    the distributed build→spill→merge→decode→match path, value-exact
+    against a DuckDB oracle over lowercased whitespace tokens (reference
+    match semantics, ``inverted_index.py:87-101``, minus stemming)."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, q in enumerate(queries or NOSTEM_QUERY_SET):
+        for doc_id in searcher.match(q).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def index_statistics_nostem_table(sf_dir: str) -> pa.Table:
+    """Reference ``statistics()`` (G2) over the identity-stemmer index —
+    num_documents / num_unique_terms / num_postings / total_doc_len are
+    all SQL-expressible without stemming, so the distributed aggregates
+    get the value-exact check."""
+    idx = build_documents_index_nostem(sf_dir)
     s = idx.stats
     return pa.table({
         "num_documents": pa.array([s.num_documents], type=pa.int64()),
