@@ -106,6 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), ANN_QUERY_IDS, k=ANN_K).select_columns(
                 ["query_id", "rank", "vec_id"]),
         "embedding_near_dup": near_dup,
+        # sub-quadratic hyperplane-LSH near-dup (recall<1 by design →
+        # rows-only; pytest asserts ≥0.99 recall vs the exact sweep)
+        "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_pairs_lsh(
+            _emb(sf), threshold=0.45).select_columns(["id_a", "id_b"]),
         # -- misc text analysis (heuristic → rows-only) --
         "language_id": lambda sf: textstats.language_id(_docs(sf)),
         "rolling_fingerprints": lambda sf: textstats.rolling_fingerprints(

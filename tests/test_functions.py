@@ -235,14 +235,97 @@ def test_minhash_exact_cluster_expansion_complete(ray_session):
 
 def test_embedding_near_dup_multiblock_exact(emb):
     """The K>1 block-pair sweep must produce the identical pair set as a
-    single block (exactness does not depend on the blocking)."""
+    single block, for BOTH blockings (exactness does not depend on the
+    blocking, and the centroid path's triangle-bound pruning is provably
+    safe)."""
     one = sorted((r["id_a"], r["id_b"]) for r in
                  ann.embedding_near_dup_pairs(emb, 0.35,
                                               block_rows=10**9).take_all())
-    many = sorted((r["id_a"], r["id_b"]) for r in
-                  ann.embedding_near_dup_pairs(emb, 0.35,
-                                               block_rows=37).take_all())
-    assert one == many and len(one) > 0
+    for blocking in ("centroid", "hash"):
+        many = sorted(
+            (r["id_a"], r["id_b"]) for r in
+            ann.embedding_near_dup_pairs(emb, 0.35, block_rows=37,
+                                         blocking=blocking).take_all())
+        assert one == many and len(one) > 0
+
+
+def _planted_clusters(n_base=40, dups=2, dim=32, noise=0.05, seed=3):
+    """Unit vectors: n_base random bases, each with ``dups`` near-copies
+    (cos ≈ 0.96 to the base). Returns (arrow table, normalized matrix)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(n_base):
+        rows.append(base[i])
+        for _ in range(dups):
+            v = base[i] + noise * rng.standard_normal(dim)
+            rows.append(v / np.linalg.norm(v))
+    m = np.array(rows)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(m)), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    })
+    return tbl, m
+
+
+def test_embedding_near_dup_lsh_recall(ray_session):
+    """The sub-quadratic hyperplane-LSH path must reach ≥0.99 recall vs
+    the exact pair set at the planned detection target, with zero false
+    positives (the verify recomputes exact cosine)."""
+    tbl, m = _planted_clusters()
+    # float32 storage round-trip, like the engine reads it
+    m32 = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    m32 /= np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = m32 @ m32.T
+    iu = np.triu_indices(len(m32), k=1)
+    want = {(int(i), int(j)) for i, j in zip(*iu) if sims[i, j] >= 0.9}
+    assert len(want) >= 100  # the planted clusters actually qualify
+    got = {(r["id_a"], r["id_b"]) for r in
+           ann.embedding_near_dup_pairs_lsh(
+               rd.from_arrow(tbl), threshold=0.9).take_all()}
+    assert not (got - want)  # exact verify ⇒ no false positives
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99
+
+
+def test_block_pair_pruning_plan():
+    """Two tight clusters around near-orthogonal centroids: the angular
+    triangle bound must prune the cross-block pair and keep the
+    diagonal."""
+    c0 = np.array([1.0, 0.0, 0.0])
+    c1 = np.array([0.0, 1.0, 0.0])
+    cents = np.stack([c0, c1])
+    devs = np.radians(np.array([8.0, 8.0]))
+    # threshold 0.8 → limit angle ≈ 36.9°; bound 90 − 8 − 8 = 74 > limit
+    pairs = ann._plan_block_pairs(cents, devs, 0.8, 2)
+    assert pairs == [(0, 0), (1, 1)]
+    # loose clusters (δ=45°) can cross the threshold → pair survives
+    pairs = ann._plan_block_pairs(cents, np.radians([45.0, 45.0]), 0.8, 2)
+    assert (0, 1) in pairs
+    # hash blocking (no centroids) keeps the full grid
+    assert ann._plan_block_pairs(None, None, 0.8, 3) == [
+        (0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+
+
+def test_embedding_near_dup_pruned_still_exact(ray_session):
+    """On a clusterable corpus the centroid path must PRUNE (fewer block
+    pairs than the full grid) while returning exactly the brute-force
+    pair set."""
+    tbl, _ = _planted_clusters(n_base=12, dups=4, noise=0.03, seed=9)
+    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(m), k=1)
+    want = sorted((int(i), int(j)) for i, j in zip(*iu)
+                  if sims[i, j] >= 0.8)
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 ann.embedding_near_dup_pairs(
+                     rd.from_arrow(tbl), threshold=0.8,
+                     block_rows=10).take_all())
+    assert got == want and len(want) >= 12
 
 
 def test_ngram_jaccard_exact(ray_session):
