@@ -328,6 +328,20 @@ def test_embedding_near_dup_pruned_still_exact(ray_session):
     assert got == want and len(want) >= 12
 
 
+def test_revenue_by_nation_shuffle_fallback(ray_session):
+    """A dimension over the broadcast size contract must take the
+    distributed union-shuffle join and produce the identical result."""
+    from ts_type_filter_ray.functions import relational
+    broad = sorted(
+        (r["n_name"], r["n_orders"], r["revenue_c"]) for r in
+        relational.revenue_by_nation(SF).take_all())
+    # force the fallback: contract of 0 rows → every dimension is "big"
+    shuf = sorted(
+        (r["n_name"], r["n_orders"], r["revenue_c"]) for r in
+        relational.revenue_by_nation(SF, max_broadcast_rows=0).take_all())
+    assert broad == shuf and len(broad) > 0
+
+
 def test_ngram_jaccard_exact(ray_session):
     base = " ".join(f"w{i}" for i in range(30))
     near = " ".join(f"w{i}" for i in range(2, 30)) + " x1 x2"

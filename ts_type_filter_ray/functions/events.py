@@ -105,7 +105,7 @@ def hopping_window_agg(ds: Dataset, window_sec: int = 3600,
 
 
 def sessionize(ds: Dataset, gap_sec: int = 1800,
-               num_parts: int = 64) -> Dataset:
+               num_parts: int | None = None) -> Dataset:
     """Gap-based sessions per user: a new session starts when the gap to
     the previous event exceeds ``gap_sec``. Output per user:
     (user_id, n_sessions, n_events, max_session_events).
@@ -115,7 +115,13 @@ def sessionize(ds: Dataset, gap_sec: int = 1800,
     13.7× slower in the r1 postings build) and run one vectorized numpy
     session scan per partition: sort by (user, t, event_id), mark
     boundaries with diffs, aggregate per user with bincount/reduceat.
+    ``num_parts=None`` derives the partition count from the input size
+    (:func:`.partitioning.auto_num_parts`).
     """
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = pc.cast(
