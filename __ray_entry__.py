@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
         "bpe_token_counts": lambda sf: textstats.bpe_token_counts(_docs(sf)),
         "fingerprints": lambda sf: textstats.fingerprints(_docs(sf)),
+        "repetition_scores": lambda sf: textstats.repetition_scores(
+            _docs(sf)),
+        "doc_top_terms": lambda sf: textstats.doc_top_terms(_docs(sf), k=3),
+        # -- training-data hygiene --
+        "dataset_split": _dataset_split,
+        "decontaminate": _decontaminate,
         # -- dedup --
         "exact_dedup": lambda sf: dedup.exact_dedup_groups(_docs(sf)),
         "minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(
@@ -152,6 +158,16 @@ def _pricing_summary(sf_dir: str):
 def _revenue_by_nation(sf_dir: str):
     from ts_type_filter_ray.functions.relational import revenue_by_nation
     return revenue_by_nation(sf_dir)
+
+
+def _dataset_split(sf_dir: str):
+    from ts_type_filter_ray.functions.sampling import dataset_split
+    return dataset_split(_docs(sf_dir))
+
+
+def _decontaminate(sf_dir: str):
+    from ts_type_filter_ray.functions.decontam import decontaminate
+    return decontaminate(_docs(sf_dir), bench_mod=50, shingle_k=3)
 
 
 def _curation_report(sf_dir: str):
@@ -331,6 +347,79 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) as fp
             from documents""",
+        "repetition_scores": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as tok
+              from documents where trim(text) <> ''),
+            tf as (
+              select doc_id, tok, count(*) as c
+              from toks group by doc_id, tok),
+            agg as (
+              select doc_id, sum(c)::BIGINT as n_tokens,
+                     count(*)::BIGINT as n_distinct,
+                     max(c)::BIGINT as max_tf
+              from tf group by doc_id)
+            select d.doc_id,
+                   coalesce(a.n_tokens, 0) as n_tokens,
+                   coalesce(a.n_distinct, 0) as n_distinct,
+                   coalesce(a.max_tf, 0) as max_tf,
+                   coalesce(a.n_distinct::DOUBLE / a.n_tokens, 0.0)
+                       as distinct_ratio,
+                   coalesce(a.max_tf::DOUBLE / a.n_tokens, 0.0)
+                       as max_tf_ratio
+            from documents d left join agg a using (doc_id)""",
+        "doc_top_terms": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            tf as (
+              select doc_id, term, count(*) as tf
+              from toks group by doc_id, term),
+            df as (select term, count(*) as df from tf group by term),
+            scored as (
+              select t.doc_id, t.term, t.tf, d.df,
+                     t.tf::DOUBLE / d.df as score
+              from tf t join df d using (term)),
+            ranked as (
+              select *, row_number() over (partition by doc_id
+                                           order by score desc, term asc)
+                        as rank
+              from scored)
+            select doc_id, rank, term, tf, df, score
+            from ranked where rank <= 3""",
+        "dataset_split": """
+            select doc_id,
+                   (md5_number_lower(doc_id::VARCHAR) % 100)::BIGINT
+                       as bucket,
+                   case when md5_number_lower(doc_id::VARCHAR) % 100 < 80
+                        then 'train'
+                        when md5_number_lower(doc_id::VARCHAR) % 100 < 90
+                        then 'valid'
+                        else 'test' end as split
+            from documents""",
+        "decontaminate": r"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            sh as (
+              select distinct doc_id, g from (
+                select doc_id,
+                       arr[p] || ' ' || arr[p+1] || ' ' || arr[p+2] as g
+                from (select doc_id, arr,
+                             unnest(range(1, len(arr)-1))::INT as p
+                      from base where len(arr) >= 3)
+                union all
+                select doc_id, array_to_string(arr, ' ') as g
+                from base where len(arr) < 3)),
+            bench as (select distinct g from sh where doc_id % 50 = 0)
+            select s.doc_id, count(*)::BIGINT as n_shared_shingles
+            from sh s join bench b using (g)
+            where s.doc_id % 50 <> 0
+            group by s.doc_id""",
         "boolean_match_nostem": rf"""
             with q(query_idx, term) as (values {nostem_rows}),
             toks as (

@@ -24,17 +24,18 @@ import tempfile
 import time
 
 
-def _corpus_dir(num_docs: int, seed: int = 42) -> str:
+def _corpus_dir(num_docs: int, seed: int = 42, vocab: str = "code") -> str:
     """Deterministic synthetic F1 code corpus, cached under /tmp."""
     lo, hi = (int(x) for x in
               os.environ.get("GRAFT_BENCH_LEN", "20,200").split(","))
+    tag = "" if vocab == "code" else f"_{vocab}"
     d = os.path.join(tempfile.gettempdir(),
-                     f"graft_bench_corpus_{num_docs}_{seed}_{lo}_{hi}")
+                     f"graft_bench_corpus_{num_docs}_{seed}_{lo}_{hi}{tag}")
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
         from ts_type_filter_ray.sources.synthetic import generate_corpus
         generate_corpus(d, num_docs=num_docs, seed=seed, num_files=32,
-                        doc_len_range=(lo, hi))
+                        doc_len_range=(lo, hi), vocab=vocab)
         open(marker, "w").write("ok")
     return d
 
@@ -103,6 +104,22 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
     p50 = statistics.median(lat)
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
 
+    # high-vocab variant (realistic token entropy, VERDICT r2 #7): same
+    # doc count, ~10× the distinct terms — measures the build when the
+    # per-batch unique-token dedup and the stem lru cache stop helping
+    hv_dir = _corpus_dir(num_docs, vocab="high")
+    hv_bytes = sum(os.path.getsize(os.path.join(hv_dir, f))
+                   for f in os.listdir(hv_dir) if f.endswith(".parquet"))
+    read_corpus(hv_dir).count()  # warm page cache, like the main leg
+    hv_out = os.path.join(tempfile.gettempdir(),
+                          f"graft_bench_index_hv_{num_docs}_{num_cpus}")
+    shutil.rmtree(hv_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    hv_idx = build_index(read_corpus(hv_dir), hv_out,
+                         tokenize_batch_size=2048, doc_part_bits=14,
+                         num_term_buckets=64)
+    t_hv = time.perf_counter() - t0
+
     # driver-testdata flagship (sf dir) for cross-round comparability
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ts_type_filter_ray.pipelines.flagship import (bm25_topk_table,
@@ -124,6 +141,12 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
         "num_docs": n,
         "num_terms": idx.stats.num_unique_terms,
         "num_postings": idx.stats.num_postings,
+        "build_hv_sec": round(t_hv, 3),
+        "build_hv_docs_per_sec": round(
+            hv_idx.stats.num_documents / t_hv, 1),
+        "build_hv_mb_per_sec": round(hv_bytes / 1e6 / t_hv, 2),
+        "hv_num_terms": hv_idx.stats.num_unique_terms,
+        "hv_num_postings": hv_idx.stats.num_postings,
     }
     ray.shutdown()
     return result

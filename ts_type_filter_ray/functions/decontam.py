@@ -1,0 +1,101 @@
+"""Benchmark decontamination — find training documents that share
+token n-grams with a held-out benchmark set, the standard pre-training
+hygiene pass (remove eval-set leakage before training).
+
+Shape (exact, no approximation, SQL-oracle checkable): each document
+explodes to its DISTINCT shingle hashes (the same order-sensitive
+Mersenne fold as the dedup family — equal token sequences ⇒ equal
+hashes), tagged with whether the doc is in the benchmark set; rows
+group by a coarse hash partition of the shingle space (every occurrence
+of a shingle lands in one partition), and a vectorized segment scan
+marks, per contaminated shingle, each training doc that shares it with
+ANY benchmark doc; one small ``groupby(doc_id)`` sums the per-doc
+contaminated-shingle counts. Shuffle volume is O(total shingles) — the
+same partitioning the exact n-gram Jaccard operator relies on
+(``dedup.ngram_jaccard_pairs``), with none of its O(df²) pair pass: the
+scan emits at most one row per (training doc, shingle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from .dedup import _shingle_hashes
+from .partitioning import auto_num_parts
+
+
+def decontaminate(ds: Dataset, bench_mod: int = 50, shingle_k: int = 3,
+                  num_parts: int | None = None) -> Dataset:
+    """(doc_id, n_shared_shingles) for every NON-benchmark doc sharing at
+    least one distinct token ``shingle_k``-gram with any benchmark doc.
+
+    The benchmark set here is intensional — ``doc_id % bench_mod == 0``
+    — so the operator needs no second input and the DuckDB oracle can
+    reproduce the membership; a real pipeline passes its eval set as the
+    predicate (or unions a tagged benchmark Dataset in). Docs shorter
+    than ``shingle_k`` tokens contribute their whole text as one shingle
+    (the dedup family's convention). Benchmark docs themselves are not
+    reported."""
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dids, shs, bench = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            hs = _shingle_hashes(text, shingle_k)
+            if hs.size == 0:
+                continue
+            dids.append(np.full(hs.size, did, dtype=np.int64))
+            shs.append(hs)
+            bench.append(np.full(hs.size, did % bench_mod == 0,
+                                 dtype=bool))
+        if not dids:
+            return pa.table({"part": pa.array([], type=pa.int32()),
+                             "shingle": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "is_bench": pa.array([], type=pa.bool_())})
+        flat_s = np.concatenate(shs)
+        return pa.table({
+            "part": pa.array((flat_s % num_parts).astype(np.int32)),
+            "shingle": pa.array(flat_s),
+            "doc_id": pa.array(np.concatenate(dids)),
+            "is_bench": pa.array(np.concatenate(bench)),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        sh = group["shingle"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        bench = group["is_bench"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sh))
+        sh, did, bench = sh[order], did[order], bench[order]
+        n = len(sh)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = sh[1:] != sh[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        # a segment is contaminated iff it contains a benchmark row
+        seg_has_bench = np.zeros(seg_id[-1] + 1 if n else 0, dtype=bool)
+        np.logical_or.at(seg_has_bench, seg_id, bench)
+        hit = seg_has_bench[seg_id] & ~bench
+        if not hit.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_shared_shingles": pa.array(
+                                 [], type=pa.int64())})
+        # shingles are distinct per doc, so each hit row is one distinct
+        # shared shingle of that training doc
+        hd = did[hit]
+        uniq, counts = np.unique(hd, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(uniq, type=pa.int64()),
+            "n_shared_shingles": pa.array(counts.astype(np.int64)),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(scan, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_shared_shingles",
+                           alias_name="n_shared_shingles")))

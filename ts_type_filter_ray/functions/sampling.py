@@ -1,0 +1,68 @@
+"""Deterministic dataset splitting — the train/valid/test assignment a
+training-data pipeline needs to be reproducible across reruns, machines
+and engine versions.
+
+Split by a content-independent stable hash of the document id
+(``md5_number_lower``-compatible, the same digest DuckDB exposes, so the
+assignment is value-exact checkable): every worker computes the same
+split for the same row with no coordination, no shuffle, no RNG state —
+the property that matters at 100 TB, where "sample 10%" must not require
+a pass that materializes or re-keys anything. One vectorized
+``map_batches`` over the id column only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+#: split fractions in percent: train gets [0, train), valid
+#: [train, train+valid), test the rest — of md5(doc_id) mod 100
+DEFAULT_TRAIN_PCT = 80
+DEFAULT_VALID_PCT = 10
+
+
+def _md5_bucket(doc_ids: np.ndarray, mod: int = 100) -> np.ndarray:
+    """md5_number_lower(doc_id::VARCHAR) % mod, row-wise. md5 of the
+    DECIMAL STRING of the id (not raw bytes) so the DuckDB oracle can
+    reproduce it with ``md5_number_lower(doc_id::VARCHAR)``."""
+    out = np.empty(len(doc_ids), dtype=np.int64)
+    for i, d in enumerate(doc_ids):
+        digest = hashlib.md5(str(int(d)).encode("ascii")).digest()
+        out[i] = int.from_bytes(digest[8:], "little") % mod
+    return out
+
+
+def dataset_split(ds: Dataset, train_pct: int = DEFAULT_TRAIN_PCT,
+                  valid_pct: int = DEFAULT_VALID_PCT,
+                  id_col: str = "doc_id") -> Dataset:
+    """(doc_id, bucket, split) — deterministic hash split. ``bucket`` is
+    md5(id-string) mod 100; split = 'train' below ``train_pct``, 'valid'
+    below ``train_pct + valid_pct``, else 'test'."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bucket = _md5_bucket(ids)
+        split = np.where(
+            bucket < train_pct, "train",
+            np.where(bucket < train_pct + valid_pct, "valid", "test"))
+        return pa.table({
+            id_col: batch[id_col],
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return ds.select_columns([id_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def split_counts(ds: Dataset, train_pct: int = DEFAULT_TRAIN_PCT,
+                 valid_pct: int = DEFAULT_VALID_PCT,
+                 id_col: str = "doc_id") -> Dataset:
+    """(split, n_docs) — the split sizes, one tiny groupby."""
+    from ray.data.aggregate import Count
+    return (dataset_split(ds, train_pct, valid_pct, id_col)
+            .groupby("split").aggregate(Count(alias_name="n_docs")))

@@ -185,6 +185,162 @@ def top_terms_by_lang(ds: Dataset, k: int = 5) -> Dataset:
     return merged.groupby("lang").map_groups(topk, batch_format="pyarrow")
 
 
+def repetition_scores(ds: Dataset) -> Dataset:
+    """(doc_id, n_tokens, n_distinct, max_tf, distinct_ratio,
+    max_tf_ratio) — per-document repetition features, the standard
+    boilerplate/spam signal in training-data curation (a doc whose most
+    frequent token dominates, or whose distinct ratio collapses, is
+    machine-generated or degenerate). Entirely per-doc ⇒ one vectorized
+    ``map_batches`` pass, NO shuffle: the per-(doc, term) counts come
+    from the same fused-key ``np.unique`` trick as :func:`term_df_tf`,
+    then per-doc reduceat/bincount. Ratios are one IEEE float64 division
+    each, bit-identical to the DuckDB oracle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_tok, flat, parents = _tokens(batch)
+        n_docs = batch.num_rows
+        n_tok_np = n_tok.to_numpy(zero_copy_only=False)
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        max_tf = np.zeros(n_docs, dtype=np.int64)
+        if len(flat) > 0:
+            flat = pc.utf8_lower(flat)
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            par = parents.to_numpy(zero_copy_only=False)
+            n_vocab = len(enc.dictionary)
+            key = par.astype(np.int64) * n_vocab + codes  # doc-major
+            uniq, counts = np.unique(key, return_counts=True)
+            docidx = (uniq // n_vocab).astype(np.int64)
+            n_distinct = np.bincount(docidx, minlength=n_docs).astype(
+                np.int64)
+            change = np.ones(len(uniq), dtype=bool)
+            change[1:] = docidx[1:] != docidx[:-1]
+            starts = np.flatnonzero(change)
+            max_tf[docidx[starts]] = np.maximum.reduceat(counts, starts)
+        safe_n = np.where(n_tok_np > 0, n_tok_np, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok_np, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct),
+            "max_tf": pa.array(max_tf),
+            "distinct_ratio": pa.array(
+                np.where(n_tok_np > 0, n_distinct / safe_n, 0.0)),
+            "max_tf_ratio": pa.array(
+                np.where(n_tok_np > 0, max_tf / safe_n, 0.0)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_top_terms(ds: Dataset, k: int = 3,
+                  num_parts: int | None = None) -> Dataset:
+    """Per-document top-k keywords by term specificity — (doc_id, rank,
+    term, tf, df, score), score = tf/df (tf·idf with a rational idf so
+    both engines IEEE-divide instead of calling a libm ``ln`` whose
+    rounding may differ), tie-break (score desc, term asc).
+
+    Distributed tf-idf shape, two O(postings) shuffles and never a
+    driver-side vocabulary: (1) per-batch (term, doc_id, tf) partials
+    group by term to finalize tf and count df (one groupby); (2) the
+    rows re-shuffle on a coarse doc_id partition and a vectorized
+    segment scan picks each document's top-k. df is NOT broadcast —
+    at 100 TB the vocabulary is itself huge, so it rides the term
+    shuffle as a per-term aggregate instead (the same reasoning as the
+    index build's bucket spill)."""
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "tf": pa.array([], type=pa.int64())})
+        flat = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = enc.dictionary
+        par = parents.to_numpy(zero_copy_only=False)
+        n_vocab = len(vocab)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key = codes.astype(np.int64) * batch.num_rows + par  # term-major
+        uniq, tf = np.unique(key, return_counts=True)
+        return pa.table({
+            "term": vocab.take(pa.array(uniq // batch.num_rows)),
+            "doc_id": pa.array(dids[uniq % batch.num_rows],
+                               type=pa.int64()),
+            "tf": pa.array(tf.astype(np.int64)),
+        })
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        # rows for one coarse term partition: per-term df by run length
+        terms = group["term"].combine_chunks()
+        enc = pc.dictionary_encode(terms)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "term": terms,
+            "tf": group["tf"],
+            "df": pa.array(df[codes].astype(np.int64)),
+        })
+
+    def add_term_part(batch: pa.Table) -> pa.Table:
+        from .dedup import _stable_hash64
+        enc = pc.dictionary_encode(batch["term"].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # hash each UNIQUE term once, gather (same trick as the tokenizer)
+        hv = np.array([_stable_hash64(t) % num_parts
+                       for t in enc.dictionary.to_pylist()], dtype=np.int32)
+        return batch.append_column("part", pa.array(hv[codes]))
+
+    def topk_per_doc(group: pa.Table) -> pa.Table:
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        df = group["df"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(group["term"].to_pylist())
+        score = tf.astype(np.float64) / df.astype(np.float64)
+        order = np.lexsort((terms, -score, dids))
+        dids, tf, df, terms, score = (dids[order], tf[order], df[order],
+                                      terms[order], score[order])
+        change = np.ones(len(dids), dtype=bool)
+        change[1:] = dids[1:] != dids[:-1]
+        rank = np.arange(len(dids)) - np.maximum.accumulate(
+            np.where(change, np.arange(len(dids)), 0)) + 1
+        keep = rank <= k
+        return pa.table({
+            "doc_id": pa.array(dids[keep], type=pa.int64()),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+            "term": pa.array(terms[keep].tolist(), type=pa.string()),
+            "tf": pa.array(tf[keep], type=pa.int64()),
+            "df": pa.array(df[keep], type=pa.int64()),
+            "score": pa.array(score[keep], type=pa.float64()),
+        })
+
+    # a document is one input row, so its (term, doc_id, tf) rows are
+    # final straight out of the batch — no (term, doc) merge shuffle
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    with_df = (rows.map_batches(add_term_part, batch_format="pyarrow")
+               .groupby("part")
+               .map_groups(attach_df, batch_format="pyarrow"))
+    return (with_df
+            .map_batches(lambda b: b.append_column(
+                "part", pc.cast(pc.bit_wise_and(b["doc_id"], num_parts - 1),
+                                pa.int32())), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(topk_per_doc, batch_format="pyarrow"))
+
+
 def quality_scores(ds: Dataset) -> Dataset:
     """(doc_id, n_tokens, n_stopwords, stopword_ratio, mean_token_len) —
     simple quality-scoring features, fully vectorized."""

@@ -118,22 +118,32 @@ def _zipf_weights(n: int, s: float = 1.3) -> np.ndarray:
 
 def generate_corpus(out_dir: str, num_docs: int, seed: int = 42,
                     num_files: int = 8, dup_fraction: float = 0.01,
-                    doc_len_range: tuple[int, int] = (20, 200)) -> list[str]:
+                    doc_len_range: tuple[int, int] = (20, 200),
+                    vocab: str = "code") -> list[str]:
     """Write the F1 synthetic corpus as ``num_files`` parquet files under
     *out_dir*; returns the file paths (deterministic order). Idempotent:
     regenerating with the same arguments produces byte-identical content.
-    """
+
+    ``vocab="code"`` (default) is the zipf-skewed source-code shape —
+    few hot tokens dominate, which flatters per-batch unique-token
+    dedup and the stem lru cache. ``vocab="high"`` is the
+    realistic-entropy stress shape (VERDICT r2 #7): a 200k-identifier
+    mid tier with a much flatter zipf, a smaller hot share, and a wider
+    singleton/word tail, so most tokens in a batch are near-unique and
+    caches stop helping."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     pyrng = random.Random(seed + 1)
 
-    n_mid = 2000
+    high_vocab = vocab == "high"
+    n_mid = 200_000 if high_vocab else 2000
     mid = np.array([f"ident_{i}x" for i in range(n_mid)])
     hot = np.array(_HOT)
     hot_w = _zipf_weights(len(hot), 1.1)
-    mid_w = _zipf_weights(n_mid, 1.3)
+    mid_w = _zipf_weights(n_mid, 1.05 if high_vocab else 1.3)
     punct = np.array(_PUNCT)
     mixed = np.array(_MIXED)
+    word_pool = 500_000 if high_vocab else 5000
 
     repos = [f"org{i}/proj{j}" for i in range(8) for j in range(32)]
     repo_w = _zipf_weights(len(repos), 1.05)
@@ -146,8 +156,8 @@ def generate_corpus(out_dir: str, num_docs: int, seed: int = 42,
     contents: list[str] = []
     for d in range(num_docs):
         n = int(lens[d])
-        n_hot = n // 2
-        n_mid_t = n // 3
+        n_hot = n // 8 if high_vocab else n // 2
+        n_mid_t = (n - n_hot) * 2 // 3 if high_vocab else n // 3
         n_rest = n - n_hot - n_mid_t
         toks = list(hot[rng.choice(len(hot), size=n_hot, p=hot_w)])
         toks += list(mid[rng.choice(n_mid, size=n_mid_t, p=mid_w)])
@@ -160,7 +170,7 @@ def generate_corpus(out_dir: str, num_docs: int, seed: int = 42,
             elif r < 0.8:
                 toks.append(str(mixed[pyrng.randrange(len(mixed))]))
             else:
-                toks.append(f"word{pyrng.randint(0, 5000)}")
+                toks.append(f"word{pyrng.randint(0, word_pool)}")
         pyrng.shuffle(toks)
         lines = [" ".join(toks[k:k + 10]) for k in range(0, len(toks), 10)]
         contents.append("\n".join(lines))
