@@ -365,3 +365,72 @@ def test_minhash_auto_banding_recall():
         assert 1 - (1 - t**r) ** b >= 0.95, (t, b)
     # and it is the most selective qualifying choice at t=0.8
     assert optimal_bands(64, 0.8) <= optimal_bands(64, 0.4)
+
+
+def test_repetition_scores_edge_cases(ray_session):
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["", "spam spam spam spam", "a b c d"],
+    })
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_scores(rd.from_arrow(tbl)).take_all()}
+    assert out[0]["n_tokens"] == 0 and out[0]["max_tf_ratio"] == 0.0
+    assert out[1]["n_distinct"] == 1 and out[1]["max_tf_ratio"] == 1.0
+    assert out[1]["distinct_ratio"] == 0.25
+    assert out[2]["n_distinct"] == 4 and out[2]["distinct_ratio"] == 1.0
+    assert out[2]["max_tf"] == 1
+
+
+def test_doc_top_terms_tfidf_and_ties(ray_session):
+    # "rare" appears in 1 doc (df=1), "both" in 2 (df=2); within doc 0
+    # score(rare)=1/1 beats score(both)=1/2; ties break term-asc.
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": ["rare both aa bb", "both cc dd"],
+    })
+    out = textstats.doc_top_terms(rd.from_arrow(tbl), k=2).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["df"], r["score"]))
+    d0 = sorted(by_doc[0])
+    # aa/bb/rare all df=1 score=1.0 -> term-asc: aa, bb
+    assert d0 == [(1, "aa", 1, 1.0), (2, "bb", 1, 1.0)]
+    d1 = sorted(by_doc[1])
+    assert d1 == [(1, "cc", 1, 1.0), (2, "dd", 1, 1.0)]
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_dataset_split_deterministic_and_exact(ray_session):
+    import hashlib
+    from ts_type_filter_ray.functions.sampling import dataset_split
+    tbl = pa.table({"doc_id": pa.array(range(200), type=pa.int64())})
+    a = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in dataset_split(rd.from_arrow(tbl)).take_all()}
+    b = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in dataset_split(rd.from_arrow(tbl)).take_all()}
+    assert a == b and len(a) == 200
+    for did, (bucket, split) in a.items():
+        h = int.from_bytes(
+            hashlib.md5(str(did).encode()).digest()[8:], "little") % 100
+        assert bucket == h
+        assert split == ("train" if h < 80 else "valid" if h < 90
+                         else "test")
+    assert {s for _, s in a.values()} == {"train", "valid", "test"}
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    from ts_type_filter_ray.functions.decontam import decontaminate
+    # doc 0 is benchmark (0 % 5 == 0); doc 1 shares two distinct
+    # 3-grams with it; doc 2 shares none; doc 3 is a short doc equal to
+    # a short benchmark doc 5 (whole-text shingle).
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 5], type=pa.int64()),
+        "text": ["a b c d e", "a b c d x", "q r s t u", "tiny one",
+                 "tiny one"],
+    })
+    out = {r["doc_id"]: r["n_shared_shingles"]
+           for r in decontaminate(rd.from_arrow(tbl), bench_mod=5,
+                                  shingle_k=3).take_all()}
+    # doc0 shingles: (a b c),(b c d),(c d e); doc1: (a b c),(b c d),(c d x)
+    assert out == {1: 2, 3: 1}
