@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- training-data hygiene --
         "dataset_split": _dataset_split,
         "decontaminate": _decontaminate,
+        "stratified_sample": _stratified_sample,
+        "scrub_pii": _scrub_pii,
+        "chunk_documents": _chunk_documents,
         # -- dedup --
         "exact_dedup": lambda sf: dedup.exact_dedup_groups(_docs(sf)),
         "minhash_dedup": lambda sf: dedup.minhash_dedup_pairs(
@@ -168,6 +171,23 @@ def _dataset_split(sf_dir: str):
 def _decontaminate(sf_dir: str):
     from ts_type_filter_ray.functions.decontam import decontaminate
     return decontaminate(_docs(sf_dir), bench_mod=50, shingle_k=3)
+
+
+def _stratified_sample(sf_dir: str):
+    from ts_type_filter_ray.functions.sampling import stratified_sample
+    return stratified_sample(
+        _docs(sf_dir), {"en": 0.8, "de": 0.5, "zh": 0.25},
+        default_rate=0.1)
+
+
+def _scrub_pii(sf_dir: str):
+    from ts_type_filter_ray.functions.scrub import scrub_pii
+    return scrub_pii(_docs(sf_dir))
+
+
+def _chunk_documents(sf_dir: str):
+    from ts_type_filter_ray.functions.chunking import chunk_documents
+    return chunk_documents(_docs(sf_dir), chunk_len=32)
 
 
 def _curation_report(sf_dir: str):
@@ -243,6 +263,8 @@ def oracle_sql() -> dict[str, str]:
                                                      SESSIONIZE_SQL,
                                                      TUMBLING_HOUR_SQL)
     from ts_type_filter_ray.functions.textstats import _LANG_MARKERS
+    from ts_type_filter_ray.functions.scrub import (EMAIL_RE as _EMAIL_RE,
+                                                    IPV4_RE as _IPV4_RE)
     stop = "('the','and','of','a','to','in','is','it','that','for')"
     qids = "(0,1,2,3,4)"
 
@@ -420,6 +442,41 @@ def oracle_sql() -> dict[str, str]:
             from sh s join bench b using (g)
             where s.doc_id % 50 <> 0
             group by s.doc_id""",
+        "stratified_sample": """
+            select doc_id, lang,
+                   (md5_number_lower(doc_id::VARCHAR) % 10000)::BIGINT
+                       as bucket
+            from documents
+            where md5_number_lower(doc_id::VARCHAR) % 10000 <
+                  case lang when 'en' then 8000 when 'de' then 5000
+                            when 'zh' then 2500 else 1000 end""",
+        "scrub_pii": rf"""
+            select doc_id,
+                   regexp_replace(regexp_replace(text,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_IPV4_RE}', '<IP>', 'g') as clean_text,
+                   len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT
+                       as n_emails,
+                   len(regexp_extract_all(regexp_replace(text,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_IPV4_RE}'))::BIGINT as n_ips
+            from documents""",
+        "chunk_documents": r"""
+            with toks as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            c as (
+              select doc_id, p as chunk_id,
+                     array_to_string(
+                         arr[p*32+1 : least((p+1)*32, len(arr))], ' ')
+                         as chunk_text,
+                     (least((p+1)*32, len(arr)) - p*32)::BIGINT
+                         as n_tokens
+              from (select doc_id, arr,
+                           unnest(range(0, (len(arr)+31)//32))::BIGINT
+                           as p
+                    from toks))
+            select doc_id, chunk_id, n_tokens, chunk_text from c""",
         "boolean_match_nostem": rf"""
             with q(query_idx, term) as (values {nostem_rows}),
             toks as (

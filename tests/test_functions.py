@@ -434,3 +434,60 @@ def test_decontaminate_planted_overlap(ray_session):
                                   shingle_k=3).take_all()}
     # doc0 shingles: (a b c),(b c d),(c d e); doc1: (a b c),(b c d),(c d x)
     assert out == {1: 2, 3: 1}
+
+
+def test_scrub_pii_planted(ray_session):
+    from ts_type_filter_ray.functions.scrub import scrub_pii
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["mail bob.smith@example.co.uk from 192.168.0.1 now",
+                 "ip-in-email x@1.2.3.4.io stays one email",
+                 "clean"],
+    })
+    out = {r["doc_id"]: r for r in scrub_pii(rd.from_arrow(tbl)).take_all()}
+    assert out[0]["clean_text"] == "mail <EMAIL> from <IP> now"
+    assert out[0]["n_emails"] == 1 and out[0]["n_ips"] == 1
+    # the IPv4 inside the email domain is consumed by the email redaction
+    assert out[1]["clean_text"] == "ip-in-email <EMAIL> stays one email"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 0
+    assert out[2]["clean_text"] == "clean"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 0
+
+
+def test_chunk_documents_boundaries(ray_session):
+    from ts_type_filter_ray.functions.chunking import chunk_documents
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": ["t0 t1 t2 t3 t4", "", "u0 u1 u2", "v0"],
+    })
+    out = sorted((r["doc_id"], r["chunk_id"], r["n_tokens"],
+                  r["chunk_text"]) for r in
+                 chunk_documents(rd.from_arrow(tbl), chunk_len=3)
+                 .take_all())
+    assert out == [
+        (0, 0, 3, "t0 t1 t2"), (0, 1, 2, "t3 t4"),
+        (2, 0, 3, "u0 u1 u2"),
+        (3, 0, 1, "v0"),
+    ]
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    from ts_type_filter_ray.functions.sampling import (_md5_bucket,
+                                                       stratified_sample)
+    n = 2000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(n)]),
+    })
+    rates = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(rd.from_arrow(tbl), rates).take_all()
+    again = stratified_sample(rd.from_arrow(tbl), rates).take_all()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in again)
+    for r in out:  # kept iff bucket under the stratum cut
+        assert r["bucket"] < (5000 if r["lang"] == "en" else 1000)
+    n_en = sum(r["lang"] == "en" for r in out)
+    n_de = sum(r["lang"] == "de" for r in out)
+    assert abs(n_en - 500) < 60 and abs(n_de - 100) < 40
+    # unlisted strata use default_rate=0.0 -> dropped entirely
+    assert all(r["lang"] in ("en", "de") for r in out)

@@ -17,6 +17,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 #: split fractions in percent: train gets [0, train), valid
@@ -66,3 +67,46 @@ def split_counts(ds: Dataset, train_pct: int = DEFAULT_TRAIN_PCT,
     from ray.data.aggregate import Count
     return (dataset_split(ds, train_pct, valid_pct, id_col)
             .groupby("split").aggregate(Count(alias_name="n_docs")))
+
+
+def stratified_sample(ds: Dataset, rates: dict[str, float],
+                      default_rate: float = 0.0,
+                      strata_col: str = "lang",
+                      id_col: str = "doc_id",
+                      mod: int = 10_000) -> Dataset:
+    """(id, strata, bucket) of the rows KEPT by a per-stratum
+    deterministic hash sample — the data-mixture step of corpus assembly
+    ("keep 80% of English, 20% of everything else"), reproducible with
+    no RNG state, no shuffle and no coordination: a row is kept iff
+    ``md5(id-string) % mod < round(rate·mod)``, so the same row gets the
+    same verdict on any worker, any rerun, any engine (the SQL oracle
+    reproduces it with ``md5_number_lower``).
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; strata not
+    listed use ``default_rate``. The rates dict is a tiny driver-side
+    constant captured in the task closure (broadcast once per task by
+    Ray, never per batch)."""
+    cut = {k: int(round(v * mod)) for k, v in rates.items()}
+    default_cut = int(round(default_rate * mod))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bucket = _md5_bucket(ids, mod=mod)
+        # strata cardinality is tiny — look up cuts per UNIQUE value
+        enc = pc.dictionary_encode(batch[strata_col].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq_cuts = np.fromiter(
+            (cut.get(s, default_cut) for s in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        keep = bucket < uniq_cuts[codes]
+        return pa.table({
+            id_col: pc.array_filter(batch[id_col], pa.array(keep)),
+            strata_col: pc.array_filter(batch[strata_col],
+                                        pa.array(keep)),
+            "bucket": pa.array(bucket[keep], type=pa.int64()),
+        })
+
+    return ds.select_columns([id_col, strata_col]).map_batches(
+        fn, batch_format="pyarrow")
