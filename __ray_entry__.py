@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _dataset_split,
         "decontaminate": _decontaminate,
         "stratified_sample": _stratified_sample,
+        "upsample_by_weight": _upsample_by_weight,
         "scrub_pii": _scrub_pii,
         "chunk_documents": _chunk_documents,
         # -- dedup --
@@ -115,6 +116,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb(sf), ANN_QUERY_IDS, k=ANN_K).select_columns(
                 ["query_id", "rank", "vec_id"]),
         "embedding_near_dup": near_dup,
+        # exact self kNN join (full block grid, small block_rows so the
+        # gate actually exercises the multi-block path + centroid spill)
+        "knn_join": lambda sf: ann.knn_join(
+            _emb(sf), k=5, block_rows=128).select_columns(
+                ["vec_id", "rank", "neighbor_id"]),
+        # nprobe-bounded IVF-style variant (approximate → rows-only;
+        # pytest asserts high recall vs the exact join)
+        "knn_join_probed": lambda sf: ann.knn_join(
+            _emb(sf), k=5, block_rows=128, nprobe=2).select_columns(
+                ["vec_id", "rank", "neighbor_id"]),
         # sub-quadratic hyperplane-LSH near-dup (recall<1 by design →
         # rows-only; pytest asserts ≥0.99 recall vs the exact sweep)
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_pairs_lsh(
@@ -178,6 +189,13 @@ def _stratified_sample(sf_dir: str):
     return stratified_sample(
         _docs(sf_dir), {"en": 0.8, "de": 0.5, "zh": 0.25},
         default_rate=0.1)
+
+
+def _upsample_by_weight(sf_dir: str):
+    from ts_type_filter_ray.functions.sampling import upsample_by_weight
+    return upsample_by_weight(
+        _docs(sf_dir), {"src0": 3, "src1": 0, "src2": 2},
+        default_weight=1)
 
 
 def _scrub_pii(sf_dir: str):
@@ -450,6 +468,14 @@ def oracle_sql() -> dict[str, str]:
             where md5_number_lower(doc_id::VARCHAR) % 10000 <
                   case lang when 'en' then 8000 when 'de' then 5000
                             when 'zh' then 2500 else 1000 end""",
+        "upsample_by_weight": """
+            select doc_id, source,
+                   unnest(range(case source when 'src0' then 3
+                                            when 'src1' then 0
+                                            when 'src2' then 2
+                                            else 1 end))::BIGINT
+                       as copy_id
+            from documents""",
         "scrub_pii": rf"""
             select doc_id,
                    regexp_replace(regexp_replace(text,
@@ -632,6 +658,23 @@ def oracle_sql() -> dict[str, str]:
                                         order by sim desc, vec_id asc) as rank
               from sims)
             select query_id, rank, vec_id from ranked where rank <= {ANN_K}""",
+        "knn_join": f"""
+            with nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select a.vec_id as vec_id, b.vec_id as neighbor_id,
+                     ({dot.format(a='a', b='b')}) / (a.nv * b.nv) as sim
+              from nrm a, nrm b where a.vec_id <> b.vec_id),
+            ranked as (
+              select vec_id, neighbor_id,
+                     row_number() over (partition by vec_id
+                                        order by sim desc, neighbor_id asc)
+                         as rank
+              from sims)
+            select vec_id, rank, neighbor_id from ranked
+            where rank <= 5""",
         "embedding_near_dup": f"""
             with nrm as (
               select vec_id, embedding,

@@ -491,3 +491,51 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     assert abs(n_en - 500) < 60 and abs(n_de - 100) < 40
     # unlisted strata use default_rate=0.0 -> dropped entirely
     assert all(r["lang"] in ("en", "de") for r in out)
+
+
+def test_upsample_by_weight_repeats(ray_session):
+    from ts_type_filter_ray.functions.sampling import upsample_by_weight
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "source": ["a", "b", "c", "a"],
+    })
+    out = sorted((r["doc_id"], r["copy_id"]) for r in
+                 upsample_by_weight(rd.from_arrow(tbl),
+                                    {"a": 3, "b": 0},
+                                    default_weight=1).take_all())
+    assert out == [(0, 0), (0, 1), (0, 2), (2, 0),
+                   (3, 0), (3, 1), (3, 2)]
+
+
+def test_knn_join_exact_vs_numpy(emb):
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    want = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:4]
+        want[int(ids[i])] = [int(ids[j]) for j in order]
+    out = ann.knn_join(emb, k=4, block_rows=64).take_all()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["vec_id"], r["rank"])):
+        got.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    assert got == want
+
+
+def test_knn_join_probed_recall(emb):
+    exact = {(r["vec_id"], r["neighbor_id"])
+             for r in ann.knn_join(emb, k=4, block_rows=64).take_all()}
+    # nprobe >= number of cells probes the full grid -> identical result
+    full = {(r["vec_id"], r["neighbor_id"])
+            for r in ann.knn_join(emb, k=4, block_rows=64,
+                                  nprobe=64).take_all()}
+    assert full == exact
+    # partial probing trades recall for the pruned pair grid
+    probed = {(r["vec_id"], r["neighbor_id"])
+              for r in ann.knn_join(emb, k=4, block_rows=64,
+                                    nprobe=3).take_all()}
+    assert len(probed & exact) / len(exact) >= 0.5
+    assert len(probed) == len(exact)  # still k rows per vector

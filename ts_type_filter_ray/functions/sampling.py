@@ -69,6 +69,44 @@ def split_counts(ds: Dataset, train_pct: int = DEFAULT_TRAIN_PCT,
             .groupby("split").aggregate(Count(alias_name="n_docs")))
 
 
+def upsample_by_weight(ds: Dataset, weights: dict[str, int],
+                       default_weight: int = 1,
+                       strata_col: str = "source",
+                       id_col: str = "doc_id") -> Dataset:
+    """(id, strata, copy_id) — integer-weight upsampling: every row is
+    emitted ``weights[stratum]`` times with copy_id 0..w-1, the
+    deterministic form of data-mixture temperature weighting ("epochs
+    per source"). Weight 0 drops the stratum. One vectorized
+    ``np.repeat`` per batch, no shuffle, no RNG — rerun-identical, and
+    downstream consumers can hash ``(id, copy_id)`` for per-copy salt
+    (e.g. distinct shuffle positions per epoch)."""
+    w = {k: int(v) for k, v in weights.items()}
+    if any(v < 0 for v in w.values()) or default_weight < 0:
+        raise ValueError("weights must be non-negative integers")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch[strata_col].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq_w = np.fromiter(
+            (w.get(s, default_weight) for s in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary))
+        rep = uniq_w[enc.indices.to_numpy(zero_copy_only=False)]
+        total = int(rep.sum())
+        idx = np.repeat(np.arange(len(rep)), rep)
+        cs = np.cumsum(rep)
+        copy_id = np.arange(total, dtype=np.int64) - np.repeat(cs - rep,
+                                                               rep)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(idx)),
+            strata_col: batch[strata_col].take(pa.array(idx)),
+            "copy_id": pa.array(copy_id),
+        })
+
+    return ds.select_columns([id_col, strata_col]).map_batches(
+        fn, batch_format="pyarrow")
+
+
 def stratified_sample(ds: Dataset, rates: dict[str, float],
                       default_rate: float = 0.0,
                       strata_col: str = "lang",
