@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "stratified_sample": _stratified_sample,
         "upsample_by_weight": _upsample_by_weight,
+        "deterministic_shuffle": _deterministic_shuffle,
         "scrub_pii": _scrub_pii,
         "chunk_documents": _chunk_documents,
         # -- dedup --
@@ -189,6 +190,11 @@ def _stratified_sample(sf_dir: str):
     return stratified_sample(
         _docs(sf_dir), {"en": 0.8, "de": 0.5, "zh": 0.25},
         default_rate=0.1)
+
+
+def _deterministic_shuffle(sf_dir: str):
+    from ts_type_filter_ray.functions.sampling import deterministic_shuffle
+    return deterministic_shuffle(_docs(sf_dir))
 
 
 def _upsample_by_weight(sf_dir: str):
@@ -468,6 +474,12 @@ def oracle_sql() -> dict[str, str]:
             where md5_number_lower(doc_id::VARCHAR) % 10000 <
                   case lang when 'en' then 8000 when 'de' then 5000
                             when 'zh' then 2500 else 1000 end""",
+        "deterministic_shuffle": """
+            select doc_id,
+                   row_number() over (
+                       order by md5_number_lower(doc_id::VARCHAR),
+                                doc_id)::BIGINT as position
+            from documents""",
         "upsample_by_weight": """
             select doc_id, source,
                    unnest(range(case source when 'src0' then 3

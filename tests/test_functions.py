@@ -539,3 +539,14 @@ def test_knn_join_probed_recall(emb):
                                     nprobe=3).take_all()}
     assert len(probed & exact) / len(exact) >= 0.5
     assert len(probed) == len(exact)  # still k rows per vector
+
+
+def test_deterministic_shuffle_is_permutation(ray_session):
+    from ts_type_filter_ray.functions.sampling import deterministic_shuffle
+    tbl = pa.table({"doc_id": pa.array(range(777), type=pa.int64())})
+    out = deterministic_shuffle(rd.from_arrow(tbl), part_bits=3).take_all()
+    assert sorted(r["position"] for r in out) == list(range(1, 778))
+    # rerun-identical regardless of partition granularity
+    out2 = deterministic_shuffle(rd.from_arrow(tbl), part_bits=5).take_all()
+    assert {r["doc_id"]: r["position"] for r in out} == \
+           {r["doc_id"]: r["position"] for r in out2}

@@ -69,6 +69,70 @@ def split_counts(ds: Dataset, train_pct: int = DEFAULT_TRAIN_PCT,
             .groupby("split").aggregate(Count(alias_name="n_docs")))
 
 
+def _md5_key64(doc_ids: np.ndarray) -> np.ndarray:
+    """Full 64-bit ``md5_number_lower(doc_id::VARCHAR)`` per row (the
+    hash :func:`_md5_bucket` reduces mod *mod*)."""
+    out = np.empty(len(doc_ids), dtype=np.uint64)
+    for i, d in enumerate(doc_ids):
+        digest = hashlib.md5(str(int(d)).encode("ascii")).digest()
+        out[i] = int.from_bytes(digest[8:], "little")
+    return out
+
+
+def deterministic_shuffle(ds: Dataset, id_col: str = "doc_id",
+                          part_bits: int = 6) -> Dataset:
+    """(id, position) — a REPRODUCIBLE global shuffle: every row's
+    position in the md5-of-id order (tie-broken by id), the epoch
+    ordering a training pipeline wants instead of ``random_shuffle``
+    (whose placement depends on run-time block boundaries and seeds
+    that don't survive an engine swap). Value-exact: position ≡ SQL
+    ``row_number() over (order by md5_number_lower(id::VARCHAR), id)``.
+
+    Distributed exact ranking without a global sort step: the 64-bit
+    key's HIGH ``part_bits`` bits range-partition the key space (md5 is
+    uniform, so parts are balanced within noise — no skew by
+    construction); per-part row counts (2^part_bits tiny rows) prefix-sum
+    into part offsets on the driver; each part then sorts locally and
+    adds its offset. One shuffle of (id, key) pairs, O(2^part_bits)
+    driver state. Scale part_bits with the corpus (the default 64 parts
+    suits bench scale; 100 TB wants ~2^14 so a part stays
+    node-resident)."""
+    num_parts = 1 << part_bits
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        key = _md5_key64(ids)
+        return pa.table({
+            id_col: batch[id_col],
+            "key": pa.array(key),
+            "part": pa.array((key >> np.uint64(64 - part_bits))
+                             .astype(np.int32)),
+        })
+
+    keyed_ds = ds.select_columns([id_col]).map_batches(
+        keyed, batch_format="pyarrow")
+    counts = keyed_ds.groupby("part").count().take_all()  # ≤ 2^bits rows
+    sizes = np.zeros(num_parts, dtype=np.int64)
+    for r in counts:
+        sizes[r["part"]] = r["count()"]
+    offsets = np.cumsum(sizes) - sizes
+
+    def rank(group: pa.Table) -> pa.Table:
+        part = group["part"][0].as_py()
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[order] = offsets[part] + 1 + np.arange(len(ids))
+        return pa.table({
+            id_col: group[id_col],
+            "position": pa.array(pos),
+        })
+
+    return keyed_ds.groupby("part").map_groups(rank,
+                                               batch_format="pyarrow")
+
+
 def upsample_by_weight(ds: Dataset, weights: dict[str, int],
                        default_weight: int = 1,
                        strata_col: str = "source",
