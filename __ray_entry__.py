@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": lambda sf: textstats.language_id(_docs(sf)),
         "rolling_fingerprints": lambda sf: textstats.rolling_fingerprints(
             _docs(sf)),
+        "winnow_fingerprints": lambda sf: textstats.winnow_fingerprint_sets(
+            _docs(sf)),
         # -- relational shapes over the TPC-H-ish tables --
         "pricing_summary": _pricing_summary,
         "revenue_by_nation": _revenue_by_nation,
@@ -597,6 +599,44 @@ def oracle_sql() -> dict[str, str]:
             sel as (select doc_id, min(wh) as fp from win group by doc_id)
             select d.doc_id, coalesce(s.fp, 0)::UBIGINT as fp64
             from documents d left join sel s using (doc_id)""",
+        "winnow_fingerprints": rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            tok as (
+              select doc_id,
+                     unnest(range(1, len(arr)+1))::INT as pos,
+                     unnest(arr) as tok,
+                     len(arr) as n
+              from base),
+            th as (
+              select doc_id, pos, n,
+                     (md5_number_lower(tok)::HUGEINT) % {_P} as h
+              from tok),
+            pw(e, c) as (values {pw_rows}),
+            params as (
+              select doc_id, least(16, max(n)) as w from th group by doc_id),
+            win as (
+              select a.doc_id, a.pos,
+                     sum((b.h * pw.c) % {_P}) % {_P} as wh
+              from th a
+              join params pr using (doc_id)
+              join th b on b.doc_id = a.doc_id
+                       and b.pos between a.pos and a.pos + pr.w - 1
+              join pw on pw.e = pr.w - 1 - (b.pos - a.pos)
+              where a.pos + pr.w - 1 <= a.n
+              group by a.doc_id, a.pos),
+            winnow as (
+              select doc_id, pos,
+                     min(wh) over (partition by doc_id order by pos
+                                   rows between current row
+                                   and 3 following) as fp,
+                     count(*) over (partition by doc_id) as m,
+                     row_number() over (partition by doc_id
+                                        order by pos) as i
+              from win)
+            select distinct doc_id, fp::UBIGINT as fp64
+            from winnow where i <= greatest(m - 4 + 1, 1)""",
         "language_id": rf"""
             with toks as (
               select doc_id,

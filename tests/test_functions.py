@@ -550,3 +550,28 @@ def test_deterministic_shuffle_is_permutation(ray_session):
     out2 = deterministic_shuffle(rd.from_arrow(tbl), part_bits=5).take_all()
     assert {r["doc_id"]: r["position"] for r in out} == \
            {r["doc_id"]: r["position"] for r in out2}
+
+
+def test_winnow_guarantee_property(ray_session):
+    """Docs sharing a token run of length >= window+guarantee-1 must
+    share a fingerprint; disjoint docs share none."""
+    from ts_type_filter_ray.functions.textstats import (
+        winnow_fingerprint_sets)
+    shared = " ".join(f"s{i}" for i in range(19))  # 16+4-1 tokens
+    a = "a1 a2 a3 " + shared + " a4"
+    b = "b1 " + shared + " b2 b3"
+    c = " ".join(f"c{i}" for i in range(30))
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": [a, b, c]})
+    out = winnow_fingerprint_sets(rd.from_arrow(tbl), window=16,
+                                  guarantee=4).take_all()
+    sets = {}
+    for r in out:
+        sets.setdefault(r["doc_id"], set()).add(r["fp64"])
+    assert sets[0] & sets[1]
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+    # short doc: one whole-prefix hash
+    short = pa.table({"doc_id": pa.array([9], type=pa.int64()),
+                      "text": ["only three tokens"]})
+    srows = winnow_fingerprint_sets(rd.from_arrow(short)).take_all()
+    assert len(srows) == 1

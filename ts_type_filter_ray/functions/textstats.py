@@ -417,6 +417,75 @@ def _md5_modp_unique(vocab: list[str]) -> np.ndarray:
     return out
 
 
+def _window_hashes(hs: np.ndarray, window: int) -> np.ndarray:
+    """Polynomial rolling hashes of all ``min(window, len)``-token
+    windows: acc_i = Σ_j h_{i+j}·B^{w-1-j} mod (2^61-1), computed as w
+    vectorized modular passes over the doc's token-hash array."""
+    from .dedup import _mulmod_mersenne61
+    B = 1000003
+    P = (1 << 61) - 1
+    w = min(window, len(hs))
+    n_win = len(hs) - w + 1
+    acc = np.zeros(n_win, dtype=np.uint64)
+    power = 1
+    # exponent w-1-j grows as j falls
+    for j in range(w - 1, -1, -1):
+        acc += _mulmod_mersenne61(np.uint64(power), hs[j:j + n_win])
+        acc = (acc & np.uint64(P)) + (acc >> np.uint64(61))
+        power = (power * B) % P
+    return np.where(acc >= P, acc - np.uint64(P), acc)
+
+
+def winnow_fingerprint_sets(ds: Dataset, window: int = 16,
+                            guarantee: int = 4) -> Dataset:
+    """(doc_id, fp64) exploded — the full winnowing fingerprint SET of
+    each non-blank document (Schleimer et al., "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD 2003 — public
+    algorithm): over the doc's rolling ``window``-token hashes, the
+    distinct minima of every ``guarantee``-length window of consecutive
+    hashes. Any shared token run of length ≥ window+guarantee-1 between
+    two docs is GUARANTEED to share a fingerprint — the local-match
+    detection property a plagiarism/near-dup index needs, where
+    :func:`rolling_fingerprints`'s single global min only supports
+    whole-doc comparison. Same exact mod-(2^61-1) arithmetic as
+    rolling_fingerprints ⇒ SQL-oracle value-exact. Output is ≈
+    tokens/guarantee rows per doc (the winnowing density bound 2/(g+1)
+    keeps the explosion bounded); docs shorter than one window emit
+    their single whole-prefix hash."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        dids_out, fps_out = [], []
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            hs_all = _md5_modp_unique(enc.dictionary.to_pylist())[codes]
+            par = parents.to_numpy(zero_copy_only=False)
+            dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            doc_starts = np.flatnonzero(np.diff(par, prepend=-1))
+            doc_ends = np.append(doc_starts[1:], len(par))
+            for s, e in zip(doc_starts.tolist(), doc_ends.tolist()):
+                acc = _window_hashes(hs_all[s:e], window)
+                g = min(guarantee, len(acc))
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    acc, g).min(axis=1)
+                fps = np.unique(mins)
+                dids_out.append(np.full(len(fps), dids[par[s]],
+                                        dtype=np.int64))
+                fps_out.append(fps)
+        if not dids_out:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "fp64": pa.array([], type=pa.uint64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(dids_out)),
+            "fp64": pa.array(np.concatenate(fps_out), type=pa.uint64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def rolling_fingerprints(ds: Dataset, window: int = 16) -> Dataset:
     """(doc_id, fp64) — polynomial rolling-hash fingerprint: min of the
     rolling hashes of token windows (a winnowing-style document sketch).
@@ -447,18 +516,7 @@ def rolling_fingerprints(ds: Dataset, window: int = 16) -> Dataset:
             doc_starts = np.flatnonzero(np.diff(par, prepend=-1))
             doc_ends = np.append(doc_starts[1:], len(par))
             for s, e in zip(doc_starts.tolist(), doc_ends.tolist()):
-                hs = hs_all[s:e]
-                w = min(window, len(hs))
-                n_win = len(hs) - w + 1
-                acc = np.zeros(n_win, dtype=np.uint64)
-                power = 1
-                # exponent w-1-j grows as j falls
-                for j in range(w - 1, -1, -1):
-                    acc += _mulmod_mersenne61(np.uint64(power),
-                                              hs[j:j + n_win])
-                    acc = (acc & np.uint64(P)) + (acc >> np.uint64(61))
-                    power = (power * B) % P
-                acc = np.where(acc >= P, acc - np.uint64(P), acc)
+                acc = _window_hashes(hs_all[s:e], window)
                 out[par[s]] = acc.min()
         return pa.table({"doc_id": batch["doc_id"],
                          "fp64": pa.array(out, type=pa.uint64())})
