@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": lambda sf: textstats.fingerprints(_docs(sf)),
         "repetition_scores": lambda sf: textstats.repetition_scores(
             _docs(sf)),
+        "length_quantile_filter": lambda sf:
+            textstats.filter_by_token_quantile(_docs(sf), lo=0.1, hi=0.9),
+        "commonness_scores": lambda sf: textstats.commonness_scores(
+            _docs(sf)),
         "doc_top_terms": lambda sf: textstats.doc_top_terms(_docs(sf), k=3),
         # -- training-data hygiene --
         "dataset_split": _dataset_split,
@@ -439,6 +443,37 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             select doc_id, rank, term, tf, df, score
             from ranked where rank <= 3""",
+        "length_quantile_filter": r"""
+            with tc as (
+              select doc_id, case when trim(text)='' then 0
+                     else len(regexp_split_to_array(trim(text),'\s+')) end
+                     as n_tokens
+              from documents),
+            cut as (
+              select percentile_disc(0.1) within group
+                         (order by n_tokens) as lo,
+                     percentile_disc(0.9) within group
+                         (order by n_tokens) as hi
+              from tc)
+            select doc_id, n_tokens from tc, cut
+            where n_tokens between lo and hi""",
+        "commonness_scores": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            tf as (
+              select doc_id, term, count(*) as tf from toks group by 1, 2),
+            g as (select term, sum(tf)::BIGINT as tfg from tf group by term),
+            tot as (select sum(tf)::BIGINT as total from tf),
+            agg as (
+              select t.doc_id, sum(t.tf * g.tfg)::BIGINT as sum_tfg,
+                     sum(t.tf)::BIGINT as n_tokens
+              from tf t join g using (term) group by t.doc_id)
+            select doc_id, sum_tfg, n_tokens,
+                   sum_tfg::DOUBLE / (n_tokens * total) as commonness
+            from agg, tot""",
         "dataset_split": """
             select doc_id,
                    (md5_number_lower(doc_id::VARCHAR) % 100)::BIGINT

@@ -575,3 +575,31 @@ def test_winnow_guarantee_property(ray_session):
                       "text": ["only three tokens"]})
     srows = winnow_fingerprint_sets(rd.from_arrow(short)).take_all()
     assert len(srows) == 1
+
+
+def test_filter_by_token_quantile_exact_cutoffs(ray_session):
+    from ts_type_filter_ray.functions.textstats import (
+        filter_by_token_quantile)
+    # lengths 1..10, one doc each: p-disc(0.2)=2, p-disc(0.8)=8
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), type=pa.int64()),
+        "text": [" ".join(["t"] * (i + 1)) for i in range(10)],
+    })
+    out = sorted(r["n_tokens"] for r in filter_by_token_quantile(
+        rd.from_arrow(tbl), lo=0.2, hi=0.8).take_all())
+    assert out == [2, 3, 4, 5, 6, 7, 8]
+
+
+def test_commonness_scores_integer_exact(ray_session):
+    from ts_type_filter_ray.functions.textstats import commonness_scores
+    # corpus: "a a b" + "b c" -> tfg: a=2, b=2, c=1; total=5
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["a a b", "b c", ""],
+    })
+    out = {r["doc_id"]: (r["sum_tfg"], r["n_tokens"], r["commonness"])
+           for r in commonness_scores(rd.from_arrow(tbl)).take_all()}
+    # doc0: a,a,b -> 2+2+2=6 over 3 tokens; doc1: b,c -> 2+1=3 over 2
+    assert out[0] == (6, 3, 6 / 15)
+    assert out[1] == (3, 2, 3 / 10)
+    assert 2 not in out  # blank doc excluded, matching the SQL oracle

@@ -234,6 +234,53 @@ def repetition_scores(ds: Dataset) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _explode_term_tf(batch: pa.Table) -> pa.Table:
+    """(term, doc_id, tf) rows for one batch — lowercased whitespace
+    terms, per-(doc, term) counts via one fused-key ``np.unique``. A
+    document is one input row, so these rows are globally final straight
+    out of the batch (no (term, doc) merge shuffle needed)."""
+    _, flat, parents = _tokens(batch)
+    if len(flat) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "tf": pa.array([], type=pa.int64())})
+    flat = pc.utf8_lower(flat)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    vocab = enc.dictionary
+    par = parents.to_numpy(zero_copy_only=False)
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    key = codes.astype(np.int64) * batch.num_rows + par  # term-major
+    uniq, tf = np.unique(key, return_counts=True)
+    return pa.table({
+        "term": vocab.take(pa.array(uniq // batch.num_rows)),
+        "doc_id": pa.array(dids[uniq % batch.num_rows], type=pa.int64()),
+        "tf": pa.array(tf.astype(np.int64)),
+    })
+
+
+def _term_part_appender(num_parts: int):
+    """Batch fn appending a coarse term-hash ``part`` column — every
+    occurrence of a term lands in ONE partition, so per-partition term
+    aggregates are globally correct. Hashes each UNIQUE term once per
+    batch and gathers (the tokenizer's trick)."""
+
+    def add_term_part(batch: pa.Table) -> pa.Table:
+        from .dedup import _stable_hash64
+        enc = pc.dictionary_encode(batch["term"].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        hv = np.array([_stable_hash64(t) % num_parts
+                       for t in enc.dictionary.to_pylist()],
+                      dtype=np.int32)
+        return batch.append_column("part", pa.array(hv[codes]))
+
+    return add_term_part
+
+
 def doc_top_terms(ds: Dataset, k: int = 3,
                   num_parts: int | None = None) -> Dataset:
     """Per-document top-k keywords by term specificity — (doc_id, rank,
@@ -254,29 +301,8 @@ def doc_top_terms(ds: Dataset, k: int = 3,
     if num_parts is None:
         num_parts = auto_num_parts(ds)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        _, flat, parents = _tokens(batch)
-        if len(flat) == 0:
-            return pa.table({"term": pa.array([], type=pa.string()),
-                             "doc_id": pa.array([], type=pa.int64()),
-                             "tf": pa.array([], type=pa.int64())})
-        flat = pc.utf8_lower(flat)
-        enc = pc.dictionary_encode(flat)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        vocab = enc.dictionary
-        par = parents.to_numpy(zero_copy_only=False)
-        n_vocab = len(vocab)
-        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        key = codes.astype(np.int64) * batch.num_rows + par  # term-major
-        uniq, tf = np.unique(key, return_counts=True)
-        return pa.table({
-            "term": vocab.take(pa.array(uniq // batch.num_rows)),
-            "doc_id": pa.array(dids[uniq % batch.num_rows],
-                               type=pa.int64()),
-            "tf": pa.array(tf.astype(np.int64)),
-        })
+    explode = _explode_term_tf
+    add_term_part = _term_part_appender(num_parts)
 
     def attach_df(group: pa.Table) -> pa.Table:
         # rows for one coarse term partition: per-term df by run length
@@ -292,17 +318,6 @@ def doc_top_terms(ds: Dataset, k: int = 3,
             "tf": group["tf"],
             "df": pa.array(df[codes].astype(np.int64)),
         })
-
-    def add_term_part(batch: pa.Table) -> pa.Table:
-        from .dedup import _stable_hash64
-        enc = pc.dictionary_encode(batch["term"].combine_chunks())
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        # hash each UNIQUE term once, gather (same trick as the tokenizer)
-        hv = np.array([_stable_hash64(t) % num_parts
-                       for t in enc.dictionary.to_pylist()], dtype=np.int32)
-        return batch.append_column("part", pa.array(hv[codes]))
 
     def topk_per_doc(group: pa.Table) -> pa.Table:
         dids = group["doc_id"].to_numpy(zero_copy_only=False)
@@ -339,6 +354,107 @@ def doc_top_terms(ds: Dataset, k: int = 3,
                                 pa.int32())), batch_format="pyarrow")
             .groupby("part")
             .map_groups(topk_per_doc, batch_format="pyarrow"))
+
+
+def filter_by_token_quantile(ds: Dataset, lo: float = 0.1,
+                             hi: float = 0.9) -> Dataset:
+    """(doc_id, n_tokens) of documents whose token count lies within the
+    corpus's [lo, hi] length quantiles — the standard "drop the shortest
+    and longest tails" curation filter, with the cutoffs computed
+    EXACTLY and distributed (``percentile_disc`` semantics, 1-based
+    index ⌈p·n⌉): pass 1 reduces per-batch length histograms through one
+    small groupby (shuffle O(distinct lengths), never O(rows)) and the
+    driver scans the tiny merged histogram for the two cutoffs; pass 2
+    re-reads and filters. Two corpus reads, zero full-data shuffles, no
+    quantile sketch approximation."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok, _, _ = _tokens(batch)
+        uniq, n = np.unique(n_tok.to_numpy(zero_copy_only=False),
+                            return_counts=True)
+        return pa.table({"n_tokens": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_tokens").aggregate(Sum("n", alias_name="n"))
+            .take_all())  # ≤ distinct-lengths rows — small by contract
+    hist.sort(key=lambda r: r["n_tokens"])
+    lens = np.array([r["n_tokens"] for r in hist], dtype=np.int64)
+    cum = np.cumsum([r["n"] for r in hist])
+    total = int(cum[-1])
+    lo_cut = int(lens[np.searchsorted(cum, max(1, int(np.ceil(lo * total))),
+                                      side="left")])
+    hi_cut = int(lens[np.searchsorted(cum, max(1, int(np.ceil(hi * total))),
+                                      side="left")])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        n_tok, _, _ = _tokens(batch)
+        n = n_tok.to_numpy(zero_copy_only=False)
+        mask = pa.array((n >= lo_cut) & (n <= hi_cut))
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(mask),
+            "n_tokens": pa.array(n[(n >= lo_cut) & (n <= hi_cut)],
+                                 type=pa.int64()),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def commonness_scores(ds: Dataset,
+                      num_parts: int | None = None) -> Dataset:
+    """(doc_id, sum_tfg, n_tokens, commonness) for every non-blank doc —
+    a unigram-LM commonness score with EXACT cross-engine arithmetic:
+    sum_tfg = Σ over token occurrences of the token's GLOBAL corpus
+    frequency (all-integer, order-free), and
+    commonness = sum_tfg / (n_tokens · total_tokens) — the mean corpus
+    probability of the doc's tokens, ONE IEEE division at the end (a
+    log-perplexity variant would call libm ``ln`` whose rounding differs
+    across engines). Low commonness ⇒ rare/garbled text; high ⇒
+    boilerplate — the cheap LM-quality signal of curation pipelines.
+
+    Distributed shape: (term, doc_id, tf) explode → coarse term-hash
+    groupby attaches each term's global tf (vocabulary never leaves the
+    cluster, same reasoning as :func:`doc_top_terms`) → per-doc integer
+    Sum. ``total_tokens`` is one tiny column-pruned aggregate pass."""
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+    total = int(token_counts(ds).sum("n_tokens"))
+
+    def attach_tfg(group: pa.Table) -> pa.Table:
+        # one coarse term partition: per-term global tf by segment sum
+        terms = group["term"].combine_chunks()
+        enc = pc.dictionary_encode(terms)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        tfg = np.bincount(codes, weights=tf,
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "wsum": pa.array(tf * tfg[codes]),
+            "n": pa.array(tf),
+        })
+
+    agg = (ds.map_batches(_explode_term_tf, batch_format="pyarrow")
+           .map_batches(_term_part_appender(num_parts),
+                        batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(attach_tfg, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("wsum", alias_name="sum_tfg"),
+                      Sum("n", alias_name="n_tokens")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch["sum_tfg"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "commonness",
+            pa.array(s / (n * total).astype(np.float64)))
+
+    return agg.map_batches(score, batch_format="pyarrow")
 
 
 def quality_scores(ds: Dataset) -> Dataset:
