@@ -323,20 +323,31 @@ def doc_top_terms(ds: Dataset, k: int = 3,
         dids = group["doc_id"].to_numpy(zero_copy_only=False)
         tf = group["tf"].to_numpy(zero_copy_only=False)
         df = group["df"].to_numpy(zero_copy_only=False)
-        terms = np.asarray(group["term"].to_pylist())
+        terms = group["term"].combine_chunks()
+        # lexicographic tie-break WITHOUT materializing Python strings:
+        # rank each unique term once via Arrow's sort, gather per row
+        enc = pc.dictionary_encode(terms)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        sort_idx = pc.array_sort_indices(enc.dictionary).to_numpy(
+            zero_copy_only=False)
+        lexrank = np.empty(len(enc.dictionary), dtype=np.int64)
+        lexrank[sort_idx] = np.arange(len(enc.dictionary))
         score = tf.astype(np.float64) / df.astype(np.float64)
-        order = np.lexsort((terms, -score, dids))
-        dids, tf, df, terms, score = (dids[order], tf[order], df[order],
-                                      terms[order], score[order])
+        order = np.lexsort((lexrank[codes], -score, dids))
+        dids, tf, df, score = (dids[order], tf[order], df[order],
+                               score[order])
         change = np.ones(len(dids), dtype=bool)
         change[1:] = dids[1:] != dids[:-1]
         rank = np.arange(len(dids)) - np.maximum.accumulate(
             np.where(change, np.arange(len(dids)), 0)) + 1
         keep = rank <= k
+        keep_idx = pa.array(order[keep])
         return pa.table({
             "doc_id": pa.array(dids[keep], type=pa.int64()),
             "rank": pa.array(rank[keep], type=pa.int64()),
-            "term": pa.array(terms[keep].tolist(), type=pa.string()),
+            "term": terms.take(keep_idx),
             "tf": pa.array(tf[keep], type=pa.int64()),
             "df": pa.array(df[keep], type=pa.int64()),
             "score": pa.array(score[keep], type=pa.float64()),
