@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- composed curation pipeline (quality → exact dedup →
         #    minhash near-dup → language), per-stage drop report --
         "curation_report": _curation_report,
+        # -- composed end-to-end training prep (length quantiles ∩
+        #    exact-dedup winners ∩ decontaminated → split report),
+        #    value-exact against one composed SQL oracle --
+        "training_prep": _training_prep,
     }
 
 
@@ -218,6 +222,11 @@ def _scrub_pii(sf_dir: str):
 def _chunk_documents(sf_dir: str):
     from ts_type_filter_ray.functions.chunking import chunk_documents
     return chunk_documents(_docs(sf_dir), chunk_len=32)
+
+
+def _training_prep(sf_dir: str):
+    from ts_type_filter_ray.pipelines.prep import training_prep_report
+    return training_prep_report(_docs(sf_dir))
 
 
 def _curation_report(sf_dir: str):
@@ -443,6 +452,58 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             select doc_id, rank, term, tf, df, score
             from ranked where rank <= 3""",
+        "training_prep": r"""
+            with tc as (
+              select doc_id, case when trim(text)='' then 0
+                     else len(regexp_split_to_array(trim(text),'\s+')) end
+                     as n_tokens
+              from documents),
+            cut as (
+              select percentile_disc(0.05) within group
+                         (order by n_tokens) as lo,
+                     percentile_disc(0.95) within group
+                         (order by n_tokens) as hi from tc),
+            keepq as (
+              select doc_id, n_tokens from tc, cut
+              where n_tokens between lo and hi),
+            losers as (
+              select doc_id from (
+                select doc_id, row_number() over
+                       (partition by sha256(text) order by doc_id) rn
+                from documents) where rn > 1),
+            base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            sh as (
+              select distinct doc_id, g from (
+                select doc_id,
+                       arr[p] || ' ' || arr[p+1] || ' ' || arr[p+2] as g
+                from (select doc_id, arr,
+                             unnest(range(1, len(arr)-1))::INT as p
+                      from base where len(arr) >= 3)
+                union all
+                select doc_id, array_to_string(arr, ' ') as g
+                from base where len(arr) < 3)),
+            bench as (select distinct g from sh where doc_id % 50 = 0),
+            contam as (
+              select distinct s.doc_id from sh s join bench b using (g)
+              where s.doc_id % 50 <> 0),
+            kept as (
+              select k.doc_id, k.n_tokens from keepq k
+              where k.doc_id % 50 <> 0
+                and k.doc_id not in (select doc_id from losers)
+                and k.doc_id not in (select doc_id from contam)),
+            sp as (
+              select n_tokens,
+                     case when md5_number_lower(doc_id::VARCHAR)%100 < 80
+                          then 'train'
+                          when md5_number_lower(doc_id::VARCHAR)%100 < 90
+                          then 'valid'
+                          else 'test' end as split
+              from kept)
+            select split, count(*)::BIGINT as n_docs,
+                   sum(n_tokens)::BIGINT as n_tokens
+            from sp group by split""",
         "length_quantile_filter": r"""
             with tc as (
               select doc_id, case when trim(text)='' then 0

@@ -603,3 +603,27 @@ def test_commonness_scores_integer_exact(ray_session):
     assert out[0] == (6, 3, 6 / 15)
     assert out[1] == (3, 2, 3 / 10)
     assert 2 not in out  # blank doc excluded, matching the SQL oracle
+
+
+def test_training_prep_drop_semantics(ray_session):
+    """A doc dropped by BOTH dedup and contamination stays dropped; the
+    per-split token sums count only survivors."""
+    from ts_type_filter_ray.pipelines.prep import training_prep_report
+    texts = {
+        0: "bench doc alpha beta gamma",        # benchmark (0 % 5 == 0)
+        1: "clean one two three four five",
+        2: "clean one two three four five",     # exact dup loser of 1
+        3: "shares alpha beta gamma with bench",  # contaminated
+        4: "x",                                 # too short for quantiles
+        6: "clean six seven eight nine ten",
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": [texts[k] for k in sorted(texts)],
+    })
+    out = training_prep_report(rd.from_arrow(tbl), lo=0.3, hi=1.0,
+                               bench_mod=5, shingle_k=3).take_all()
+    total_docs = sum(r["n_docs"] for r in out)
+    total_tokens = sum(r["n_tokens"] for r in out)
+    # survivors: docs 1 and 6 only (0 bench, 2 dup, 3 contam, 4 short)
+    assert total_docs == 2 and total_tokens == 12
