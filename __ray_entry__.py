@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.filter_by_token_quantile(_docs(sf), lo=0.1, hi=0.9),
         "commonness_scores": lambda sf: textstats.commonness_scores(
             _docs(sf)),
+        # HLL vocabulary cardinality (approximate by nature → rows-only;
+        # <5% accuracy asserted in pytest at 50k+ true cardinality)
+        "approx_distinct_terms": _approx_distinct_terms,
         "doc_top_terms": lambda sf: textstats.doc_top_terms(_docs(sf), k=3),
         # -- training-data hygiene --
         "dataset_split": _dataset_split,
@@ -222,6 +225,11 @@ def _scrub_pii(sf_dir: str):
 def _chunk_documents(sf_dir: str):
     from ts_type_filter_ray.functions.chunking import chunk_documents
     return chunk_documents(_docs(sf_dir), chunk_len=32)
+
+
+def _approx_distinct_terms(sf_dir: str):
+    from ts_type_filter_ray.functions.sketches import approx_distinct_terms
+    return approx_distinct_terms(_docs(sf_dir))
 
 
 def _training_prep(sf_dir: str):

@@ -627,3 +627,19 @@ def test_training_prep_drop_semantics(ray_session):
     total_tokens = sum(r["n_tokens"] for r in out)
     # survivors: docs 1 and 6 only (0 bench, 2 dup, 3 contam, 4 short)
     assert total_docs == 2 and total_tokens == 12
+
+
+def test_hll_accuracy_at_scale(ray_session):
+    from ts_type_filter_ray.functions.sketches import approx_distinct_terms
+    # 60k distinct tokens spread over 600 docs — well past the
+    # linear-counting regime at p=12
+    texts = [" ".join(f"tok{d}_{i}" for i in range(100)) for d in range(600)]
+    tbl = pa.table({"doc_id": pa.array(range(600), type=pa.int64()),
+                    "text": texts})
+    est = approx_distinct_terms(rd.from_arrow(tbl)).take_all()[0]["estimate"]
+    assert abs(est - 60000) / 60000 < 0.05
+    # and the small-range regime is exact-ish
+    small = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                      "text": ["a b c d e"]})
+    est2 = approx_distinct_terms(rd.from_arrow(small)).take_all()[0]["estimate"]
+    assert est2 == 5

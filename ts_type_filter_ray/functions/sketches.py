@@ -1,0 +1,88 @@
+"""Distributed cardinality sketching — HyperLogLog (Flajolet et al. 2007,
+public algorithm) over the corpus vocabulary.
+
+The exact distinct-term count (``term_df_tf`` → count) costs a full
+O(vocabulary) shuffle; at 100 TB the vocabulary is billions of terms and
+often the answer only needs to be right to a few percent (capacity
+planning, bucket sizing, progress estimation). The HLL sketch shuffles
+exactly ≤ 2^p register rows per batch (kilobytes, constant in corpus
+size), merges with an associative-commutative per-register Max — the
+ideal Ray Data reduction — and the driver folds 2^p integers. Standard
+error ≈ 1.04/√2^p (~1.6 % at p=12).
+
+Register assignment uses the md5-based 64-bit token hash shared with the
+dedup family — uniform by construction, and hashing only the UNIQUE
+tokens of each batch (the tokenizer's trick).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Max
+
+from .textstats import _tokens
+
+
+def _hll_partial(p: int):
+    from .dedup import _md5_hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"reg": pa.array([], type=pa.int32()),
+                             "rho": pa.array([], type=pa.int8())})
+        uniq = pc.unique(pc.utf8_lower(flat))
+        h = np.fromiter((_md5_hash64(t) for t in uniq.to_pylist()),
+                        dtype=np.uint64, count=len(uniq))
+        reg = (h >> np.uint64(64 - p)).astype(np.int32)
+        rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+        # rho = leading zeros of the remaining bits + 1 (capped at 64-p+1)
+        rho = np.full(len(h), 64 - p + 1, dtype=np.int8)
+        nz = rest != 0
+        # count leading zeros via float64 exponent trick is lossy; use
+        # bit_length: lz = 64 - bit_length(rest)
+        bl = np.zeros(len(h), dtype=np.int8)
+        r = rest[nz]
+        for shift in (32, 16, 8, 4, 2, 1):  # 6 vectorized halving steps
+            big = r >= (np.uint64(1) << np.uint64(shift))
+            bl[nz] = bl[nz] + np.where(big, shift, 0).astype(np.int8)
+            r = np.where(big, r >> np.uint64(shift), r)
+        bl[nz] += 1  # bit_length
+        rho[nz] = (64 - bl[nz] + 1).astype(np.int8)
+        # per-batch max per register (shrinks the shuffle to ≤ 2^p rows)
+        regs, inv = np.unique(reg, return_inverse=True)
+        mx = np.zeros(len(regs), dtype=np.int8)
+        np.maximum.at(mx, inv, rho)
+        return pa.table({"reg": pa.array(regs),
+                         "rho": pa.array(mx)})
+
+    return fn
+
+
+def approx_distinct_terms(ds: Dataset, p: int = 12) -> Dataset:
+    """One row (estimate, n_registers): approximate distinct lowercased
+    whitespace terms. Approximate by nature → rows-only on the driver
+    gate; accuracy asserted (<5 % at p=12) in pytest against the exact
+    vocabulary count."""
+    import ray.data as rd
+
+    rows = (ds.map_batches(_hll_partial(p), batch_format="pyarrow")
+            .groupby("reg").aggregate(Max("rho", alias_name="rho"))
+            .take_all())  # ≤ 2^p rows — constant in corpus size
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.float64)
+    for r in rows:
+        regs[r["reg"]] = r["rho"]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs))
+    if est <= 2.5 * m:  # small-range correction (linear counting)
+        zeros = int(np.sum(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    return rd.from_arrow(pa.table({
+        "estimate": pa.array([int(round(est))], type=pa.int64()),
+        "n_registers": pa.array([m], type=pa.int64()),
+    }))
