@@ -1,0 +1,67 @@
+"""Incremental index extension (LSM segments): building A then extending
+with B must equal building A∪B from scratch — stats identical, boolean
+matches identical, BM25 top-k scores bit-identical (scores are computed
+at query time from current stats + decoded tf/dl, so segment layout must
+not leak into results)."""
+
+import glob
+import os
+
+import pytest
+
+from ts_type_filter_ray.pipelines.build import (BuiltIndex, build_index,
+                                                extend_index)
+from ts_type_filter_ray.pipelines.query import LocalSearcher
+from ts_type_filter_ray.sources.corpus import read_corpus
+from ts_type_filter_ray.sources.synthetic import generate_corpus
+
+QUERIES = ["import def", "running", "return self import", "jalapeños",
+           "ident_1x ident_2x", "word42"]
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("ext") / "corpus")
+    generate_corpus(d, num_docs=400, seed=11, num_files=4)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    return files[:2], files[2:3], files[3:], files
+
+
+def _assert_equal_searchers(sa: LocalSearcher, sb: LocalSearcher):
+    for q in QUERIES:
+        assert list(sa.match(q)) == list(sb.match(q)), q
+        assert [tuple(r) for r in sa.bm25(q, k=10)] == \
+               [tuple(r) for r in sb.bm25(q, k=10)], q
+
+
+def test_extend_equals_fresh_build(corpora, tmp_path, ray_session):
+    a, b, c, all_files = corpora
+    full = build_index(read_corpus(all_files), str(tmp_path / "full"))
+
+    inc = build_index(read_corpus(a), str(tmp_path / "inc"))
+    inc = extend_index(str(tmp_path / "inc"), read_corpus(b))
+    assert inc.stats.num_segments == 2
+    inc = extend_index(str(tmp_path / "inc"), read_corpus(c))
+    assert inc.stats.num_segments == 3
+
+    assert (inc.stats.num_documents, inc.stats.total_doc_len,
+            inc.stats.num_unique_terms, inc.stats.num_postings) == \
+           (full.stats.num_documents, full.stats.total_doc_len,
+            full.stats.num_unique_terms, full.stats.num_postings)
+    # extension never raises the pruning bound below validity
+    assert inc.stats.impact_correction >= 1.0
+
+    _assert_equal_searchers(LocalSearcher(inc), LocalSearcher(full))
+
+
+def test_extend_reload_from_disk(corpora, tmp_path, ray_session):
+    a, b, _, _ = corpora
+    build_index(read_corpus(a), str(tmp_path / "r"))
+    extend_index(str(tmp_path / "r"), read_corpus(b))
+    re = BuiltIndex.load(str(tmp_path / "r"))
+    assert re.stats.num_segments == 2
+    s = LocalSearcher(re)
+    assert len(s.match("import")) > 0
+    # docs shards from both generations are present
+    shards = os.listdir(os.path.join(str(tmp_path / "r"), "docs"))
+    assert any(f.startswith("docs_g1") for f in shards)

@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
                    help=">0: checkpointed sharded build (resumable)")
     b.add_argument("--buckets", type=int, default=32)
 
+    e = sub.add_parser("extend",
+                       help="add a parquet corpus dir to an existing index")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--index", required=True)
+
     q = sub.add_parser("query", help="boolean or BM25 query an index")
     q.add_argument("index")
     q.add_argument("terms")
@@ -93,6 +98,19 @@ def main(argv: list[str] | None = None) -> int:
         s = idx.stats
         print(f"built {s.num_documents} docs, {s.num_unique_terms} terms, "
               f"{s.num_postings} postings -> {args.out}")
+        return 0
+
+    if args.cmd == "extend":
+        from .pipelines.build import extend_index
+        if not os.path.exists(os.path.join(args.index, "stats.json")):
+            print(f"error: no index at {args.index!r} (missing stats.json)",
+                  file=sys.stderr)
+            return 2
+        idx = extend_index(args.index, read_corpus(args.corpus))
+        s = idx.stats
+        print(f"extended to {s.num_documents} docs, "
+              f"{s.num_unique_terms} terms, {s.num_postings} postings "
+              f"({s.num_segments} segments) -> {args.index}")
         return 0
 
     if args.cmd == "query":

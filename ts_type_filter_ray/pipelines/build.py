@@ -52,12 +52,26 @@ class IndexStats:
     b: float
     doc_part_bits: int
     num_term_buckets: int
+    # incremental extensions (extend_index): number of postings segment
+    # generations per bucket, and the MINIMUM avgdl any live segment's
+    # block-max metadata was computed with — the searcher scales its
+    # pruning upper bounds by max(1, avgdl/min_merge_avgdl), which keeps
+    # WAND pruning EXACT under a drifted avgdl (tf_factor grows at most
+    # linearly in avgdl). None ⇔ single-generation index (factor 1).
+    num_segments: int = 1
+    min_merge_avgdl: float | None = None
 
     @property
     def avgdl(self) -> float:
         # int-sum / int-count: bit-identical to the oracle's
         # sum(self._doc_len) / n (oracle/index.py).
         return self.total_doc_len / self.num_documents
+
+    @property
+    def impact_correction(self) -> float:
+        if self.min_merge_avgdl is None or self.min_merge_avgdl <= 0:
+            return 1.0
+        return max(1.0, self.avgdl / self.min_merge_avgdl)
 
 
 @dataclass
@@ -172,10 +186,124 @@ def build_index(corpus: Dataset, out_dir: str, *,
         k1=k1, b=b,
         doc_part_bits=doc_part_bits,
         num_term_buckets=num_term_buckets,
+        num_segments=1,
+        min_merge_avgdl=avgdl,
     )
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats.__dict__, f, indent=1)
     return BuiltIndex(root=out_dir, stats=stats, timings=timings)
+
+
+def extend_index(root: str, new_corpus: Dataset, *,
+                 tokenize_batch_size: int = 256,
+                 tokenize_concurrency: int | tuple[int, int] | None = None,
+                 breaker=None, stemmer=None) -> BuiltIndex:
+    """Incrementally add *new_corpus* to an existing index — LSM-style:
+    the old postings are untouched; the new documents tokenize + spill +
+    merge into ONE new segment file per bucket
+    (``postings/bucket=*/segment_<gen>.parquet``) and new docs shards
+    land beside the old ones. Cost is O(new corpus) tokenize + an
+    O(new postings) merge — never a re-tokenize or rewrite of the
+    existing index (tokenize dominates a build ~3:1, so extending with
+    10 % new docs costs ~10 % of a rebuild).
+
+    Correctness under extension (all EXACT):
+    - new docs get ids ``old_N + i`` (*new_corpus* must carry the dense
+      0-based ids the corpus readers assign), so segment doc sets are
+      disjoint and a doc contributes at most one posting per term —
+      per-doc BM25 accumulation is unchanged;
+    - query-time scores decode tf/dl from the segments and apply the
+      CURRENT (N, avgdl, df) from stats.json, so scores equal a
+      from-scratch build's bit-for-bit (pytest-pinned);
+    - per-term df sums across segment rows at searcher load (the
+      (term, part) sort + reduceat already does this);
+    - block-max metadata frozen at each segment's merge-time avgdl stays
+      a VALID upper bound via ``IndexStats.impact_correction``
+      (tf_factor is increasing in avgdl at rate < linear).
+
+    Breaker/stemmer (and k1/b) must match the original build — they are
+    not serialized in the index, so the caller owns that contract (same
+    as ``LocalSearcher``)."""
+    import shutil
+    import time
+
+    import pyarrow as pa
+
+    old = BuiltIndex.load(root)
+    st = old.stats
+    offset = st.num_documents
+    gen = st.num_segments  # segment_1 is the first extension
+    timings: dict[str, float] = {}
+
+    def shift_ids(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pcc.add(batch["doc_id"], offset))
+
+    shifted = new_corpus.map_batches(shift_ids, batch_format="pyarrow")
+
+    partials_dir = os.path.join(root, f"partials_ext{gen}")
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    if breaker is None and stemmer is None:
+        from ..stages.tokenizer import tokenize_task
+        partials = shifted.map_batches(
+            tokenize_task,
+            fn_kwargs={"doc_part_bits": st.doc_part_bits,
+                       "num_term_buckets": st.num_term_buckets,
+                       "emit_meta": True},
+            batch_format="pyarrow", batch_size=tokenize_batch_size)
+    else:
+        partials = shifted.map_batches(
+            TokenizePartials,
+            fn_constructor_args=(st.doc_part_bits, st.num_term_buckets,
+                                 breaker, stemmer, True),
+            batch_format="pyarrow", batch_size=tokenize_batch_size,
+            concurrency=tokenize_concurrency or (1, 16))
+    partials.write_parquet(partials_dir, partition_cols=["bucket"])
+    timings["tokenize_spill"] = time.perf_counter() - t0
+
+    meta_dir = os.path.join(partials_dir, "bucket=-1")
+    if not os.path.isdir(meta_dir):
+        raise ValueError("cannot extend with an empty corpus")
+    t0 = time.perf_counter()
+    n_new, dl_new = _write_docs_table(meta_dir, os.path.join(root, "docs"),
+                                      prefix=f"docs_g{gen}")
+    timings["docs_table"] = time.perf_counter() - t0
+    if n_new == 0:
+        raise ValueError("cannot extend with an empty corpus")
+
+    n_docs = st.num_documents + n_new
+    total_dl = st.total_doc_len + dl_new
+    avgdl = total_dl / n_docs  # the post-extension global avgdl
+
+    t0 = time.perf_counter()
+    postings_dir = os.path.join(root, "postings")
+    merge_partial_buckets(
+        partials_dir, postings_dir, avgdl, st.k1, st.b,
+        file_name=f"segment_{gen}.parquet")
+    # recount over EVERY bucket dir: a bucket whose terms got no new
+    # postings is untouched by the merge wave but still owns vocabulary
+    n_terms, n_postings = _count_all_buckets(postings_dir)
+    timings["merge"] = time.perf_counter() - t0
+    shutil.rmtree(partials_dir, ignore_errors=True)
+
+    old_min = st.min_merge_avgdl if st.min_merge_avgdl else st.avgdl
+    stats = IndexStats(
+        num_documents=n_docs,
+        total_doc_len=total_dl,
+        num_unique_terms=n_terms,
+        num_postings=n_postings,
+        k1=st.k1, b=st.b,
+        doc_part_bits=st.doc_part_bits,
+        num_term_buckets=st.num_term_buckets,
+        num_segments=gen + 1,
+        min_merge_avgdl=min(old_min, avgdl),
+    )
+    with open(os.path.join(root, "stats.json"), "w") as f:
+        json.dump(stats.__dict__, f, indent=1)
+    return BuiltIndex(root=root, stats=stats, timings=timings)
 
 
 def _docs_from_meta_files(srcs: list[str], dest: str) -> tuple[int, int]:
@@ -195,10 +323,13 @@ def _docs_from_meta_files(srcs: list[str], dest: str) -> tuple[int, int]:
 
 
 def _write_docs_table(meta_dir: str, docs_dir: str,
-                      max_tasks: int = 32) -> tuple[int, int]:
+                      max_tasks: int = 32,
+                      prefix: str = "docs") -> tuple[int, int]:
     """Fan bundled Ray tasks over the meta files; reduce
     (n_docs, total_doc_len). Bundling keeps the task count bounded —
-    per-task driver dispatch is the non-scaling cost on one node."""
+    per-task driver dispatch is the non-scaling cost on one node.
+    ``prefix`` namespaces extension generations' shards beside the
+    originals."""
     import ray
 
     os.makedirs(docs_dir, exist_ok=True)
@@ -213,16 +344,45 @@ def _write_docs_table(meta_dir: str, docs_dir: str,
             continue
         refs.append(task.remote(
             [os.path.join(meta_dir, f) for f in files[lo:hi]],
-            os.path.join(docs_dir, f"docs_{b:05d}.parquet")))
+            os.path.join(docs_dir, f"{prefix}_{b:05d}.parquet")))
+    results = ray.get(refs)
+    return sum(r[0] for r in results), sum(r[1] for r in results)
+
+
+def _count_one_bucket(dest: str) -> tuple[int, int]:
+    """(distinct terms, Σ df) over every segment file of one bucket dir —
+    column-pruned read of the two tiny dictionary-encoded columns."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    seg_files = [os.path.join(dest, f) for f in sorted(os.listdir(dest))
+                 if f.endswith(".parquet") and not f.startswith((".", "_"))]
+    tbl = pads.dataset(seg_files).to_table(columns=["term", "df"])
+    return (int(pc.count_distinct(tbl["term"]).as_py()),
+            int(pc.sum(tbl["df"]).as_py() or 0))
+
+
+def _count_all_buckets(postings_dir: str) -> tuple[int, int]:
+    """Parallel per-bucket (terms, postings) recount; sums are global
+    because every term lives in exactly one bucket."""
+    import ray
+    task = ray.remote(_count_one_bucket)
+    refs = [task.remote(os.path.join(postings_dir, d))
+            for d in sorted(os.listdir(postings_dir))
+            if d.startswith("bucket=")]
     results = ray.get(refs)
     return sum(r[0] for r in results), sum(r[1] for r in results)
 
 
 def _merge_one_bucket(bucket_dirs: list[str], out_dir: str, bucket: int,
-                      avgdl: float, k1: float, b: float) -> tuple[int, int]:
-    """Merge one bucket's partial files into its final postings file.
-    Returns (distinct terms, total postings). Idempotent: writes to a
-    temp file and renames; a ``_SUCCESS`` marker short-circuits re-runs."""
+                      avgdl: float, k1: float, b: float,
+                      file_name: str = "merged.parquet") -> tuple[int, int]:
+    """Merge one bucket's partial files into one postings segment file.
+    Returns (distinct terms, total postings) over the WHOLE bucket
+    directory — all segments, so extensions report union vocabulary and
+    total postings (a term lives in exactly one bucket, so per-bucket
+    distinct counts sum globally). Idempotent: writes to a temp file and
+    renames; a per-segment ``_SUCCESS.<file>`` marker short-circuits
+    re-runs."""
     import pyarrow as pa
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
@@ -240,11 +400,10 @@ def _merge_one_bucket(bucket_dirs: list[str], out_dir: str, bucket: int,
         pass
 
     dest = os.path.join(out_dir, f"bucket={bucket}")
-    marker = os.path.join(dest, "_SUCCESS")
-    if os.path.exists(marker):
-        tbl = pq.read_table(os.path.join(dest, "merged.parquet"),
-                            columns=["term", "df"])
-    else:
+    stem = file_name.rsplit(".", 1)[0]
+    marker = os.path.join(dest, ("_SUCCESS" if file_name == "merged.parquet"
+                                 else f"_SUCCESS.{stem}"))
+    if not os.path.exists(marker):
         files = [os.path.join(d, f)
                  for d in bucket_dirs for f in sorted(os.listdir(d))
                  if f.endswith(".parquet")]
@@ -254,19 +413,22 @@ def _merge_one_bucket(bucket_dirs: list[str], out_dir: str, bucket: int,
         merged = merge_bucket_table(part_tbl, avgdl, k1, b)
         merged = merged.drop_columns(["bucket"])  # hive dir carries it
         os.makedirs(dest, exist_ok=True)
-        tmp = os.path.join(dest, ".merged.parquet.tmp")
+        tmp = os.path.join(dest, f".{file_name}.tmp")
         pq.write_table(merged, tmp)
-        os.replace(tmp, os.path.join(dest, "merged.parquet"))
+        os.replace(tmp, os.path.join(dest, file_name))
         open(marker, "w").close()
-        tbl = merged
     import pyarrow.compute as pc
+    seg_files = [os.path.join(dest, f) for f in sorted(os.listdir(dest))
+                 if f.endswith(".parquet") and not f.startswith((".", "_"))]
+    tbl = pads.dataset(seg_files).to_table(columns=["term", "df"])
     n_terms = pc.count_distinct(tbl["term"]).as_py()
     n_postings = pc.sum(tbl["df"]).as_py() or 0
     return int(n_terms), int(n_postings)
 
 
 def merge_partial_buckets(partials_dir: str, postings_dir: str,
-                          avgdl: float, k1: float, b: float) -> tuple[int, int]:
+                          avgdl: float, k1: float, b: float,
+                          file_name: str = "merged.parquet") -> tuple[int, int]:
     """Launch one Ray task per ``bucket=*`` partial directory and reduce
     their (n_terms, n_postings) counters. Raw ``ray.remote`` tasks by
     design: the data is already partitioned on disk, so this is a
@@ -301,7 +463,8 @@ def merge_partial_buckets(partials_dir: str, postings_dir: str,
     total_cpus = int(ray.cluster_resources().get("CPU", 8))
     per_task_cpus = max(1, total_cpus // 16)
     merge_task = ray.remote(num_cpus=per_task_cpus)(_merge_one_bucket)
-    refs = [merge_task.remote(dirs, postings_dir, bucket, avgdl, k1, b)
+    refs = [merge_task.remote(dirs, postings_dir, bucket, avgdl, k1, b,
+                              file_name)
             for bucket, dirs in sorted(by_bucket.items())]
     results = ray.get(refs)
     n_terms = sum(r[0] for r in results)

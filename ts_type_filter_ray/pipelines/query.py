@@ -99,8 +99,11 @@ class LocalSearcher:
         self._part = tbl["part"].to_numpy(zero_copy_only=False).astype(
             np.int64)
         df_row = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        self._imp = tbl["max_impact"].to_numpy(zero_copy_only=False).astype(
-            np.float64)
+        # impact_correction = 1.0 on single-generation indexes; on
+        # extended indexes it re-validates block-max bounds frozen at an
+        # older avgdl (see IndexStats) — pruning stays EXACT, just looser
+        self._imp = (tbl["max_impact"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * self._stats.impact_correction)
         self._denc = tbl["doc_ids_enc"].combine_chunks()
         self._tenc = tbl["tfs_enc"].combine_chunks()
         self._lenc = tbl["dls_enc"].combine_chunks()
@@ -126,7 +129,7 @@ class LocalSearcher:
     def _init_cache(self, warm_top_terms: int) -> None:
         # decoded-postings cache: hot terms (import/def/...) decode once
         # per searcher, not once per query; bounded LRU-ish eviction
-        self._decoded: dict[tuple[str, int], tuple] = {}
+        self._decoded: dict[int, tuple] = {}  # row index → decoded arrays
         # must hold warm_top_terms decoded hot rows (32 hot terms on the
         # 150k bench ≈ 115 MB) — a budget below that evicts the warm set
         # during warming and the first hot query pays the decode anyway
@@ -143,7 +146,10 @@ class LocalSearcher:
                     self._decode_row(term, i)
 
     def _decode_row(self, term: str, i: int):
-        key = (term, int(self._part[i]))
+        # key on the ROW index: with segmented indexes (extend_index) a
+        # (term, part) pair can own one row per segment — keying on the
+        # pair would alias distinct rows
+        key = i
         hit = self._decoded.get(key)
         if hit is not None:
             return hit
