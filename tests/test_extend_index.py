@@ -65,3 +65,26 @@ def test_extend_reload_from_disk(corpora, tmp_path, ray_session):
     # docs shards from both generations are present
     shards = os.listdir(os.path.join(str(tmp_path / "r"), "docs"))
     assert any(f.startswith("docs_g1") for f in shards)
+
+
+def test_compact_after_extend(corpora, tmp_path, ray_session):
+    from ts_type_filter_ray.pipelines.build import compact_index
+    a, b, c, all_files = corpora
+    full = build_index(read_corpus(all_files), str(tmp_path / "cfull"))
+    build_index(read_corpus(a), str(tmp_path / "cinc"))
+    extend_index(str(tmp_path / "cinc"), read_corpus(b))
+    extend_index(str(tmp_path / "cinc"), read_corpus(c))
+    comp = compact_index(str(tmp_path / "cinc"))
+    assert comp.stats.num_segments == 1
+    assert comp.stats.impact_correction == 1.0
+    assert (comp.stats.num_documents, comp.stats.total_doc_len,
+            comp.stats.num_unique_terms, comp.stats.num_postings) == \
+           (full.stats.num_documents, full.stats.total_doc_len,
+            full.stats.num_unique_terms, full.stats.num_postings)
+    # one file per bucket again
+    pdir = os.path.join(str(tmp_path / "cinc"), "postings")
+    for d in os.listdir(pdir):
+        files = [f for f in os.listdir(os.path.join(pdir, d))
+                 if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        assert files == ["merged.parquet"]
+    _assert_equal_searchers(LocalSearcher(comp), LocalSearcher(full))

@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--corpus", required=True)
     e.add_argument("--index", required=True)
 
+    cp = sub.add_parser("compact",
+                        help="collapse extension segments to one file per "
+                             "bucket (tightens pruning; results unchanged)")
+    cp.add_argument("index")
+
     q = sub.add_parser("query", help="boolean or BM25 query an index")
     q.add_argument("index")
     q.add_argument("terms")
@@ -111,6 +116,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"extended to {s.num_documents} docs, "
               f"{s.num_unique_terms} terms, {s.num_postings} postings "
               f"({s.num_segments} segments) -> {args.index}")
+        return 0
+
+    if args.cmd == "compact":
+        from .pipelines.build import compact_index
+        if not os.path.exists(os.path.join(args.index, "stats.json")):
+            print(f"error: no index at {args.index!r} (missing stats.json)",
+                  file=sys.stderr)
+            return 2
+        idx = compact_index(args.index)
+        s = idx.stats
+        print(f"compacted to 1 segment: {s.num_documents} docs, "
+              f"{s.num_unique_terms} terms, {s.num_postings} postings")
         return 0
 
     if args.cmd == "query":

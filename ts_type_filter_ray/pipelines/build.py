@@ -349,6 +349,100 @@ def _write_docs_table(meta_dir: str, docs_dir: str,
     return sum(r[0] for r in results), sum(r[1] for r in results)
 
 
+def _compact_one_bucket(dest: str, avgdl: float, k1: float,
+                        b: float) -> tuple[int, int]:
+    """Rewrite one bucket's segment files as a single fresh
+    ``merged.parquet`` (block-max metadata recomputed at the CURRENT
+    avgdl). Decode → partial-shaped rows → the ordinary bucket merge; no
+    re-tokenize. Two-phase commit: the compacted table lands in
+    ``.compact.tmp`` before any visible file is removed, so a crash at
+    any point leaves either the old segments or a finishable tmp —
+    re-running compacts/finishes idempotently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.tokenizer import merge_bucket_table
+    from ..state import postings as plib
+
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+    tmp = os.path.join(dest, ".compact.tmp")
+    seg_files = [os.path.join(dest, f) for f in sorted(os.listdir(dest))
+                 if f.endswith(".parquet") and not f.startswith((".", "_"))]
+    if seg_files:
+        bucket = int(dest.rsplit("=", 1)[1])
+        tbls = [pq.read_table(f) for f in seg_files]
+        rows = pa.concat_tables(tbls).combine_chunks()
+        doc_lists, tf_lists, dl_lists = [], [], []
+        for i in range(rows.num_rows):
+            doc_lists.append(plib.decode_doc_ids(
+                rows["doc_ids_enc"][i].as_py()))
+            tf_lists.append(plib.decode_varints(rows["tfs_enc"][i].as_py()))
+            dl_lists.append(plib.decode_varints(rows["dls_enc"][i].as_py()))
+        partial = pa.table({
+            "bucket": pa.array([bucket] * rows.num_rows, type=pa.int32()),
+            "term": rows["term"],
+            "part": rows["part"],
+            "doc_ids": pa.array(doc_lists,
+                                type=pa.large_list(pa.int64())),
+            "tfs": pa.array(tf_lists, type=pa.large_list(pa.int64())),
+            "dls": pa.array(dl_lists, type=pa.large_list(pa.int64())),
+        })
+        merged = merge_bucket_table(partial, avgdl, k1, b)
+        merged = merged.drop_columns(["bucket"])
+        pq.write_table(merged, tmp)
+        # visible-state swap: markers first (invalidate), then segments
+        for f in sorted(os.listdir(dest)):
+            if f.startswith("_SUCCESS"):
+                os.remove(os.path.join(dest, f))
+        for f in seg_files:
+            os.remove(f)
+    elif not os.path.exists(tmp):
+        raise FileNotFoundError(f"nothing to compact in {dest}")
+    os.replace(tmp, os.path.join(dest, "merged.parquet"))
+    open(os.path.join(dest, "_SUCCESS"), "w").close()
+    return _count_one_bucket(dest)
+
+
+def compact_index(root: str) -> BuiltIndex:
+    """Collapse an extended index's segments back to one file per bucket
+    and reset ``min_merge_avgdl`` to the current avgdl — restores the
+    tightest block-max pruning after a run of :func:`extend_index` calls
+    (the LSM compaction step). Query results are unchanged (pytest-pinned
+    bit-identical); only the pruning bound tightens."""
+    import ray
+
+    old = BuiltIndex.load(root)
+    st = old.stats
+    postings_dir = os.path.join(root, "postings")
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    per_task_cpus = max(1, total_cpus // 16)
+    task = ray.remote(num_cpus=per_task_cpus)(_compact_one_bucket)
+    refs = [task.remote(os.path.join(postings_dir, d), st.avgdl, st.k1,
+                        st.b)
+            for d in sorted(os.listdir(postings_dir))
+            if d.startswith("bucket=")]
+    results = ray.get(refs)
+    stats = IndexStats(
+        num_documents=st.num_documents,
+        total_doc_len=st.total_doc_len,
+        num_unique_terms=sum(r[0] for r in results),
+        num_postings=sum(r[1] for r in results),
+        k1=st.k1, b=st.b,
+        doc_part_bits=st.doc_part_bits,
+        num_term_buckets=st.num_term_buckets,
+        num_segments=1,
+        min_merge_avgdl=st.avgdl,
+    )
+    with open(os.path.join(root, "stats.json"), "w") as f:
+        json.dump(stats.__dict__, f, indent=1)
+    return BuiltIndex(root=root, stats=stats)
+
+
 def _count_one_bucket(dest: str) -> tuple[int, int]:
     """(distinct terms, Σ df) over every segment file of one bucket dir —
     column-pruned read of the two tiny dictionary-encoded columns."""
