@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf), window_sec=3600, hop_sec=900),
         "value_percentiles": lambda sf: _events_mod().event_value_percentiles(
             _events(sf)),
+        "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -798,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": TUMBLING_HOUR_SQL,
         "hopping_window": HOPPING_SQL.format(k=4, hop_us=900 * 1_000_000),
         "value_percentiles": _events_mod().PERCENTILES_SQL,
+        "asof_join": _events_mod().ASOF_SQL,
         "sessionize": SESSIONIZE_SQL.format(gap=1800),
         "ann_topk": f"""
             with nrm as (

@@ -643,3 +643,30 @@ def test_hll_accuracy_at_scale(ray_session):
                       "text": ["a b c d e"]})
     est2 = approx_distinct_terms(rd.from_arrow(small)).take_all()[0]["estimate"]
     assert est2 == 5
+
+
+def test_asof_join_semantics(ray_session):
+    """Inclusive bound, equal-ts tie to highest id, no cross-user fill,
+    lefts with no prior right dropped."""
+    import pyarrow as pa
+    from ts_type_filter_ray.functions.events import asof_join_prior
+    us = [1, 1, 1, 1, 2, 2, 3]
+    tss = [100, 100, 100, 200, 50, 40, 10]
+    types = ["view", "view", "purchase", "purchase",
+             "purchase", "view", "purchase"]
+    tbl = pa.table({
+        "event_id": pa.array(range(7), type=pa.int64()),
+        "user_id": pa.array(us, type=pa.int64()),
+        "ts": pa.array([np.datetime64(t, "us") for t in tss],
+                       type=pa.timestamp("us")),
+        "event_type": types,
+        "value": pa.array([0.0] * 7),
+        "props": [""] * 7,
+    })
+    out = {r["event_id"]: r["matched_event_id"]
+           for r in asof_join_prior(rd.from_arrow(tbl)).take_all()}
+    # purchase 2 at ts=100: views 0,1 at ts=100 qualify (inclusive),
+    # tie -> max id 1; purchase 3 at 200 -> view 1 still latest;
+    # purchase 4 (user 2, ts 50) -> view 5 (ts 40); purchase 6 (user 3)
+    # has no view -> dropped
+    assert out == {2: 1, 3: 1, 4: 5}

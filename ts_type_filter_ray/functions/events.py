@@ -166,6 +166,85 @@ def sessionize(ds: Dataset, gap_sec: int = 1800,
             .map_groups(per_part, batch_format="pyarrow"))
 
 
+def asof_join_prior(ds: Dataset, left_type: str = "purchase",
+                    right_type: str = "view",
+                    num_parts: int | None = None) -> Dataset:
+    """Distributed AS-OF join — for every *left_type* event, the most
+    recent *right_type* event of the SAME user at-or-before its
+    timestamp: (event_id, user_id, matched_event_id), inner semantics
+    (lefts with no prior right are dropped), deterministic tie-break at
+    equal timestamps (highest matched event_id).
+
+    Ray Data has no asof join; this is the partitioned merge-scan shape:
+    both sides ride ONE coarse user-hash shuffle, and each partition runs
+    a single vectorized pass — sort the union by (user, ts, kind, id)
+    with rights before lefts at equal ts (inclusive bound), forward-fill
+    the last right position via ``np.maximum.accumulate``, and null out
+    fills that crossed a user boundary. O(n log n) per partition, no
+    per-user dispatch, no O(lefts × rights) pair pass (the SQL oracle
+    pays that instead)."""
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        t = batch.filter(keep)
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["user_id"], num_parts - 1),
+                            pa.int32()),
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "event_id": t["event_id"],
+            "is_left": pc.equal(t["event_type"], left_type),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        left = group["is_left"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        # rights sort before lefts at equal (user, ts); ties within a
+        # side break by event_id so the LAST right at a ts is the max id
+        order = np.lexsort((eid, left, ts, u))
+        u, ts, eid, left = u[order], ts[order], eid[order], left[order]
+        last_right = np.maximum.accumulate(
+            np.where(~left, np.arange(n), -1))
+        li = np.flatnonzero(left)
+        fills = last_right[li]
+        ok = fills >= 0
+        # a fill that carried across a user boundary is not a match
+        ok[ok] = u[fills[ok]] == u[li[ok]]
+        li = li[ok]
+        return pa.table({
+            "event_id": pa.array(eid[li], type=pa.int64()),
+            "user_id": pa.array(u[li], type=pa.int64()),
+            "matched_event_id": pa.array(eid[last_right[li]],
+                                         type=pa.int64()),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(scan, batch_format="pyarrow"))
+
+
+ASOF_SQL = """
+    with l as (select event_id, user_id, ts from events
+               where event_type = 'purchase'),
+    r as (select event_id, user_id, ts from events
+          where event_type = 'view'),
+    j as (select l.event_id, l.user_id, r.event_id as matched_event_id,
+                 row_number() over (partition by l.event_id
+                                    order by r.ts desc, r.event_id desc)
+                     as rn
+          from l join r on r.user_id = l.user_id and r.ts <= l.ts)
+    select event_id, user_id, matched_event_id from j where rn = 1"""
+
+
 def event_value_percentiles(ds: Dataset,
                             ps: tuple[float, ...] = (0.5, 0.9, 0.99)
                             ) -> Dataset:
