@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": lambda sf: _events_mod().event_value_percentiles(
             _events(sf)),
         "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
+        "range_join": lambda sf: _events_mod().range_join_count(
+            _events(sf)),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -800,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window": HOPPING_SQL.format(k=4, hop_us=900 * 1_000_000),
         "value_percentiles": _events_mod().PERCENTILES_SQL,
         "asof_join": _events_mod().ASOF_SQL,
+        "range_join": _events_mod().RANGE_JOIN_SQL,
         "sessionize": SESSIONIZE_SQL.format(gap=1800),
         "ann_topk": f"""
             with nrm as (

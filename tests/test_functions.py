@@ -670,3 +670,26 @@ def test_asof_join_semantics(ray_session):
     # purchase 4 (user 2, ts 50) -> view 5 (ts 40); purchase 6 (user 3)
     # has no view -> dropped
     assert out == {2: 1, 3: 1, 4: 5}
+
+
+def test_range_join_boundaries(ray_session):
+    """Both interval endpoints inclusive; zero-count lefts kept."""
+    from ts_type_filter_ray.functions.events import range_join_count
+    us = [1, 1, 1, 1, 2]
+    tss = [0, 1_000_000, 61_000_000, 62_000_000, 5]
+    types = ["view", "view", "purchase", "purchase", "purchase"]
+    tbl = pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "user_id": pa.array(us, type=pa.int64()),
+        "ts": pa.array([np.datetime64(t, "us") for t in tss],
+                       type=pa.timestamp("us")),
+        "event_type": types,
+        "value": pa.array([0.0] * 5),
+        "props": [""] * 5,
+    })
+    out = {r["event_id"]: r["n_matched"] for r in range_join_count(
+        rd.from_arrow(tbl), window_sec=60).take_all()}
+    # purchase 2 at 61s, window [1s, 61s]: view at 1s in (inclusive
+    # lower), view at 0s out; purchase 3 at 62s, window [2s, 62s]: none;
+    # purchase 4 (user 2): no views -> 0
+    assert out == {2: 1, 3: 0, 4: 0}

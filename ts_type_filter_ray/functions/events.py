@@ -232,6 +232,92 @@ def asof_join_prior(ds: Dataset, left_type: str = "purchase",
             .map_groups(scan, batch_format="pyarrow"))
 
 
+def range_join_count(ds: Dataset, left_type: str = "purchase",
+                     right_type: str = "view", window_sec: int = 3600,
+                     num_parts: int | None = None) -> Dataset:
+    """Distributed RANGE (interval) join, counting form — for every
+    *left_type* event, how many *right_type* events of the same user
+    fall in ``[ts - window_sec, ts]``: (event_id, user_id, n_matched),
+    zeros included. Ray Data has no range join; like
+    :func:`asof_join_prior` this is one coarse user-hash shuffle + a
+    vectorized per-partition scan — here the count is a DIFFERENCE OF
+    TWO CUMULATIVES over the sorted union (rights at-or-before the upper
+    bound, minus rights strictly before the lower bound), so cost stays
+    O(n log n) per partition while the join's output pairs (which the
+    SQL oracle materializes) can be O(lefts × rights)."""
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+    w_us = np.int64(window_sec) * 1_000_000
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        t = batch.filter(keep)
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["user_id"], num_parts - 1),
+                            pa.int32()),
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "event_id": t["event_id"],
+            "is_left": pc.equal(t["event_type"], left_type),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        left = group["is_left"].to_numpy(zero_copy_only=False)
+        n = len(u)
+
+        def cum_at(key_left: np.ndarray, lefts_first: bool) -> np.ndarray:
+            """#same-user rights at-or-before each left's key (rights at
+            an EQUAL key count iff lefts sort after them), returned in
+            the lefts' original row order."""
+            key = np.where(left, key_left, ts)
+            kind = left != lefts_first  # False sorts first
+            order = np.lexsort((kind, key, u))
+            uo, lo = u[order], left[order]
+            cnt = np.cumsum(~lo)  # rights up to and incl. each position
+            newu = np.ones(n, dtype=bool)
+            newu[1:] = uo[1:] != uo[:-1]
+            # rights before each user's first row; nondecreasing across
+            # users, so a maximum.accumulate forward-fills it per row
+            start_val = cnt - (~lo).astype(np.int64)
+            base = np.maximum.accumulate(np.where(newu, start_val, -1))
+            per_left = (cnt - base)[lo]
+            # order[lo] = original index of each sorted left; sorting it
+            # ascending restores the original left order
+            return per_left[np.argsort(order[lo], kind="stable")]
+
+        upper = cum_at(ts, lefts_first=False)        # v.ts <= p.ts
+        lower = cum_at(ts - w_us, lefts_first=True)  # v.ts <  p.ts - w
+        return pa.table({
+            "event_id": pa.array(eid[left], type=pa.int64()),
+            "user_id": pa.array(u[left], type=pa.int64()),
+            "n_matched": pa.array(upper - lower),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(scan, batch_format="pyarrow"))
+
+
+RANGE_JOIN_SQL = """
+    with l as (select event_id, user_id, ts from events
+               where event_type = 'purchase'),
+    r as (select user_id, ts from events where event_type = 'view')
+    select l.event_id, l.user_id,
+           count(r.ts)::BIGINT as n_matched
+    from l left join r
+      on r.user_id = l.user_id
+     and r.ts <= l.ts
+     and r.ts >= l.ts - INTERVAL 3600 SECONDS
+    group by l.event_id, l.user_id"""
+
+
 ASOF_SQL = """
     with l as (select event_id, user_id, ts from events
                where event_type = 'purchase'),
