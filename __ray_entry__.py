@@ -118,6 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(_docs(sf)),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             _docs(sf), shingle_k=3, threshold=NGRAM_JACCARD_T),
+        # near-dup pairs → clusters via distributed hash-to-min label
+        # propagation (component = min doc_id, checked against a
+        # recursive-CTE transitive closure)
+        "dedup_clusters": _dedup_clusters,
         # -- similarity search --
         "ann_topk": ann_topk,
         "ann_ivf_topk": lambda sf: ann.ivf_topk(
@@ -230,6 +234,15 @@ def _chunk_documents(sf_dir: str):
     return chunk_documents(_docs(sf_dir), chunk_len=32)
 
 
+def _dedup_clusters(sf_dir: str):
+    from ts_type_filter_ray.functions import dedup
+    from ts_type_filter_ray.functions.graph import connected_components
+    docs = _docs(sf_dir)
+    edges = dedup.ngram_jaccard_pairs(docs, shingle_k=3,
+                                      threshold=NGRAM_JACCARD_T)
+    return connected_components(docs, edges)
+
+
 def _approx_distinct_terms(sf_dir: str):
     from ts_type_filter_ray.functions.sketches import approx_distinct_terms
     return approx_distinct_terms(_docs(sf_dir))
@@ -336,6 +349,33 @@ def oracle_sql() -> dict[str, str]:
         f"({e},{pow(_B, e, _P)}::HUGEINT)" for e in range(16))
     dot = ("list_sum(list_transform(range(1, len({a}.embedding)+1), "
            "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))")
+
+    # shared by "ngram_jaccard" and (as the edge set) "dedup_clusters"
+    ngram_pairs_sql = rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            sh as (
+              select distinct doc_id, g from (
+                select doc_id,
+                       arr[p] || ' ' || arr[p+1] || ' ' || arr[p+2] as g
+                from (select doc_id, arr,
+                             unnest(range(1, len(arr)-1))::INT as p
+                      from base where len(arr) >= 3)
+                union all
+                select doc_id, array_to_string(arr, ' ') as g
+                from base where len(arr) < 3)),
+            sz as (select doc_id, count(*) as n from sh group by doc_id),
+            inter as (
+              select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+              from sh a join sh b on a.g = b.g and a.doc_id < b.doc_id
+              group by 1, 2)
+            select i.id_a, i.id_b,
+                   i.i::DOUBLE / (sa.n + sb.n - i.i) as jaccard
+            from inter i
+            join sz sa on sa.doc_id = i.id_a
+            join sz sb on sb.doc_id = i.id_b
+            where i.i::DOUBLE / (sa.n + sb.n - i.i) >= {NGRAM_JACCARD_T}"""
 
     # (query_idx, term) VALUES rows for the identity-stemmer boolean-match
     # oracle, derived from the SAME query set + breaker + stemmer the
@@ -651,31 +691,22 @@ def oracle_sql() -> dict[str, str]:
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies
             from documents group by sha256(text)""",
-        "ngram_jaccard": rf"""
-            with base as (
-              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
-              from documents where trim(text) <> ''),
-            sh as (
-              select distinct doc_id, g from (
-                select doc_id,
-                       arr[p] || ' ' || arr[p+1] || ' ' || arr[p+2] as g
-                from (select doc_id, arr,
-                             unnest(range(1, len(arr)-1))::INT as p
-                      from base where len(arr) >= 3)
-                union all
-                select doc_id, array_to_string(arr, ' ') as g
-                from base where len(arr) < 3)),
-            sz as (select doc_id, count(*) as n from sh group by doc_id),
-            inter as (
-              select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
-              from sh a join sh b on a.g = b.g and a.doc_id < b.doc_id
-              group by 1, 2)
-            select i.id_a, i.id_b,
-                   i.i::DOUBLE / (sa.n + sb.n - i.i) as jaccard
-            from inter i
-            join sz sa on sa.doc_id = i.id_a
-            join sz sb on sb.doc_id = i.id_b
-            where i.i::DOUBLE / (sa.n + sb.n - i.i) >= {NGRAM_JACCARD_T}""",
+        "ngram_jaccard": ngram_pairs_sql,
+        "dedup_clusters": f"""
+            with recursive
+            edges(a, b) as (
+              select id_a, id_b from ({ngram_pairs_sql})),
+            und(a, b) as (
+              select a, b from edges union select b, a from edges),
+            reach(a, b) as (
+              select a, b from und
+              union
+              select r.a, u.b from reach r join und u on r.b = u.a)
+            select n.doc_id,
+                   least(n.doc_id, coalesce(min(r.b), n.doc_id))
+                       as component
+            from documents n left join reach r on r.a = n.doc_id
+            group by n.doc_id""",
         "rolling_fingerprints": rf"""
             with base as (
               select doc_id, regexp_split_to_array(trim(text),'\s+') as arr

@@ -693,3 +693,20 @@ def test_range_join_boundaries(ray_session):
     # lower), view at 0s out; purchase 3 at 62s, window [2s, 62s]: none;
     # purchase 4 (user 2): no views -> 0
     assert out == {2: 1, 3: 0, 4: 0}
+
+
+def test_connected_components_chain(ray_session):
+    """A long path graph needs multiple propagation rounds; isolated
+    nodes and a separate clique must stay distinct."""
+    from ts_type_filter_ray.functions.graph import connected_components
+    # path 0-1-2-...-9, clique {20,21,22}, isolated 30
+    edges = [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22), (20, 22)]
+    nodes = list(range(10)) + [20, 21, 22, 30]
+    e = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    n = pa.table({"doc_id": pa.array(nodes, type=pa.int64())})
+    out = {r["doc_id"]: r["component"] for r in connected_components(
+        rd.from_arrow(n), rd.from_arrow(e)).take_all()}
+    assert all(out[i] == 0 for i in range(10))
+    assert all(out[i] == 20 for i in (20, 21, 22))
+    assert out[30] == 30

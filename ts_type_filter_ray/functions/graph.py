@@ -1,0 +1,120 @@
+"""Distributed connected components — the step that turns the dedup
+family's PAIR output (minhash / simhash / n-gram Jaccard / embedding
+near-dup) into CLUSTERS with a canonical representative, so "keep one
+doc per near-dup group" is answerable at scale.
+
+Hash-to-min label propagation (the standard MapReduce CC algorithm —
+Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds", ICDE 2013 — public): every node starts labeled
+with itself; each round, every node sends its current label to its
+neighbors and keeps the minimum it sees; labels only decrease and
+converge to the component's minimum node id. One round = two coarse
+hash shuffles (attach labels to edge endpoints, then per-node Min), and
+the per-round state is one (node, label) row per node — materialized
+between rounds so Ray doesn't re-execute the whole lineage per
+iteration (the honest cost of any iterative algorithm on an immutable
+Dataset). Rounds ≈ O(log diameter) in practice; near-dup graphs are
+unions of small cliques, which converge in 1-2 rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from .partitioning import auto_num_parts
+
+
+def connected_components(nodes: Dataset, edges: Dataset,
+                         node_col: str = "doc_id",
+                         a_col: str = "id_a", b_col: str = "id_b",
+                         max_iters: int = 50,
+                         num_parts: int | None = None) -> Dataset:
+    """(node_col, component) for every node — ``component`` is the
+    minimum node id of the node's connected component (isolated nodes
+    map to themselves). *edges* is undirected pairs; self-loops and
+    duplicates are harmless."""
+    if num_parts is None:
+        num_parts = auto_num_parts(nodes)
+
+    def und(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False)
+        b = batch[b_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        })
+
+    und_edges = edges.map_batches(und, batch_format="pyarrow")
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch[node_col]
+        return pa.table({"node": pc.cast(ids, pa.int64()),
+                         "label": pc.cast(ids, pa.int64())})
+
+    labels = nodes.select_columns([node_col]).map_batches(
+        init, batch_format="pyarrow").materialize()
+    prev_sum = None
+
+    def part_of(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        return pc.cast(pc.bit_wise_and(col, num_parts - 1), pa.int32())
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": part_of(batch["node"]),
+            "node": batch["node"],
+            "dst": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+            "label": batch["label"],
+        })
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "part": part_of(batch["src"]),
+            "node": batch["src"],
+            "dst": batch["dst"],
+            "label": pa.array(np.full(n, np.iinfo(np.int64).max)),
+        })
+
+    def propagate(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        lab = group["label"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, node))  # label row (min lab) leads
+        node, dst, lab = node[order], dst[order], lab[order]
+        new = np.ones(len(node), dtype=bool)
+        new[1:] = node[1:] != node[:-1]
+        # forward-fill each node's own label onto its edge rows
+        lab_ff = lab[np.maximum.accumulate(
+            np.where(new, np.arange(len(node)), 0))]
+        is_edge = dst >= 0
+        # messages: (dst, my label) per edge + (node, my label) to self
+        return pa.table({
+            "node": pa.array(np.concatenate([dst[is_edge], node[new]]),
+                             type=pa.int64()),
+            "label": pa.array(np.concatenate([lab_ff[is_edge],
+                                              lab[new]])),
+        })
+
+    for _ in range(max_iters):
+        msgs = (labels.map_batches(tag_label, batch_format="pyarrow")
+                .union(und_edges.map_batches(tag_edge,
+                                             batch_format="pyarrow"))
+                .groupby("part")
+                .map_groups(propagate, batch_format="pyarrow"))
+        labels = (msgs.groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        s = labels.sum("label")
+        if s == prev_sum:  # labels only decrease → fixpoint
+            break
+        prev_sum = s
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({node_col: batch["node"],
+                         "component": batch["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
