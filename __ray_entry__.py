@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- training-data hygiene --
         "dataset_split": _dataset_split,
         "decontaminate": _decontaminate,
+        "decontaminate_bloom": _decontaminate_bloom,
         "stratified_sample": _stratified_sample,
         "upsample_by_weight": _upsample_by_weight,
         "deterministic_shuffle": _deterministic_shuffle,
@@ -203,6 +204,11 @@ def _dataset_split(sf_dir: str):
 def _decontaminate(sf_dir: str):
     from ts_type_filter_ray.functions.decontam import decontaminate
     return decontaminate(_docs(sf_dir), bench_mod=50, shingle_k=3)
+
+
+def _decontaminate_bloom(sf_dir: str):
+    from ts_type_filter_ray.functions.decontam import decontaminate_bloom
+    return decontaminate_bloom(_docs(sf_dir), bench_mod=50, shingle_k=3)
 
 
 def _stratified_sample(sf_dir: str):
@@ -386,7 +392,7 @@ def oracle_sql() -> dict[str, str]:
     nostem_rows = ",".join(
         f"({qi},'{t}')" for qi, q in enumerate(NOSTEM_QUERY_SET)
         for t in query_stems(q, stemmer=identity_stemmer))
-    return {
+    out = {
         "token_counts": r"""
             select doc_id,
                    case when trim(text)='' then 0
@@ -877,3 +883,7 @@ def oracle_sql() -> dict[str, str]:
             where ({dot.format(a='a', b='b')}) / (a.nv * b.nv)
                   >= {NEAR_DUP_THRESHOLD}""",
     }
+    # the Bloom-prefiltered variant is contract-identical to the
+    # exhaustive operator, so it shares the oracle verbatim
+    out["decontaminate_bloom"] = out["decontaminate"]
+    return out

@@ -710,3 +710,18 @@ def test_connected_components_chain(ray_session):
     assert all(out[i] == 0 for i in range(10))
     assert all(out[i] == 20 for i in (20, 21, 22))
     assert out[30] == 30
+
+
+def test_decontaminate_bloom_equals_exhaustive(ray_session):
+    from ts_type_filter_ray.functions.decontam import (decontaminate,
+                                                       decontaminate_bloom)
+    texts = {0: "a b c d e f", 1: "x y z a b c", 2: "q r s t u v",
+             5: "d e f extra tail", 3: "no overlap at all here"}
+    tbl = pa.table({"doc_id": pa.array(sorted(texts), type=pa.int64()),
+                    "text": [texts[k] for k in sorted(texts)]})
+    a = sorted((r["doc_id"], r["n_shared_shingles"]) for r in
+               decontaminate(rd.from_arrow(tbl), bench_mod=5).take_all())
+    b = sorted((r["doc_id"], r["n_shared_shingles"]) for r in
+               decontaminate_bloom(rd.from_arrow(tbl),
+                                   bench_mod=5).take_all())
+    assert a == b and len(a) > 0
