@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL vocabulary cardinality (approximate by nature → rows-only;
         # <5% accuracy asserted in pytest at 50k+ true cardinality)
         "approx_distinct_terms": _approx_distinct_terms,
+        # bounded-state Misra-Gries top-k with exact re-count (candidate
+        # selection is batch-boundary-dependent → rows-only; pytest pins
+        # equality with exact top-k on a high-vocab corpus)
+        "heavy_hitters": _heavy_hitters,
         "doc_top_terms": lambda sf: textstats.doc_top_terms(_docs(sf), k=3),
         # -- training-data hygiene --
         "dataset_split": _dataset_split,
@@ -252,6 +256,11 @@ def _dedup_clusters(sf_dir: str):
 def _approx_distinct_terms(sf_dir: str):
     from ts_type_filter_ray.functions.sketches import approx_distinct_terms
     return approx_distinct_terms(_docs(sf_dir))
+
+
+def _heavy_hitters(sf_dir: str):
+    from ts_type_filter_ray.functions.sketches import heavy_hitters
+    return heavy_hitters(_docs(sf_dir), k=10)
 
 
 def _training_prep(sf_dir: str):

@@ -725,3 +725,25 @@ def test_decontaminate_bloom_equals_exhaustive(ray_session):
                decontaminate_bloom(rd.from_arrow(tbl),
                                    bench_mod=5).take_all())
     assert a == b and len(a) > 0
+
+
+def test_heavy_hitters_equals_exact_topk(ray_session):
+    """With vocabulary >> capacity, MG candidates must still contain the
+    true top-k, and the exact re-count must equal the true counts."""
+    from collections import Counter
+    from ts_type_filter_ray.functions.sketches import heavy_hitters
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(3000)])
+    w = 1.0 / np.arange(1, 3001) ** 1.2
+    w /= w.sum()
+    docs, counter = [], Counter()
+    for d in range(200):
+        toks = vocab[rng.choice(3000, size=80, p=w)]
+        counter.update(toks.tolist())
+        docs.append(" ".join(toks))
+    tbl = pa.table({"doc_id": pa.array(range(200), type=pa.int64()),
+                    "text": docs})
+    got = [(r["rank"], r["term"], r["n"]) for r in heavy_hitters(
+        rd.from_arrow(tbl), k=10, capacity=256).take_all()]
+    exact = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(i + 1, t, n) for i, (t, n) in enumerate(exact)]

@@ -86,3 +86,92 @@ def approx_distinct_terms(ds: Dataset, p: int = 12) -> Dataset:
         "estimate": pa.array([int(round(est))], type=pa.int64()),
         "n_registers": pa.array([m], type=pa.int64()),
     }))
+
+
+def heavy_hitters(ds: Dataset, k: int = 25,
+                  capacity: int = 4096) -> Dataset:
+    """(term, n, rank) — the k most frequent lowercased terms with EXACT
+    counts, found with bounded state: the scale path for top-k when the
+    exact df table (``top_terms``'s full vocabulary shuffle) is too wide.
+
+    Two passes (Misra-Gries, public algorithm): (1) each batch emits its
+    counts truncated to ``capacity`` survivors with the MG decrement
+    (subtract the (capacity+1)-th count), so the candidate shuffle is ≤
+    capacity rows per batch regardless of vocabulary; summed candidate
+    counts undercount true frequency by at most N/capacity, so every
+    term with true count > N/capacity survives somewhere — the top-k is
+    a subset of the candidates whenever the k-th true count clears that
+    bound (trivially true for Zipf-shaped corpora with sane capacity).
+    (2) the top 4k candidates by approximate count are re-counted
+    EXACTLY (broadcast candidate set, one vectorized ``pc.is_in`` pass,
+    one tiny groupby), so reported counts carry no sketch error.
+    Candidate SELECTION depends on batch boundaries → rows-only on the
+    gate; pytest pins equality with the exact top-k on a high-vocab
+    corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .textstats import _tokens
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(pc.utf8_lower(flat))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                             minlength=len(enc.dictionary))
+        if len(counts) > capacity:
+            # MG merge-truncate: keep top-capacity, subtract the next
+            order = np.argsort(-counts, kind="stable")[:capacity + 1]
+            dec = counts[order[-1]]
+            keep = order[:capacity]
+            vals = counts[keep] - dec
+            pos = keep[vals > 0]
+            vals = vals[vals > 0]
+        else:
+            pos = np.flatnonzero(counts)
+            vals = counts[pos]
+        return pa.table({
+            "term": enc.dictionary.take(pa.array(pos)),
+            "n": pa.array(vals.astype(np.int64)),
+        })
+
+    cand = (ds.map_batches(mg_partial, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("n", alias_name="n"))
+            .take_all())  # ≤ capacity × #batches rows — bounded state
+    cand.sort(key=lambda r: (-r["n"], r["term"]))
+    shortlist = pa.array([r["term"] for r in cand[:4 * k]])
+
+    def exact_count(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        low = pc.utf8_lower(flat)
+        hit = low.filter(pc.is_in(low, value_set=shortlist))
+        enc = pc.dictionary_encode(hit)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        counts = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                             minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary,
+                         "n": pa.array(counts.astype(np.int64))})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch["term"].to_pylist())
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -n))[:k]
+        return pa.table({
+            "term": pa.array(terms[order].tolist(), type=pa.string()),
+            "n": pa.array(n[order], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64)),
+        })
+
+    return (ds.map_batches(exact_count, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("n", alias_name="n"))
+            .repartition(1)
+            .map_batches(topk, batch_format="pyarrow"))
