@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
         "range_join": lambda sf: _events_mod().range_join_count(
             _events(sf)),
+        "float_quantiles": lambda sf: _events_mod().exact_value_quantiles(
+            _events(sf)),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -849,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _events_mod().PERCENTILES_SQL,
         "asof_join": _events_mod().ASOF_SQL,
         "range_join": _events_mod().RANGE_JOIN_SQL,
+        "float_quantiles": _events_mod().FLOAT_QUANTILES_SQL,
         "sessionize": SESSIONIZE_SQL.format(gap=1800),
         "ann_topk": f"""
             with nrm as (

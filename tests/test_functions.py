@@ -747,3 +747,24 @@ def test_heavy_hitters_equals_exact_topk(ray_session):
         rd.from_arrow(tbl), k=10, capacity=256).take_all()]
     exact = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == [(i + 1, t, n) for i, (t, n) in enumerate(exact)]
+
+
+def test_exact_float_quantiles_negative_and_dupes(ray_session):
+    from ts_type_filter_ray.functions.events import exact_value_quantiles
+    vals = [-5.5, -0.25, 0.0, 0.0, 1.75, 1.75, 2.0, 100.25, -5.5, 3.5]
+    tbl = pa.table({
+        "event_id": pa.array(range(10), type=pa.int64()),
+        "user_id": pa.array([0] * 10, type=pa.int64()),
+        "ts": pa.array([np.datetime64(i, "us") for i in range(10)],
+                       type=pa.timestamp("us")),
+        "event_type": ["x"] * 10,
+        "value": pa.array(vals, type=pa.float64()),
+        "props": [""] * 10,
+    })
+    row = exact_value_quantiles(rd.from_arrow(tbl),
+                                ps=(0.1, 0.5, 0.9)).take_all()[0]
+    s = sorted(vals)
+    assert row["p10"] == s[0]   # ceil(0.1*10)=1 -> 1st
+    assert row["p50"] == s[4]   # 5th
+    assert row["p90"] == s[8]   # 9th
+    assert row["n_events"] == 10

@@ -442,3 +442,85 @@ SESSIONIZE_SQL = """
     select user_id, count(*) as n_sessions, sum(n)::BIGINT as n_events,
            max(n) as max_session_events
     from per_session group by user_id"""
+
+
+def _float_order_key(v: np.ndarray) -> np.ndarray:
+    """Order-preserving map float64 → uint64 (IEEE total order for
+    finite values: flip the sign bit for positives, all bits for
+    negatives)."""
+    u = v.astype(np.float64).view(np.uint64)
+    neg = u >> np.uint64(63) == 1
+    out = np.where(neg, ~u, u | np.uint64(1 << 63))
+    return out
+
+
+def exact_value_quantiles(ds: Dataset,
+                          ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+                          col: str = "value",
+                          part_bits: int = 8) -> Dataset:
+    """One row (n_events, p50, p90, p99) — exact ``percentile_disc``
+    order statistics over an ARBITRARY float64 column, no bounded-domain
+    assumption (cf. :func:`event_value_percentiles`, which histograms
+    integer cents) and no sketch: the float bit pattern maps to an
+    order-preserving uint64 whose high bits range-partition the value
+    space; tiny per-partition counts prefix-sum on the driver to locate
+    each target rank's owning partition and local rank; a second
+    column-pruned pass sorts ONLY the owning partitions and picks the
+    elements. Selected values are actual data elements, so the result is
+    bit-exact vs SQL. Skewed value distributions only unbalance
+    partition sizes, never correctness (the second pass sorts at most
+    len(ps) partitions)."""
+    import ray.data as rd
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        key = _float_order_key(v)
+        return pa.table({
+            col: batch[col],
+            "part": pa.array((key >> np.uint64(64 - part_bits))
+                             .astype(np.int32)),
+        })
+
+    keyed_ds = ds.select_columns([col]).map_batches(
+        keyed, batch_format="pyarrow")
+    counts = keyed_ds.groupby("part").count().take_all()  # ≤ 2^bits rows
+    sizes = np.zeros(1 << part_bits, dtype=np.int64)
+    for r in counts:
+        sizes[r["part"]] = r["count()"]
+    cum = np.cumsum(sizes)
+    total = int(cum[-1])
+    targets: dict[int, list[tuple[float, int]]] = {}
+    for p in ps:
+        rank = max(1, int(np.ceil(p * total)))  # percentile_disc
+        part = int(np.searchsorted(cum, rank, side="left"))
+        before = int(cum[part - 1]) if part else 0
+        targets.setdefault(part, []).append((p, rank - before))
+
+    def pick(group: pa.Table) -> pa.Table:
+        part = group["part"][0].as_py()
+        want = targets.get(part)
+        if not want:
+            return pa.table({"p": pa.array([], type=pa.float64()),
+                             col: pa.array([], type=pa.float64())})
+        v = np.sort(group[col].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "p": pa.array([p for p, _ in want], type=pa.float64()),
+            col: pa.array([float(v[r - 1]) for _, r in want]),
+        })
+
+    rows = (keyed_ds.groupby("part")
+            .map_groups(pick, batch_format="pyarrow")
+            .take_all())  # ≤ len(ps) rows
+    by_p = {r["p"]: r[col] for r in rows}
+    out = {"n_events": pa.array([total], type=pa.int64())}
+    for p in ps:
+        out[f"p{int(p * 100)}"] = pa.array([by_p[p]], type=pa.float64())
+    return rd.from_arrow(pa.table(out))
+
+
+FLOAT_QUANTILES_SQL = """
+    select count(*) as n_events,
+           percentile_disc(0.5) within group (order by value) as p50,
+           percentile_disc(0.9) within group (order by value) as p90,
+           percentile_disc(0.99) within group (order by value) as p99
+    from events"""
