@@ -41,7 +41,9 @@ def test_repair_stage(ray_session):
     ]
     out = rd.from_items(rows).map_batches(
         RepairCostStage, batch_format="pyarrow", concurrency=1).take_all()
-    assert [r["repair_cost"] for r in out] == [0, 1]
+    # preserve_order is off by default, so key on row content not position.
+    got = {r["expected"]: r["repair_cost"] for r in out}
+    assert got == {json.dumps({"items": [1]}): 0, json.dumps({"items": [2]}): 1}
 
 
 @pytest.mark.slow

@@ -656,19 +656,14 @@ class SimHashStage:
     _BITS = np.arange(64, dtype=np.uint64)
 
     def __init__(self):
-        self._hash_cache: dict[str, int] = {}
+        pass
 
-    def _hash_unique(self, vocab: list[str]) -> np.ndarray:
-        cache = self._hash_cache
-        if len(cache) > 2_000_000:
-            cache.clear()
-        out = np.empty(len(vocab), dtype=np.uint64)
-        for i, t in enumerate(vocab):
-            h = cache.get(t)
-            if h is None:
-                h = cache[t] = _md5_hash64(t)
-            out[i] = h
-        return out
+    def _hash_unique(self, vocab) -> np.ndarray:
+        """md5 lower-64 of the batch's unique tokens — one vectorized
+        single-block md5 pass (``text/hashvec.py``), no per-token
+        Python and no cache needed."""
+        from ..text.hashvec import md5_lower64_strings
+        return md5_lower64_strings(vocab)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_docs = batch.num_rows
@@ -688,14 +683,14 @@ class SimHashStage:
                 enc = enc.combine_chunks()
             codes = enc.indices.to_numpy(zero_copy_only=False).astype(
                 np.int64)
-            vocab = enc.dictionary.to_pylist()
-            hs_u = self._hash_unique(vocab)
+            vocab_n = len(enc.dictionary)
+            hs_u = self._hash_unique(enc.dictionary)
             par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
             # tf per (doc, token): one vectorized unique over a fused key
-            key = par * len(vocab) + codes
+            key = par * vocab_n + codes
             uniq, cnt = np.unique(key, return_counts=True)
-            d_e = uniq // len(vocab)
-            c_e = uniq % len(vocab)
+            d_e = uniq // vocab_n
+            c_e = uniq % vocab_n
             bits_u = ((hs_u[:, None] >> self._BITS) & np.uint64(1)
                       ).astype(bool)                       # (vocab, 64)
             signed = np.where(bits_u[c_e], cnt[:, None], -cnt[:, None])

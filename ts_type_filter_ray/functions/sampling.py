@@ -13,12 +13,12 @@ a pass that materializes or re-keys anything. One vectorized
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
+
+from ..text.hashvec import md5_lower64_ints
 
 #: split fractions in percent: train gets [0, train), valid
 #: [train, train+valid), test the rest — of md5(doc_id) mod 100
@@ -27,14 +27,12 @@ DEFAULT_VALID_PCT = 10
 
 
 def _md5_bucket(doc_ids: np.ndarray, mod: int = 100) -> np.ndarray:
-    """md5_number_lower(doc_id::VARCHAR) % mod, row-wise. md5 of the
-    DECIMAL STRING of the id (not raw bytes) so the DuckDB oracle can
-    reproduce it with ``md5_number_lower(doc_id::VARCHAR)``."""
-    out = np.empty(len(doc_ids), dtype=np.int64)
-    for i, d in enumerate(doc_ids):
-        digest = hashlib.md5(str(int(d)).encode("ascii")).digest()
-        out[i] = int.from_bytes(digest[8:], "little") % mod
-    return out
+    """md5_number_lower(doc_id::VARCHAR) % mod. md5 of the DECIMAL
+    STRING of the id (not raw bytes) so the DuckDB oracle can reproduce
+    it with ``md5_number_lower(doc_id::VARCHAR)``. Fully vectorized
+    (single-block md5 in numpy — see ``text/hashvec.py``)."""
+    key = md5_lower64_ints(np.asarray(doc_ids))
+    return (key % np.uint64(mod)).astype(np.int64)
 
 
 def dataset_split(ds: Dataset, train_pct: int = DEFAULT_TRAIN_PCT,
@@ -71,12 +69,8 @@ def split_counts(ds: Dataset, train_pct: int = DEFAULT_TRAIN_PCT,
 
 def _md5_key64(doc_ids: np.ndarray) -> np.ndarray:
     """Full 64-bit ``md5_number_lower(doc_id::VARCHAR)`` per row (the
-    hash :func:`_md5_bucket` reduces mod *mod*)."""
-    out = np.empty(len(doc_ids), dtype=np.uint64)
-    for i, d in enumerate(doc_ids):
-        digest = hashlib.md5(str(int(d)).encode("ascii")).digest()
-        out[i] = int.from_bytes(digest[8:], "little")
-    return out
+    hash :func:`_md5_bucket` reduces mod *mod*). Vectorized."""
+    return md5_lower64_ints(np.asarray(doc_ids))
 
 
 def deterministic_shuffle(ds: Dataset, id_col: str = "doc_id",

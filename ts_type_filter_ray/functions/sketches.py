@@ -27,7 +27,7 @@ from .textstats import _tokens
 
 
 def _hll_partial(p: int):
-    from .dedup import _md5_hash64
+    from ..text.hashvec import md5_lower64_strings
 
     def fn(batch: pa.Table) -> pa.Table:
         _, flat, _ = _tokens(batch)
@@ -35,8 +35,7 @@ def _hll_partial(p: int):
             return pa.table({"reg": pa.array([], type=pa.int32()),
                              "rho": pa.array([], type=pa.int8())})
         uniq = pc.unique(pc.utf8_lower(flat))
-        h = np.fromiter((_md5_hash64(t) for t in uniq.to_pylist()),
-                        dtype=np.uint64, count=len(uniq))
+        h = md5_lower64_strings(uniq)
         reg = (h >> np.uint64(64 - p)).astype(np.int32)
         rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
         # rho = leading zeros of the remaining bits + 1 (capped at 64-p+1)

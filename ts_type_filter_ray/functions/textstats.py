@@ -523,25 +523,13 @@ def fingerprints(ds: Dataset) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-_MD5_MODP_CACHE: dict[str, int] = {}
-
-
-def _md5_modp_unique(vocab: list[str]) -> np.ndarray:
-    """md5_number_lower(token) mod (2^61-1) for a batch's UNIQUE tokens,
-    cached per worker process — the tokenizer's unique-token trick applied
-    to the md5-hashing stages (the md5 calls were their hot spot)."""
-    from .dedup import _md5_hash64
-    P = (1 << 61) - 1
-    cache = _MD5_MODP_CACHE
-    if len(cache) > 2_000_000:
-        cache.clear()
-    out = np.empty(len(vocab), dtype=np.uint64)
-    for i, t in enumerate(vocab):
-        h = cache.get(t)
-        if h is None:
-            h = cache[t] = _md5_hash64(t) % P
-        out[i] = h
-    return out
+def _md5_modp_unique(vocab) -> np.ndarray:
+    """md5_number_lower(token) mod (2^61-1) for a batch's UNIQUE tokens
+    (an Arrow string array or list) — one vectorized single-block md5
+    pass (``text/hashvec.py``), no per-token Python."""
+    from ..text.hashvec import md5_lower64_strings
+    P = np.uint64((1 << 61) - 1)
+    return md5_lower64_strings(vocab) % P
 
 
 def _window_hashes(hs: np.ndarray, window: int) -> np.ndarray:
@@ -588,7 +576,7 @@ def winnow_fingerprint_sets(ds: Dataset, window: int = 16,
             if isinstance(enc, pa.ChunkedArray):
                 enc = enc.combine_chunks()
             codes = enc.indices.to_numpy(zero_copy_only=False)
-            hs_all = _md5_modp_unique(enc.dictionary.to_pylist())[codes]
+            hs_all = _md5_modp_unique(enc.dictionary)[codes]
             par = parents.to_numpy(zero_copy_only=False)
             dids = batch["doc_id"].to_numpy(zero_copy_only=False)
             doc_starts = np.flatnonzero(np.diff(par, prepend=-1))
@@ -638,7 +626,7 @@ def rolling_fingerprints(ds: Dataset, window: int = 16) -> Dataset:
             if isinstance(enc, pa.ChunkedArray):
                 enc = enc.combine_chunks()
             codes = enc.indices.to_numpy(zero_copy_only=False)
-            hs_all = _md5_modp_unique(enc.dictionary.to_pylist())[codes]
+            hs_all = _md5_modp_unique(enc.dictionary)[codes]
             par = parents.to_numpy(zero_copy_only=False)
             doc_starts = np.flatnonzero(np.diff(par, prepend=-1))
             doc_ends = np.append(doc_starts[1:], len(par))
