@@ -71,3 +71,32 @@ def test_merge_fallback_on_interleaved_doc_ranges():
     assert decode_varints(rows["t"]["tfs_enc"]).tolist() == [1, 4, 2, 5, 3]
     assert rows["t"]["df"] == 5
     assert decode_doc_ids(rows["u"]["doc_ids_enc"]).tolist() == [3]
+
+
+def test_decode_varints_column_matches_rowwise():
+    import numpy as np
+    import pyarrow as pa
+
+    from ts_type_filter_ray.state import postings as plib
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for n in [0, 1, 2, 5, 100, 0, 7, 300]:
+        rows.append(np.sort(rng.integers(0, 2 ** 40, n)))
+    enc_ids = [plib.encode_doc_ids(r) for r in rows]
+    enc_raw = [plib.encode_varints(r) for r in rows]
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(enc_raw, type=typ)
+        flat, off = plib.decode_varints_column(arr)
+        for i, r in enumerate(rows):
+            assert (flat[off[i]:off[i + 1]] == r).all()
+        # sliced column (non-zero offset)
+        flat, off = plib.decode_varints_column(arr.slice(2, 4))
+        for i, r in enumerate(rows[2:6]):
+            assert (flat[off[i]:off[i + 1]] == r).all()
+        arr = pa.array(enc_ids, type=typ)
+        flat, off = plib.decode_doc_ids_column(arr)
+        for i, r in enumerate(rows):
+            got = flat[off[i]:off[i + 1]]
+            exp = plib.decode_doc_ids(enc_ids[i])
+            assert (got == exp).all()

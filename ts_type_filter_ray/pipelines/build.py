@@ -377,20 +377,24 @@ def _compact_one_bucket(dest: str, avgdl: float, k1: float,
         bucket = int(dest.rsplit("=", 1)[1])
         tbls = [pq.read_table(f) for f in seg_files]
         rows = pa.concat_tables(tbls).combine_chunks()
-        doc_lists, tf_lists, dl_lists = [], [], []
-        for i in range(rows.num_rows):
-            doc_lists.append(plib.decode_doc_ids(
-                rows["doc_ids_enc"][i].as_py()))
-            tf_lists.append(plib.decode_varints(rows["tfs_enc"][i].as_py()))
-            dl_lists.append(plib.decode_varints(rows["dls_enc"][i].as_py()))
+        # one vectorized varint pass over each whole column — no per-row
+        # decode (r3 open thread: batched segment decode)
+        ids_flat, ids_off = plib.decode_doc_ids_column(rows["doc_ids_enc"])
+        tfs_flat, tfs_off = plib.decode_varints_column(rows["tfs_enc"])
+        dls_flat, dls_off = plib.decode_varints_column(rows["dls_enc"])
         partial = pa.table({
             "bucket": pa.array([bucket] * rows.num_rows, type=pa.int32()),
             "term": rows["term"],
             "part": rows["part"],
-            "doc_ids": pa.array(doc_lists,
-                                type=pa.large_list(pa.int64())),
-            "tfs": pa.array(tf_lists, type=pa.large_list(pa.int64())),
-            "dls": pa.array(dl_lists, type=pa.large_list(pa.int64())),
+            "doc_ids": pa.LargeListArray.from_arrays(
+                pa.array(ids_off, type=pa.int64()),
+                pa.array(ids_flat, type=pa.int64())),
+            "tfs": pa.LargeListArray.from_arrays(
+                pa.array(tfs_off, type=pa.int64()),
+                pa.array(tfs_flat, type=pa.int64())),
+            "dls": pa.LargeListArray.from_arrays(
+                pa.array(dls_off, type=pa.int64()),
+                pa.array(dls_flat, type=pa.int64())),
         })
         merged = merge_bucket_table(partial, avgdl, k1, b)
         merged = merged.drop_columns(["bucket"])

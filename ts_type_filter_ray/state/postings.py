@@ -159,6 +159,62 @@ def decode_doc_ids(buf: bytes) -> np.ndarray:
     return np.cumsum(deltas)
 
 
+def _binary_np(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(byte offsets int64 [n+1], flat data uint8) of an Arrow binary
+    column, zero-copy and slice-aware."""
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if arr.type == pa.large_binary() else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    return offsets, data
+
+
+def decode_varints_column(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Decode an entire Arrow binary column of LEB128 buffers in ONE
+    vectorized pass (varints are self-delimiting, so the concatenated
+    byte stream decodes as a whole). Returns ``(flat int64 values,
+    int64 value offsets [n+1])`` — the exact inputs of
+    ``pa.LargeListArray.from_arrays``. Value-identical to calling
+    :func:`decode_varints` row by row."""
+    byte_off, data = _binary_np(arr)
+    lo, hi = int(byte_off[0]), int(byte_off[-1])
+    a = data[lo:hi]
+    n_rows = len(byte_off) - 1
+    if a.size == 0:
+        return (np.empty(0, dtype=np.int64),
+                np.zeros(n_rows + 1, dtype=np.int64))
+    term_idx = np.flatnonzero(a < 128)        # terminal byte per varint
+    starts = np.empty_like(term_idx)
+    starts[0] = 0
+    starts[1:] = term_idx[:-1] + 1
+    lengths = term_idx - starts + 1
+    offsets = np.arange(a.size, dtype=np.int64) - np.repeat(starts, lengths)
+    pieces = (a & 0x7F).astype(np.int64) << (7 * offsets)
+    flat = np.add.reduceat(pieces, starts)
+    # values before each row boundary = terminal bytes before that byte
+    val_off = np.searchsorted(term_idx, byte_off - lo, side="left")
+    return flat, val_off
+
+
+def decode_doc_ids_column(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`decode_doc_ids`: delta+varint decode of a whole
+    Arrow binary column → (flat ascending doc_ids, value offsets)."""
+    deltas, val_off = decode_varints_column(arr)
+    if deltas.size == 0:
+        return deltas, val_off
+    g = np.cumsum(deltas)
+    starts = val_off[:-1]
+    counts = np.diff(val_off)
+    prior = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)
+    flat = g - np.repeat(prior, counts)
+    return flat, val_off
+
+
 def max_impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
                k1: float, b: float) -> float:
     """Block-max metadata: max BM25 tf-factor over the row's postings."""
