@@ -107,6 +107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equality with exact top-k on a high-vocab corpus)
         "heavy_hitters": _heavy_hitters,
         "doc_top_terms": lambda sf: textstats.doc_top_terms(_docs(sf), k=3),
+        "df_histogram": lambda sf: textstats.df_histogram(_docs(sf)),
+        # -- corpus n-gram family --
+        "ngram_counts": _ngram_counts,
+        "phrase_match": _phrase_match,
+        "dup_ngram_fraction": _dup_ngram_fraction,
         # -- training-data hygiene --
         "dataset_split": _dataset_split,
         "decontaminate": _decontaminate,
@@ -114,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _stratified_sample,
         "upsample_by_weight": _upsample_by_weight,
         "deterministic_shuffle": _deterministic_shuffle,
+        "sample_exact_k": _sample_exact_k,
         "scrub_pii": _scrub_pii,
         "chunk_documents": _chunk_documents,
         # -- dedup --
@@ -244,6 +250,34 @@ def _scrub_pii(sf_dir: str):
 def _chunk_documents(sf_dir: str):
     from ts_type_filter_ray.functions.chunking import chunk_documents
     return chunk_documents(_docs(sf_dir), chunk_len=32)
+
+
+#: phrases for the phrase-containment gate entry — common synthetic-
+#: corpus collocations plus one guaranteed miss (static so the SQL
+#: oracle embeds the identical list)
+PHRASE_SET = ["order fast", "agg part filter", "zz qq never_present"]
+NGRAM_N = 2
+SAMPLE_K = 100
+
+
+def _ngram_counts(sf_dir: str):
+    from ts_type_filter_ray.functions.ngrams import ngram_counts
+    return ngram_counts(_docs(sf_dir), n=NGRAM_N, k=TOP_TERMS_K)
+
+
+def _phrase_match(sf_dir: str):
+    from ts_type_filter_ray.functions.ngrams import phrase_match
+    return phrase_match(_docs(sf_dir), PHRASE_SET)
+
+
+def _dup_ngram_fraction(sf_dir: str):
+    from ts_type_filter_ray.functions.ngrams import dup_ngram_fraction
+    return dup_ngram_fraction(_docs(sf_dir), shingle_k=3)
+
+
+def _sample_exact_k(sf_dir: str):
+    from ts_type_filter_ray.functions.sampling import sample_exact_k
+    return sample_exact_k(_docs(sf_dir), k=SAMPLE_K)
 
 
 def _dedup_clusters(sf_dir: str):
@@ -520,6 +554,69 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             select doc_id, rank, term, tf, df, score
             from ranked where rank <= 3""",
+        "df_histogram": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            dft as (
+              select term, count(distinct doc_id) as df
+              from toks group by term)
+            select df, count(*) as n_terms from dft group by df""",
+        "ngram_counts": rf"""
+            with base as (
+              select regexp_split_to_array(lower(trim(text)),'\s+') as arr
+              from documents where trim(text) <> ''),
+            grams as (
+              select arr[p] || ' ' || arr[p+1] as ngram
+              from (select arr, unnest(range(1, len(arr)))::INT as p
+                    from base where len(arr) >= 2))
+            select ngram, count(*) as "count" from grams group by ngram
+            order by "count" desc, ngram asc limit {TOP_TERMS_K}""",
+        "phrase_match": "\n".join(
+            ["with h as (",
+             "  select doc_id,",
+             r"         ' ' || regexp_replace(lower(trim(text)),'\s+',"
+             r"' ','g') || ' ' as hay",
+             "  from documents),",
+             "p(phrase_idx, pat) as (values"] +
+            [", ".join(f"({i}, ' {ph} ')"
+                       for i, ph in enumerate(PHRASE_SET)) + ")"] +
+            ["select p.phrase_idx, h.doc_id from p",
+             "join h on contains(h.hay, p.pat)",
+             "order by p.phrase_idx, h.doc_id"]),
+        "dup_ngram_fraction": r"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            sh as (
+              select distinct doc_id, g from (
+                select doc_id,
+                       arr[p] || ' ' || arr[p+1] || ' ' || arr[p+2] as g
+                from (select doc_id, arr,
+                             unnest(range(1, len(arr)-1))::INT as p
+                      from base where len(arr) >= 3)
+                union all
+                select doc_id, array_to_string(arr, ' ') as g
+                from base where len(arr) < 3)),
+            dfg as (select g, count(*) as docs from sh group by g),
+            per as (
+              select s.doc_id, count(*) as n_shingles,
+                     sum(case when d.docs >= 2 then 1 else 0 end)
+                         as n_dup
+              from sh s join dfg d using (g) group by s.doc_id)
+            select doc_id, n_shingles::BIGINT as n_shingles,
+                   n_dup::BIGINT as n_dup_shingles,
+                   n_dup::DOUBLE / n_shingles as dup_fraction
+            from per""",
+        "sample_exact_k": rf"""
+            select row_number() over (
+                     order by md5_number_lower(doc_id::VARCHAR), doc_id)
+                   as "rank", doc_id
+            from documents
+            order by md5_number_lower(doc_id::VARCHAR), doc_id
+            limit {SAMPLE_K}""",
         "training_prep": r"""
             with tc as (
               select doc_id, case when trim(text)='' then 0

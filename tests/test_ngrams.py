@@ -1,0 +1,95 @@
+"""Edge cases for the corpus n-gram family (functions/ngrams.py) and
+the exact-k sampler — the driver-gate parity lives in
+test_driver_contract; these pin the semantics on adversarial shapes."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ts_type_filter_ray.functions.ngrams import (dup_ngram_fraction,
+                                                 ngram_counts,
+                                                 phrase_match)
+from ts_type_filter_ray.functions.sampling import sample_exact_k
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    }))
+
+
+def test_ngram_counts_blank_and_short_docs(ray_session):
+    ds = _docs([(0, "a b a b"), (1, ""), (2, "   "), (3, "solo"),
+                (4, "A B")])  # lowercased => 'a b'
+    out = {r["ngram"]: r["count"]
+           for r in ngram_counts(ds, n=2, k=10).take_all()}
+    assert out == {"a b": 3, "b a": 1}
+
+
+def test_ngram_counts_never_crosses_doc_boundary(ray_session):
+    ds = _docs([(0, "x y"), (1, "y z")])
+    out = {r["ngram"]: r["count"]
+           for r in ngram_counts(ds, n=2, k=10).take_all()}
+    assert "y y" not in out
+    assert out == {"x y": 1, "y z": 1}
+
+
+def test_ngram_counts_trigram_and_unigram(ray_session):
+    ds = _docs([(0, "p q r p q r")])
+    tri = {r["ngram"]: r["count"]
+           for r in ngram_counts(ds, n=3, k=10).take_all()}
+    assert tri["p q r"] == 2 and tri["q r p"] == 1
+    uni = {r["ngram"]: r["count"]
+           for r in ngram_counts(ds, n=1, k=10).take_all()}
+    assert uni == {"p": 2, "q": 2, "r": 2}
+
+
+def test_phrase_match_boundaries(ray_session):
+    ds = _docs([
+        (0, "alpha beta gamma"),        # phrase at start
+        (1, "x alpha beta"),            # phrase at end
+        (2, "alphabeta gamma"),         # no token boundary -> no match
+        (3, "ALPHA   BETA tail"),       # case + multi-space normalize
+        (4, ""),
+    ])
+    out = phrase_match(ds, ["alpha beta", "gamma", "missing phrase"]
+                       ).take_all()
+    got = {(r["phrase_idx"], r["doc_id"]) for r in out}
+    assert got == {(0, 0), (0, 1), (0, 3), (1, 0), (1, 2)}
+
+
+def test_dup_ngram_fraction_exact_small(ray_session):
+    ds = _docs([
+        (0, "a b c d"),     # shingles: abc, bcd
+        (1, "a b c x"),     # shingles: abc, bcx
+        (2, "q r"),         # short doc -> whole text 'q r'
+        (3, "q r"),         # duplicate short doc
+        (4, ""),            # no shingles -> absent
+    ])
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(ds, 3).take_all()}
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0]["n_shingles"], out[0]["n_dup_shingles"]) == (2, 1)
+    assert (out[1]["n_shingles"], out[1]["n_dup_shingles"]) == (2, 1)
+    assert out[0]["dup_fraction"] == 0.5
+    assert (out[2]["n_shingles"], out[2]["n_dup_shingles"]) == (1, 1)
+    assert out[3]["dup_fraction"] == 1.0
+
+
+def test_sample_exact_k_deterministic_and_bounded(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(500), type=pa.int64())}))
+    a = sample_exact_k(ds, k=7)
+    b = sample_exact_k(ds, k=7)
+    assert a.equals(b)                      # rerun-identical
+    assert a.num_rows == 7
+    assert a["rank"].to_pylist() == list(range(1, 8))
+    # k exceeding the corpus returns every row, still ranked
+    c = sample_exact_k(ds.limit(3), k=10)
+    assert c.num_rows == 3
+    # ranks follow md5 order, not id order
+    import hashlib
+    key = {d: int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:],
+                             "little") for d in range(500)}
+    exp = sorted(range(500), key=lambda d: (key[d], d))[:7]
+    assert a["doc_id"].to_pylist() == exp

@@ -1,0 +1,187 @@
+"""Corpus n-gram operators — the n-gram statistics and containment
+passes a training-data pipeline runs beside tokenization: global n-gram
+counts (LM frequency tables / boilerplate detection), phrase containment
+(exact-match filtering), and the duplicated-n-gram fraction per document
+(the intra-corpus near-dup signal of Lee et al. 2022's "Deduplicating
+Training Data Makes Language Models Better" — here at n-gram
+granularity over the same shingle machinery as the dedup family).
+
+All SQL-oracle checkable (driver gate): tokenization is the shared
+lowercased-whitespace contract, shingles the dedup family's
+order-sensitive Mersenne fold (equal token sequences ⇒ equal hashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from .partitioning import auto_num_parts
+from .textstats import _tokens
+
+
+def ngram_counts(ds: Dataset, n: int = 2, k: int = 25) -> Dataset:
+    """Top-*k* word *n*-grams by total occurrence count — (ngram, count),
+    ordered (count desc, ngram asc).
+
+    Per-batch partial counts are fully vectorized: adjacent-token masks
+    from the flattened token array (an n-gram exists where n consecutive
+    flat tokens share a parent doc), n-gram strings via one
+    ``binary_join_element_wise`` over n shifted slices, counts via
+    Arrow's ``value_counts``. Partials pre-aggregate inside the batch,
+    so the groupby shuffle carries one row per distinct n-gram per
+    batch, never per occurrence; the final sort runs on the merged
+    n-gram table (vocabulary-sized, same scale as ``term_df_tf``)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        empty = pa.table({"ngram": pa.array([], type=pa.string()),
+                          "count": pa.array([], type=pa.int64())})
+        if len(flat) < n:
+            return empty
+        flat = pc.utf8_lower(flat)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        par = parents.to_numpy(zero_copy_only=False)
+        m = len(flat) - n + 1
+        # an n-gram starts at i iff tokens i..i+n-1 are all in one doc
+        live = par[:m] == par[n - 1:]
+        if not live.any():
+            return empty
+        pieces = [flat.slice(j, m) for j in range(n)]
+        grams = pc.binary_join_element_wise(*pieces, " ")
+        grams = grams.filter(pa.array(live))
+        vc = grams.value_counts()
+        return pa.table({"ngram": vc.field("values"),
+                         "count": pc.cast(vc.field("counts"), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("ngram")
+            .aggregate(Sum("count", alias_name="count"))
+            .sort(["count", "ngram"], descending=[True, False])
+            .limit(k))
+
+
+def phrase_match(ds: Dataset, phrases: list[str]) -> Dataset:
+    """(phrase_idx, doc_id) for every document whose whitespace token
+    sequence contains the phrase's token sequence contiguously — the
+    exact-phrase filter (benchmark-prompt search, boilerplate kill
+    lists) the boolean index can't answer without positions.
+
+    Vectorized containment: each doc normalizes once to
+    ``' ' + lower(tokens joined by ' ') + ' '`` and each phrase becomes
+    one ``match_substring`` scan over the batch — no per-row Python, no
+    index required; cost is O(docs × phrases) SIMD substring scans."""
+    norm_phrases = [" ".join(p.lower().split()) for p in phrases]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hay = pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(batch["text"])),
+            pattern=r"\s+", replacement=" ")
+        hay = pc.binary_join_element_wise(
+            pa.array([" "] * batch.num_rows), hay,
+            pa.array([" "] * batch.num_rows), "")
+        idx_out, ids_out = [], []
+        ids = batch["doc_id"]
+        for i, p in enumerate(norm_phrases):
+            mask = pc.match_substring(hay, f" {p} ")
+            hit = ids.filter(mask)
+            if len(hit):
+                idx_out.append(np.full(len(hit), i, dtype=np.int64))
+                ids_out.append(hit)
+        if not idx_out:
+            return pa.table({"phrase_idx": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        return pa.table({
+            "phrase_idx": pa.array(np.concatenate(idx_out)),
+            "doc_id": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                 else c for c in ids_out]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort(
+        ["phrase_idx", "doc_id"])
+
+
+def dup_ngram_fraction(ds: Dataset, shingle_k: int = 3,
+                       num_parts: int | None = None) -> Dataset:
+    """(doc_id, n_shingles, n_dup_shingles, dup_fraction) — per document,
+    how many of its DISTINCT token ``shingle_k``-grams occur in at least
+    one OTHER document. The per-doc duplication signal of the dedup
+    family (high fraction ⇒ boilerplate / near-copy), exact, with the
+    decontamination operator's shuffle shape: explode distinct shingle
+    hashes, coarse-partition by shingle (every occurrence of a shingle
+    lands in one partition), one vectorized segment scan marks shingles
+    whose segment spans ≥ 2 docs, one ``groupby(doc_id)`` sums — shuffle
+    volume O(total distinct shingles), no pair pass, no O(df²) term.
+
+    Docs shorter than ``shingle_k`` tokens contribute their whole text
+    as one shingle (the dedup family's convention); blank docs have no
+    shingles and are not reported (inner semantics — the SQL oracle
+    filters identically)."""
+    from .dedup import _shingle_hashes
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dids, shs = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            hs = _shingle_hashes(text, shingle_k)
+            if hs.size == 0:
+                continue
+            dids.append(np.full(hs.size, did, dtype=np.int64))
+            shs.append(hs)
+        if not dids:
+            return pa.table({"part": pa.array([], type=pa.int32()),
+                             "shingle": pa.array([], type=pa.uint64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        flat_s = np.concatenate(shs)
+        return pa.table({
+            "part": pa.array((flat_s % num_parts).astype(np.int32)),
+            "shingle": pa.array(flat_s),
+            "doc_id": pa.array(np.concatenate(dids)),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        sh = group["shingle"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sh))
+        sh, did = sh[order], did[order]
+        n = len(sh)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = sh[1:] != sh[:-1]
+        # shingles are distinct per doc, so a segment with >= 2 rows
+        # spans >= 2 distinct docs — its shingle is duplicated
+        seg_id = np.cumsum(new_seg) - 1
+        seg_rows = np.bincount(seg_id)
+        dup = seg_rows[seg_id] >= 2
+        uniq, total = np.unique(did, return_counts=True)
+        n_dup = np.zeros(len(uniq), dtype=np.int64)
+        if dup.any():
+            inv = np.searchsorted(uniq, did[dup])
+            np.add.at(n_dup, inv, 1)
+        return pa.table({
+            "doc_id": pa.array(uniq, type=pa.int64()),
+            "n_shingles": pa.array(total.astype(np.int64)),
+            "n_dup_shingles": pa.array(n_dup),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tot = batch["n_shingles"].to_numpy(zero_copy_only=False)
+        dup = batch["n_dup_shingles"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dup_fraction", pa.array(dup / tot, type=pa.float64()))
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(scan, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_shingles", alias_name="n_shingles"),
+                       Sum("n_dup_shingles", alias_name="n_dup_shingles"))
+            .map_batches(finish, batch_format="pyarrow"))

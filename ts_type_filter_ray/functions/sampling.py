@@ -127,6 +127,49 @@ def deterministic_shuffle(ds: Dataset, id_col: str = "doc_id",
                                                batch_format="pyarrow")
 
 
+def sample_exact_k(ds: Dataset, k: int = 100,
+                   id_col: str = "doc_id") -> "pa.Table":
+    """(rank, id) — an EXACT-size deterministic global sample: the k
+    rows with the smallest ``md5_number_lower(id)`` key (tie-broken by
+    id), rank 1..k in key order. The reproducible replacement for
+    reservoir sampling when "give me exactly k rows, same k every
+    rerun" matters (eval subsets, debug slices): hash order is fixed by
+    the ids alone, so the sample is stable across engines, partitions
+    and reruns.
+
+    Distributed shape: each batch reduces to its own k smallest keys
+    (vectorized lexsort-head), so the final exact selection sorts only
+    the ~(#batches × k) survivors — never a global sort of the corpus.
+    Returns a small in-memory Arrow table (k rows) with rank attached."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        key = _md5_key64(ids)
+        if len(ids) > k:
+            head = np.lexsort((ids, key))[:k]
+            ids, key = ids[head], key[head]
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "key": pa.array(key)})
+
+    cand = (ds.select_columns([id_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .sort(["key", id_col]).limit(k))
+    tbl = cand.to_arrow_refs()
+    import ray as _ray
+    parts = [t for t in _ray.get(tbl) if t.num_rows]
+    small = pa.concat_tables(parts) if parts else pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "key": pa.array([], type=pa.uint64())})
+    # re-sort the k survivors locally: immune to block-order drift under
+    # preserve_order=False, and trivially cheap at k rows
+    small = small.sort_by([("key", "ascending"), (id_col, "ascending")])
+    n = small.num_rows
+    return pa.table({
+        "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        id_col: small[id_col],
+    })
+
+
 def upsample_by_weight(ds: Dataset, weights: dict[str, int],
                        default_weight: int = 1,
                        strata_col: str = "source",

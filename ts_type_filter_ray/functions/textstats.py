@@ -128,6 +128,18 @@ def top_terms(ds: Dataset, k: int = 25) -> Dataset:
     return term_df_tf(ds).sort(["df", "term"], descending=[True, False]).limit(k)
 
 
+def df_histogram(ds: Dataset) -> Dataset:
+    """(df, n_terms) — the document-frequency distribution of the
+    vocabulary (the Zipf curve a corpus-health check reads: how many
+    terms appear in exactly N docs). Rides the :func:`term_df_tf`
+    partial-aggregate shuffle, then collapses the vocabulary-sized
+    table to O(distinct df values) rows with one more tiny groupby —
+    nothing new materializes."""
+    return (term_df_tf(ds)
+            .groupby("df")
+            .aggregate(Count(alias_name="n_terms")))
+
+
 def top_terms_by_lang(ds: Dataset, k: int = 5) -> Dataset:
     """Grouped top-k: per language, the k terms with highest df
     (tie-break term asc) — (lang, rank, term, df). Same combiner shape
