@@ -83,6 +83,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: flagship.boolean_match_nostem_table(sf),
         "index_statistics_nostem":
             lambda sf: flagship.index_statistics_nostem_table(sf),
+        # -- POSITIONAL index: phrase / proximity answered from persisted
+        #    delta-varint positional postings (bucket-pruned, term-filter-
+        #    pushed reads), value-exact vs a parallel-unnest DuckDB oracle
+        "phrase_match_indexed":
+            lambda sf: flagship.phrase_match_indexed_table(sf),
+        "proximity_match": lambda sf: flagship.proximity_match_table(sf),
+        # wildcard prefix queries: sorted-vocab range scan on the nostem
+        # index, value-exact vs a SQL LIKE oracle
+        "prefix_match_nostem":
+            lambda sf: flagship.prefix_match_nostem_table(sf),
         # -- SQL-checked text analysis --
         "token_counts": lambda sf: textstats.token_counts(_docs(sf)),
         "doc_stats_by_lang": lambda sf: textstats.doc_stats_by_lang(_docs(sf)),
@@ -437,6 +447,56 @@ def oracle_sql() -> dict[str, str]:
     nostem_rows = ",".join(
         f"({qi},'{t}')" for qi, q in enumerate(NOSTEM_QUERY_SET)
         for t in query_stems(q, stemmer=identity_stemmer))
+
+    # positional-index oracles: one (doc_id, term, pos) relation via
+    # DuckDB's zipped parallel unnest, then per-phrase adjacency joins /
+    # per-pair |Δpos| ≤ w joins generated from the SAME constant sets the
+    # engine path answers (pipelines/flagship.py)
+    from ts_type_filter_ray.pipelines.flagship import (PHRASE_INDEX_SET,
+                                                       PROXIMITY_SET)
+    pos_tok_cte = r"""
+            with tok as (
+              select doc_id, unnest(toks) as term,
+                     unnest(range(len(toks)))::BIGINT as pos
+              from (select doc_id,
+                           regexp_split_to_array(lower(trim(text)),'\s+')
+                           as toks
+                    from documents where trim(text) <> ''))"""
+    phrase_branches = []
+    for i, p in enumerate(PHRASE_INDEX_SET):
+        toks = p.lower().split()
+        joins = "".join(
+            f" join tok t{j} on t{j}.doc_id = t0.doc_id"
+            f" and t{j}.pos = t0.pos + {j}" for j in range(1, len(toks)))
+        conds = " and ".join(
+            f"t{j}.term = '{t}'" for j, t in enumerate(toks))
+        phrase_branches.append(
+            f"select distinct cast({i} as bigint) as query_idx, t0.doc_id"
+            f" from tok t0{joins} where {conds}")
+    phrase_indexed_sql = (pos_tok_cte + "\n" +
+                          "\nunion all\n".join(phrase_branches))
+    prox_branches = []
+    for i, (ta, tb, w) in enumerate(PROXIMITY_SET):
+        prox_branches.append(
+            f"select distinct cast({i} as bigint) as query_idx, a.doc_id"
+            f" from tok a join tok b on b.doc_id = a.doc_id"
+            f" where a.term = '{ta}' and b.term = '{tb}'"
+            f" and abs(a.pos - b.pos) <= {w}")
+    proximity_sql = (pos_tok_cte + "\n" +
+                     "\nunion all\n".join(prox_branches))
+
+    from ts_type_filter_ray.pipelines.flagship import PREFIX_QUERY_SET
+    prefix_branches = [
+        f"select distinct cast({i} as bigint) as query_idx, doc_id"
+        f" from toks where term like '{p}%'"
+        for i, p in enumerate(PREFIX_QUERY_SET)]
+    prefix_sql = (r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> '')
+            """ + "\nunion all\n".join(prefix_branches))
     out = {
         "token_counts": r"""
             select doc_id,
@@ -801,6 +861,9 @@ def oracle_sql() -> dict[str, str]:
                        (select distinct doc_id, term from toks))::BIGINT
                        as num_postings,
                    (select count(*) from toks)::BIGINT as total_doc_len""",
+        "phrase_match_indexed": phrase_indexed_sql,
+        "proximity_match": proximity_sql,
+        "prefix_match_nostem": prefix_sql,
         "exact_dedup": """
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies

@@ -151,3 +151,28 @@ def test_code_corpus_conformance(ray_session, small_code_corpus_dir,
         got = searcher.bm25(q, k=10)
         exp = oracle.bm25(q, k=10)
         assert got == exp, f"bm25 mismatch {q!r}"
+
+
+def test_match_prefix_golden(sonnets_index, sonnets_corpus_dir):
+    """Wildcard prefix match ≡ brute-force union over STEMMED vocabulary
+    (the stemmed-index contract), plus empty/miss/past-end edges."""
+    import pyarrow.dataset as pads
+
+    from ts_type_filter_ray.text.porter2 import stem
+
+    s = LocalSearcher(sonnets_index)
+    tbl = pads.dataset(sonnets_corpus_dir).to_table()
+    contents = tbl["content"].to_pylist()
+    doc_terms = [{stem(w) for w in c.split()} for c in contents]
+
+    for prefix in ("f", "fir", "same", "w1", "zzz_nope", "￿"):
+        want = sorted(d for d, terms in enumerate(doc_terms)
+                      if any(t.startswith(prefix) for t in terms))
+        assert s.match_prefix(prefix).tolist() == want, prefix
+    assert s.match_prefix("").tolist() == []
+
+
+def test_match_prefix_includes_pinned(sonnets_index):
+    s = LocalSearcher(sonnets_index, pinned_doc_ids={3, 141})
+    out = s.match_prefix("zzz_nope").tolist()
+    assert out == [3, 141]

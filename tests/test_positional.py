@@ -1,0 +1,141 @@
+"""Positional index: phrase / proximity answers from the persisted index
+must equal a brute-force Python oracle over the lowercase-whitespace
+token sequences, and the phrase path must agree with the scan-shaped
+``functions/ngrams.phrase_match`` on the same corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ts_type_filter_ray.pipelines.positional import (
+    POS_BITS, PositionalIndex, PositionalSearcher, build_positional_index)
+
+DOCS = [
+    "the fast key order sort",                    # 0
+    "order fast order fast order",                # 1: overlapping repeats
+    "batch batch batch stream",                   # 2: self-adjacent term
+    "",                                           # 3: empty doc
+    "Fast ORDER fast",                            # 4: case folding
+    "solo",                                       # 5: single token
+    "a b c d e f g a b c",                        # 6: long-ish phrase
+]
+
+PHRASES = ["order fast", "fast order fast", "batch batch",
+           "batch batch batch", "a b c", "missing phrase", "solo",
+           "fast", "g a b", "e f g a", ""]
+
+PROX = [("order", "fast", 1), ("key", "sort", 3), ("key", "sort", 2),
+        ("a", "g", 1), ("a", "g", 3), ("solo", "solo", 2),
+        ("batch", "stream", 1), ("nope", "fast", 5)]
+
+
+def _toks(s):
+    return s.lower().split()
+
+
+def _oracle_phrase(phrase):
+    p = _toks(phrase)
+    if not p:
+        return []
+    out = []
+    for d, text in enumerate(DOCS):
+        t = _toks(text)
+        if any(t[i:i + len(p)] == p for i in range(len(t) - len(p) + 1)):
+            out.append(d)
+    return out
+
+
+def _oracle_prox(a, b, w):
+    out = []
+    for d, text in enumerate(DOCS):
+        t = _toks(text)
+        pa_ = [i for i, x in enumerate(t) if x == a]
+        pb = [i for i, x in enumerate(t) if x == b]
+        if any(abs(i - j) <= w for i in pa_ for j in pb):
+            out.append(d)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory, ray_session):
+    import ray.data as rd
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), type=pa.int64()),
+        "content": pa.array(DOCS, type=pa.string()),
+    })).repartition(3)
+    root = str(tmp_path_factory.mktemp("posidx") / "idx")
+    return build_positional_index(corpus, root, num_term_buckets=4,
+                                  doc_part_bits=2, batch_size=2)
+
+
+def test_stats(pos_index):
+    assert pos_index.num_documents == len(DOCS)
+    total_tokens = sum(len(_toks(d)) for d in DOCS)
+    assert pos_index.num_positions == total_tokens
+    vocab = {t for d in DOCS for t in _toks(d)}
+    assert pos_index.num_terms == len(vocab)
+    postings = len({(t, d) for d, s in enumerate(DOCS) for t in _toks(s)})
+    assert pos_index.num_postings == postings
+
+
+def test_reload_roundtrip(pos_index):
+    again = PositionalIndex.load(pos_index.root)
+    assert again == pos_index
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_golden(pos_index, phrase):
+    s = PositionalSearcher(pos_index)
+    assert s.phrase(phrase).tolist() == _oracle_phrase(phrase), phrase
+
+
+@pytest.mark.parametrize("a,b,w", PROX)
+def test_proximity_golden(pos_index, a, b, w):
+    s = PositionalSearcher(pos_index)
+    assert s.proximity(a, b, w).tolist() == _oracle_prox(a, b, w), (a, b, w)
+
+
+def test_parity_with_scan_phrase_match(ray_session):
+    """Index answers ≡ the scan-shaped phrase_match over the sf0.001
+    documents corpus (500 docs)."""
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.ngrams import phrase_match
+    from ts_type_filter_ray.pipelines.flagship import (
+        phrase_index_for, PHRASE_INDEX_SET)
+
+    sf = "/root/testdata/sf0.001"
+    idx = phrase_index_for(sf)
+    s = PositionalSearcher(idx)
+    scan = phrase_match(
+        rd.read_parquet(f"{sf}/documents.parquet"),
+        PHRASE_INDEX_SET).to_pandas()
+    for i, p in enumerate(PHRASE_INDEX_SET):
+        got = s.phrase(p).tolist()
+        want = scan[scan.phrase_idx == i].doc_id.tolist()
+        assert got == want, p
+
+
+def test_position_limit_enforced(ray_session, tmp_path):
+    import ray.data as rd
+    big = "x " * ((1 << POS_BITS) + 8)
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "content": pa.array([big], type=pa.string()),
+    }))
+    with pytest.raises(Exception, match="positional limit"):
+        build_positional_index(corpus, str(tmp_path / "idx2"),
+                               num_term_buckets=2)
+
+
+def test_keys_roundtrip_positions(pos_index):
+    """Decoded (doc, pos) keys for a term reproduce the raw token
+    positions exactly (delta codec round-trip through the merge)."""
+    s = PositionalSearcher(pos_index)
+    for term in ("fast", "batch", "a", "order"):
+        keys = s._term_keys([term])[term]
+        got = [(int(k) >> POS_BITS, int(k) & ((1 << POS_BITS) - 1))
+               for k in keys]
+        want = [(d, i) for d, text in enumerate(DOCS)
+                for i, t in enumerate(_toks(text)) if t == term]
+        assert got == want, term

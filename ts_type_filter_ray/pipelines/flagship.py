@@ -200,3 +200,90 @@ def index_statistics_nostem_table(sf_dir: str) -> pa.Table:
         "num_postings": pa.array([s.num_postings], type=pa.int64()),
         "total_doc_len": pa.array([s.total_doc_len], type=pa.int64()),
     })
+
+
+# Phrase / proximity query sets for the POSITIONAL index (lowercase
+# whitespace tokens, nostem — SQL-expressible): contiguous phrases incl.
+# a self-adjacent repeated token ("batch batch batch" occurs verbatim in
+# the sf corpora), a 3-term phrase, a single term (≡ boolean match), and
+# a guaranteed miss.
+PHRASE_INDEX_SET: list[str] = [
+    "order fast",
+    "batch batch batch",
+    "merge part window",
+    "spark",
+    "zz qq never_present",
+]
+
+# (term_a, term_b, window): co-occurrence within |Δpos| ≤ window.
+PROXIMITY_SET: list[tuple[str, str, int]] = [
+    ("hash", "join", 2),
+    ("spark", "window", 3),
+    ("order", "fast", 1),
+    ("zz", "qq", 4),
+]
+
+
+def phrase_index_for(sf_dir: str, force: bool = False):
+    """Build (or reuse the cached) POSITIONAL index over
+    ``{sf_dir}/documents.parquet``."""
+    from .positional import PositionalIndex, build_positional_index
+    out = _index_cache_dir(sf_dir, variant="pos")
+    if not force and os.path.exists(os.path.join(out, "stats.json")):
+        return PositionalIndex.load(out)
+    corpus = corpus_from_documents(sf_dir)
+    return build_positional_index(corpus, out, num_term_buckets=16,
+                                  doc_part_bits=12, batch_size=128)
+
+
+def phrase_match_indexed_table(sf_dir: str,
+                               phrases: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) phrase containment answered from the persisted
+    positional index (bucket-pruned, term-filter-pushed reads) — the
+    index-shaped counterpart of ``functions/ngrams.phrase_match``."""
+    from .positional import PositionalSearcher
+    searcher = PositionalSearcher(phrase_index_for(sf_dir))
+    qi, di = [], []
+    for i, p in enumerate(phrases or PHRASE_INDEX_SET):
+        for doc_id in searcher.phrase(p).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def proximity_match_table(sf_dir: str,
+                          pairs: list[tuple[str, str, int]] | None = None
+                          ) -> pa.Table:
+    """(query_idx, doc_id) proximity co-occurrence (|Δpos| ≤ window)
+    from the positional index."""
+    from .positional import PositionalSearcher
+    searcher = PositionalSearcher(phrase_index_for(sf_dir))
+    qi, di = [], []
+    for i, (a, b, w) in enumerate(pairs or PROXIMITY_SET):
+        for doc_id in searcher.proximity(a, b, w).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+# Wildcard-prefix query set over the nostem index: hot prefixes, a
+# single-letter range, an exact-term-length prefix, and a miss.
+PREFIX_QUERY_SET: list[str] = ["sp", "ba", "w", "merge", "zzz_nope"]
+
+
+def prefix_match_nostem_table(sf_dir: str,
+                              prefixes: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) wildcard-prefix match sets from the
+    identity-stemmer index — sorted-vocab range scan + postings union
+    (``LocalSearcher.match_prefix``), value-exact vs a SQL LIKE oracle."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, p in enumerate(prefixes or PREFIX_QUERY_SET):
+        for doc_id in searcher.match_prefix(p).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})

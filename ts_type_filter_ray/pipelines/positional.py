@@ -1,0 +1,448 @@
+"""Positional inverted index: phrase and proximity queries answered from
+a PERSISTED index instead of a corpus rescan.
+
+The boolean/BM25 index (``pipelines/build.py``) stores (term → doc, tf,
+dl); it cannot answer "docs containing the contiguous phrase 'order
+fast'" or "docs where 'hash' and 'join' occur within 3 tokens" without
+rescanning content (``functions/ngrams.phrase_match`` is that scan
+shape). This module is the index-shaped answer — the layout every
+production full-text engine uses for phrases:
+
+  corpus ─map_batches(tokenize: lower + whitespace split + POSITIONS)
+         ─ partial rows (term, part) → doc_ids / pcounts / positions
+         ─ write_parquet(partition_cols=["bucket"])   (shuffle-free spill)
+  bucket ─ one merge task per bucket → delta/varint-compressed rows:
+             doc_ids_enc   varint(delta doc_ids)
+             pcounts_enc   varint(#positions per doc ≡ tf)
+             poss_enc      varint(delta positions WITHIN each doc)
+
+Query routing stays bucket-pruned: a phrase's terms hash to their
+buckets, the searcher reads only ``bucket=<h>`` files and filter-pushes
+``term ∈ phrase`` into the Parquet scan, so a q-term phrase reads
+O(q posting rows), never the corpus.
+
+Phrase semantics (exact, nostem): token positions are 0-based indices
+into the lowercased whitespace token sequence; a phrase [t0..tm] matches
+doc d iff ∃p: pos(ti) = p+i for all i. Matching is one vectorized
+``np.intersect1d`` fold over (doc << POS_BITS | pos) keys — shifting a
+key by +1 moves to the next position and cannot cross a doc boundary
+because every doc_len is validated < 2**POS_BITS at build time.
+
+Proximity: |pos(a) - pos(b)| ≤ w within one doc, via the same key arrays
+intersected at each offset in [-w, w] — O(w · (n_a + n_b) log) exact.
+
+Tokenization is the repo-wide lowercase-whitespace SQL contract
+(``lower(trim(text))`` split on ``\\s+``), so both operators sit on the
+driver's value-exact DuckDB gate (parallel-unnest positional oracle).
+
+Reference scope: ts_type_filter's index has no positions
+(``inverted_index.py:44,62-65`` stores doc-id lists only) — this is one
+of the engine's beyond-reference extensions (brief: training-data
+pipeline operators; phrase containment is the benchmark-prompt /
+boilerplate filter at 100 TB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+from ray.data import Dataset
+
+from ..state import postings as plib
+from ..state.postings import term_bucket
+
+#: positions live in the low bits of the (doc, pos) key; any doc with
+#: doc_len >= 2**POS_BITS is rejected at build time so a +1 key shift
+#: can never cross into the next document.
+POS_BITS = 22
+_MAX_DOC_LEN = (1 << POS_BITS) - 1
+
+
+def tokenize_positions_task(batch: pa.Table, *,
+                            num_term_buckets: int,
+                            doc_part_bits: int) -> pa.Table:
+    """Corpus batch → partial positional posting rows.
+
+    Output: term:string, part:int32, bucket:int32, doc_ids:list<int64>,
+    pcounts:list<int32>, poss:list<int32> (positions flattened per row,
+    grouped by doc in doc_ids order, ascending within each doc).
+
+    Fully vectorized: Arrow lower+split, one stable argsort over the
+    fused (token code, doc) key — stability keeps positions ascending
+    within each (term, doc) group without sorting positions themselves.
+    """
+    n_docs = batch.num_rows
+    doc_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+    trimmed = pc.utf8_trim_whitespace(batch["content"])
+    toks = pc.utf8_split_whitespace(trimmed)
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    parents = pc.list_parent_indices(toks)
+    if pc.any(pc.equal(trimmed, "")).as_py():
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parents = parents.filter(keep)
+    par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    empty = pa.table({
+        "term": pa.array([], type=pa.string()),
+        "part": pa.array([], type=pa.int32()),
+        "bucket": pa.array([], type=pa.int32()),
+        "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+        "pcounts": pa.array([], type=pa.list_(pa.int32())),
+        "poss": pa.array([], type=pa.list_(pa.int32())),
+    })
+    if len(flat) == 0:
+        return empty
+
+    n_tok = np.bincount(par, minlength=n_docs)
+    if n_tok.max(initial=0) > _MAX_DOC_LEN:
+        raise ValueError(
+            f"doc_len {int(n_tok.max())} exceeds positional limit "
+            f"{_MAX_DOC_LEN} (POS_BITS={POS_BITS})")
+    doc_start = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+    pos = np.arange(len(par), dtype=np.int64) - doc_start[par]
+
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+
+    # stable sort by (code, docidx): within each group, original order
+    # (= ascending position) is preserved
+    key = codes * n_docs + par
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    pos_s = pos[order]
+
+    # (code, docidx) groups → per-group tf; group boundaries
+    new_g = np.ones(len(key_s), dtype=bool)
+    new_g[1:] = key_s[1:] != key_s[:-1]
+    g_starts = np.flatnonzero(new_g)
+    tf = np.diff(np.append(g_starts, len(key_s)))
+    g_code = key_s[g_starts] // n_docs
+    g_docidx = key_s[g_starts] % n_docs
+    g_part = (doc_np[g_docidx] >> doc_part_bits).astype(np.int64)
+
+    # (code, part) runs over the groups (docidx ascends within code)
+    n_g = len(g_starts)
+    new_run = np.ones(n_g, dtype=bool)
+    new_run[1:] = (g_code[1:] != g_code[:-1]) | (g_part[1:] != g_part[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_ends = np.append(run_starts[1:], n_g)
+    doc_offsets = pa.array(np.append(run_starts, n_g).astype(np.int32))
+    # position list offsets per run: positions of a run are the g_starts
+    # slice [g_starts[run_start], group_end_of(run_end-1))
+    pos_run_starts = g_starts[run_starts]
+    pos_total = len(key_s)
+    pos_offsets = pa.array(
+        np.append(pos_run_starts, pos_total).astype(np.int32))
+
+    run_codes = g_code[run_starts]
+    vocab_arr = np.array(vocab, dtype=object)
+    run_terms = vocab_arr[run_codes].tolist()
+    buckets = np.array([term_bucket(t, num_term_buckets)
+                        for t in run_terms], dtype=np.int32)
+
+    return pa.table({
+        "term": pa.array(run_terms, type=pa.string()),
+        "part": pa.array(g_part[run_starts].astype(np.int32)),
+        "bucket": pa.array(buckets),
+        "doc_ids": pa.ListArray.from_arrays(
+            doc_offsets, pa.array(doc_np[g_docidx], type=pa.int64())),
+        "pcounts": pa.ListArray.from_arrays(
+            doc_offsets, pa.array(tf.astype(np.int32))),
+        "poss": pa.ListArray.from_arrays(
+            pos_offsets, pa.array(pos_s.astype(np.int32))),
+    })
+
+
+@dataclass
+class PositionalIndex:
+    root: str
+    num_documents: int
+    num_terms: int
+    num_postings: int
+    num_positions: int
+    doc_part_bits: int
+    num_term_buckets: int
+
+    @property
+    def postings_dir(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @classmethod
+    def load(cls, root: str) -> "PositionalIndex":
+        with open(os.path.join(root, "stats.json")) as f:
+            return cls(root=root, **json.load(f))
+
+
+def _merge_one_positional_bucket(bucket_dir: str, out_dir: str,
+                                 bucket: int) -> tuple[int, int, int]:
+    """One bucket's partial files → one compressed positional segment.
+    Returns (distinct_terms, postings, positions). Idempotent via a
+    ``_SUCCESS`` marker (same two-phase-commit shape as the main merge).
+    """
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    except Exception:
+        pass
+    dest = os.path.join(out_dir, f"bucket={bucket}")
+    marker = os.path.join(dest, "_SUCCESS")
+    out_file = os.path.join(dest, "merged.parquet")
+    if not os.path.exists(marker):
+        files = [os.path.join(bucket_dir, f)
+                 for f in sorted(os.listdir(bucket_dir))
+                 if f.endswith(".parquet")]
+        tbl = pads.dataset(files).to_table().combine_chunks()
+
+        enc = tbl["term"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        parts = tbl["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        dcol = tbl["doc_ids"].combine_chunks()
+        ccol = tbl["pcounts"].combine_chunks()
+        pcol = tbl["poss"].combine_chunks()
+
+        # explode to per-(term,part,doc) granularity and lexsort — a
+        # positional bucket is positions/num_buckets; the simple exact
+        # sort is the robust choice here (doc interleave across partial
+        # files is the norm, not the exception)
+        parent = pc.list_parent_indices(dcol).to_numpy(zero_copy_only=False)
+        flat_doc = dcol.flatten().to_numpy(zero_copy_only=False)
+        flat_cnt = ccol.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rowkey = (codes[parent] << np.int64(24)) | parts[parent]
+        order = np.lexsort((flat_doc, rowkey))
+        key_s = rowkey[order]
+        doc_s = flat_doc[order]
+        cnt_s = flat_cnt[order]
+
+        # gather each doc-group's position slice in sorted doc order
+        flat_pos = pcol.flatten().to_numpy(zero_copy_only=False)
+        grp_start = np.concatenate(([0], np.cumsum(flat_cnt)))[:-1]
+        take_idx = (np.repeat(grp_start[order], cnt_s) +
+                    _ragged_arange(cnt_s))
+        pos_sorted = flat_pos[take_idx]
+
+        # (term,part) run boundaries over the sorted doc groups
+        n = len(key_s)
+        new_run = np.ones(n, dtype=bool)
+        if n:
+            new_run[1:] = key_s[1:] != key_s[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        pos_cum = np.concatenate(([0], np.cumsum(cnt_s)))
+
+        terms_out, parts_out, dfs = [], [], []
+        d_enc, c_enc, p_enc = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            code = int(key_s[s] >> 24)
+            part = int(key_s[s] & ((1 << 24) - 1))
+            docs = doc_s[s:e]
+            cnts = cnt_s[s:e]
+            ps, pe = int(pos_cum[s]), int(pos_cum[e])
+            poss = pos_sorted[ps:pe]
+            # delta-encode positions within each doc (first absolute)
+            dpos = np.diff(poss)
+            first = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+            dpos = np.insert(dpos, 0, 0)  # placeholder at index 0
+            dpos[first] = poss[first]
+            terms_out.append(vocab[code])
+            parts_out.append(part)
+            dfs.append(len(docs))
+            d_enc.append(plib.encode_doc_ids(docs))
+            c_enc.append(plib.encode_varints(cnts))
+            p_enc.append(plib.encode_varints(dpos))
+
+        merged = pa.table({
+            "term": pa.array(terms_out, type=pa.string()),
+            "part": pa.array(parts_out, type=pa.int32()),
+            "df": pa.array(dfs, type=pa.int64()),
+            "doc_ids_enc": pa.array(d_enc, type=pa.binary()),
+            "pcounts_enc": pa.array(c_enc, type=pa.binary()),
+            "poss_enc": pa.array(p_enc, type=pa.binary()),
+        })
+        os.makedirs(dest, exist_ok=True)
+        tmp = os.path.join(dest, ".merged.parquet.tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, out_file)
+        open(marker, "w").close()
+    out = pq.read_table(out_file, columns=["term", "df", "pcounts_enc"])
+    n_terms = pc.count_distinct(out["term"]).as_py() or 0
+    n_post = pc.sum(out["df"]).as_py() or 0
+    n_pos = sum(int(plib.decode_varints(b.as_py()).sum())
+                for b in out["pcounts_enc"])
+    return int(n_terms), int(n_post), n_pos
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
+
+
+def build_positional_index(corpus: Dataset, out_dir: str, *,
+                           num_term_buckets: int = 16,
+                           doc_part_bits: int = 20,
+                           batch_size: int = 256) -> PositionalIndex:
+    """Build the positional index under *out_dir* (corpus must have
+    ``doc_id:int64, content:string`` — same contract as ``build_index``).
+    """
+    import shutil
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    partials_dir = os.path.join(out_dir, "partials")
+    shutil.rmtree(partials_dir, ignore_errors=True)
+
+    n_docs = corpus.count()
+    if n_docs == 0:
+        raise ValueError("cannot build a positional index over an "
+                         "empty corpus")
+    corpus.map_batches(
+        tokenize_positions_task,
+        fn_kwargs={"num_term_buckets": num_term_buckets,
+                   "doc_part_bits": doc_part_bits},
+        batch_format="pyarrow", batch_size=batch_size,
+    ).write_parquet(partials_dir, partition_cols=["bucket"])
+
+    postings_dir = os.path.join(out_dir, "postings")
+    shutil.rmtree(postings_dir, ignore_errors=True)
+    os.makedirs(postings_dir, exist_ok=True)
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    per_task_cpus = max(1, total_cpus // 16)
+    task = ray.remote(num_cpus=per_task_cpus)(_merge_one_positional_bucket)
+    refs = []
+    for name in sorted(os.listdir(partials_dir)):
+        if not name.startswith("bucket="):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        refs.append(task.remote(os.path.join(partials_dir, name),
+                                postings_dir, bucket))
+    results = ray.get(refs)
+    shutil.rmtree(partials_dir, ignore_errors=True)
+
+    idx = PositionalIndex(
+        root=out_dir,
+        num_documents=int(n_docs),
+        num_terms=sum(r[0] for r in results),
+        num_postings=sum(r[1] for r in results),
+        num_positions=sum(r[2] for r in results),
+        doc_part_bits=doc_part_bits,
+        num_term_buckets=num_term_buckets,
+    )
+    meta = {k: v for k, v in idx.__dict__.items() if k != "root"}
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return idx
+
+
+class PositionalSearcher:
+    """Query-routed phrase/proximity matcher over a built positional
+    index. Stateless across queries by design (each query reads only its
+    terms' rows, bucket-pruned + term-filter-pushed) — wrap in an actor
+    for a warm pool, same shape as ``LocalSearcher``."""
+
+    def __init__(self, index: PositionalIndex):
+        self._index = index
+
+    def _term_keys(self, terms: list[str]) -> dict[str, np.ndarray]:
+        """term → ascending unique (doc << POS_BITS | pos) key array."""
+        idx = self._index
+        want = sorted(set(terms))
+        buckets = sorted({term_bucket(t, idx.num_term_buckets)
+                          for t in want})
+        files = []
+        for b in buckets:
+            d = os.path.join(idx.postings_dir, f"bucket={b}")
+            if os.path.isdir(d):
+                files.extend(os.path.join(d, f)
+                             for f in sorted(os.listdir(d))
+                             if f.endswith(".parquet")
+                             and not f.startswith((".", "_")))
+        out: dict[str, list[np.ndarray]] = {t: [] for t in want}
+        if files:
+            tbl = pads.dataset(files).to_table(
+                filter=pc.field("term").isin(want),
+                columns=["term", "doc_ids_enc", "pcounts_enc", "poss_enc"])
+            for i in range(tbl.num_rows):
+                term = tbl["term"][i].as_py()
+                docs = plib.decode_doc_ids(tbl["doc_ids_enc"][i].as_py())
+                cnts = plib.decode_varints(tbl["pcounts_enc"][i].as_py())
+                dpos = plib.decode_varints(tbl["poss_enc"][i].as_py())
+                # un-delta within each doc: cumsum, then subtract the
+                # carried prefix at each doc start
+                pos = np.cumsum(dpos)
+                starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+                carry = np.zeros(len(dpos), dtype=np.int64)
+                carry[starts[1:]] = pos[starts[1:] - 1]
+                pos = pos - np.maximum.accumulate(carry)
+                keys = ((np.repeat(docs, cnts) << POS_BITS) | pos)
+                out[term].append(keys)
+        return {t: (np.sort(np.concatenate(a)) if a
+                    else np.empty(0, dtype=np.int64))
+                for t, a in out.items()}
+
+    def phrase(self, phrase: str) -> np.ndarray:
+        """doc_ids (ascending) containing the contiguous token sequence
+        of *phrase* (lowercase-whitespace tokens)."""
+        terms = phrase.lower().split()
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        keys = self._term_keys(terms)
+        cur = keys[terms[0]]
+        for t in terms[1:]:
+            if cur.size == 0:
+                break
+            cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+        if cur.size == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(cur >> POS_BITS)
+
+    def proximity(self, term_a: str, term_b: str,
+                  window: int) -> np.ndarray:
+        """doc_ids where the two (distinct) terms co-occur within
+        *window* token positions (|pos_a - pos_b| ≤ window)."""
+        a = term_a.lower()
+        b = term_b.lower()
+        keys = self._term_keys([a, b])
+        ka, kb = keys[a], keys[b]
+        if ka.size == 0 or kb.size == 0:
+            return np.empty(0, dtype=np.int64)
+        docs: list[np.ndarray] = []
+        mask = np.int64(_MAX_DOC_LEN)
+        # only POSITIVE shifts, applied to each side in turn — a negative
+        # shift at pos 0 would underflow the key into the previous doc's
+        # position space. A positive shift stays in-doc iff pos+off does
+        # not exceed the position field, guarded by the validity filter.
+        for off in range(0, window + 1):
+            o = np.int64(off)
+            ok_a = ka[(ka & mask) <= mask - o]
+            hit = np.intersect1d(ok_a + o, kb, assume_unique=True)
+            if hit.size:
+                docs.append(hit >> POS_BITS)
+            if off == 0:
+                continue
+            ok_b = kb[(kb & mask) <= mask - o]
+            hit = np.intersect1d(ok_b + o, ka, assume_unique=True)
+            if hit.size:
+                docs.append(hit >> POS_BITS)
+        if not docs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(docs))

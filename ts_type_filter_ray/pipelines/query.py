@@ -181,6 +181,33 @@ class LocalSearcher:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(arrays))
 
+    def match_prefix(self, prefix: str) -> np.ndarray:
+        """Docs containing ANY term starting with *prefix* — the
+        wildcard query shape (``pre*``), answered as a sorted-vocab
+        range scan: ``bisect`` to the first candidate, walk while the
+        prefix holds (terms visited = terms matched), union postings.
+        Empty prefix matches nothing (a full-corpus wildcard is a scan,
+        not a query). Prefix is lowercased to match both index modes'
+        lowercase normalization; stemmed indexes match against STEMMED
+        vocabulary (caller owns that contract, same as ``match``)."""
+        import bisect
+
+        prefix = prefix.lower()
+        if not prefix:
+            return np.empty(0, dtype=np.int64)
+        arrays = [self._pinned] if self._pinned.size else []
+        lo = bisect.bisect_left(self._vocab, prefix)
+        for vi in range(lo, len(self._vocab)):
+            term = self._vocab[vi]
+            if not term.startswith(prefix):
+                break
+            s, e = self._slices[term]
+            for i in range(s, e):
+                arrays.append(self._decode_row(term, i)[0])
+        if not arrays:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrays))
+
     # -- BM25 ----------------------------------------------------------
 
     def idf(self, term: str) -> float:
