@@ -126,10 +126,22 @@ class LocalSearcher:
         self._slices = dict(zip(vocab, zip(starts.tolist(), ends.tolist())))
         self._df = dict(zip(vocab, df_tot.tolist()))
 
+    def set_global_df(self, df: dict[str, int]) -> None:
+        """Replace per-searcher df with GLOBAL df (the doc-partitioned
+        serving shape, ``serve.SearchService``) — invalidates the cached
+        per-row contribution arrays, which bake in idf."""
+        self._df = df
+        self._contrib.clear()
+
     def _init_cache(self, warm_top_terms: int) -> None:
         # decoded-postings cache: hot terms (import/def/...) decode once
         # per searcher, not once per query; bounded LRU-ish eviction
         self._decoded: dict[int, tuple] = {}  # row index → decoded arrays
+        # row index → idf(term) * tf_factor — FULLY constant per searcher
+        # (df, N, avgdl, k1, b are all fixed at load), so the hot-query
+        # scoring loop is a pure cached-array scatter-add. Rebuilt lazily;
+        # cleared by set_global_df (idf changes) and on decode eviction.
+        self._contrib: dict[int, np.ndarray] = {}
         # must hold warm_top_terms decoded hot rows (32 hot terms on the
         # 150k bench ≈ 115 MB) — a budget below that evicts the warm set
         # during warming and the first hot query pays the decode anyway
@@ -153,12 +165,25 @@ class LocalSearcher:
         hit = self._decoded.get(key)
         if hit is not None:
             return hit
-        out = (plib.decode_doc_ids(self._denc[i].as_py()),
-               plib.decode_varints(self._tenc[i].as_py()).astype(np.float64),
-               plib.decode_varints(self._lenc[i].as_py()).astype(np.float64))
-        size = out[0].nbytes * 3
+        doc_ids = plib.decode_doc_ids(self._denc[i].as_py())
+        tfs = plib.decode_varints(self._tenc[i].as_py()).astype(np.float64)
+        dls = plib.decode_varints(self._lenc[i].as_py()).astype(np.float64)
+        # the BM25 tf-factor depends only on per-index constants
+        # (avgdl/k1/b) and this row's tf/dl — precompute it ONCE per
+        # decode instead of per query (it was the warm-query hot spot:
+        # score = idf * factor is one multiply per posting now, the same
+        # float64 expression shape so scores stay bit-identical)
+        st = self._stats
+        fac = _tf_factor(tfs, dls, st.avgdl, st.k1, st.b)
+        # doc ids relative to this row's dense-buffer base — precomputed
+        # so the dense scatter-add indexes the cached array directly
+        rel = doc_ids - (np.int64(self._part[i]) << np.int64(
+            st.doc_part_bits))
+        out = (doc_ids, tfs, dls, fac, rel)
+        size = out[0].nbytes * 5
         if self._decoded_bytes + size > self._decoded_budget:
             self._decoded.clear()
+            self._contrib.clear()
             self._decoded_bytes = 0
         self._decoded[key] = out
         self._decoded_bytes += size
@@ -226,8 +251,6 @@ class LocalSearcher:
         granularity. Exactness: no document in p can score above ub(p).
         """
         stats = self._stats
-        avgdl = stats.avgdl
-        k1, b = stats.k1, stats.b
         stems = query_stems(query, self._stemmer, self._breaker)
         term_rows: list[tuple[str, float, int, int]] = []
         for term in stems:
@@ -266,9 +289,18 @@ class LocalSearcher:
                 for i in range(s, e):
                     if self._part[i] != part:
                         continue
-                    doc_ids, tfs, dls = self._decode_row(_term, i)
-                    doc_arrays.append(doc_ids)
-                    contrib_arrays.append(idf * _tf_factor(tfs, dls, avgdl, k1, b))
+                    row = self._decode_row(_term, i)
+                    # dense path scatters by the cached RELATIVE ids
+                    doc_arrays.append(row[4] if dense_ok else row[0])
+                    contrib = self._contrib.get(i)
+                    if contrib is None:
+                        # idf is fixed per searcher → the whole per-row
+                        # contribution array is a constant; cache it
+                        # (same float64 expression → bit-identical)
+                        contrib = idf * row[3]
+                        self._contrib[i] = contrib
+                        self._decoded_bytes += contrib.nbytes
+                    contrib_arrays.append(contrib)
             if not doc_arrays:
                 continue
             # Left-fold accumulation per doc in term order: a doc appears
@@ -277,8 +309,8 @@ class LocalSearcher:
             # (np.add.reduceat is NOT a left fold — it right-associates.)
             if dense_ok:
                 base = np.int64(part) << np.int64(part_bits)
-                for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
-                    buf[docs_t - base] += contrib_t
+                for rel_t, contrib_t in zip(doc_arrays, contrib_arrays):
+                    buf[rel_t] += contrib_t  # rel ids cached at decode
                 # BM25 contributions are strictly positive (idf>0,
                 # tf_factor>0), so touched ⇔ nonzero
                 nz = np.flatnonzero(buf)
@@ -291,9 +323,18 @@ class LocalSearcher:
                 for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
                     sums[np.searchsorted(uniq, docs_t)] += contrib_t
             if uniq.size > k:
-                # only this partition's top-k can enter the global top-k
-                sel = np.lexsort((uniq, -sums))[:k]
-                uniq, sums = uniq[sel], sums[sel]
+                # only this partition's top-k can enter the global top-k.
+                # argpartition O(n) narrows to the k best scores, then the
+                # exact (score desc, doc_id asc) lexsort runs ONLY over
+                # the candidates — all elements tied with the k-th score
+                # are included, so the deterministic tie-break is
+                # preserved (a full per-partition lexsort was the warm-
+                # query hot spot: 13.5 of 18 ms on a hot 3-term query)
+                kth = np.argpartition(-sums, k - 1)[:k]
+                thresh = sums[kth].min()
+                cand = np.flatnonzero(sums >= thresh)
+                sel = np.lexsort((uniq[cand], -sums[cand]))[:k]
+                uniq, sums = uniq[cand][sel], sums[cand][sel]
             for d, s in zip(uniq.tolist(), sums.tolist()):
                 item = (s, -d)
                 if len(heap) < k:

@@ -51,7 +51,8 @@ class _DocPartSearcher:
         # GLOBAL df (idf must be global even though this actor only holds
         # a doc-slice of each posting list). Ray auto-dereferences the
         # broadcast ObjectRef argument — one shared plasma copy per node.
-        s._df = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        s.set_global_df(ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef)
+                        else df_ref)
 
     def match(self, query) -> list[int]:
         return self._searcher.match(query).tolist()
