@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index, value-exact vs a SQL LIKE oracle
         "prefix_match_nostem":
             lambda sf: flagship.prefix_match_nostem_table(sf),
+        # conjunctive (AND) / include-minus-exclude (NOT) boolean shapes
+        # and df-ranked autocomplete — all on the nostem index, all
+        # value-exact
+        "conjunctive_match": lambda sf: flagship.conjunctive_match_table(sf),
+        "andnot_match": lambda sf: flagship.andnot_match_table(sf),
+        "suggest_terms": lambda sf: flagship.suggest_table(sf),
         # -- SQL-checked text analysis --
         "token_counts": lambda sf: textstats.token_counts(_docs(sf)),
         "doc_stats_by_lang": lambda sf: textstats.doc_stats_by_lang(_docs(sf)),
@@ -485,6 +491,53 @@ def oracle_sql() -> dict[str, str]:
     proximity_sql = (pos_tok_cte + "\n" +
                      "\nunion all\n".join(prox_branches))
 
+    from ts_type_filter_ray.pipelines.flagship import (
+        ANDNOT_QUERY_SET, CONJ_QUERY_SET, SUGGEST_K, SUGGEST_SET)
+    nostem_toks_cte = r"""
+            with toks as (
+              select distinct doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                       as term
+                from documents where trim(text) <> ''))"""
+
+    def _stems(q):
+        return query_stems(q, stemmer=identity_stemmer)
+
+    conj_branches = []
+    for i, q in enumerate(CONJ_QUERY_SET):
+        terms = _stems(q)
+        if not terms:
+            continue  # empty query matches nothing (no pinned docs here)
+        inlist = ",".join(f"'{t}'" for t in terms)
+        conj_branches.append(
+            f"select cast({i} as bigint) as query_idx, doc_id from toks"
+            f" where term in ({inlist})"
+            f" group by doc_id having count(*) = {len(terms)}")
+    conjunctive_sql = (nostem_toks_cte + "\n" +
+                       "\nunion all\n".join(conj_branches))
+
+    andnot_branches = []
+    for i, (q, ex) in enumerate(ANDNOT_QUERY_SET):
+        inc = ",".join(f"'{t}'" for t in _stems(q))
+        exc = ",".join(f"'{t}'" for t in _stems(ex))
+        andnot_branches.append(
+            f"select distinct cast({i} as bigint) as query_idx, doc_id"
+            f" from toks where term in ({inc}) and doc_id not in"
+            f" (select doc_id from toks where term in ({exc}))")
+    andnot_sql = (nostem_toks_cte + "\n" +
+                  "\nunion all\n".join(andnot_branches))
+
+    suggest_branches = [
+        f"select cast({i} as bigint) as query_idx, rank, term, df from"
+        f" (select row_number() over (order by df desc, term asc) as rank,"
+        f" term, df from df_t where term like '{p}%') where rank <= "
+        f"{SUGGEST_K}"
+        for i, p in enumerate(SUGGEST_SET)]
+    suggest_sql = (nostem_toks_cte + r""",
+            df_t as (select term, count(*) as df from toks group by term)
+            """ + "\nunion all\n".join(suggest_branches))
+
     from ts_type_filter_ray.pipelines.flagship import PREFIX_QUERY_SET
     prefix_branches = [
         f"select distinct cast({i} as bigint) as query_idx, doc_id"
@@ -864,6 +917,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match_indexed": phrase_indexed_sql,
         "proximity_match": proximity_sql,
         "prefix_match_nostem": prefix_sql,
+        "conjunctive_match": conjunctive_sql,
+        "andnot_match": andnot_sql,
+        "suggest_terms": suggest_sql,
         "exact_dedup": """
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies

@@ -176,3 +176,47 @@ def test_match_prefix_includes_pinned(sonnets_index):
     s = LocalSearcher(sonnets_index, pinned_doc_ids={3, 141})
     out = s.match_prefix("zzz_nope").tolist()
     assert out == [3, 141]
+
+
+def test_match_all_andnot_suggest_golden(sonnets_index, sonnets_corpus_dir):
+    """AND / AND-NOT / suggest vs brute force over stemmed token sets."""
+    import pyarrow.dataset as pads
+
+    from ts_type_filter_ray.text.porter2 import stem
+
+    s = LocalSearcher(sonnets_index)
+    tbl = pads.dataset(sonnets_corpus_dir).to_table()
+    contents = tbl["content"].to_pylist()
+    doc_terms = [{stem(w) for w in c.split()} for c in contents]
+
+    for q in ("fire heat", "same", "fire zzznohit", "thrall quench fire"):
+        want_all = sorted(d for d, t in enumerate(doc_terms)
+                          if {stem(w) for w in q.split()} <= t)
+        assert s.match_all(q).tolist() == want_all, q
+    assert s.match_all("").tolist() == []
+
+    for q, ex in (("fire", "heat"), ("same", "zzznohit"),
+                  ("fire heat", "same thrall")):
+        qs = {stem(w) for w in q.split()}
+        es = {stem(w) for w in ex.split()}
+        want = sorted(d for d, t in enumerate(doc_terms)
+                      if (t & qs) and not (t & es))
+        assert s.match_andnot(q, ex).tolist() == want, (q, ex)
+
+    # suggestions: df-desc, term-asc over the stemmed vocabulary
+    from collections import Counter
+    df = Counter(t for terms in doc_terms for t in terms)
+    for prefix in ("f", "sa", "zzz_nope"):
+        cand = sorted((t for t in df if t.startswith(prefix)),
+                      key=lambda t: (-df[t], t))[:7]
+        assert s.suggest(prefix, k=7) == [(t, df[t]) for t in cand], prefix
+    assert s.suggest("", k=7) == []
+
+
+def test_match_all_andnot_pinned(sonnets_index):
+    s = LocalSearcher(sonnets_index, pinned_doc_ids={5})
+    assert 5 in s.match_all("zzznohit fire").tolist()
+    assert s.match_all("").tolist() == [5]
+    # pinned docs are immune to negation
+    out = s.match_andnot("fire", "fire").tolist()
+    assert out == [5]

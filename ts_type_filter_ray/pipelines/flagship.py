@@ -287,3 +287,77 @@ def prefix_match_nostem_table(sf_dir: str,
             di.append(doc_id)
     return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
                      "doc_id": pa.array(di, type=pa.int64())})
+
+
+# Conjunctive (AND) query set over the nostem index.
+CONJ_QUERY_SET: list[str] = [
+    "spark window",
+    "hash join merge",
+    "the batch",
+    "spark nonexistentterm",
+    "merge",
+    "",
+]
+
+# (disjunctive include, disjunctive exclude) NOT-shape pairs.
+ANDNOT_QUERY_SET: list[tuple[str, str]] = [
+    ("spark", "window"),
+    ("hash join", "merge sort"),
+    ("batch", "zz qq"),
+    ("nonexistentterm", "spark"),
+]
+
+# Autocomplete prefixes (df-ranked suggestions).
+SUGGEST_SET: list[str] = ["s", "ba", "wi", "zzz_nope"]
+SUGGEST_K = 5
+
+
+def conjunctive_match_table(sf_dir: str,
+                            queries: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) AND-match sets from the identity-stemmer
+    index (``LocalSearcher.match_all``)."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, q in enumerate(queries or CONJ_QUERY_SET):
+        for doc_id in searcher.match_all(q).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def andnot_match_table(sf_dir: str,
+                       pairs: list[tuple[str, str]] | None = None
+                       ) -> pa.Table:
+    """(query_idx, doc_id) include-minus-exclude match sets
+    (``LocalSearcher.match_andnot``)."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, (q, ex) in enumerate(pairs or ANDNOT_QUERY_SET):
+        for doc_id in searcher.match_andnot(q, ex).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def suggest_table(sf_dir: str,
+                  prefixes: list[str] | None = None) -> pa.Table:
+    """(query_idx, rank, term, df) df-ranked autocomplete suggestions
+    from the nostem index vocabulary (``LocalSearcher.suggest``)."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, tm, dfv = [], [], [], []
+    for i, p in enumerate(prefixes or SUGGEST_SET):
+        for r, (term, df) in enumerate(searcher.suggest(p, SUGGEST_K),
+                                       start=1):
+            qi.append(i)
+            rk.append(r)
+            tm.append(term)
+            dfv.append(df)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "rank": pa.array(rk, type=pa.int64()),
+                     "term": pa.array(tm, type=pa.string()),
+                     "df": pa.array(dfv, type=pa.int64())})

@@ -206,6 +206,74 @@ class LocalSearcher:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(arrays))
 
+    def _term_docs(self, term: str) -> np.ndarray:
+        """All doc_ids holding *term*, ascending (rows are part-sorted
+        and parts are disjoint ascending ranges, so concatenation is
+        already globally sorted)."""
+        sl = self._slices.get(term)
+        if sl is None:
+            return np.empty(0, dtype=np.int64)
+        arrays = [self._decode_row(term, i)[0] for i in range(sl[0], sl[1])]
+        return arrays[0] if len(arrays) == 1 else np.concatenate(arrays)
+
+    def match_all(self, query) -> np.ndarray:
+        """CONJUNCTIVE match — docs containing EVERY distinct query term
+        (the AND the reference's disjunctive ``match`` lacks; real query
+        languages need both). Ascending doc_ids; pinned docs always
+        included (same pinning contract as ``match``); empty query →
+        exactly the pinned set. Terms intersect smallest-df first, so
+        the working set shrinks as fast as possible."""
+        stems = query_stems(query, self._stemmer, self._breaker)
+        if not stems:
+            return self._pinned.copy()
+        by_df = sorted(stems, key=lambda t: self._df.get(t, 0))
+        cur = self._term_docs(by_df[0])
+        for term in by_df[1:]:
+            if cur.size == 0:
+                break
+            cur = np.intersect1d(cur, self._term_docs(term),
+                                 assume_unique=True)
+        if self._pinned.size:
+            cur = np.union1d(cur, self._pinned)
+        return cur
+
+    def match_andnot(self, query, exclude) -> np.ndarray:
+        """Disjunctive *query* minus disjunctive *exclude* (the NOT
+        shape: "matches A or B but never C"). Pinned docs are immune to
+        negation — ``match`` guarantees their presence, and this keeps
+        that contract."""
+        pos = self.match(query)
+        stems = query_stems(exclude, self._stemmer, self._breaker)
+        neg_arrays = [self._term_docs(t) for t in stems]
+        neg_arrays = [a for a in neg_arrays if a.size]
+        if not neg_arrays or pos.size == 0:
+            return pos
+        neg = np.unique(np.concatenate(neg_arrays))
+        out = np.setdiff1d(pos, neg, assume_unique=True)
+        if self._pinned.size:
+            out = np.union1d(out, self._pinned)
+        return out
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete: top-*k* index terms with *prefix*, ranked
+        (df desc, term asc) — the sorted-vocab range scan of
+        ``match_prefix`` plus a bounded partial sort over the matched
+        range's df values."""
+        import bisect
+
+        prefix = prefix.lower()
+        if not prefix:
+            return []
+        lo = bisect.bisect_left(self._vocab, prefix)
+        hi = lo
+        while hi < len(self._vocab) and self._vocab[hi].startswith(prefix):
+            hi += 1
+        if hi == lo:
+            return []
+        dfs = self._df_values[lo:hi]
+        order = np.lexsort((np.arange(hi - lo), -dfs))[:k]
+        return [(self._vocab[lo + int(o)], int(dfs[o])) for o in order]
+
     def match_prefix(self, prefix: str) -> np.ndarray:
         """Docs containing ANY term starting with *prefix* — the
         wildcard query shape (``pre*``), answered as a sorted-vocab
