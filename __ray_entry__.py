@@ -165,6 +165,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_probed": lambda sf: ann.knn_join(
             _emb(sf), k=5, block_rows=128, nprobe=2).select_columns(
                 ["vec_id", "rank", "neighbor_id"]),
+        # NN-Descent kNN-graph refinement (approximate by nature →
+        # rows-only; the bench embeddings are i.i.d. random so recall is
+        # structurally low here — pytest asserts ≥0.95 recall on a
+        # clustered fixture where neighbor-of-neighbor locality exists)
+        "knn_graph": lambda sf: ann.knn_graph_descent(
+            _emb(sf), k=5, iters=2).select_columns(
+                ["vec_id", "rank", "neighbor_id"]),
         # sub-quadratic hyperplane-LSH near-dup (recall<1 by design →
         # rows-only; pytest asserts ≥0.99 recall vs the exact sweep)
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_pairs_lsh(

@@ -699,3 +699,241 @@ def ivf_topk(ds: Dataset, query_ids: list[int], k: int = 10,
                              concurrency=concurrency)
     return partial.groupby("query_id").map_groups(_final_topk(k),
                                                   batch_format="pyarrow")
+
+# ------------------------------------------------- NN-Descent kNN graph
+
+
+def _eval_pair_sims(cand: Dataset, blobs: Dataset,
+                    num_parts: int) -> Dataset:
+    """Exact cosine for DISTINCT candidate pairs: joins each side's packed
+    unit vector with the groupby-union shuffle (``dedup._attach_blobs``)
+    then one vectorized row-wise dot per batch. ``cand`` must be
+    duplicate-free — the pair-zip join pairs halves positionally."""
+    from .dedup import _attach_blobs
+
+    joined = _attach_blobs(cand, blobs, num_parts=min(num_parts, 4096))
+
+    def dot(batch: pa.Table) -> pa.Table:
+        a_ids = batch["id_a"].to_numpy(zero_copy_only=False)
+        b_ids = batch["id_b"].to_numpy(zero_copy_only=False)
+        if not len(a_ids):
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        va = np.frombuffer(b"".join(batch["blob_a"].to_pylist()),
+                           dtype=np.float64).reshape(len(a_ids), -1)
+        vb = np.frombuffer(b"".join(batch["blob_b"].to_pylist()),
+                           dtype=np.float64).reshape(len(b_ids), -1)
+        return pa.table({
+            "id_a": pa.array(a_ids, type=pa.int64()),
+            "id_b": pa.array(b_ids, type=pa.int64()),
+            "sim": pa.array(np.einsum("ij,ij->i", va, vb),
+                            type=pa.float64()),
+        })
+
+    return joined.map_batches(dot, batch_format="pyarrow")
+
+
+def _graph_topk_merge(directed: Dataset, k: int,
+                      num_parts: int) -> Dataset:
+    """(vec_id, neighbor_id, sim) rows → best-k distinct neighbors per
+    vec_id with rank 1..k, tie-break (sim desc, neighbor asc). Coarse
+    hash partitions + one vectorized segment scan per partition — never
+    one Python group per vertex."""
+    import pyarrow.compute as pc
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(batch["vec_id"], num_parts - 1),
+                       pa.int32())
+        return batch.append_column("part", part)
+
+    def seg_topk(group: pa.Table) -> pa.Table:
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        sim = group["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim, vid))
+        vid, nid, sim = vid[order], nid[order], sim[order]
+        # drop duplicate (vec, neighbor) rows — best sim sorts first
+        keep = np.ones(len(vid), dtype=bool)
+        keep[1:] = (vid[1:] != vid[:-1]) | (nid[1:] != nid[:-1])
+        vid, nid, sim = vid[keep], nid[keep], sim[keep]
+        # rank within each vec_id segment (rows are already sim-desc)
+        new_seg = np.ones(len(vid), dtype=bool)
+        new_seg[1:] = vid[1:] != vid[:-1]
+        starts = np.flatnonzero(new_seg)
+        rank = np.arange(len(vid), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(vid))))
+        top = rank < k
+        return pa.table({
+            "vec_id": pa.array(vid[top], type=pa.int64()),
+            "rank": pa.array(rank[top] + 1, type=pa.int64()),
+            "neighbor_id": pa.array(nid[top], type=pa.int64()),
+            "sim": pa.array(sim[top], type=pa.float64()),
+        })
+
+    return (directed.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(seg_topk, batch_format="pyarrow"))
+
+
+def knn_graph_descent(ds: Dataset, k: int = 5, iters: int = 3,
+                      max_degree: int | None = None, seed: int = 0,
+                      num_parts: int | None = None) -> Dataset:
+    """Approximate kNN graph via distributed NN-Descent (Dong, Moses &
+    Li, WWW 2011 — public): start from a deterministic pseudo-random
+    k-regular graph, then repeat "a neighbor of a neighbor is probably a
+    neighbor" — generate candidate pairs inside each vertex's combined
+    forward+reverse neighborhood, score them exactly, and keep each
+    vertex's best k. Returns (vec_id, rank, neighbor_id, sim), the same
+    schema as :func:`knn_join`, so recall is directly measurable.
+
+    This is the graph-construction scale path past :func:`knn_join`'s
+    exact O(N²) compute floor: per-iteration work is O(N·d²) pair
+    evaluations (d = ``max_degree``, default 3k) and every step is a
+    bounded Ray Data shape — candidate generation is a coarse-partition
+    vectorized segment scan (no per-vertex Python groups), pair dedup is
+    a ``groupby`` count, scoring joins packed unit vectors through the
+    same two-shuffle ``_attach_blobs`` join the LSH verifier uses, and
+    the merge is a vectorized per-partition top-k. The graph (N·k rows)
+    is materialized between iterations to truncate lineage; the corpus
+    itself is never materialized. Reverse-neighborhood hubs are capped
+    at ``max_degree`` members by sim rank, bounding skew from popular
+    vectors. NN-Descent's incremental new/old flags (which skip
+    re-scored pairs) are omitted for statelessness — re-scores are
+    wasted compute but never wrong answers.
+
+    Init assumes the repo's dense-id contract (vec_id = 0..N-1, the
+    corpus/embeddings reader invariant); refinement itself works on any
+    int64 ids. Approximate by nature → rows-only driver check; pytest
+    asserts recall ≥ 0.95 vs :func:`knn_join` on a clustered fixture.
+
+    Recall depends on the data's INTRINSIC dimensionality (the NN-Descent
+    paper's own caveat): on clustered/manifold data it converges to
+    ≈1.0 in a few iterations; on i.i.d. random high-dim vectors (the
+    synthetic bench embeddings are exactly that — no neighbor-of-neighbor
+    locality exists) it plateaus far below 1 and :func:`knn_join`'s exact
+    grid is the only correct answer. Output is deterministic either way:
+    seeded init, exact float64 sims, (sim desc, id asc) tie-breaks."""
+    from ray.data.aggregate import Count
+
+    from .partitioning import auto_num_parts
+
+    n = ds.count()
+    if n <= k + 1:
+        return knn_join(ds, k=min(k, max(n - 1, 1)))
+    if max_degree is None:
+        max_degree = 3 * k
+    if num_parts is None:
+        num_parts = auto_num_parts(n * k)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_embedding_matrix(batch))
+        return pa.table({
+            "doc_id": batch["vec_id"].cast(pa.int64()),
+            "blob": pa.array([row.tobytes() for row in emb],
+                             type=pa.binary()),
+        })
+
+    blobs = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        pack, batch_format="pyarrow")
+
+    stride_mod = max(1, (n - 1) // k)
+
+    def init_pairs(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        # per-vertex stride walk: offsets 1 + j*step stay in [1, n-1] and
+        # are pairwise distinct, so the k picks are distinct non-self ids
+        step = (1 + (vid.astype(np.uint64) * np.uint64(2654435761)
+                     + np.uint64(seed)) % np.uint64(stride_mod)
+                ).astype(np.int64)
+        offs = 1 + np.arange(k, dtype=np.int64)[None, :] * step[:, None]
+        nbr = (vid[:, None] + offs) % n
+        a = np.repeat(vid, k)
+        b = nbr.ravel()
+        return pa.table({
+            "id_a": pa.array(np.minimum(a, b), type=pa.int64()),
+            "id_b": pa.array(np.maximum(a, b), type=pa.int64()),
+        })
+
+    def distinct(pairs: Dataset) -> Dataset:
+        return (pairs.groupby(["id_a", "id_b"])
+                .aggregate(Count(alias_name="n_src"))
+                .select_columns(["id_a", "id_b"]))
+
+    def both_directions(edges: Dataset) -> Dataset:
+        def flip(batch: pa.Table) -> pa.Table:
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            s = batch["sim"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "vec_id": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate([b, a]),
+                                        type=pa.int64()),
+                "sim": pa.array(np.concatenate([s, s]), type=pa.float64()),
+            })
+        return edges.map_batches(flip, batch_format="pyarrow")
+
+    from .dedup import _segment_index_pairs
+
+    def neighborhood_pairs(graph: Dataset) -> Dataset:
+        """Candidates: all member pairs inside each pivot's fwd+rev
+        neighborhood, hub-capped at max_degree members by sim rank."""
+
+        def incidence(batch: pa.Table) -> pa.Table:
+            v = batch["vec_id"].to_numpy(zero_copy_only=False)
+            u = batch["neighbor_id"].to_numpy(zero_copy_only=False)
+            s = batch["sim"].to_numpy(zero_copy_only=False)
+            pivot = np.concatenate([v, u])
+            member = np.concatenate([u, v])
+            part = (pivot & (num_parts - 1)).astype(np.int32)
+            return pa.table({
+                "part": pa.array(part),
+                "pivot": pa.array(pivot, type=pa.int64()),
+                "member": pa.array(member, type=pa.int64()),
+                "sim": pa.array(np.concatenate([s, s]), type=pa.float64()),
+            })
+
+        def gen(group: pa.Table) -> pa.Table:
+            piv = group["pivot"].to_numpy(zero_copy_only=False)
+            mem = group["member"].to_numpy(zero_copy_only=False)
+            sim = group["sim"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((mem, -sim, piv))
+            piv, mem = piv[order], mem[order]
+            # dedup (pivot, member) — u in fwd(v) and v in fwd(u) both
+            # put u in v's group
+            keep = np.ones(len(piv), dtype=bool)
+            keep[1:] = (piv[1:] != piv[:-1]) | (mem[1:] != mem[:-1])
+            piv, mem = piv[keep], mem[keep]
+            # hub cap: best max_degree members per pivot by sim rank
+            new_seg = np.ones(len(piv), dtype=bool)
+            new_seg[1:] = piv[1:] != piv[:-1]
+            starts = np.flatnonzero(new_seg)
+            rank = np.arange(len(piv), dtype=np.int64) - np.repeat(
+                starts, np.diff(np.append(starts, len(piv))))
+            top = rank < max_degree
+            piv, mem = piv[top], mem[top]
+            sort2, ia, ib = _segment_index_pairs(
+                np.zeros(len(piv), dtype=np.int64), piv, mem, None)
+            mem = mem[sort2]
+            return pa.table({
+                "id_a": pa.array(mem[ia], type=pa.int64()),
+                "id_b": pa.array(mem[ib], type=pa.int64()),
+            })
+
+        return (graph.map_batches(incidence, batch_format="pyarrow")
+                .groupby("part").map_groups(gen, batch_format="pyarrow"))
+
+    init = ds.select_columns(["vec_id"]).map_batches(
+        init_pairs, batch_format="pyarrow")
+    graph = _graph_topk_merge(
+        both_directions(_eval_pair_sims(distinct(init), blobs, num_parts)),
+        k, num_parts).materialize()
+
+    for _ in range(iters):
+        cand = distinct(neighborhood_pairs(graph))
+        new_edges = both_directions(_eval_pair_sims(cand, blobs, num_parts))
+        graph = _graph_topk_merge(
+            graph.select_columns(["vec_id", "neighbor_id", "sim"])
+            .union(new_edges), k, num_parts).materialize()
+
+    return graph.sort(["vec_id", "rank"])
