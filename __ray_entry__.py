@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _ngram_counts,
         "phrase_match": _phrase_match,
         "dup_ngram_fraction": _dup_ngram_fraction,
+        "cooccurrence_counts": _cooccurrence_counts,
         # -- training-data hygiene --
         "dataset_split": _dataset_split,
         "decontaminate": _decontaminate,
@@ -296,6 +297,12 @@ def _phrase_match(sf_dir: str):
 def _dup_ngram_fraction(sf_dir: str):
     from ts_type_filter_ray.functions.ngrams import dup_ngram_fraction
     return dup_ngram_fraction(_docs(sf_dir), shingle_k=3)
+
+
+def _cooccurrence_counts(sf_dir: str):
+    from ts_type_filter_ray.functions.ngrams import cooccurrence_counts
+    return cooccurrence_counts(_docs(sf_dir), min_df=2, min_count=2,
+                               k=TOP_TERMS_K * 2)
 
 
 def _sample_exact_k(sf_dir: str):
@@ -694,6 +701,24 @@ def oracle_sql() -> dict[str, str]:
                     from base where len(arr) >= 2))
             select ngram, count(*) as "count" from grams group by ngram
             order by "count" desc, ngram asc limit {TOP_TERMS_K}""",
+        "cooccurrence_counts": rf"""
+            with raw as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            toks as (select distinct doc_id, term from raw),
+            dft as (select term, count(*) as df from toks group by term),
+            vocab as (select term from dft where df >= 2),
+            ft as (select t.doc_id, t.term
+                   from toks t join vocab v using (term))
+            select a.term as term_a, b.term as term_b,
+                   count(*) as pair_count
+            from ft a join ft b
+              on a.doc_id = b.doc_id and a.term < b.term
+            group by 1, 2 having count(*) >= 2
+            order by pair_count desc, term_a, term_b
+            limit {TOP_TERMS_K * 2}""",
         "phrase_match": "\n".join(
             ["with h as (",
              "  select doc_id,",

@@ -93,3 +93,31 @@ def test_sample_exact_k_deterministic_and_bounded(ray_session):
                              "little") for d in range(500)}
     exp = sorted(range(500), key=lambda d: (key[d], d))[:7]
     assert a["doc_id"].to_pylist() == exp
+
+
+def test_cooccurrence_counts_semantics(ray_session):
+    from ts_type_filter_ray.functions.ngrams import cooccurrence_counts
+    # docs: 'a b' together in 3 docs, 'a c' in 2, 'b c' in 2; 'z' df=1
+    ds = _docs([(0, "a b c"), (1, "A b c z"), (2, "a a b"), (3, ""),
+                (4, "a c d"), (5, "d b")])
+    out = [(r["term_a"], r["term_b"], r["pair_count"]) for r in
+           cooccurrence_counts(ds, min_df=1, min_count=1,
+                               k=100).take_all()]
+    want = {("a", "b"): 3, ("a", "c"): 3, ("b", "c"): 2, ("a", "z"): 1,
+            ("b", "z"): 1, ("c", "z"): 1, ("a", "d"): 1, ("c", "d"): 1,
+            ("b", "d"): 1}
+    assert dict(((a, b), c) for a, b, c in out) == want
+    # ordered (count desc, term_a, term_b)
+    assert out == sorted(out, key=lambda t: (-t[2], t[0], t[1]))
+    # min_df band drops df=1 terms (z, d) before pairing; min_count
+    # floors the output
+    banded = {(r["term_a"], r["term_b"]): r["pair_count"] for r in
+              cooccurrence_counts(ds, min_df=2, min_count=2,
+                                  k=100).take_all()}
+    assert banded == {("a", "b"): 3, ("a", "c"): 3, ("b", "c"): 2}
+    # max_df stopword guard: 'a' and 'b' (df 4) excluded entirely;
+    # surviving vocab is c (df 3), d (df 2), z (df 1)
+    capped = {(r["term_a"], r["term_b"]) for r in
+              cooccurrence_counts(ds, min_df=1, max_df=3, min_count=1,
+                                  k=100).take_all()}
+    assert capped == {("c", "z"), ("c", "d")}

@@ -185,3 +185,118 @@ def dup_ngram_fraction(ds: Dataset, shingle_k: int = 3,
             .aggregate(Sum("n_shingles", alias_name="n_shingles"),
                        Sum("n_dup_shingles", alias_name="n_dup_shingles"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def cooccurrence_counts(ds: Dataset, min_df: int = 2,
+                        max_df: int | None = None, min_count: int = 2,
+                        k: int = 50,
+                        num_parts: int | None = None) -> Dataset:
+    """Document-level term co-occurrence: (term_a, term_b, pair_count) —
+    how many documents contain BOTH terms (distinct-per-doc semantics,
+    term_a < term_b lexicographically) — the count table behind PMI /
+    collocation / topic-graph corpus analytics. Ordered (pair_count
+    desc, term_a, term_b), top *k*, pairs below ``min_count`` dropped.
+    Integer-only output so the DuckDB oracle compares value-exactly (PMI
+    itself is ``log(N·c_ab/(c_a·c_b))`` — a libm call that is not
+    bit-stable across engines, so the oracle-checked surface stays in
+    counts; callers derive PMI from this table plus ``term_df_tf``).
+
+    Three bounded Ray Data shapes, no driver state:
+    (1) per-batch distinct (doc_id, term) rows (vectorized: dict-encode +
+    one ``np.unique``), partitioned by a vectorized md5 of the term;
+    (2) per term-partition df filter — a term's rows all land in one
+    partition, so the partition-local count IS the global df, and only
+    terms inside the ``[min_df, max_df]`` band survive (``max_df`` is the
+    stopword guard: per-doc pair work is quadratic in the doc's
+    SURVIVING vocabulary, so the band is the scale knob — a term in
+    every doc would otherwise pair with everything);
+    (3) re-partition by doc hash, one vectorized segment scan emits each
+    doc's code pairs (codes from a sorted ``np.unique`` vocabulary, so
+    code order ≡ lexicographic term order) pre-aggregated within the
+    partition, then a final ``groupby(term_a, term_b) → Sum``. Shuffle
+    volume is distinct-(doc,term) rows twice plus one row per distinct
+    pair per partition — never one row per co-occurrence."""
+    from ..text.hashvec import md5_lower64_strings
+    from .dedup import _segment_index_pairs
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds.count())
+    hi = np.iinfo(np.int64).max if max_df is None else max_df
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"tpart": pa.array([], type=pa.int32()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string())})
+        flat = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(par * len(vocab) + codes)  # distinct (doc, term)
+        doc_idx = key // len(vocab)
+        term_idx = key % len(vocab)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        terms = vocab.take(pa.array(term_idx))
+        tpart = (md5_lower64_strings(terms)
+                 & np.uint64(num_parts - 1)).astype(np.int32)
+        return pa.table({
+            "tpart": pa.array(tpart),
+            "doc_id": pa.array(dids[doc_idx], type=pa.int64()),
+            "term": terms,
+        })
+
+    def df_filter(group: pa.Table) -> pa.Table:
+        terms = np.asarray(group["term"].to_pylist())
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(terms, return_inverse=True,
+                                   return_counts=True)
+        ok = (cnt >= min_df) & (cnt <= hi)
+        keep = ok[inv]
+        dids, terms = dids[keep], terms[keep]
+        return pa.table({
+            "dpart": pa.array((dids & (num_parts - 1)).astype(np.int32)),
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "term": pa.array(terms.tolist(), type=pa.string()),
+        })
+
+    def doc_pairs(group: pa.Table) -> pa.Table:
+        terms = np.asarray(group["term"].to_pylist())
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        if len(terms) == 0:
+            return pa.table({"term_a": pa.array([], type=pa.string()),
+                             "term_b": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        vocab, codes = np.unique(terms, return_inverse=True)
+        # sorted-unique vocabulary ⇒ code order ≡ lexicographic order,
+        # so pair (code_a < code_b) is exactly (term_a < term_b)
+        order, ia, ib = _segment_index_pairs(
+            np.zeros(len(codes), dtype=np.int64), dids, codes, None)
+        codes = codes[order]
+        pkey = codes[ia].astype(np.int64) * len(vocab) + codes[ib]
+        uniq, cnt = np.unique(pkey, return_counts=True)
+        return pa.table({
+            "term_a": pa.array(vocab[uniq // len(vocab)].tolist(),
+                               type=pa.string()),
+            "term_b": pa.array(vocab[uniq % len(vocab)].tolist(),
+                               type=pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    pairs = (ds.map_batches(doc_terms, batch_format="pyarrow")
+             .groupby("tpart").map_groups(df_filter, batch_format="pyarrow")
+             .groupby("dpart").map_groups(doc_pairs, batch_format="pyarrow")
+             .groupby(["term_a", "term_b"])
+             .aggregate(Sum("cnt", alias_name="pair_count")))
+
+    def above_min(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["pair_count"],
+                                             pa.scalar(int(min_count))))
+
+    return (pairs.map_batches(above_min, batch_format="pyarrow")
+            .sort(["pair_count", "term_a", "term_b"],
+                  descending=[True, False, False])
+            .limit(k))
