@@ -173,6 +173,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": lambda sf: ann.knn_graph_descent(
             _emb(sf), k=5, iters=2).select_columns(
                 ["vec_id", "rank", "neighbor_id"]),
+        # beam search over the exact kNN graph (HNSW-style query path;
+        # approximate by nature → rows-only; pytest asserts ≥0.95
+        # recall vs brute force on a clustered fixture)
+        "graph_search": lambda sf: ann.graph_search_topk(
+            _emb(sf), ann.knn_join(_emb(sf), k=5, block_rows=128),
+            ANN_QUERY_IDS, k=ANN_K).select_columns(
+                ["query_id", "rank", "vec_id"]),
         # sub-quadratic hyperplane-LSH near-dup (recall<1 by design →
         # rows-only; pytest asserts ≥0.99 recall vs the exact sweep)
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_pairs_lsh(

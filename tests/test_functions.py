@@ -786,9 +786,20 @@ def test_knn_graph_descent_clustered_recall(ray_session):
     ds = rd.from_arrow(tbl)
     exact = {(r["vec_id"], r["neighbor_id"])
              for r in ann.knn_join(ds, k=5, block_rows=64).take_all()}
-    got_rows = ann.knn_graph_descent(ds, k=5, iters=3).take_all()
+    graph = ann.knn_graph_descent(ds, k=5, iters=3)
+    got_rows = graph.take_all()
     got = {(r["vec_id"], r["neighbor_id"]) for r in got_rows}
     assert len(got & exact) / len(exact) >= 0.95
+    # beam search over the built graph answers queries ≈ brute force
+    qids = [3, 77, 150, 299]
+    want = {(r["query_id"], r["vec_id"])
+            for r in ann.brute_force_topk(ds, qids, k=10).take_all()}
+    beam = {(r["query_id"], r["vec_id"])
+            for r in ann.graph_search_topk(
+                rd.from_arrow(tbl), graph, qids, k=10, ef=32,
+                num_hops=4).take_all()}
+    assert len(beam & want) / len(want) >= 0.95
+    assert len(beam) == len(want)  # k rows per query either way
     # exactly k rows per vector, ranks 1..k, sims descending per vec
     per_vec = {}
     for r in sorted(got_rows, key=lambda r: (r["vec_id"], r["rank"])):

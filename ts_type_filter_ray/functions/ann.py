@@ -937,3 +937,130 @@ def knn_graph_descent(ds: Dataset, k: int = 5, iters: int = 3,
             .union(new_edges), k, num_parts).materialize()
 
     return graph.sort(["vec_id", "rank"])
+
+
+def graph_search_topk(ds: Dataset, graph: Dataset, query_ids: list[int],
+                      k: int = 10, ef: int = 32, num_hops: int = 4,
+                      concurrency=(1, 8)) -> Dataset:
+    """Beam search over a prebuilt kNN graph (the query-time half of a
+    graph-based ANN index, HNSW's search layer without the hierarchy —
+    Malkov & Yashunin 2016's search loop in batch form): seed each
+    query at its own node, repeatedly gather the frontier's graph
+    neighbors, score them exactly against the query vectors, and keep
+    the best ``ef`` per query; answer is the beam's top *k*. Output
+    (query_id, rank, vec_id, sim) — same schema/tie-break as
+    :func:`brute_force_topk`, so recall is directly measurable.
+
+    Division of labor at scale: per-query beam state is O(ef) and
+    queries are few (the same "queries are tiny" contract as
+    :func:`load_query_matrix`), so beams/visited sets live on the
+    driver; the DATA-proportional work — scanning the graph for
+    frontier adjacency and the corpus for candidate vectors — runs as
+    distributed filtered scans (``pc.is_in`` against a broadcast id
+    set, never a row loop). Per hop that is two streaming passes; a
+    bucket-partitioned graph layout (the postings term-pushdown
+    pattern, ``pipelines/query.py``) would turn those scans into
+    pruned reads if hop latency ever matters. For query sets that are
+    themselves datasets, the pairing must move into the
+    ``_attach_blobs`` join (the :func:`knn_graph_descent` machinery)
+    instead of a driver beam per query.
+
+    Recall follows the GRAPH's quality: on a :func:`knn_join`-exact or
+    well-converged NN-Descent graph over clustered data it is ≈1.0 in
+    a few hops; on a weak graph the beam inherits its blind spots."""
+    import pyarrow.compute as pc
+
+    q_mat, qids = load_query_matrix(ds, query_ids)
+    q_ref = ray.put(q_mat)
+    nq = len(qids)
+    adj_src = graph.select_columns(["vec_id", "neighbor_id"]).materialize()
+
+    def gather_neighbors(node_ids: list[int]) -> dict[int, list[int]]:
+        vs = pa.array(sorted(node_ids), type=pa.int64())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["vec_id"], value_set=vs))
+
+        adj: dict[int, list[int]] = {}
+        for row in adj_src.map_batches(keep,
+                                       batch_format="pyarrow").take_all():
+            adj.setdefault(int(row["vec_id"]), []).append(
+                int(row["neighbor_id"]))
+        return adj
+
+    def score_union(cand_ids: list[int]) -> dict[tuple[int, int], float]:
+        vs = pa.array(sorted(cand_ids), type=pa.int64())
+
+        class Score:
+            def __init__(self):
+                self._q = ray.get(q_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                batch = batch.filter(pc.is_in(batch["vec_id"],
+                                              value_set=vs))
+                if batch.num_rows == 0:
+                    return pa.table({
+                        "qidx": pa.array([], type=pa.int32()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "sim": pa.array([], type=pa.float64())})
+                emb = _normalize(_embedding_matrix(batch))
+                vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+                sims = self._q @ emb.T  # (#queries, #cands-in-batch)
+                m = sims.shape[1]
+                return pa.table({
+                    "qidx": pa.array(np.repeat(
+                        np.arange(sims.shape[0], dtype=np.int32), m)),
+                    "vec_id": pa.array(np.tile(vids, sims.shape[0]),
+                                       type=pa.int64()),
+                    "sim": pa.array(sims.ravel(), type=pa.float64()),
+                })
+
+        rows = ds.map_batches(Score, batch_format="pyarrow",
+                              concurrency=concurrency).take_all()
+        return {(int(r["qidx"]), int(r["vec_id"])): float(r["sim"])
+                for r in rows}
+
+    # driver beam state: O(nq · ef) — the small side by contract
+    beams: list[dict[int, float]] = [
+        {int(qids[i]): float(q_mat[i] @ q_mat[i])} for i in range(nq)]
+    visited: list[set[int]] = [{int(qids[i])} for i in range(nq)]
+    frontier: list[list[int]] = [[int(qids[i])] for i in range(nq)]
+
+    for _ in range(num_hops):
+        nodes = sorted({n for f in frontier for n in f})
+        if not nodes:
+            break
+        adj = gather_neighbors(nodes)
+        cand: list[list[int]] = []
+        for i in range(nq):
+            want = {nb for n in frontier[i] for nb in adj.get(n, [])}
+            cand.append(sorted(want - visited[i]))
+        union = sorted({c for cs in cand for c in cs})
+        if not union:
+            break
+        sims = score_union(union)
+        for i in range(nq):
+            for c in cand[i]:
+                beams[i][c] = sims[(i, c)]
+                visited[i].add(c)
+            # trim to ef by (sim desc, id asc); new frontier = the
+            # newly-scored nodes that survived the trim
+            order = sorted(beams[i].items(), key=lambda t: (-t[1], t[0]))
+            beams[i] = dict(order[:ef])
+            frontier[i] = [c for c in cand[i] if c in beams[i]]
+
+    qid_col, rank_col, vid_col, sim_col = [], [], [], []
+    for i in range(nq):
+        order = sorted(beams[i].items(), key=lambda t: (-t[1], t[0]))[:k]
+        for r, (vid, s) in enumerate(order, 1):
+            qid_col.append(int(qids[i]))
+            rank_col.append(r)
+            vid_col.append(vid)
+            sim_col.append(s)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(qid_col, type=pa.int64()),
+        "rank": pa.array(rank_col, type=pa.int32()),
+        "vec_id": pa.array(vid_col, type=pa.int64()),
+        "sim": pa.array(sim_col, type=pa.float64()),
+    }))
