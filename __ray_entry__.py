@@ -688,6 +688,16 @@ def oracle_sql() -> dict[str, str]:
               from scored)
             select doc_id, rank, term, tf, df, score
             from ranked where rank <= 3""",
+        "heavy_hitters": r"""
+            with toks as (
+              select unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> '')
+            select term, count(*) as n,
+                   row_number() over (order by count(*) desc, term asc)
+                   as rank
+            from toks group by term
+            order by n desc, term asc limit 10""",
         "df_histogram": r"""
             with toks as (
               select doc_id,

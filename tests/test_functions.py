@@ -809,3 +809,25 @@ def test_knn_graph_descent_clustered_recall(ray_session):
         assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
         sims = [r["sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_heavy_hitters_certification_raises_on_flat(ray_session):
+    """A near-flat distribution with a tiny capacity cannot separate the
+    k-th count from the exclusion bound — certify=True must refuse
+    rather than return an uncertified list; certify=False returns k
+    best-effort rows."""
+    from ts_type_filter_ray.functions.sketches import heavy_hitters
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"u{i}" for i in range(2000)])
+    docs = [" ".join(vocab[rng.choice(2000, size=60)].tolist())
+            for _ in range(100)]
+    tbl = pa.table({"doc_id": pa.array(range(100), type=pa.int64()),
+                    "text": docs})
+    with pytest.raises(Exception) as ei:
+        heavy_hitters(rd.from_arrow(tbl), k=10, capacity=16).take_all()
+    assert "not certifiably exact" in str(ei.value)
+    loose = heavy_hitters(rd.from_arrow(tbl), k=10, capacity=16,
+                          certify=False).take_all()
+    # best-effort: ≤ k survivors (a flat corpus can decrement most
+    # candidates away), exact re-counts for whatever survived
+    assert 1 <= len(loose) <= 10

@@ -88,7 +88,7 @@ def approx_distinct_terms(ds: Dataset, p: int = 12) -> Dataset:
 
 
 def heavy_hitters(ds: Dataset, k: int = 25,
-                  capacity: int = 4096) -> Dataset:
+                  capacity: int = 4096, certify: bool = True) -> Dataset:
     """(term, n, rank) — the k most frequent lowercased terms with EXACT
     counts, found with bounded state: the scale path for top-k when the
     exact df table (``top_terms``'s full vocabulary shuffle) is too wide.
@@ -96,17 +96,26 @@ def heavy_hitters(ds: Dataset, k: int = 25,
     Two passes (Misra-Gries, public algorithm): (1) each batch emits its
     counts truncated to ``capacity`` survivors with the MG decrement
     (subtract the (capacity+1)-th count), so the candidate shuffle is ≤
-    capacity rows per batch regardless of vocabulary; summed candidate
-    counts undercount true frequency by at most N/capacity, so every
-    term with true count > N/capacity survives somewhere — the top-k is
-    a subset of the candidates whenever the k-th true count clears that
-    bound (trivially true for Zipf-shaped corpora with sane capacity).
-    (2) the top 4k candidates by approximate count are re-counted
-    EXACTLY (broadcast candidate set, one vectorized ``pc.is_in`` pass,
-    one tiny groupby), so reported counts carry no sketch error.
-    Candidate SELECTION depends on batch boundaries → rows-only on the
-    gate; pytest pins equality with the exact top-k on a high-vocab
-    corpus."""
+    capacity rows per batch regardless of vocabulary; each batch also
+    emits its decrement so the global undercount bound D = Σ per-batch
+    decrements (≤ N/capacity) is itself EXACT, not estimated. (2) the
+    top 4k candidates by approximate count are re-counted exactly
+    (broadcast candidate set, one vectorized ``pc.is_in`` pass, one tiny
+    groupby), so reported counts carry no sketch error.
+
+    **Certified exactness** (``certify=True``, the default): any term
+    outside the 4k shortlist has true count ≤ apx_cutoff + D (a dropped
+    candidate's approximate count is ≤ apx_cutoff, the best dropped
+    approximation, and MG undercounts any term by at most D; a term
+    that never survived a batch has true count ≤ D). So when the k-th
+    re-counted frequency strictly exceeds apx_cutoff + D, the reported
+    set IS the exact top-k — the bounded-state path is then
+    value-identical to the full ``GROUP BY`` and carries a DuckDB
+    oracle on the driver gate. If the margin fails (near-flat
+    distribution or undersized ``capacity``), ``certify=True`` raises
+    ``ValueError`` naming the bound instead of silently returning an
+    uncertified list; ``certify=False`` returns the best-effort result
+    (the r3-original behavior)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -131,17 +140,32 @@ def heavy_hitters(ds: Dataset, k: int = 25,
             pos = keep[vals > 0]
             vals = vals[vals > 0]
         else:
+            dec = 0
             pos = np.flatnonzero(counts)
             vals = counts[pos]
-        return pa.table({
-            "term": enc.dictionary.take(pa.array(pos)),
+        terms = enc.dictionary.take(pa.array(pos))
+        out = pa.table({
+            "term": terms,
             "n": pa.array(vals.astype(np.int64)),
         })
+        if dec:
+            # decrement sentinel: "" can never be a token (_tokens
+            # filters empties), so the candidate groupby sums these
+            # into the exact global undercount bound D
+            out = pa.concat_tables([out, pa.table({
+                "term": pa.array([""], type=pa.string()),
+                "n": pa.array([int(dec)], type=pa.int64()),
+            })])
+        return out
 
     cand = (ds.map_batches(mg_partial, batch_format="pyarrow")
             .groupby("term").aggregate(Sum("n", alias_name="n"))
             .take_all())  # ≤ capacity × #batches rows — bounded state
+    total_dec = sum(r["n"] for r in cand if r["term"] == "")
+    cand = [r for r in cand if r["term"] != ""]
     cand.sort(key=lambda r: (-r["n"], r["term"]))
+    apx_cutoff = cand[4 * k]["n"] if len(cand) > 4 * k else 0
+    bound = int(apx_cutoff + total_dec)
     shortlist = pa.array([r["term"] for r in cand[:4 * k]])
 
     def exact_count(batch: pa.Table) -> pa.Table:
@@ -163,6 +187,19 @@ def heavy_hitters(ds: Dataset, k: int = 25,
         terms = np.asarray(batch["term"].to_pylist())
         n = batch["n"].to_numpy(zero_copy_only=False)
         order = np.lexsort((terms, -n))[:k]
+        uncertified = (
+            (len(order) == k and int(n[order[-1]]) <= bound)
+            # fewer than k survivors while decrements happened: an
+            # excluded term (true count ≤ D) might deserve a tail rank
+            or (len(order) < k and total_dec > 0))
+        if certify and uncertified:
+            kth = int(n[order[-1]]) if len(order) else 0
+            raise ValueError(
+                f"heavy_hitters top-{k} not certifiably exact: k-th "
+                f"exact count {kth} <= exclusion bound "
+                f"{bound} (apx_cutoff {int(apx_cutoff)} + total MG "
+                f"decrement {int(total_dec)}); raise capacity or pass "
+                f"certify=False")
         return pa.table({
             "term": pa.array(terms[order].tolist(), type=pa.string()),
             "n": pa.array(n[order], type=pa.int64()),
