@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # propagation (component = min doc_id, checked against a
         # recursive-CTE transitive closure)
         "dedup_clusters": _dedup_clusters,
+        "cluster_canonicals": _cluster_canonicals,
         # -- similarity search --
         "ann_topk": ann_topk,
         "ann_ivf_topk": lambda sf: ann.ivf_topk(
@@ -324,6 +325,17 @@ def _dedup_clusters(sf_dir: str):
     edges = dedup.ngram_jaccard_pairs(docs, shingle_k=3,
                                       threshold=NGRAM_JACCARD_T)
     return connected_components(docs, edges)
+
+
+def _cluster_canonicals(sf_dir: str):
+    from ts_type_filter_ray.functions import dedup, textstats
+    from ts_type_filter_ray.functions.graph import (cluster_canonicals,
+                                                    connected_components)
+    docs = _docs(sf_dir)
+    edges = dedup.ngram_jaccard_pairs(docs, shingle_k=3,
+                                      threshold=NGRAM_JACCARD_T)
+    return cluster_canonicals(connected_components(docs, edges),
+                              textstats.token_counts(docs))
 
 
 def _approx_distinct_terms(sf_dir: str):
@@ -989,6 +1001,47 @@ def oracle_sql() -> dict[str, str]:
                        as component
             from documents n left join reach r on r.a = n.doc_id
             group by n.doc_id""",
+        "cluster_canonicals": f"""
+            with recursive
+            edges(a, b) as (
+              select id_a, id_b from ({ngram_pairs_sql})),
+            und(a, b) as (
+              select a, b from edges union select b, a from edges),
+            reach(a, b) as (
+              select a, b from und
+              union
+              select r.a, u.b from reach r join und u on r.b = u.a),
+            comp as (
+              select n.doc_id,
+                     least(n.doc_id, coalesce(min(r.b), n.doc_id))
+                         as component
+              from documents n left join reach r on r.a = n.doc_id
+              group by n.doc_id),
+            tokc as (
+              select doc_id,
+                     case when trim(text) = '' then 0
+                          else len(regexp_split_to_array(trim(text),
+                                                         '\\s+')) end
+                     as n_tokens
+              from documents),
+            j as (
+              select c.component, c.doc_id, t.n_tokens
+              from comp c join tokc t using (doc_id)),
+            win as (
+              select component, doc_id, n_tokens,
+                     row_number() over (partition by component
+                                        order by n_tokens desc,
+                                                 doc_id asc) as rn
+              from j),
+            agg as (
+              select component, count(*) as n_members,
+                     max(n_tokens) as max_score
+              from j group by component)
+            select w.component, w.doc_id as keep_doc_id,
+                   a.n_members, a.max_score
+            from win w join agg a using (component)
+            where w.rn = 1
+            order by w.component""",
         "rolling_fingerprints": rf"""
             with base as (
               select doc_id, regexp_split_to_array(trim(text),'\s+') as arr

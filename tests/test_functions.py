@@ -831,3 +831,20 @@ def test_heavy_hitters_certification_raises_on_flat(ray_session):
     # best-effort: ≤ k survivors (a flat corpus can decrement most
     # candidates away), exact re-counts for whatever survived
     assert 1 <= len(loose) <= 10
+
+
+def test_cluster_canonicals_ties_and_singletons(ray_session):
+    from ts_type_filter_ray.functions.graph import cluster_canonicals
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "component": pa.array([0, 0, 0, 3, 4], type=pa.int64()),
+    }))
+    scores = rd.from_arrow(pa.table({
+        "doc_id": pa.array([4, 3, 2, 1, 0], type=pa.int64()),
+        "n_tokens": pa.array([7, 9, 5, 5, 2], type=pa.int64()),
+    }))
+    out = [(r["component"], r["keep_doc_id"], r["n_members"],
+            r["max_score"])
+           for r in cluster_canonicals(clusters, scores).take_all()]
+    # component 0: docs 0(2) 1(5) 2(5) — tie on 5 → min doc_id 1 wins
+    assert out == [(0, 1, 3, 5), (3, 3, 1, 9), (4, 4, 1, 7)]

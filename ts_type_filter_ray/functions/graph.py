@@ -118,3 +118,85 @@ def connected_components(nodes: Dataset, edges: Dataset,
                          "component": batch["label"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def cluster_canonicals(clusters: Dataset, scores: Dataset,
+                       score_col: str = "n_tokens",
+                       num_parts: int | None = None) -> Dataset:
+    """Canonical-document election per dedup cluster: given
+    ``clusters`` (doc_id, component — :func:`connected_components`
+    output) and a per-doc ``scores`` table (doc_id, *score_col*), keep
+    the highest-scoring member of every component (tie → min doc_id).
+    Output (component, keep_doc_id, n_members, max_score), one row per
+    cluster, ordered by component — the "which copy survives" step a
+    curation pipeline runs after near-dup clustering, upgraded from
+    min-id to quality-aware.
+
+    Both inputs are corpus-sized, so the doc_id equi-join is the
+    union-shuffle segment zip (each side contributes exactly one row
+    per doc; a coarse hash partition co-locates them and one vectorized
+    sort pairs them — no ``Dataset.join``, which deadlocks under small
+    CPU budgets on Ray 2.49). The argmax is a per-component segment
+    scan inside component-hash partitions: a component's rows all land
+    in one partition, so the partition-local winner is the global one.
+    """
+    if num_parts is None:
+        num_parts = auto_num_parts(clusters)
+
+    def cl_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((d & (num_parts - 1)).astype(np.int32)),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "side": pa.array(np.zeros(len(d), dtype=np.int8)),
+            "val": batch["component"].cast(pa.int64()),
+        })
+
+    def sc_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((d & (num_parts - 1)).astype(np.int32)),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "side": pa.array(np.ones(len(d), dtype=np.int8)),
+            "val": batch[score_col].cast(pa.int64()),
+        })
+
+    def zip_doc(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        val = group["val"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, d))
+        d, side, val = d[order], side[order], val[order]
+        assert len(d) % 2 == 0 and (d[0::2] == d[1::2]).all(), \
+            "cluster/score tables must each have exactly one row per doc"
+        comp, score = val[0::2], val[1::2]
+        return pa.table({
+            "cpart": pa.array((comp & (num_parts - 1)).astype(np.int32)),
+            "component": pa.array(comp, type=pa.int64()),
+            "doc_id": pa.array(d[0::2], type=pa.int64()),
+            "score": pa.array(score, type=pa.int64()),
+        })
+
+    def elect(group: pa.Table) -> pa.Table:
+        comp = group["component"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        s = group["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s, comp))
+        comp, d, s = comp[order], d[order], s[order]
+        new_seg = np.ones(len(comp), dtype=bool)
+        new_seg[1:] = comp[1:] != comp[:-1]
+        starts = np.flatnonzero(new_seg)
+        lens = np.diff(np.append(starts, len(comp)))
+        return pa.table({
+            "component": pa.array(comp[starts], type=pa.int64()),
+            "keep_doc_id": pa.array(d[starts], type=pa.int64()),
+            "n_members": pa.array(lens.astype(np.int64)),
+            "max_score": pa.array(s[starts], type=pa.int64()),
+        })
+
+    joined = (clusters.map_batches(cl_rows, batch_format="pyarrow")
+              .union(scores.map_batches(sc_rows, batch_format="pyarrow"))
+              .groupby("part").map_groups(zip_doc, batch_format="pyarrow"))
+    return (joined.groupby("cpart")
+            .map_groups(elect, batch_format="pyarrow")
+            .sort("component"))
