@@ -561,10 +561,18 @@ def oracle_sql() -> dict[str, str]:
     andnot_sql = (nostem_toks_cte + "\n" +
                   "\nunion all\n".join(andnot_branches))
 
+    def _like_prefix(p: str) -> str:
+        # LIKE-escape the engine-side literal prefix: '_'/'%' are LIKE
+        # metacharacters (ADVICE r3 — 'zzz_nope' would match 'zzzxnope'
+        # in the oracle but not the engine). DuckDB: ESCAPE '\'.
+        esc = (p.replace("\\", "\\\\").replace("_", "\\_")
+               .replace("%", "\\%"))
+        return f"like '{esc}%' escape '\\'"
+
     suggest_branches = [
         f"select cast({i} as bigint) as query_idx, rank, term, df from"
         f" (select row_number() over (order by df desc, term asc) as rank,"
-        f" term, df from df_t where term like '{p}%') where rank <= "
+        f" term, df from df_t where term {_like_prefix(p)}) where rank <= "
         f"{SUGGEST_K}"
         for i, p in enumerate(SUGGEST_SET)]
     suggest_sql = (nostem_toks_cte + r""",
@@ -574,7 +582,7 @@ def oracle_sql() -> dict[str, str]:
     from ts_type_filter_ray.pipelines.flagship import PREFIX_QUERY_SET
     prefix_branches = [
         f"select distinct cast({i} as bigint) as query_idx, doc_id"
-        f" from toks where term like '{p}%'"
+        f" from toks where term {_like_prefix(p)}"
         for i, p in enumerate(PREFIX_QUERY_SET)]
     prefix_sql = (r"""
             with toks as (

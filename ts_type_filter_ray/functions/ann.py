@@ -1041,7 +1041,16 @@ def graph_search_topk(ds: Dataset, graph: Dataset, query_ids: list[int],
         sims = score_union(union)
         for i in range(nq):
             for c in cand[i]:
-                beams[i][c] = sims[(i, c)]
+                s = sims.get((i, c))
+                if s is None:
+                    # graph references a vec_id absent from ds (graph
+                    # built from a different/filtered corpus) — a
+                    # contract violation, not a KeyError (ADVICE r3)
+                    raise ValueError(
+                        f"graph neighbor vec_id={c} is not present in the "
+                        "vector dataset — the kNN graph must be built from "
+                        "the same corpus being searched")
+                beams[i][c] = s
                 visited[i].add(c)
             # trim to ef by (sim desc, id asc); new frontier = the
             # newly-scored nodes that survived the trim

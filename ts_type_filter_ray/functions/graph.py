@@ -167,8 +167,12 @@ def cluster_canonicals(clusters: Dataset, scores: Dataset,
         val = group["val"].to_numpy(zero_copy_only=False)
         order = np.lexsort((side, d))
         d, side, val = d[order], side[order], val[order]
-        assert len(d) % 2 == 0 and (d[0::2] == d[1::2]).all(), \
-            "cluster/score tables must each have exactly one row per doc"
+        # explicit check (not assert — stripped under python -O): a
+        # doc missing from either side would silently mispair rows
+        if len(d) % 2 != 0 or not (d[0::2] == d[1::2]).all():
+            raise ValueError(
+                "cluster/score tables must each have exactly one row per "
+                "doc_id (mismatched doc sets in cluster_canonicals inputs)")
         comp, score = val[0::2], val[1::2]
         return pa.table({
             "cpart": pa.array((comp & (num_parts - 1)).astype(np.int32)),

@@ -208,6 +208,12 @@ def _merge_one_positional_bucket(bucket_dir: str, out_dir: str,
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = enc.dictionary.to_pylist()
         parts = tbl["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(parts) and int(parts.max()) >= (1 << 24):
+            # rowkey packs part into the low 24 bits; a larger part would
+            # silently collide (term,part) groups (ADVICE r3)
+            raise ValueError(
+                f"doc partition id {int(parts.max())} >= 2^24 — raise the "
+                "rowkey part width or lower doc_part_bits")
 
         dcol = tbl["doc_ids"].combine_chunks()
         ccol = tbl["pcounts"].combine_chunks()

@@ -364,8 +364,16 @@ class LocalSearcher:
                     if contrib is None:
                         # idf is fixed per searcher → the whole per-row
                         # contribution array is a constant; cache it
-                        # (same float64 expression → bit-identical)
+                        # (same float64 expression → bit-identical).
+                        # Same budget discipline as _decode_row so the
+                        # cache can't transiently exceed the budget
+                        # (ADVICE r3).
                         contrib = idf * row[3]
+                        if (self._decoded_bytes + contrib.nbytes
+                                > self._decoded_budget):
+                            self._decoded.clear()
+                            self._contrib.clear()
+                            self._decoded_bytes = 0
                         self._contrib[i] = contrib
                         self._decoded_bytes += contrib.nbytes
                     contrib_arrays.append(contrib)
