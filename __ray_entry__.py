@@ -69,6 +69,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ann.embedding_near_dup_pairs(_emb(sf_dir), NEAR_DUP_THRESHOLD)
 
     return {
+        # ---- never-driver-sampled entries FIRST (VERDICT r3 #1): the
+        # driver checks the leading ~50 entries of this dict, so queries
+        # whose oracles have no CORRECTNESS row in any round lead. ----
+        # BM25 ranking itself on the value-exact gate (VERDICT r3 #2):
+        # rank-only top-k from the identity-stemmer index
+        "bm25_topk_nostem":
+            lambda sf: flagship.bm25_topk_nostem_table(sf),
+        # value-exact oracles never sampled in r1-r3
+        "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
+        "range_join": lambda sf: _events_mod().range_join_count(
+            _events(sf)),
+        "float_quantiles": lambda sf: _events_mod().exact_value_quantiles(
+            _events(sf)),
+        "training_prep": _training_prep,
+        "winnow_fingerprints": lambda sf: textstats.winnow_fingerprint_sets(
+            _docs(sf)),
+        # rows-only entries never sampled in r1-r3 (approximate by
+        # nature; pytest pins recall on clustered fixtures)
+        "graph_search": lambda sf: ann.graph_search_topk(
+            _emb(sf), ann.knn_join(_emb(sf), k=5, block_rows=128),
+            ANN_QUERY_IDS, k=ANN_K).select_columns(
+                ["query_id", "rank", "vec_id"]),
+        "knn_graph": lambda sf: ann.knn_graph_descent(
+            _emb(sf), k=5, iters=2).select_columns(
+                ["vec_id", "rank", "neighbor_id"]),
+        "knn_join_probed": lambda sf: ann.knn_join(
+            _emb(sf), k=5, block_rows=128, nprobe=2).select_columns(
+                ["vec_id", "rank", "neighbor_id"]),
+        "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_pairs_lsh(
+            _emb(sf), threshold=0.45).select_columns(["id_a", "id_b"]),
         # -- inverted index / BM25 (stemmed → rows-only; pytest oracle
         #    covers rank/score identity) --
         "bm25_topk": lambda sf: flagship.bm25_topk_table(sf),
@@ -162,34 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": lambda sf: ann.knn_join(
             _emb(sf), k=5, block_rows=128).select_columns(
                 ["vec_id", "rank", "neighbor_id"]),
-        # nprobe-bounded IVF-style variant (approximate → rows-only;
-        # pytest asserts high recall vs the exact join)
-        "knn_join_probed": lambda sf: ann.knn_join(
-            _emb(sf), k=5, block_rows=128, nprobe=2).select_columns(
-                ["vec_id", "rank", "neighbor_id"]),
-        # NN-Descent kNN-graph refinement (approximate by nature →
-        # rows-only; the bench embeddings are i.i.d. random so recall is
-        # structurally low here — pytest asserts ≥0.95 recall on a
-        # clustered fixture where neighbor-of-neighbor locality exists)
-        "knn_graph": lambda sf: ann.knn_graph_descent(
-            _emb(sf), k=5, iters=2).select_columns(
-                ["vec_id", "rank", "neighbor_id"]),
-        # beam search over the exact kNN graph (HNSW-style query path;
-        # approximate by nature → rows-only; pytest asserts ≥0.95
-        # recall vs brute force on a clustered fixture)
-        "graph_search": lambda sf: ann.graph_search_topk(
-            _emb(sf), ann.knn_join(_emb(sf), k=5, block_rows=128),
-            ANN_QUERY_IDS, k=ANN_K).select_columns(
-                ["query_id", "rank", "vec_id"]),
-        # sub-quadratic hyperplane-LSH near-dup (recall<1 by design →
-        # rows-only; pytest asserts ≥0.99 recall vs the exact sweep)
-        "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_pairs_lsh(
-            _emb(sf), threshold=0.45).select_columns(["id_a", "id_b"]),
         # -- misc text analysis (heuristic → rows-only) --
         "language_id": lambda sf: textstats.language_id(_docs(sf)),
         "rolling_fingerprints": lambda sf: textstats.rolling_fingerprints(
-            _docs(sf)),
-        "winnow_fingerprints": lambda sf: textstats.winnow_fingerprint_sets(
             _docs(sf)),
         # -- relational shapes over the TPC-H-ish tables --
         "pricing_summary": _pricing_summary,
@@ -206,11 +211,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf), window_sec=3600, hop_sec=900),
         "value_percentiles": lambda sf: _events_mod().event_value_percentiles(
             _events(sf)),
-        "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
-        "range_join": lambda sf: _events_mod().range_join_count(
-            _events(sf)),
-        "float_quantiles": lambda sf: _events_mod().exact_value_quantiles(
-            _events(sf)),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -223,10 +223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- composed curation pipeline (quality → exact dedup →
         #    minhash near-dup → language), per-stage drop report --
         "curation_report": _curation_report,
-        # -- composed end-to-end training prep (length quantiles ∩
-        #    exact-dedup winners ∩ decontaminated → split report),
-        #    value-exact against one composed SQL oracle --
-        "training_prep": _training_prep,
     }
 
 
@@ -523,6 +519,59 @@ def oracle_sql() -> dict[str, str]:
             f" and abs(a.pos - b.pos) <= {w}")
     proximity_sql = (pos_tok_cte + "\n" +
                      "\nunion all\n".join(prox_branches))
+
+    # BM25 rank-only oracle over the identity-stemmer index (VERDICT r3
+    # #2): same Robertson formula, same (N, df, avgdl, k1=1.2, b=0.75),
+    # same float64 expression shapes, and — critically — the same
+    # ascending-term LEFT-FOLD accumulation order (list(... order by
+    # term) + list_aggregate 'sum' is a sequential in-order fold), so
+    # per-doc scores are bit-identical on both sides and the
+    # (score desc, doc_id asc) rank order matches exactly, ties included.
+    # Only integer (query_idx, rank, doc_id) crosses the oracle boundary.
+    from ts_type_filter_ray.oracle.index import BM25_B, BM25_K1
+    from ts_type_filter_ray.pipelines.flagship import (BM25_NOSTEM_K,
+                                                       BM25_NOSTEM_QUERY_SET)
+    bm25_rows = ",".join(
+        f"({qi},'{t}')" for qi, q in enumerate(BM25_NOSTEM_QUERY_SET)
+        for t in query_stems(q, stemmer=identity_stemmer))
+    bm25_nostem_sql = rf"""
+            with base as (
+              select doc_id,
+                     case when trim(text) = '' then cast([] as varchar[])
+                          else regexp_split_to_array(lower(trim(text)),'\s+')
+                     end as arr
+              from documents),
+            dl_t as (select doc_id, len(arr)::BIGINT as dl from base),
+            stats as (select count(*)::BIGINT as n,
+                             coalesce(sum(dl), 0)::BIGINT as tdl from dl_t),
+            tf_t as (
+              select doc_id, term, count(*)::BIGINT as tf
+              from (select doc_id, unnest(arr) as term from base)
+              group by doc_id, term),
+            df_t as (select term, count(*)::BIGINT as df
+                     from tf_t group by term),
+            q(query_idx, term) as (values {bm25_rows}),
+            scored as (
+              select q.query_idx, t.doc_id,
+                     list_aggregate(list(
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * ((t.tf * ({BM25_K1} + 1.0))
+                          / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                             + {BM25_B} * l.dl / (s.tdl / s.n))))
+                       order by q.term asc), 'sum') as score
+              from q
+              join tf_t t on t.term = q.term
+              join df_t d on d.term = q.term
+              join dl_t l on l.doc_id = t.doc_id
+              cross join stats s
+              group by q.query_idx, t.doc_id)
+            select query_idx, rank, doc_id from (
+              select query_idx, doc_id,
+                     row_number() over (partition by query_idx
+                                        order by score desc, doc_id asc)
+                         as rank
+              from scored)
+            where rank <= {BM25_NOSTEM_K}"""
 
     from ts_type_filter_ray.pipelines.flagship import (
         ANDNOT_QUERY_SET, CONJ_QUERY_SET, SUGGEST_K, SUGGEST_SET)
@@ -970,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
                 from documents where trim(text) <> ''))
             select distinct q.query_idx, t.doc_id
             from q join toks t using (term)""",
+        "bm25_topk_nostem": bm25_nostem_sql,
         "index_statistics_nostem": r"""
             with toks as (
               select doc_id,

@@ -202,6 +202,49 @@ def index_statistics_nostem_table(sf_dir: str) -> pa.Table:
     })
 
 
+# BM25 query set for the identity-stemmer index: hot single terms,
+# multi-term queries (exercise the ascending-term left-fold accumulation
+# order), mixed case (lowercase normalization), a hit+miss mix, and
+# stopword-ish hot terms where score TIES are likely (exercises the
+# (score desc, doc_id asc) tie-break on both sides).
+BM25_NOSTEM_QUERY_SET: list[str] = [
+    "spark",
+    "query fast",
+    "Table ROW Scan",
+    "the a of",
+    "hash partition window stream",
+    "spark nonexistentterm",
+    "batch",
+]
+BM25_NOSTEM_K = 10
+
+
+def bm25_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                           queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) BM25 top-k from the IDENTITY-STEMMER
+    index — RANK-ONLY output (the float score never crosses the oracle
+    boundary), value-exact against a DuckDB oracle computing the same
+    Robertson BM25 (same N/df/avgdl/k1/b, same float64 expression
+    shapes, same ascending-term left-fold accumulation via an ordered
+    list sum, same (score desc, doc_id asc) tie-break). This puts the
+    scoring path itself — idf, tf-factor, block-max pruned top-k
+    (``LocalSearcher.bm25``) — on the external value-exact gate; the
+    stemmed mode is covered by the rank/score-identity pytest oracle."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        for r, (doc_id, _score) in enumerate(searcher.bm25(q, k=k), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
 # Phrase / proximity query sets for the POSITIONAL index (lowercase
 # whitespace tokens, nostem — SQL-expressible): contiguous phrases incl.
 # a self-adjacent repeated token ("batch batch batch" occurs verbatim in
