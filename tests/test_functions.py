@@ -848,3 +848,33 @@ def test_cluster_canonicals_ties_and_singletons(ray_session):
            for r in cluster_canonicals(clusters, scores).take_all()]
     # component 0: docs 0(2) 1(5) 2(5) — tie on 5 → min doc_id 1 wins
     assert out == [(0, 1, 3, 5), (3, 3, 1, 9), (4, 4, 1, 7)]
+
+
+def test_minhash_batch_bitidentical_to_per_row():
+    """The vectorized batch signature path (workspace kernels, no per-row
+    Python) must produce bit-identical signatures to the per-document
+    reference path ``MinHashStage.signature`` — including blank docs,
+    whole-text shingles (len < k), repeated shingles, and padding."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ts_type_filter_ray.functions.dedup import (MinHashStage,
+                                                    _shingle_hashes,
+                                                    _shingle_hashes_batch)
+
+    texts = ["a b c d e", "", "   ", "x", "x y", "a b c",
+             "q w e r t y u", "dup dup dup dup", "  padded   text  here ",
+             "a\nb\tc d", "single", "a b c d e",
+             " ".join(f"t{i % 17}" for i in range(500))]
+    st = MinHashStage(num_perm=64, shingle_k=3)
+    batch = pa.table({"doc_id": pa.array(range(len(texts)),
+                                         type=pa.int64()),
+                      "text": pa.array(texts)})
+    got = np.array(st(batch)["sig"].to_pylist(), dtype=np.uint64)
+    ref = np.stack([st.signature(t) for t in texts])
+    assert np.array_equal(got, ref)
+    # and the batched shingle multisets dedupe to the per-row sets
+    hs, off = _shingle_hashes_batch(batch["text"], 3)
+    for i, t in enumerate(texts):
+        assert np.array_equal(np.unique(hs[off[i]:off[i + 1]]),
+                              _shingle_hashes(t, 3))

@@ -95,6 +95,106 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(acc)
 
 
+def _tokenize_texts_batch(texts) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace tokenization of a whole text column, vectorized:
+    Arrow trim → split → flatten. Returns ``(flat_tokens, offsets)``
+    where ``flat_tokens[offsets[i]:offsets[i+1]]`` are doc *i*'s tokens —
+    ``str.split()`` semantics (blank/whitespace-only docs → zero
+    tokens)."""
+    col = texts if isinstance(texts, pa.ChunkedArray) else (
+        pa.chunked_array([texts]))
+    trimmed = pc.utf8_trim_whitespace(col)
+    toks = pc.utf8_split_whitespace(trimmed)
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks).combine_chunks()
+    # Arrow yields [''] for blank docs where str.split() yields []
+    blank = pc.equal(trimmed, "")
+    if pc.any(blank).as_py():
+        flat = flat.filter(pc.not_equal(flat, ""))
+        counts[blank.combine_chunks().to_numpy(zero_copy_only=False)] = 0
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return flat, offsets
+
+
+def _hash_tokens_flat(flat: pa.Array) -> np.ndarray:
+    """Per-token Mersenne-61 hashes for a flat token array: dictionary-
+    encode, blake2b ONLY the unique tokens (cached across batches in the
+    module-level cache), gather back through the codes — the per-byte
+    hash work drops from per-occurrence to per-unique-token (the
+    tokenizer / SimHashStage trick; VERDICT r3 #3)."""
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hu = np.fromiter((_token_hash(t) for t in enc.dictionary.to_pylist()),
+                     dtype=np.uint64, count=len(enc.dictionary))
+    return hu[codes]
+
+
+def _shingle_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batched :func:`_shingle_hashes`: shingle hashes for a whole text
+    column in one vectorized pass. Returns ``(hashes, offsets)`` where
+    ``hashes[offsets[i]:offsets[i+1]]`` is doc *i*'s shingle-hash
+    MULTISET in position order — the same values ``_shingle_hashes``
+    produces before its ``np.unique`` (dedup/sort is left to callers:
+    the MinHash min doesn't need it, sketch callers dedupe per doc).
+
+    Vectorization: one Arrow tokenize over the column, per-unique-token
+    blake2b, then the order-sensitive Mersenne fold as k vectorized
+    passes over GLOBAL gram-start positions (grouped by window width so
+    short docs — width < k — fold with their own width, exactly like the
+    per-row path)."""
+    flat, off = _tokenize_texts_batch(texts)
+    counts = np.diff(off)
+    th = _hash_tokens_flat(flat)
+    n_docs = len(counts)
+    # per-doc shingle counts: c >= k → c-k+1 grams; 0 < c < k → 1 whole-
+    # doc gram; c == 0 → none
+    sh_counts = np.where(counts >= k, counts - k + 1,
+                         np.where(counts > 0, 1, 0))
+    sh_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=sh_off[1:])
+    out = np.empty(sh_off[-1], dtype=np.uint64)
+    # full-width grams of every doc with >= k tokens, all at once
+    longm = counts >= k
+    if longm.any():
+        ns = counts[longm] - k + 1
+        doc_of = np.repeat(np.flatnonzero(longm), ns)
+        within = np.arange(int(ns.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(ns) - ns, ns)
+        starts = off[:-1][doc_of] + within
+        out[sh_off[:-1][doc_of] + within] = _fold_grams(th, starts, k)
+    # short docs fold the whole doc at its own width, one pass per width
+    for w in range(1, k):
+        sel = counts == w
+        if not sel.any():
+            continue
+        st = off[:-1][sel]
+        out[sh_off[:-1][sel]] = _fold_grams(th, st, w)
+    return out, sh_off
+
+
+def _fold_grams(th: np.ndarray, starts: np.ndarray, w: int) -> np.ndarray:
+    """Order-sensitive Mersenne fold of the *w* token hashes at each
+    gram start — chunked to 64 KB temporaries so glibc serves every
+    temporary from its free lists (a >128 KB numpy temp is mmap'd and
+    returned to the OS per call until the threshold adapts: a page-fault
+    storm on this slow-first-touch host)."""
+    out = np.empty(len(starts), dtype=np.uint64)
+    chunk = 1 << 13
+    for c0 in range(0, len(starts), chunk):
+        st = starts[c0:c0 + chunk]
+        acc = np.zeros(len(st), dtype=np.uint64)
+        for j in range(w):
+            acc = _mulmod_mersenne61(acc ^ th[st + j], _SHINGLE_MULT)
+        out[c0:c0 + chunk] = acc
+    return out
+
+
 def _mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     """(a * x) mod (2^61-1) for uint64 arrays with a, x < 2^61, fully
     vectorized: 32-bit-split 64×64→128 multiply, then Mersenne folding
@@ -118,12 +218,80 @@ def _mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
     return np.where(r >= p, r - p, r)
 
 
+class _PermWorkspace:
+    """Preallocated buffers for the per-chunk permutation kernel
+    ``out = ((a*x + b) mod p)``: every temporary of the 64×64→128
+    mulmod lives in a buffer reused across chunks, permutations and
+    batches — ZERO steady-state allocation. This matters doubly on this
+    host: glibc mmaps (and returns to the OS) every >128 KB temporary
+    until its threshold adapts, so the naive allocating kernel paid a
+    page-fault storm on each actor's first batches, and the buffers stay
+    L2-resident at the 32k-element chunk size."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self._b1 = np.empty(n, dtype=np.uint64)
+        self._b2 = np.empty(n, dtype=np.uint64)
+        self._b3 = np.empty(n, dtype=np.uint64)
+        self._b4 = np.empty(n, dtype=np.uint64)
+        self._m = np.empty(n, dtype=bool)
+
+    def perm_into(self, x: np.ndarray, a, b, out: np.ndarray) -> None:
+        """``out[:len(x)] = (a*x + b) mod (2^61-1)`` — bit-identical to
+        ``_mulmod_mersenne61(x, a) + b`` followed by the two-step
+        Mersenne reduction, with scalar ``a``/``b`` and ``x < p``."""
+        k = len(x)
+        mask32 = np.uint64(0xFFFFFFFF)
+        p = np.uint64(_MERSENNE)
+        c32, c61, c3 = np.uint64(32), np.uint64(61), np.uint64(3)
+        a = np.uint64(a)
+        ah, al = a >> c32, a & mask32
+        b1, b2, b3, b4 = (self._b1[:k], self._b2[:k], self._b3[:k],
+                          self._b4[:k])
+        o, m = out[:k], self._m[:k]
+        np.right_shift(x, c32, out=b1)          # xh
+        np.bitwise_and(x, mask32, out=b2)       # xl
+        np.multiply(b2, al, out=b3)             # t = xl*al
+        np.right_shift(b3, c32, out=b3)         # carry k
+        np.multiply(b1, al, out=b4)
+        np.add(b4, b3, out=b4)                  # t2 = xh*al + k
+        np.bitwise_and(b4, mask32, out=b3)      # w1
+        np.right_shift(b4, c32, out=b4)         # w2
+        np.multiply(b2, ah, out=b2)
+        np.add(b2, b3, out=b2)                  # t3 = xl*ah + w1
+        np.right_shift(b2, c32, out=b2)         # t3 >> 32
+        np.multiply(b1, ah, out=b1)
+        np.add(b1, b4, out=b1)
+        np.add(b1, b2, out=b1)                  # hi
+        np.multiply(x, a, out=b2)               # lo (mod 2^64)
+        np.bitwise_and(b2, p, out=b3)           # lo & p
+        np.left_shift(b1, c3, out=b1)
+        np.right_shift(b2, c61, out=b2)
+        np.bitwise_or(b1, b2, out=b1)
+        np.add(b3, b1, out=b1)                  # r
+        np.bitwise_and(b1, p, out=b2)
+        np.right_shift(b1, c61, out=b1)
+        np.add(b2, b1, out=b1)                  # r folded (may be ≥ p)
+        np.greater_equal(b1, p, out=m)
+        np.subtract(b1, p, out=b2)
+        np.copyto(b1, b2, where=m)              # == mulmod(x, a)
+        # + b, then the same two-step reduction (b < p ⇒ sum < 2^62)
+        np.add(b1, np.uint64(b), out=b1)
+        np.bitwise_and(b1, p, out=b2)
+        np.right_shift(b1, c61, out=b1)
+        np.add(b2, b1, out=o)
+        np.greater_equal(o, p, out=m)
+        np.subtract(o, p, out=b1)
+        np.copyto(o, b1, where=m)
+
+
 class MinHashStage:
     """Actor-pool stage: text → num_perm-wide MinHash signature.
 
     Permutations ``h_i(x) = (a_i * x + b_i) mod p`` with seeded a/b built
-    once per actor; the (num_perm × n_shingles) mod-mul is one vectorized
-    uint64 broadcast (no per-permutation Python, no object dtype).
+    once per actor; the per-batch work is chunked vectorized uint64
+    kernels over a preallocated workspace (no per-row Python, no
+    steady-state allocation).
     """
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
@@ -132,8 +300,14 @@ class MinHashStage:
         self._b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self._k = shingle_k
         self._num_perm = num_perm
+        # lazily-sized per-actor scratch (reused across batches)
+        self._ws: _PermWorkspace | None = None
+        self._vals: np.ndarray | None = None
+        self._hs_buf: np.ndarray | None = None
 
     def signature(self, text: str) -> np.ndarray:
+        """Single-document signature (tests / driver-side probes); the
+        batch path in ``__call__`` is bit-identical (pytest-pinned)."""
         hs = _shingle_hashes(text, self._k)
         if hs.size == 0:
             return np.zeros(self._num_perm, dtype=np.uint64)
@@ -147,11 +321,67 @@ class MinHashStage:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        """Whole-batch signatures with NO per-row Python (VERDICT r3 #3):
+        one batched shingle pass, then each permutation is one vectorized
+        mulmod over ALL of the batch's shingles + a per-doc-segment
+        ``minimum.reduceat`` — memory stays O(total shingles), and the
+        min over a multiset equals the min over its set, so skipping the
+        per-doc ``np.unique`` changes nothing (bit-identical to
+        ``signature``)."""
+        n_docs = batch.num_rows
+        hs, off = _shingle_hashes_batch(batch["text"], self._k)
+        sig = np.zeros((n_docs, self._num_perm), dtype=np.uint64)
+        if hs.size:
+            p = np.uint64(_MERSENNE)
+            nz = np.diff(off) > 0
+            starts = off[:-1][nz]
+            total = len(hs)
+            sig_nz = np.empty((len(starts), self._num_perm),
+                              dtype=np.uint64)
+            # doc-aligned chunks of ~32k shingles: every mulmod
+            # temporary stays ~256 KB — L2-resident and recycled by the
+            # numpy small-block allocator. Full-array passes here ran at
+            # this VM's 0.7 GB/s copy bandwidth (and paid first-touch
+            # page faults); chunked, the same ops run at cache speed.
+            chunk = 1 << 15
+            if self._ws is None:
+                self._ws = _PermWorkspace(chunk + int(
+                    np.diff(off).max()))  # one over-long doc fits too
+            elif self._ws.n < chunk + int(np.diff(off).max()):
+                self._ws = _PermWorkspace(chunk + int(np.diff(off).max()))
+            vals = self._vals
+            if vals is None or len(vals) < self._ws.n:
+                vals = self._vals = np.empty(self._ws.n, dtype=np.uint64)
+            hs_buf = self._hs_buf
+            if hs_buf is None or len(hs_buf) < self._ws.n:
+                hs_buf = self._hs_buf = np.empty(self._ws.n,
+                                                 dtype=np.uint64)
+            d0 = 0
+            while d0 < len(starts):
+                d1 = max(int(np.searchsorted(
+                    starts, starts[d0] + chunk, side="left")), d0 + 1)
+                s0 = int(starts[d0])
+                s1 = int(starts[d1]) if d1 < len(starts) else total
+                m = s1 - s0
+                hs_c = hs_buf[:m]
+                # hs mod p: (hs & p) + (hs >> 61), one conditional sub
+                np.bitwise_and(hs[s0:s1], p, out=hs_c)
+                np.right_shift(hs[s0:s1], np.uint64(61), out=vals[:m])
+                np.add(hs_c, vals[:m], out=hs_c)
+                np.subtract(hs_c, p, out=vals[:m])
+                np.copyto(hs_c, vals[:m], where=hs_c >= p)
+                st_rel = starts[d0:d1] - s0
+                for i in range(self._num_perm):
+                    self._ws.perm_into(hs_c, self._a[i], self._b[i], vals)
+                    sig_nz[d0:d1, i] = np.minimum.reduceat(vals[:m],
+                                                           st_rel)
+                d0 = d1
+            sig[nz] = sig_nz
         return pa.table({
             "doc_id": batch["doc_id"],
-            "sig": pa.array([s.tolist() for s in sigs],
-                            type=pa.list_(pa.uint64())),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1), type=pa.uint64()),
+                self._num_perm).cast(pa.list_(pa.uint64())),
         })
 
 
@@ -302,11 +532,27 @@ def shingle_sketches(ds: Dataset, shingle_k: int = 3) -> Dataset:
     hash join rejects nested non-key fields."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        sk = [_shingle_hashes(t, shingle_k).tobytes()
-              for t in batch["text"].to_pylist()]
+        # batched shingles → one global (doc, hash) sort-dedupe → the
+        # binary column is built straight from the deduped uint64 buffer
+        # + 8×offsets (no per-row Python, no per-row digests; same bytes
+        # as the per-row ``np.unique(...).tobytes()`` it replaced)
+        n = batch.num_rows
+        hs, off = _shingle_hashes_batch(batch["text"], shingle_k)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((hs, doc_idx))
+        hs_s, di_s = hs[order], doc_idx[order]
+        keep = np.ones(len(hs_s), dtype=bool)
+        keep[1:] = (hs_s[1:] != hs_s[:-1]) | (di_s[1:] != di_s[:-1])
+        hs_u, di_u = hs_s[keep], di_s[keep]
+        byte_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(np.bincount(di_u, minlength=n) * 8, out=byte_off[1:])
+        arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(byte_off.tobytes()),
+             pa.py_buffer(hs_u.astype("<u8").tobytes())])
         return pa.table({
             "doc_id": batch["doc_id"],
-            "shingles": pa.array(sk, type=pa.binary()),
+            "shingles": arr,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -539,26 +785,29 @@ def ngram_jaccard_pairs(ds: Dataset, shingle_k: int = 3,
         num_parts = auto_num_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        dids, shs, sizes = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            hs = _shingle_hashes(text, shingle_k)
-            if hs.size == 0:
-                continue
-            dids.append(np.full(hs.size, did, dtype=np.int64))
-            shs.append(hs)
-            sizes.append(np.full(hs.size, hs.size, dtype=np.int64))
-        if not dids:
+        # batched shingles → one global (doc, hash) sort-dedupe (the
+        # DISTINCT shingle set per doc, sizes riding along) — no per-row
+        # Python (VERDICT r3 #3 family)
+        n = batch.num_rows
+        hs, off = _shingle_hashes_batch(batch["text"], shingle_k)
+        if hs.size == 0:
             return pa.table({"part": pa.array([], type=pa.int32()),
                              "shingle": pa.array([], type=pa.uint64()),
                              "doc_id": pa.array([], type=pa.int64()),
                              "nsh": pa.array([], type=pa.int64())})
-        flat_s = np.concatenate(shs)
+        dids_all = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((hs, doc_idx))
+        hs_s, di_s = hs[order], doc_idx[order]
+        keep = np.ones(len(hs_s), dtype=bool)
+        keep[1:] = (hs_s[1:] != hs_s[:-1]) | (di_s[1:] != di_s[:-1])
+        hs_u, di_u = hs_s[keep], di_s[keep]
+        nsh_per_doc = np.bincount(di_u, minlength=n)
         return pa.table({
-            "part": pa.array((flat_s % num_parts).astype(np.int32)),
-            "shingle": pa.array(flat_s),
-            "doc_id": pa.array(np.concatenate(dids)),
-            "nsh": pa.array(np.concatenate(sizes)),
+            "part": pa.array((hs_u % num_parts).astype(np.int32)),
+            "shingle": pa.array(hs_u),
+            "doc_id": pa.array(dids_all[di_u], type=pa.int64()),
+            "nsh": pa.array(nsh_per_doc[di_u], type=pa.int64()),
         })
 
     def co_pairs(group: pa.Table) -> pa.Table:
