@@ -65,6 +65,45 @@ def test_pinned_doc_in_postingless_partition(ray_session, sonnets_corpus_dir,
     assert 5000 in svc.match("same").tolist()
 
 
+def test_persisted_global_df_matches_postings(served, sonnets_corpus_dir,
+                                              tmp_path_factory):
+    """The per-bucket ``_df.parquet`` files written at merge time must
+    concatenate to exactly the (term, df) table aggregated from the full
+    postings metadata (the legacy fallback path), and every bucket dir
+    must carry one after a fresh build."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ts_type_filter_ray.pipelines.build import BuiltIndex
+    from ts_type_filter_ray.pipelines.serve import load_global_df
+
+    svc, local, oracle = served
+    # rebuild a sibling index to get a root path we know
+    out = tmp_path_factory.mktemp("serve_idx_df")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    buckets = [d for d in os.listdir(idx.postings_dir)
+               if d.startswith("bucket=")]
+    assert buckets
+    for d in buckets:
+        assert os.path.exists(
+            os.path.join(idx.postings_dir, d, "_df.parquet"))
+    fast = load_global_df(idx)
+    # force the fallback by pointing at the same postings via the
+    # aggregation path: recompute from full metadata
+    meta = pads.dataset(idx.postings_dir, partitioning="hive").to_table(
+        columns=["term", "df"])
+    slow = (meta.group_by("term").aggregate([("df", "sum")])
+            .rename_columns(["term", "df"]).sort_by("term"))
+    assert fast.equals(slow)
+    # and a full searcher over the same index agrees term-by-term
+    s = LocalSearcher(idx)
+    for t, df in zip(fast["term"].to_pylist(), fast["df"].to_pylist()):
+        assert s._df_of(t) == df
+    assert s._df_of("zzz_not_in_vocab") == 0
+
+
 def test_flagship_served_identical_to_local(ray_session):
     """The driver's bm25_topk_served entry must equal bm25_topk exactly
     (distributed doc-partitioned serving is rank- and score-identical)."""

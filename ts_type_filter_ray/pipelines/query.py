@@ -62,6 +62,42 @@ def _tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
 
+class SortedTermMap:
+    """Binary-search lookups over a SORTED Arrow string array.
+
+    The load-time alternative to a vocab-sized Python dict: building
+    459k-entry ``dict``s (plus ``to_pylist`` of the vocab) cost ~1.0 s of
+    the 1.8 s searcher load; keeping the vocab as the Arrow dictionary
+    array costs nothing at load and each lookup materializes only the
+    O(log n) probed entries. UTF-8 byte order equals code-point order, so
+    Arrow's sort order agrees with Python ``str`` comparison.
+    """
+
+    __slots__ = ("arr", "n")
+
+    def __init__(self, arr: pa.Array):
+        self.arr = arr
+        self.n = len(arr)
+
+    def bisect_left(self, term: str) -> int:
+        lo, hi = 0, self.n
+        arr = self.arr
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            if arr[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def index(self, term: str) -> int:
+        """Position of *term*, or -1 if absent."""
+        i = self.bisect_left(term)
+        if i < self.n and self.arr[i].as_py() == term:
+            return i
+        return -1
+
+
 class LocalSearcher:
     """Warm in-memory searcher over (a subset of) a built index.
 
@@ -91,7 +127,10 @@ class LocalSearcher:
         """Arrow-native load: one vectorized (term, part) sort, run-length
         term slices, reduceat global df — the encoded posting buffers stay
         as Arrow binary columns (no per-row ``to_pylist`` copies; the r1
-        load path cost 4.1 s at 459k terms, this is ~10x less)."""
+        load path cost 4.1 s at 459k terms, this is ~10x less). The vocab
+        stays a sorted Arrow array behind :class:`SortedTermMap` — no
+        vocab-sized Python dicts/lists are ever built (r3's load spent
+        ~1.0 s of 1.8 s on them at 459k terms)."""
         order = pc.sort_indices(
             tbl, sort_keys=[("term", "ascending"), ("part", "ascending")])
         tbl = tbl.take(order).combine_chunks()
@@ -107,30 +146,55 @@ class LocalSearcher:
         self._denc = tbl["doc_ids_enc"].combine_chunks()
         self._tenc = tbl["tfs_enc"].combine_chunks()
         self._lenc = tbl["dls_enc"].combine_chunks()
+        # global-df override (doc-partitioned serving) — unset by default
+        self._gdf: tuple[SortedTermMap, np.ndarray] | None = None
         if n == 0:
-            self._slices: dict[str, tuple[int, int]] = {}
-            self._df: dict[str, int] = {}
+            self._terms = SortedTermMap(pa.array([], type=pa.string()))
+            self._starts = np.empty(0, dtype=np.int64)
+            self._ends = np.empty(0, dtype=np.int64)
             self._df_values = np.empty(0, dtype=np.int64)
-            self._vocab: list[str] = []
             return
         enc = pc.dictionary_encode(tbl["term"]).combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        vocab = enc.dictionary.to_pylist()  # first-occurrence ≡ sorted order
         change = np.ones(n, dtype=bool)
         change[1:] = codes[1:] != codes[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        df_tot = np.add.reduceat(df_row, starts)
-        self._vocab = vocab
-        self._df_values = df_tot
-        self._slices = dict(zip(vocab, zip(starts.tolist(), ends.tolist())))
-        self._df = dict(zip(vocab, df_tot.tolist()))
+        # dictionary order is first-occurrence of a sorted column ≡ sorted
+        self._terms = SortedTermMap(enc.dictionary)
+        self._starts = starts
+        self._ends = ends
+        self._df_values = np.add.reduceat(df_row, starts)
 
-    def set_global_df(self, df: dict[str, int]) -> None:
+    def _term_slice(self, term: str) -> tuple[int, int] | None:
+        """Row range [s, e) of *term*'s posting rows, or None."""
+        vi = self._terms.index(term)
+        if vi < 0:
+            return None
+        return int(self._starts[vi]), int(self._ends[vi])
+
+    def _df_of(self, term: str) -> int:
+        """Document frequency of *term* — the global override when set
+        (doc-partitioned serving), else this searcher's own postings."""
+        if self._gdf is not None:
+            tmap, vals = self._gdf
+            i = tmap.index(term)
+            return int(vals[i]) if i >= 0 else 0
+        i = self._terms.index(term)
+        return int(self._df_values[i]) if i >= 0 else 0
+
+    def set_global_df(self, df: pa.Table) -> None:
         """Replace per-searcher df with GLOBAL df (the doc-partitioned
         serving shape, ``serve.SearchService``) — invalidates the cached
-        per-row contribution arrays, which bake in idf."""
-        self._df = df
+        per-row contribution arrays, which bake in idf. *df* is an Arrow
+        table with term-ASCENDING (term, df) columns (the persisted
+        per-bucket ``_df.parquet`` concatenation) — it stays an Arrow
+        array + numpy vector here, never a Python dict, so the broadcast
+        is one plasma-shared buffer per node."""
+        terms = df["term"].combine_chunks() if df.num_rows else pa.array(
+            [], type=pa.string())
+        vals = df["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self._gdf = (SortedTermMap(terms), vals)
         self._contrib.clear()
 
     def _init_cache(self, warm_top_terms: int) -> None:
@@ -149,11 +213,11 @@ class LocalSearcher:
         self._decoded_bytes = 0
         # eagerly decode the highest-df terms so the first hot-term query
         # doesn't pay the cold decode (p99 was dominated by it)
-        if warm_top_terms and len(self._vocab):
+        if warm_top_terms and self._terms.n:
             hot = np.argsort(-self._df_values)[:warm_top_terms]
             for vi in hot.tolist():
-                term = self._vocab[vi]
-                s, e = self._slices[term]
+                term = self._terms.arr[vi].as_py()
+                s, e = int(self._starts[vi]), int(self._ends[vi])
                 for i in range(s, e):
                     self._decode_row(term, i)
 
@@ -197,7 +261,7 @@ class LocalSearcher:
         stems = query_stems(query, self._stemmer, self._breaker)
         arrays = [self._pinned] if self._pinned.size else []
         for term in stems:
-            sl = self._slices.get(term)
+            sl = self._term_slice(term)
             if sl is None:
                 continue
             for i in range(sl[0], sl[1]):
@@ -210,7 +274,7 @@ class LocalSearcher:
         """All doc_ids holding *term*, ascending (rows are part-sorted
         and parts are disjoint ascending ranges, so concatenation is
         already globally sorted)."""
-        sl = self._slices.get(term)
+        sl = self._term_slice(term)
         if sl is None:
             return np.empty(0, dtype=np.int64)
         arrays = [self._decode_row(term, i)[0] for i in range(sl[0], sl[1])]
@@ -226,7 +290,7 @@ class LocalSearcher:
         stems = query_stems(query, self._stemmer, self._breaker)
         if not stems:
             return self._pinned.copy()
-        by_df = sorted(stems, key=lambda t: self._df.get(t, 0))
+        by_df = sorted(stems, key=self._df_of)
         cur = self._term_docs(by_df[0])
         for term in by_df[1:]:
             if cur.size == 0:
@@ -259,20 +323,19 @@ class LocalSearcher:
         (df desc, term asc) — the sorted-vocab range scan of
         ``match_prefix`` plus a bounded partial sort over the matched
         range's df values."""
-        import bisect
-
         prefix = prefix.lower()
         if not prefix:
             return []
-        lo = bisect.bisect_left(self._vocab, prefix)
+        arr = self._terms.arr
+        lo = self._terms.bisect_left(prefix)
         hi = lo
-        while hi < len(self._vocab) and self._vocab[hi].startswith(prefix):
+        while hi < self._terms.n and arr[hi].as_py().startswith(prefix):
             hi += 1
         if hi == lo:
             return []
         dfs = self._df_values[lo:hi]
         order = np.lexsort((np.arange(hi - lo), -dfs))[:k]
-        return [(self._vocab[lo + int(o)], int(dfs[o])) for o in order]
+        return [(arr[lo + int(o)].as_py(), int(dfs[o])) for o in order]
 
     def match_prefix(self, prefix: str) -> np.ndarray:
         """Docs containing ANY term starting with *prefix* — the
@@ -283,18 +346,17 @@ class LocalSearcher:
         not a query). Prefix is lowercased to match both index modes'
         lowercase normalization; stemmed indexes match against STEMMED
         vocabulary (caller owns that contract, same as ``match``)."""
-        import bisect
-
         prefix = prefix.lower()
         if not prefix:
             return np.empty(0, dtype=np.int64)
         arrays = [self._pinned] if self._pinned.size else []
-        lo = bisect.bisect_left(self._vocab, prefix)
-        for vi in range(lo, len(self._vocab)):
-            term = self._vocab[vi]
+        arr = self._terms.arr
+        lo = self._terms.bisect_left(prefix)
+        for vi in range(lo, self._terms.n):
+            term = arr[vi].as_py()
             if not term.startswith(prefix):
                 break
-            s, e = self._slices[term]
+            s, e = int(self._starts[vi]), int(self._ends[vi])
             for i in range(s, e):
                 arrays.append(self._decode_row(term, i)[0])
         if not arrays:
@@ -304,7 +366,7 @@ class LocalSearcher:
     # -- BM25 ----------------------------------------------------------
 
     def idf(self, term: str) -> float:
-        df = self._df.get(term, 0)
+        df = self._df_of(term)
         n = self._stats.num_documents
         return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
 
@@ -322,7 +384,7 @@ class LocalSearcher:
         stems = query_stems(query, self._stemmer, self._breaker)
         term_rows: list[tuple[str, float, int, int]] = []
         for term in stems:
-            sl = self._slices.get(term)
+            sl = self._term_slice(term)
             if sl is not None:
                 term_rows.append((term, self.idf(term), sl[0], sl[1]))
         if not term_rows:
