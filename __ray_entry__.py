@@ -305,8 +305,11 @@ def _dup_ngram_fraction(sf_dir: str):
 
 def _cooccurrence_counts(sf_dir: str):
     from ts_type_filter_ray.functions.ngrams import cooccurrence_counts
+    # max_doc_terms exercises the per-doc pair-emission cap on the gate;
+    # 100k is far above any sf doc's surviving vocabulary, so the cap is
+    # a no-op here and the result stays value-exact vs the SQL oracle
     return cooccurrence_counts(_docs(sf_dir), min_df=2, min_count=2,
-                               k=TOP_TERMS_K * 2)
+                               k=TOP_TERMS_K * 2, max_doc_terms=100_000)
 
 
 def _sample_exact_k(sf_dir: str):

@@ -121,3 +121,36 @@ def test_cooccurrence_counts_semantics(ray_session):
               cooccurrence_counts(ds, min_df=1, max_df=3, min_count=1,
                                   k=100).take_all()}
     assert capped == {("c", "z"), ("c", "d")}
+
+
+def test_cooccurrence_max_doc_terms_cap(ray_session):
+    """The per-doc pair-emission cap (VERDICT r3 #6): a cap above every
+    doc's surviving vocabulary is a no-op; a tight cap bounds each doc's
+    contribution to C(cap, 2) pairs and only ever UNDER-counts."""
+    from ts_type_filter_ray.functions.ngrams import cooccurrence_counts
+
+    # one pathological doc with 30 distinct terms, a few normal docs
+    big = " ".join(f"t{i:02d}" for i in range(30))
+    ds = _docs([(0, big), (1, "t00 t01 t02"), (2, "t00 t01"),
+                (3, "t05 t06 t07")])
+    exact = {(r["term_a"], r["term_b"]): r["pair_count"] for r in
+             cooccurrence_counts(ds, min_df=1, min_count=1,
+                                 k=1000).take_all()}
+    assert len(exact) == 30 * 29 // 2  # doc 0 pairs everything
+    # cap ≥ max doc vocab → identical result
+    same = {(r["term_a"], r["term_b"]): r["pair_count"] for r in
+            cooccurrence_counts(ds, min_df=1, min_count=1, k=1000,
+                                max_doc_terms=30).take_all()}
+    assert same == exact
+    # tight cap: bounded pair count, every count ≤ the exact count,
+    # and deterministic across runs
+    capped1 = {(r["term_a"], r["term_b"]): r["pair_count"] for r in
+               cooccurrence_counts(ds, min_df=1, min_count=1, k=1000,
+                                   max_doc_terms=5).take_all()}
+    capped2 = {(r["term_a"], r["term_b"]): r["pair_count"] for r in
+               cooccurrence_counts(ds, min_df=1, min_count=1, k=1000,
+                                   max_doc_terms=5).take_all()}
+    assert capped1 == capped2
+    # each doc emits at most C(5,2)=10 pairs → ≤ 40 distinct pairs here
+    assert len(capped1) <= 40
+    assert all(capped1[k] <= exact[k] for k in capped1)

@@ -190,7 +190,8 @@ def dup_ngram_fraction(ds: Dataset, shingle_k: int = 3,
 def cooccurrence_counts(ds: Dataset, min_df: int = 2,
                         max_df: int | None = None, min_count: int = 2,
                         k: int = 50,
-                        num_parts: int | None = None) -> Dataset:
+                        num_parts: int | None = None,
+                        max_doc_terms: int | None = None) -> Dataset:
     """Document-level term co-occurrence: (term_a, term_b, pair_count) —
     how many documents contain BOTH terms (distinct-per-doc semantics,
     term_a < term_b lexicographically) — the count table behind PMI /
@@ -215,7 +216,19 @@ def cooccurrence_counts(ds: Dataset, min_df: int = 2,
     code order ≡ lexicographic term order) pre-aggregated within the
     partition, then a final ``groupby(term_a, term_b) → Sum``. Shuffle
     volume is distinct-(doc,term) rows twice plus one row per distinct
-    pair per partition — never one row per co-occurrence."""
+    pair per partition — never one row per co-occurrence.
+
+    ``max_doc_terms`` bounds the per-doc pair emission INDEPENDENTLY of
+    the df band (VERDICT r3 #6): a pathological doc whose surviving
+    vocabulary is huge would otherwise emit O(V²) pairs in its
+    partition. Docs over the cap keep a deterministic pseudo-random
+    sample of ``max_doc_terms`` surviving terms — ranked by
+    md5(term) ⊕ mix(doc_id), so the sample is stable across runs and
+    partitionings and not lexicographically biased — and the drop is
+    logged (under-count-only contract, same spirit as
+    ``max_shingle_df`` in the Jaccard pass). ``None`` (default) keeps
+    the exact semantics the DuckDB oracle checks; a cap ≥ every doc's
+    surviving vocabulary is a no-op (pytest-pinned)."""
     from ..text.hashvec import md5_lower64_strings
     from .dedup import _segment_index_pairs
 
@@ -270,6 +283,30 @@ def cooccurrence_counts(ds: Dataset, min_df: int = 2,
             return pa.table({"term_a": pa.array([], type=pa.string()),
                              "term_b": pa.array([], type=pa.string()),
                              "cnt": pa.array([], type=pa.int64())})
+        if max_doc_terms is not None:
+            # deterministic per-doc sample: rank rows by
+            # md5(term) ⊕ splitmix(doc_id) within each doc, keep the
+            # max_doc_terms lowest — stable across runs/partitionings
+            hv = md5_lower64_strings(group["term"])
+            mix = (dids.astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)) ^ hv
+            order = np.lexsort((mix, dids))
+            d_sorted = dids[order]
+            first = np.ones(len(d_sorted), dtype=bool)
+            first[1:] = d_sorted[1:] != d_sorted[:-1]
+            seg_start = np.repeat(np.flatnonzero(first), np.diff(
+                np.append(np.flatnonzero(first), len(d_sorted))))
+            rank = np.arange(len(d_sorted), dtype=np.int64) - seg_start
+            keep_sorted = rank < max_doc_terms
+            dropped = int(len(d_sorted) - np.count_nonzero(keep_sorted))
+            if dropped:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "cooccurrence_counts: max_doc_terms=%d dropped %d "
+                    "surviving (doc, term) rows — pair counts touching "
+                    "capped docs under-count", max_doc_terms, dropped)
+            sel = np.sort(order[keep_sorted])  # original row order back
+            terms, dids = terms[sel], dids[sel]
         vocab, codes = np.unique(terms, return_inverse=True)
         # sorted-unique vocabulary ⇒ code order ≡ lexicographic order,
         # so pair (code_a < code_b) is exactly (term_a < term_b)
