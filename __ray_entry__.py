@@ -87,8 +87,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)),
         # rows-only entries never sampled in r1-r3 (approximate by
         # nature; pytest pins recall on clustered fixtures)
+        # beam search runs over the bucket-partitioned graph layout
+        # (write_graph_index): each hop reads only the frontier's
+        # buckets — the scale path, result identical to Dataset mode
         "graph_search": lambda sf: ann.graph_search_topk(
-            _emb(sf), ann.knn_join(_emb(sf), k=5, block_rows=128),
+            _emb(sf), ann.write_graph_index(
+                ann.knn_join(_emb(sf), k=5, block_rows=128),
+                __import__("tempfile").mkdtemp(prefix="graft_graph_idx_")),
             ANN_QUERY_IDS, k=ANN_K).select_columns(
                 ["query_id", "rank", "vec_id"]),
         "knn_graph": lambda sf: ann.knn_graph_descent(

@@ -794,12 +794,21 @@ def test_knn_graph_descent_clustered_recall(ray_session):
     qids = [3, 77, 150, 299]
     want = {(r["query_id"], r["vec_id"])
             for r in ann.brute_force_topk(ds, qids, k=10).take_all()}
-    beam = {(r["query_id"], r["vec_id"])
-            for r in ann.graph_search_topk(
-                rd.from_arrow(tbl), graph, qids, k=10, ef=32,
-                num_hops=4).take_all()}
+    beam_tbl = ann.graph_search_topk(
+        rd.from_arrow(tbl), graph, qids, k=10, ef=32,
+        num_hops=4).take_all()
+    beam = {(r["query_id"], r["vec_id"]) for r in beam_tbl}
     assert len(beam & want) / len(want) >= 0.95
     assert len(beam) == len(want)  # k rows per query either way
+    # bucket-partitioned graph layout: per-hop pruned reads must return
+    # EXACTLY the Dataset-mode result (same beams, scores, ranks)
+    import tempfile
+    gdir = tempfile.mkdtemp(prefix="graft_graph_idx_")
+    ann.write_graph_index(graph, gdir, num_buckets=8)
+    beam_idx = ann.graph_search_topk(
+        rd.from_arrow(tbl), gdir, qids, k=10, ef=32,
+        num_hops=4).take_all()
+    assert beam_idx == beam_tbl
     # exactly k rows per vector, ranks 1..k, sims descending per vec
     per_vec = {}
     for r in sorted(got_rows, key=lambda r: (r["vec_id"], r["rank"])):
