@@ -139,3 +139,92 @@ def test_keys_roundtrip_positions(pos_index):
         want = [(d, i) for d, text in enumerate(DOCS)
                 for i, t in enumerate(_toks(text)) if t == term]
         assert got == want, term
+
+
+# -- stemmed mode (VERDICT r3 #8) ---------------------------------------
+
+DOCS_STEM = [
+    "running tests quickly",            # run test quick
+    "he runs the tested runner",        # he run the test runner
+    "test run",                         # test run (reversed order)
+    "quick tester running",             # quick tester run
+    "nothing relevant here",
+    "",
+]
+
+STEM_PHRASES = ["run test", "running tested", "tests runs", "test run",
+                "quickly", "tested runner zzz", ""]
+
+STEM_PROX = [("running", "quick", 2), ("runs", "tester", 1),
+             ("test", "runner", 2), ("zzz", "run", 3)]
+
+
+@pytest.fixture(scope="module")
+def pos_index_stemmed(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    from ts_type_filter_ray.text.porter2 import stem
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS_STEM)), type=pa.int64()),
+        "content": pa.array(DOCS_STEM, type=pa.string()),
+    })).repartition(2)
+    root = str(tmp_path_factory.mktemp("posidx_stem") / "idx")
+    return build_positional_index(corpus, root, num_term_buckets=4,
+                                  doc_part_bits=2, batch_size=2,
+                                  stemmer=stem)
+
+
+def _stoks(s):
+    from ts_type_filter_ray.text.porter2 import stem
+    return [stem(t) for t in s.lower().split()]
+
+
+@pytest.mark.parametrize("phrase", STEM_PHRASES)
+def test_stemmed_phrase_golden(pos_index_stemmed, phrase):
+    """Phrase over the STEMMED positional index ≡ contiguous stemmed
+    token subsequence — 'running tested' matches 'run test' positions."""
+    from ts_type_filter_ray.text.porter2 import stem
+    s = PositionalSearcher(pos_index_stemmed, stemmer=stem)
+    p = _stoks(phrase)
+    want = []
+    if p:
+        for d, text in enumerate(DOCS_STEM):
+            t = _stoks(text)
+            if any(t[i:i + len(p)] == p
+                   for i in range(len(t) - len(p) + 1)):
+                want.append(d)
+    assert s.phrase(phrase).tolist() == want, phrase
+
+
+@pytest.mark.parametrize("a,b,w", STEM_PROX)
+def test_stemmed_proximity_golden(pos_index_stemmed, a, b, w):
+    from ts_type_filter_ray.text.porter2 import stem
+    s = PositionalSearcher(pos_index_stemmed, stemmer=stem)
+    sa, sb = _stoks(a)[0], _stoks(b)[0]
+    want = []
+    for d, text in enumerate(DOCS_STEM):
+        t = _stoks(text)
+        ia = [i for i, x in enumerate(t) if x == sa]
+        ib = [i for i, x in enumerate(t) if x == sb]
+        if any(abs(i - j) <= w for i in ia for j in ib):
+            want.append(d)
+    assert s.proximity(a, b, w).tolist() == want, (a, b, w)
+
+
+def test_stemmed_index_merges_token_forms(pos_index_stemmed):
+    """Tokens that stem to the same term share one posting row: the
+    stemmed index's vocabulary is the stemmed vocabulary, and position
+    lists stay ascending across merged forms."""
+    vocab = {t for d in DOCS_STEM for t in _stoks(d)}
+    assert pos_index_stemmed.num_terms == len(vocab)
+    from ts_type_filter_ray.text.porter2 import stem
+    s = PositionalSearcher(pos_index_stemmed, stemmer=stem)
+    keys = s._term_keys(["run"])["run"]
+    # doc 1 has 'runs'(1) and 'runner'? runner stems to itself; doc 1:
+    # he(0) runs(1) the(2) tested(3) runner(4) -> 'run' at pos 1 only
+    # doc 0: running(0); doc 2: run(1); doc 3: running(2)
+    got = sorted((int(k) >> POS_BITS, int(k) & ((1 << POS_BITS) - 1))
+                 for k in keys)
+    want = sorted((d, i) for d, text in enumerate(DOCS_STEM)
+                  for i, t in enumerate(_stoks(text)) if t == "run")
+    assert got == want

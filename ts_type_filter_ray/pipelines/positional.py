@@ -67,7 +67,8 @@ _MAX_DOC_LEN = (1 << POS_BITS) - 1
 
 def tokenize_positions_task(batch: pa.Table, *,
                             num_term_buckets: int,
-                            doc_part_bits: int) -> pa.Table:
+                            doc_part_bits: int,
+                            stemmer=None) -> pa.Table:
     """Corpus batch → partial positional posting rows.
 
     Output: term:string, part:int32, bucket:int32, doc_ids:list<int64>,
@@ -77,6 +78,14 @@ def tokenize_positions_task(batch: pa.Table, *,
     Fully vectorized: Arrow lower+split, one stable argsort over the
     fused (token code, doc) key — stability keeps positions ascending
     within each (term, doc) group without sorting positions themselves.
+
+    ``stemmer`` (optional) maps each token position-preservingly —
+    stemming touches only the batch's UNIQUE tokens (dictionary-encode
+    trick), and tokens that stem to the same term merge: the stable
+    sort keeps the merged group's positions ascending, so stemmed
+    phrase/proximity semantics ("running tests" matches "run test"'s
+    positions) come out of the same kernel. ``None`` keeps the
+    lowercase-nostem behavior every SQL-oracle gate checks.
     """
     n_docs = batch.num_rows
     doc_np = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -114,6 +123,11 @@ def tokenize_positions_task(batch: pa.Table, *,
         enc = enc.combine_chunks()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = enc.dictionary.to_pylist()
+    if stemmer is not None:
+        stems = np.array([stemmer(t) for t in vocab], dtype=object)
+        uniq, inv = np.unique(stems, return_inverse=True)
+        codes = inv[codes].astype(np.int64)
+        vocab = uniq.tolist()
 
     # stable sort by (code, docidx): within each group, original order
     # (= ascending position) is preserved
@@ -305,9 +319,14 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
 def build_positional_index(corpus: Dataset, out_dir: str, *,
                            num_term_buckets: int = 16,
                            doc_part_bits: int = 20,
-                           batch_size: int = 256) -> PositionalIndex:
+                           batch_size: int = 256,
+                           stemmer=None) -> PositionalIndex:
     """Build the positional index under *out_dir* (corpus must have
     ``doc_id:int64, content:string`` — same contract as ``build_index``).
+    ``stemmer`` builds a STEMMED positional index (pass the same
+    callable to :class:`PositionalSearcher` — the caller owns that
+    contract, exactly like ``LocalSearcher``); ``None`` (default) is
+    the lowercase-nostem mode the SQL-oracle gates check.
     """
     import shutil
 
@@ -324,7 +343,8 @@ def build_positional_index(corpus: Dataset, out_dir: str, *,
     corpus.map_batches(
         tokenize_positions_task,
         fn_kwargs={"num_term_buckets": num_term_buckets,
-                   "doc_part_bits": doc_part_bits},
+                   "doc_part_bits": doc_part_bits,
+                   "stemmer": stemmer},
         batch_format="pyarrow", batch_size=batch_size,
     ).write_parquet(partials_dir, partition_cols=["bucket"])
 
@@ -365,8 +385,11 @@ class PositionalSearcher:
     terms' rows, bucket-pruned + term-filter-pushed) — wrap in an actor
     for a warm pool, same shape as ``LocalSearcher``."""
 
-    def __init__(self, index: PositionalIndex):
+    def __init__(self, index: PositionalIndex, stemmer=None):
         self._index = index
+        # must match the stemmer the index was built with (caller-owned
+        # contract, same as LocalSearcher); None = lowercase-nostem
+        self._stem = stemmer or (lambda t: t)
 
     def _term_keys(self, terms: list[str]) -> dict[str, np.ndarray]:
         """term → ascending unique (doc << POS_BITS | pos) key array."""
@@ -408,7 +431,7 @@ class PositionalSearcher:
     def phrase(self, phrase: str) -> np.ndarray:
         """doc_ids (ascending) containing the contiguous token sequence
         of *phrase* (lowercase-whitespace tokens)."""
-        terms = phrase.lower().split()
+        terms = [self._stem(t) for t in phrase.lower().split()]
         if not terms:
             return np.empty(0, dtype=np.int64)
         keys = self._term_keys(terms)
@@ -425,8 +448,8 @@ class PositionalSearcher:
                   window: int) -> np.ndarray:
         """doc_ids where the two (distinct) terms co-occur within
         *window* token positions (|pos_a - pos_b| ≤ window)."""
-        a = term_a.lower()
-        b = term_b.lower()
+        a = self._stem(term_a.lower())
+        b = self._stem(term_b.lower())
         keys = self._term_keys([a, b])
         ka, kb = keys[a], keys[b]
         if ka.size == 0 or kb.size == 0:
