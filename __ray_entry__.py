@@ -87,11 +87,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)),
         # rows-only entries never sampled in r1-r3 (approximate by
         # nature; pytest pins recall on clustered fixtures)
-        # beam search runs over the bucket-partitioned graph layout
-        # (write_graph_index): each hop reads only the frontier's
-        # buckets — the scale path, result identical to Dataset mode
+        # beam search runs in full-index mode: adjacency AND vectors in
+        # bucket-partitioned layouts (write_graph_index /
+        # write_vector_index) — every hop is pruned reads of the
+        # frontier's and candidates' buckets, result identical to the
+        # Dataset-scan mode (pytest-pinned)
         "graph_search": lambda sf: ann.graph_search_topk(
-            _emb(sf), ann.write_graph_index(
+            ann.write_vector_index(
+                _emb(sf),
+                __import__("tempfile").mkdtemp(prefix="graft_vec_idx_")),
+            ann.write_graph_index(
                 ann.knn_join(_emb(sf), k=5, block_rows=128),
                 __import__("tempfile").mkdtemp(prefix="graft_graph_idx_")),
             ANN_QUERY_IDS, k=ANN_K).select_columns(

@@ -809,6 +809,13 @@ def test_knn_graph_descent_clustered_recall(ray_session):
         rd.from_arrow(tbl), gdir, qids, k=10, ef=32,
         num_hops=4).take_all()
     assert beam_idx == beam_tbl
+    # vector-index mode on top: pruned candidate gathers + driver
+    # matmul must also be identical (full-index mode: both layouts)
+    vdir = tempfile.mkdtemp(prefix="graft_vec_idx_")
+    ann.write_vector_index(rd.from_arrow(tbl), vdir, num_buckets=8)
+    beam_full = ann.graph_search_topk(
+        vdir, gdir, qids, k=10, ef=32, num_hops=4).take_all()
+    assert beam_full == beam_tbl
     # exactly k rows per vector, ranks 1..k, sims descending per vec
     per_vec = {}
     for r in sorted(got_rows, key=lambda r: (r["vec_id"], r["rank"])):
