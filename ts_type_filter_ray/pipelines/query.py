@@ -131,21 +131,29 @@ class LocalSearcher:
         stays a sorted Arrow array behind :class:`SortedTermMap` — no
         vocab-sized Python dicts/lists are ever built (r3's load spent
         ~1.0 s of 1.8 s on them at 459k terms)."""
+        n = tbl.num_rows
         order = pc.sort_indices(
             tbl, sort_keys=[("term", "ascending"), ("part", "ascending")])
-        tbl = tbl.take(order).combine_chunks()
-        n = tbl.num_rows
-        self._part = tbl["part"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        df_row = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        perm = order.to_numpy(zero_copy_only=False).astype(np.int64)
+        # only the SMALL columns are materialized in sorted order; the
+        # encoded posting buffers (the ~100s of MB) stay exactly as read
+        # and are indexed through the permutation at decode time — the
+        # r4 load profile showed take+combine of the binary columns was
+        # the dominant first-touch cost of a cold load
+        self._perm = perm
+        self._part = (tbl["part"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)[perm])
+        df_row = (tbl["df"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64)[perm])
         # impact_correction = 1.0 on single-generation indexes; on
         # extended indexes it re-validates block-max bounds frozen at an
         # older avgdl (see IndexStats) — pruning stays EXACT, just looser
         self._imp = (tbl["max_impact"].to_numpy(zero_copy_only=False)
-                     .astype(np.float64) * self._stats.impact_correction)
-        self._denc = tbl["doc_ids_enc"].combine_chunks()
-        self._tenc = tbl["tfs_enc"].combine_chunks()
-        self._lenc = tbl["dls_enc"].combine_chunks()
+                     .astype(np.float64)[perm]
+                     * self._stats.impact_correction)
+        self._denc = tbl["doc_ids_enc"]
+        self._tenc = tbl["tfs_enc"]
+        self._lenc = tbl["dls_enc"]
         # global-df override (doc-partitioned serving) — unset by default
         self._gdf: tuple[SortedTermMap, np.ndarray] | None = None
         if n == 0:
@@ -154,7 +162,8 @@ class LocalSearcher:
             self._ends = np.empty(0, dtype=np.int64)
             self._df_values = np.empty(0, dtype=np.int64)
             return
-        enc = pc.dictionary_encode(tbl["term"]).combine_chunks()
+        enc = pc.dictionary_encode(
+            pc.take(tbl["term"], order)).combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False)
         change = np.ones(n, dtype=bool)
         change[1:] = codes[1:] != codes[:-1]
@@ -229,9 +238,10 @@ class LocalSearcher:
         hit = self._decoded.get(key)
         if hit is not None:
             return hit
-        doc_ids = plib.decode_doc_ids(self._denc[i].as_py())
-        tfs = plib.decode_varints(self._tenc[i].as_py()).astype(np.float64)
-        dls = plib.decode_varints(self._lenc[i].as_py()).astype(np.float64)
+        j = int(self._perm[i])  # encoded columns are in as-read order
+        doc_ids = plib.decode_doc_ids(self._denc[j].as_py())
+        tfs = plib.decode_varints(self._tenc[j].as_py()).astype(np.float64)
+        dls = plib.decode_varints(self._lenc[j].as_py()).astype(np.float64)
         # the BM25 tf-factor depends only on per-index constants
         # (avgdl/k1/b) and this row's tf/dl — precompute it ONCE per
         # decode instead of per query (it was the warm-query hot spot:
