@@ -88,3 +88,28 @@ def test_compact_after_extend(corpora, tmp_path, ray_session):
                  if f.endswith(".parquet") and not f.startswith((".", "_"))]
         assert files == ["merged.parquet"]
     _assert_equal_searchers(LocalSearcher(comp), LocalSearcher(full))
+
+
+def test_persisted_df_tracks_extend_and_compact(corpora, tmp_path,
+                                                ray_session):
+    """The per-bucket ``_df.parquet`` written at merge time must stay
+    equal to the full postings-metadata aggregation after every extend
+    and after compaction (each of those paths refreshes it)."""
+    import pyarrow.dataset as pads
+
+    from ts_type_filter_ray.pipelines.build import compact_index
+    from ts_type_filter_ray.pipelines.serve import load_global_df
+
+    def meta_df(idx):
+        meta = pads.dataset(idx.postings_dir, partitioning="hive").to_table(
+            columns=["term", "df"])
+        return (meta.group_by("term").aggregate([("df", "sum")])
+                .rename_columns(["term", "df"]).sort_by("term"))
+
+    a, b, c, _ = corpora
+    idx = build_index(read_corpus(a), str(tmp_path / "dfinc"))
+    assert load_global_df(idx).equals(meta_df(idx))
+    idx = extend_index(str(tmp_path / "dfinc"), read_corpus(b))
+    assert load_global_df(idx).equals(meta_df(idx))
+    idx = compact_index(str(tmp_path / "dfinc"))
+    assert load_global_df(idx).equals(meta_df(idx))
