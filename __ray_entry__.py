@@ -123,6 +123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: flagship.boolean_match_nostem_table(sf),
         "index_statistics_nostem":
             lambda sf: flagship.index_statistics_nostem_table(sf),
+        # delete_docs visibility on the value-exact gate: same nostem
+        # match over an index with a fixed tombstone set (r4)
+        "deleted_match_nostem":
+            lambda sf: flagship.deleted_match_nostem_table(sf),
         # -- POSITIONAL index: phrase / proximity answered from persisted
         #    delta-varint positional postings (bucket-pruned, term-filter-
         #    pushed reads), value-exact vs a parallel-unnest DuckDB oracle
@@ -489,12 +493,14 @@ def oracle_sql() -> dict[str, str]:
     # (query_idx, term) VALUES rows for the identity-stemmer boolean-match
     # oracle, derived from the SAME query set + breaker + stemmer the
     # engine path uses (constants at plan time, like the lang markers)
-    from ts_type_filter_ray.pipelines.flagship import (NOSTEM_QUERY_SET,
+    from ts_type_filter_ray.pipelines.flagship import (DELETED_DOC_IDS,
+                                                       NOSTEM_QUERY_SET,
                                                        identity_stemmer)
     from ts_type_filter_ray.pipelines.query import query_stems
     nostem_rows = ",".join(
         f"({qi},'{t}')" for qi, q in enumerate(NOSTEM_QUERY_SET)
         for t in query_stems(q, stemmer=identity_stemmer))
+    deleted_ids = ",".join(str(d) for d in DELETED_DOC_IDS)
 
     # positional-index oracles: one (doc_id, term, pos) relation via
     # DuckDB's zipped parallel unnest, then per-phrase adjacency joins /
@@ -1032,6 +1038,17 @@ def oracle_sql() -> dict[str, str]:
                 from documents where trim(text) <> ''))
             select distinct q.query_idx, t.doc_id
             from q join toks t using (term)""",
+        "deleted_match_nostem": rf"""
+            with q(query_idx, term) as (values {nostem_rows}),
+            toks as (
+              select distinct doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                       as term
+                from documents where trim(text) <> ''))
+            select distinct q.query_idx, t.doc_id
+            from q join toks t using (term)
+            where t.doc_id not in ({deleted_ids})""",
         "bm25_topk_nostem": bm25_nostem_sql,
         "index_statistics_nostem": r"""
             with toks as (

@@ -1,0 +1,149 @@
+"""Document deletion lifecycle: tombstones make docs invisible to every
+query surface immediately (statistics frozen — the Lucene-style split),
+and compaction purges them so the index then equals an oracle built over
+only the surviving documents."""
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from ts_type_filter_ray.oracle.index import build_oracle
+from ts_type_filter_ray.pipelines.build import (BuiltIndex, build_index,
+                                                compact_index, delete_docs,
+                                                extend_index,
+                                                load_tombstones)
+from ts_type_filter_ray.pipelines.query import (LocalSearcher,
+                                                bm25_dataset,
+                                                match_doc_ids)
+from ts_type_filter_ray.sources.corpus import read_corpus
+
+QUERIES = ["same", "fire heat", "thrall quench", "zzznohit", ""]
+DELETED = [0, 3, 17, 54, 141]
+
+
+@pytest.fixture(scope="module")
+def deleted_index(ray_session, sonnets_corpus_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("del_idx")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    delete_docs(idx.root, DELETED[:3])
+    delete_docs(idx.root, DELETED[2:])  # overlapping re-delete is fine
+    tbl = pads.dataset(sonnets_corpus_dir).to_table()
+    contents = tbl["content"].to_pylist()
+    return BuiltIndex.load(idx.root), contents
+
+
+def test_tombstones_load_union(deleted_index):
+    idx, _ = deleted_index
+    assert load_tombstones(idx.root).tolist() == sorted(DELETED)
+
+
+def test_match_surfaces_exclude_deleted(deleted_index):
+    idx, contents = deleted_index
+    s = LocalSearcher(idx)
+    # oracle over the SURVIVORS with their ORIGINAL ids — visibility
+    # semantics: match sets equal the survivor corpus's
+    live = [(d, c) for d, c in enumerate(contents) if d not in DELETED]
+    oracle = build_oracle([d for d, _ in live], [c for _, c in live])
+    for q in QUERIES:
+        assert s.match(q).tolist() == oracle.match(q), q
+    for d in DELETED:
+        assert d not in s.match_prefix("f").tolist()
+        assert d not in s.match_all("same").tolist()
+        assert d not in s.match_andnot("fire", "zzznohit").tolist()
+
+
+def test_deletion_beats_pinning(deleted_index):
+    idx, _ = deleted_index
+    s = LocalSearcher(idx, pinned_doc_ids={DELETED[0], 5})
+    out = s.match("").tolist()
+    assert out == [5]
+    assert DELETED[0] not in s.match("same").tolist()
+
+
+def test_bm25_excludes_deleted_with_frozen_stats(deleted_index):
+    """Deleted docs never rank; the survivors keep the FROZEN pre-delete
+    scores (N/df/avgdl unchanged until compaction)."""
+    idx, contents = deleted_index
+    s = LocalSearcher(idx)
+    full_oracle = build_oracle(list(range(len(contents))), contents)
+    for q in QUERIES[:3]:
+        frozen = [(d, sc) for d, sc in
+                  full_oracle.bm25(q, k=10 + len(DELETED))
+                  if d not in DELETED][:10]
+        assert s.bm25(q, k=10) == frozen, q
+
+
+def test_oneoff_paths_exclude_deleted(deleted_index):
+    idx, _ = deleted_index
+    got = match_doc_ids(idx, "same")
+    assert not set(DELETED) & set(got.tolist())
+    top = bm25_dataset(idx, "fire heat", k=200)
+    assert not set(DELETED) & {d for d, _ in top}
+
+
+def test_served_pool_excludes_deleted(deleted_index):
+    from ts_type_filter_ray.pipelines.serve import SearchService
+    idx, _ = deleted_index
+    svc = SearchService(idx.root, num_actors=3)
+    local = LocalSearcher(idx)
+    for q in QUERIES:
+        assert svc.match(q).tolist() == local.match(q).tolist(), q
+        assert svc.bm25(q, k=5) == local.bm25(q, k=5), q
+
+
+def test_compact_purges_to_survivor_oracle(ray_session, sonnets_corpus_dir,
+                                           tmp_path_factory):
+    """After compaction the index equals an oracle built over ONLY the
+    surviving docs (original ids): match sets AND bit-identical BM25
+    scores with the recomputed N/df/avgdl."""
+    out = tmp_path_factory.mktemp("del_purge")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    pre = idx.stats
+    delete_docs(idx.root, DELETED)
+    comp = compact_index(idx.root)
+    # tombstones cleared, stats recomputed, ceiling preserved
+    assert load_tombstones(idx.root).size == 0
+    assert comp.stats.num_documents == pre.num_documents - len(DELETED)
+    assert comp.stats.total_doc_len < pre.total_doc_len
+    assert comp.stats.id_ceiling == pre.num_documents
+    assert comp.stats.num_postings < pre.num_postings
+    # docs table holds exactly the survivors
+    docs = pads.dataset(comp.docs_dir).to_table(columns=["doc_id"])
+    ids = sorted(docs["doc_id"].to_pylist())
+    assert set(DELETED) & set(ids) == set()
+    assert len(ids) == comp.stats.num_documents
+
+    tbl = pads.dataset(sonnets_corpus_dir).to_table()
+    contents = tbl["content"].to_pylist()
+    live = [(d, c) for d, c in enumerate(contents) if d not in DELETED]
+    oracle = build_oracle([d for d, _ in live], [c for _, c in live])
+    s = LocalSearcher(comp)
+    for q in QUERIES:
+        assert s.match(q).tolist() == oracle.match(q), q
+        assert s.bm25(q, k=10) == oracle.bm25(q, k=10), q
+
+
+def test_extend_after_purge_never_reuses_ids(ray_session,
+                                             sonnets_corpus_dir,
+                                             tmp_path_factory):
+    out = tmp_path_factory.mktemp("del_extend")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    n0 = idx.stats.num_documents
+    delete_docs(idx.root, DELETED)
+    compact_index(idx.root)
+    ext = extend_index(idx.root, read_corpus(sonnets_corpus_dir))
+    # new docs start at the PRE-deletion ceiling, not at num_documents
+    assert ext.stats.id_ceiling == n0 + n0
+    docs = pads.dataset(ext.docs_dir).to_table(columns=["doc_id"])
+    ids = docs["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids)), "doc id reuse after purge"
+    assert ext.stats.num_documents == 2 * n0 - len(DELETED)
+    # the re-added copy of a deleted sonnet is findable at its NEW id
+    s = LocalSearcher(ext)
+    hits = s.match("same")
+    assert (hits >= n0).any()

@@ -58,8 +58,16 @@ def main(argv: list[str] | None = None) -> int:
 
     cp = sub.add_parser("compact",
                         help="collapse extension segments to one file per "
-                             "bucket (tightens pruning; results unchanged)")
+                             "bucket (tightens pruning; results unchanged) "
+                             "and purge any delete tombstones")
     cp.add_argument("index")
+
+    dl = sub.add_parser("delete",
+                        help="tombstone doc ids (invisible immediately; "
+                             "stats frozen until compact purges)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--ids", required=True,
+                    help="comma-separated doc ids, e.g. 3,17,42")
 
     q = sub.add_parser("query", help="boolean or BM25 query an index")
     q.add_argument("index")
@@ -128,6 +136,19 @@ def main(argv: list[str] | None = None) -> int:
         s = idx.stats
         print(f"compacted to 1 segment: {s.num_documents} docs, "
               f"{s.num_unique_terms} terms, {s.num_postings} postings")
+        return 0
+
+    if args.cmd == "delete":
+        from .pipelines.build import delete_docs, load_tombstones
+        if not os.path.exists(os.path.join(args.index, "stats.json")):
+            print(f"error: no index at {args.index!r} (missing stats.json)",
+                  file=sys.stderr)
+            return 2
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+        delete_docs(args.index, ids)
+        print(f"tombstoned {len(set(ids))} doc ids "
+              f"({load_tombstones(args.index).size} total pending purge); "
+              f"run compact to reclaim")
         return 0
 
     if args.cmd == "query":

@@ -60,6 +60,18 @@ class IndexStats:
     # linearly in avgdl). None ⇔ single-generation index (factor 1).
     num_segments: int = 1
     min_merge_avgdl: float | None = None
+    # deletions (delete_docs): compaction purges tombstoned docs, which
+    # leaves HOLES in the id space — the next extend_index must not
+    # reuse a live id, so the id ceiling is tracked independently of
+    # num_documents. None ⇔ no deletions ever compacted (ceiling =
+    # num_documents, the dense-id invariant) — also the back-compat
+    # default for stats.json files written before this field existed.
+    id_ceiling: int | None = None
+
+    @property
+    def next_doc_id(self) -> int:
+        return self.id_ceiling if self.id_ceiling is not None \
+            else self.num_documents
 
     @property
     def avgdl(self) -> float:
@@ -87,6 +99,10 @@ class BuiltIndex:
     @property
     def postings_dir(self) -> str:
         return os.path.join(self.root, "postings")
+
+    @property
+    def tombstones_dir(self) -> str:
+        return os.path.join(self.root, "tombstones")
 
     @classmethod
     def load(cls, root: str) -> "BuiltIndex":
@@ -231,7 +247,10 @@ def extend_index(root: str, new_corpus: Dataset, *,
 
     old = BuiltIndex.load(root)
     st = old.stats
-    offset = st.num_documents
+    # next_doc_id, not num_documents: after a deletion+compaction the id
+    # space has holes and num_documents < the ceiling — reusing a live
+    # id would silently alias two documents
+    offset = st.next_doc_id
     gen = st.num_segments  # segment_1 is the first extension
     timings: dict[str, float] = {}
 
@@ -300,6 +319,7 @@ def extend_index(root: str, new_corpus: Dataset, *,
         num_term_buckets=st.num_term_buckets,
         num_segments=gen + 1,
         min_merge_avgdl=min(old_min, avgdl),
+        id_ceiling=(offset + n_new if st.id_ceiling is not None else None),
     )
     with open(os.path.join(root, "stats.json"), "w") as f:
         json.dump(stats.__dict__, f, indent=1)
@@ -349,15 +369,89 @@ def _write_docs_table(meta_dir: str, docs_dir: str,
     return sum(r[0] for r in results), sum(r[1] for r in results)
 
 
+def load_tombstones(root: str):
+    """Sorted unique tombstoned doc_ids (empty array if none). Every
+    tombstone generation file under ``root/tombstones/`` unions in —
+    the set is bounded by deletions, the small side by contract."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tdir = os.path.join(root, "tombstones")
+    if not os.path.isdir(tdir):
+        return np.empty(0, dtype=np.int64)
+    arrays = []
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            arrays.append(pq.read_table(os.path.join(tdir, f))["doc_id"]
+                          .to_numpy(zero_copy_only=False))
+    if not arrays:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(arrays).astype(np.int64))
+
+
+def delete_docs(root: str, doc_ids) -> BuiltIndex:
+    """Mark *doc_ids* deleted — the Lucene-style visibility/statistics
+    split: deleted docs become invisible to every query surface
+    immediately (searchers load the tombstone set and filter results;
+    deletion beats pinning), while corpus statistics (N, avgdl, df,
+    block-max bounds) stay FROZEN until :func:`compact_index` purges
+    the postings and docs table and recomputes them. Cost is O(ids):
+    one appended tombstone generation file, atomic tmp+rename,
+    idempotent under re-delete. Deleting an id that was never indexed
+    is a no-op by construction."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idx = BuiltIndex.load(root)
+    ids = np.unique(np.asarray(sorted(set(int(d) for d in doc_ids)),
+                               dtype=np.int64))
+    if ids.size == 0:
+        return idx
+    tdir = os.path.join(root, "tombstones")
+    os.makedirs(tdir, exist_ok=True)
+    gen = len([f for f in os.listdir(tdir) if f.endswith(".parquet")])
+    tmp = os.path.join(tdir, f".gen_{gen}.{os.getpid()}.tmp")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}),
+                   tmp)
+    os.replace(tmp, os.path.join(tdir, f"gen_{gen:05d}.parquet"))
+    return idx
+
+
+def _purge_one_docs_shard(path: str, tombs) -> tuple[int, int]:
+    """Rewrite one docs shard without tombstoned rows (to ``.purge.tmp``
+    beside it — the caller swaps after every bucket compacted). Returns
+    the surviving (n_docs, total_doc_len)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(tombs, ids)
+    dead = (pos < len(tombs)) & (tombs[np.minimum(pos, len(tombs) - 1)]
+                                 == ids)
+    if dead.any():
+        tbl = tbl.filter(~dead)
+    pq.write_table(tbl, path + ".purge.tmp")
+    dl = pc.sum(tbl["doc_len"]).as_py() or 0
+    return tbl.num_rows, int(dl)
+
+
 def _compact_one_bucket(dest: str, avgdl: float, k1: float,
-                        b: float) -> tuple[int, int]:
+                        b: float, tombs=None) -> tuple[int, int]:
     """Rewrite one bucket's segment files as a single fresh
     ``merged.parquet`` (block-max metadata recomputed at the CURRENT
     avgdl). Decode → partial-shaped rows → the ordinary bucket merge; no
     re-tokenize. Two-phase commit: the compacted table lands in
     ``.compact.tmp`` before any visible file is removed, so a crash at
     any point leaves either the old segments or a finishable tmp —
-    re-running compacts/finishes idempotently."""
+    re-running compacts/finishes idempotently.
+
+    ``tombs`` (sorted np.int64) PURGES those doc_ids from every posting
+    while rewriting — rows whose doc list empties are dropped, df and
+    block-max recompute from the survivors (delete_docs purge path)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -382,6 +476,27 @@ def _compact_one_bucket(dest: str, avgdl: float, k1: float,
         ids_flat, ids_off = plib.decode_doc_ids_column(rows["doc_ids_enc"])
         tfs_flat, tfs_off = plib.decode_varints_column(rows["tfs_enc"])
         dls_flat, dls_off = plib.decode_varints_column(rows["dls_enc"])
+        if tombs is not None and len(tombs) and len(ids_flat):
+            # per-posting keep mask (tfs/dls share the doc segmenting),
+            # per-row surviving counts via reduceat over the row starts,
+            # rows with no survivors dropped below via the table filter
+            tombs = np.asarray(tombs, dtype=np.int64)
+            pos = np.searchsorted(tombs, ids_flat)
+            dead = ((pos < len(tombs))
+                    & (tombs[np.minimum(pos, len(tombs) - 1)] == ids_flat))
+            keep = ~dead
+            off = np.asarray(ids_off, dtype=np.int64)
+            new_counts = np.add.reduceat(keep.astype(np.int64), off[:-1])
+            new_counts[np.diff(off) == 0] = 0  # reduceat quirk guard
+            ids_flat = ids_flat[keep]
+            tfs_flat = tfs_flat[keep]
+            dls_flat = dls_flat[keep]
+            new_off = np.zeros(len(new_counts) + 1, dtype=np.int64)
+            np.cumsum(new_counts, out=new_off[1:])
+            ids_off = tfs_off = dls_off = new_off
+            alive_rows = new_counts > 0
+        else:
+            alive_rows = None
         partial = pa.table({
             "bucket": pa.array([bucket] * rows.num_rows, type=pa.int32()),
             "term": rows["term"],
@@ -396,8 +511,22 @@ def _compact_one_bucket(dest: str, avgdl: float, k1: float,
                 pa.array(dls_off, type=pa.int64()),
                 pa.array(dls_flat, type=pa.int64())),
         })
-        merged = merge_bucket_table(partial, avgdl, k1, b)
-        merged = merged.drop_columns(["bucket"])
+        if alive_rows is not None:
+            partial = partial.filter(pa.array(alive_rows))
+        if partial.num_rows:
+            merged = merge_bucket_table(partial, avgdl, k1, b)
+            merged = merged.drop_columns(["bucket"])
+        else:
+            # every posting in this bucket was tombstoned
+            merged = pa.table({
+                "term": pa.array([], type=pa.string()),
+                "part": pa.array([], type=pa.int32()),
+                "df": pa.array([], type=pa.int64()),
+                "doc_ids_enc": pa.array([], type=pa.large_binary()),
+                "tfs_enc": pa.array([], type=pa.large_binary()),
+                "dls_enc": pa.array([], type=pa.large_binary()),
+                "max_impact": pa.array([], type=pa.float64()),
+            })
         pq.write_table(merged, tmp)
         # visible-state swap: markers first (invalidate), then segments
         for f in sorted(os.listdir(dest)):
@@ -417,33 +546,85 @@ def compact_index(root: str) -> BuiltIndex:
     and reset ``min_merge_avgdl`` to the current avgdl — restores the
     tightest block-max pruning after a run of :func:`extend_index` calls
     (the LSM compaction step). Query results are unchanged (pytest-pinned
-    bit-identical); only the pruning bound tightens."""
+    bit-identical); only the pruning bound tightens.
+
+    If :func:`delete_docs` tombstones exist, compaction also PURGES
+    them: tombstoned postings drop from every bucket, the docs table
+    drops those rows, and N / total_doc_len / df / block-max recompute
+    from the survivors — queries afterwards equal an oracle built over
+    only the surviving documents (pytest-pinned). The tombstone files
+    clear last, so a crash mid-purge re-runs to the same state. Doc ids
+    are NEVER reassigned (holes are fine; ``IndexStats.id_ceiling``
+    keeps the next extend collision-free)."""
+    import numpy as np
     import ray
 
     old = BuiltIndex.load(root)
     st = old.stats
     postings_dir = os.path.join(root, "postings")
+    tombs = load_tombstones(root)
     total_cpus = int(ray.cluster_resources().get("CPU", 8))
     per_task_cpus = max(1, total_cpus // 16)
+
+    if tombs.size:
+        # surviving docs table first — its reduce is the post-purge
+        # (N, total_doc_len) the bucket rewrites price their block-max
+        # metadata with
+        docs_dir = os.path.join(root, "docs")
+        shard_paths = [os.path.join(docs_dir, f)
+                       for f in sorted(os.listdir(docs_dir))
+                       if f.endswith(".parquet")
+                       and not f.startswith((".", "_"))]
+        tombs_ref = ray.put(tombs)
+        purge_task = ray.remote(_purge_one_docs_shard)
+        doc_results = ray.get([purge_task.remote(p, tombs_ref)
+                               for p in shard_paths])
+        n_docs = sum(r[0] for r in doc_results)
+        total_dl = sum(r[1] for r in doc_results)
+        if n_docs == 0:
+            raise ValueError("compacting these tombstones would delete "
+                             "every document in the index")
+        avgdl = total_dl / n_docs
+    else:
+        tombs_ref = None
+        n_docs, total_dl, avgdl = (st.num_documents, st.total_doc_len,
+                                   st.avgdl)
+
     task = ray.remote(num_cpus=per_task_cpus)(_compact_one_bucket)
-    refs = [task.remote(os.path.join(postings_dir, d), st.avgdl, st.k1,
-                        st.b)
+    refs = [task.remote(os.path.join(postings_dir, d), avgdl, st.k1,
+                        st.b, tombs_ref)
             for d in sorted(os.listdir(postings_dir))
             if d.startswith("bucket=")]
     results = ray.get(refs)
+
+    if tombs.size:
+        # visible-state swap in dependency order: docs shards, stats,
+        # then tombstones last — a crash before the tombstone removal
+        # re-runs the purge idempotently (purging already-purged
+        # postings is a no-op)
+        for p in shard_paths:
+            os.replace(p + ".purge.tmp", p)
+        id_ceiling = st.next_doc_id
+    else:
+        id_ceiling = st.id_ceiling
+
     stats = IndexStats(
-        num_documents=st.num_documents,
-        total_doc_len=st.total_doc_len,
+        num_documents=n_docs,
+        total_doc_len=total_dl,
         num_unique_terms=sum(r[0] for r in results),
         num_postings=sum(r[1] for r in results),
         k1=st.k1, b=st.b,
         doc_part_bits=st.doc_part_bits,
         num_term_buckets=st.num_term_buckets,
         num_segments=1,
-        min_merge_avgdl=st.avgdl,
+        min_merge_avgdl=avgdl,
+        id_ceiling=id_ceiling,
     )
     with open(os.path.join(root, "stats.json"), "w") as f:
         json.dump(stats.__dict__, f, indent=1)
+    if tombs.size:
+        import shutil
+        shutil.rmtree(os.path.join(root, "tombstones"), ignore_errors=True)
     return BuiltIndex(root=root, stats=stats)
 
 

@@ -187,6 +187,47 @@ def boolean_match_nostem_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+# Deterministic tombstone set for the deletion gate query — ids chosen
+# inside every sf corpus's 500+ doc range, including hot-term holders.
+DELETED_DOC_IDS: list[int] = [0, 7, 23, 111, 205]
+
+
+def build_documents_index_nostem_deleted(sf_dir: str,
+                                         force: bool = False) -> BuiltIndex:
+    """Nostem index with ``DELETED_DOC_IDS`` tombstoned — its own cache
+    dir (tombstoning the shared nostem cache would corrupt the other
+    gate queries). Reused only when the cached tombstone set matches."""
+    from .build import delete_docs, load_tombstones
+
+    out = _index_cache_dir(sf_dir, variant="nostem_del")
+    if not force and os.path.exists(os.path.join(out, "stats.json")) \
+            and load_tombstones(out).tolist() == sorted(DELETED_DOC_IDS):
+        return BuiltIndex.load(out)
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    corpus = corpus_from_documents(sf_dir)
+    idx = build_index(corpus, out, doc_part_bits=12, num_term_buckets=16,
+                      tokenize_batch_size=128, stemmer=identity_stemmer)
+    return delete_docs(idx.root, DELETED_DOC_IDS)
+
+
+def deleted_match_nostem_table(sf_dir: str,
+                               queries: list | None = None) -> pa.Table:
+    """(query_idx, doc_id) match sets from the tombstoned nostem index —
+    puts delete_docs visibility itself on the value-exact gate: the
+    DuckDB oracle runs the same lowercase-token match with the deleted
+    ids excluded."""
+    idx = build_documents_index_nostem_deleted(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, q in enumerate(queries or NOSTEM_QUERY_SET):
+        for doc_id in searcher.match(q).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
 def index_statistics_nostem_table(sf_dir: str) -> pa.Table:
     """Reference ``statistics()`` (G2) over the identity-stemmer index —
     num_documents / num_unique_terms / num_postings / total_doc_len are

@@ -109,10 +109,17 @@ class LocalSearcher:
     def __init__(self, index: BuiltIndex, buckets: list[int] | None = None,
                  pinned_doc_ids: set[int] | None = None,
                  stemmer=None, breaker=None, warm_top_terms: int = 32):
+        from .build import load_tombstones
+
         self._stats = index.stats
         self._stemmer = stemmer
         self._breaker = breaker
         self._pinned = np.array(sorted(pinned_doc_ids or ()), dtype=np.int64)
+        # delete_docs visibility set (sorted; empty when no deletions):
+        # deleted docs never appear in any result — deletion beats
+        # pinning — while N/df/avgdl stay frozen until compact_index
+        # purges (the Lucene-style visibility/statistics split)
+        self._tomb = load_tombstones(index.root)
         dset = pads.dataset(index.postings_dir, partitioning="hive")
         filt = None
         if buckets is not None:
@@ -181,6 +188,15 @@ class LocalSearcher:
         if vi < 0:
             return None
         return int(self._starts[vi]), int(self._ends[vi])
+
+    def _drop_deleted(self, ids: np.ndarray) -> np.ndarray:
+        """Remove tombstoned doc_ids from an ASCENDING id array."""
+        if self._tomb.size == 0 or ids.size == 0:
+            return ids
+        pos = np.searchsorted(self._tomb, ids)
+        dead = ((pos < self._tomb.size)
+                & (self._tomb[np.minimum(pos, self._tomb.size - 1)] == ids))
+        return ids[~dead] if dead.any() else ids
 
     def _df_of(self, term: str) -> int:
         """Document frequency of *term* — the global override when set
@@ -278,7 +294,7 @@ class LocalSearcher:
                 arrays.append(self._decode_row(term, i)[0])
         if not arrays:
             return np.empty(0, dtype=np.int64)
-        return np.unique(np.concatenate(arrays))
+        return self._drop_deleted(np.unique(np.concatenate(arrays)))
 
     def _term_docs(self, term: str) -> np.ndarray:
         """All doc_ids holding *term*, ascending (rows are part-sorted
@@ -309,14 +325,14 @@ class LocalSearcher:
                                  assume_unique=True)
         if self._pinned.size:
             cur = np.union1d(cur, self._pinned)
-        return cur
+        return self._drop_deleted(cur)
 
     def match_andnot(self, query, exclude) -> np.ndarray:
         """Disjunctive *query* minus disjunctive *exclude* (the NOT
         shape: "matches A or B but never C"). Pinned docs are immune to
         negation — ``match`` guarantees their presence, and this keeps
         that contract."""
-        pos = self.match(query)
+        pos = self.match(query)  # already tombstone-filtered
         stems = query_stems(exclude, self._stemmer, self._breaker)
         neg_arrays = [self._term_docs(t) for t in stems]
         neg_arrays = [a for a in neg_arrays if a.size]
@@ -326,7 +342,7 @@ class LocalSearcher:
         out = np.setdiff1d(pos, neg, assume_unique=True)
         if self._pinned.size:
             out = np.union1d(out, self._pinned)
-        return out
+        return self._drop_deleted(out)
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """Autocomplete: top-*k* index terms with *prefix*, ranked
@@ -371,7 +387,7 @@ class LocalSearcher:
                 arrays.append(self._decode_row(term, i)[0])
         if not arrays:
             return np.empty(0, dtype=np.int64)
-        return np.unique(np.concatenate(arrays))
+        return self._drop_deleted(np.unique(np.concatenate(arrays)))
 
     # -- BM25 ----------------------------------------------------------
 
@@ -470,6 +486,15 @@ class LocalSearcher:
                 sums = np.zeros(uniq.size, dtype=np.float64)
                 for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
                     sums[np.searchsorted(uniq, docs_t)] += contrib_t
+            if self._tomb.size:
+                # deleted docs never enter the top-k (scores of the
+                # survivors keep the frozen N/df until compaction)
+                live = self._drop_deleted(uniq)
+                if live.size != uniq.size:
+                    keep = np.searchsorted(uniq, live)
+                    uniq, sums = live, sums[keep]
+                    if uniq.size == 0:
+                        continue
             if uniq.size > k:
                 # only this partition's top-k can enter the global top-k.
                 # argpartition O(n) narrows to the k best scores, then the
@@ -509,6 +534,19 @@ def _load_rows_for_terms(index: BuiltIndex, stems: list[str]):
                  "doc_ids_enc", "tfs_enc", "dls_enc"])
 
 
+def _drop_tombstoned(index: BuiltIndex, ids: np.ndarray) -> np.ndarray:
+    """Tombstone filter for the one-off (serverless) query paths."""
+    from .build import load_tombstones
+
+    tomb = load_tombstones(index.root)
+    if tomb.size == 0 or ids.size == 0:
+        return ids
+    pos = np.searchsorted(tomb, ids)
+    dead = ((pos < tomb.size)
+            & (tomb[np.minimum(pos, tomb.size - 1)] == ids))
+    return ids[~dead] if dead.any() else ids
+
+
 def match_doc_ids(index: BuiltIndex, query,
                   pinned_doc_ids: set[int] | None = None) -> np.ndarray:
     """One-off boolean match straight off the Parquet index."""
@@ -520,7 +558,7 @@ def match_doc_ids(index: BuiltIndex, query,
             arrays.append(plib.decode_doc_ids(buf))
     if not arrays:
         return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(arrays))
+    return _drop_tombstoned(index, np.unique(np.concatenate(arrays)))
 
 
 def highlight(query, text: str) -> str:
@@ -598,5 +636,8 @@ def bm25_dataset(index: BuiltIndex, query, k: int = 10) -> list[tuple[int, float
             contrib = idf * _tf_factor(tfs, dls, avgdl, k1, b)
             for d, c in zip(doc_ids.tolist(), contrib.tolist()):
                 scores[d] = scores.get(d, 0.0) + c
+    from .build import load_tombstones
+    for d in load_tombstones(index.root).tolist():
+        scores.pop(d, None)
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]

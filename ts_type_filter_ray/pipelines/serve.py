@@ -63,6 +63,8 @@ class _DocPartSearcher:
 
     def __init__(self, index_root: str, parts: list[int], df_ref,
                  pinned_doc_ids: list[int] | None = None):
+        from .build import load_tombstones
+
         index = BuiltIndex.load(index_root)
         self._searcher = LocalSearcher.__new__(LocalSearcher)
         s = self._searcher
@@ -70,6 +72,7 @@ class _DocPartSearcher:
         s._stemmer = None
         s._breaker = None
         s._pinned = np.array(sorted(pinned_doc_ids or ()), dtype=np.int64)
+        s._tomb = load_tombstones(index_root)  # delete_docs visibility
         dset = pads.dataset(index.postings_dir, partitioning="hive")
         tbl = dset.to_table(filter=pc.field("part").isin(parts),
                             columns=["term", "part", "df", "max_impact",
