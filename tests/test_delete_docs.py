@@ -147,3 +147,26 @@ def test_extend_after_purge_never_reuses_ids(ray_session,
     s = LocalSearcher(ext)
     hits = s.match("same")
     assert (hits >= n0).any()
+
+
+def test_positional_searcher_excludes_deleted(ray_session,
+                                              tmp_path_factory):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.positional import (
+        PositionalSearcher, build_positional_index)
+
+    docs = ["order fast order", "order fast", "fast order fast", "solo"]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "content": pa.array(docs, type=pa.string())}))
+    root = str(tmp_path_factory.mktemp("posdel") / "idx")
+    idx = build_positional_index(corpus, root, num_term_buckets=2,
+                                 doc_part_bits=2)
+    s = PositionalSearcher(idx)
+    assert s.phrase("order fast").tolist() == [0, 1, 2]
+    delete_docs(root, [1])
+    s2 = PositionalSearcher(idx)  # reload picks up tombstones
+    assert s2.phrase("order fast").tolist() == [0, 2]
+    assert s2.proximity("order", "fast", 1).tolist() == [0, 2]

@@ -398,12 +398,20 @@ def delete_docs(root: str, doc_ids) -> BuiltIndex:
     the postings and docs table and recomputes them. Cost is O(ids):
     one appended tombstone generation file, atomic tmp+rename,
     idempotent under re-delete. Deleting an id that was never indexed
-    is a no-op by construction."""
+    is a no-op by construction. Works on ANY index root with a
+    stats.json — the main index and the positional index share the
+    tombstone layout (both searchers load it). Returns the BuiltIndex
+    for main-index roots, None for other index kinds."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    idx = BuiltIndex.load(root)
+    if not os.path.exists(os.path.join(root, "stats.json")):
+        raise FileNotFoundError(f"no index at {root!r} (missing stats.json)")
+    try:
+        idx = BuiltIndex.load(root)
+    except TypeError:  # a positional (or other) index's stats schema
+        idx = None
     ids = np.unique(np.asarray(sorted(set(int(d) for d in doc_ids)),
                                dtype=np.int64))
     if ids.size == 0:

@@ -386,10 +386,23 @@ class PositionalSearcher:
     for a warm pool, same shape as ``LocalSearcher``."""
 
     def __init__(self, index: PositionalIndex, stemmer=None):
+        from .build import load_tombstones
+
         self._index = index
         # must match the stemmer the index was built with (caller-owned
         # contract, same as LocalSearcher); None = lowercase-nostem
         self._stem = stemmer or (lambda t: t)
+        # delete_docs visibility (same contract as LocalSearcher):
+        # tombstoned docs never appear in phrase/proximity results
+        self._tomb = load_tombstones(index.root)
+
+    def _drop_deleted(self, ids: np.ndarray) -> np.ndarray:
+        if self._tomb.size == 0 or ids.size == 0:
+            return ids
+        pos = np.searchsorted(self._tomb, ids)
+        dead = ((pos < self._tomb.size)
+                & (self._tomb[np.minimum(pos, self._tomb.size - 1)] == ids))
+        return ids[~dead] if dead.any() else ids
 
     def _term_keys(self, terms: list[str]) -> dict[str, np.ndarray]:
         """term → ascending unique (doc << POS_BITS | pos) key array."""
@@ -442,7 +455,7 @@ class PositionalSearcher:
             cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
         if cur.size == 0:
             return np.empty(0, dtype=np.int64)
-        return np.unique(cur >> POS_BITS)
+        return self._drop_deleted(np.unique(cur >> POS_BITS))
 
     def proximity(self, term_a: str, term_b: str,
                   window: int) -> np.ndarray:
@@ -474,4 +487,4 @@ class PositionalSearcher:
                 docs.append(hit >> POS_BITS)
         if not docs:
             return np.empty(0, dtype=np.int64)
-        return np.unique(np.concatenate(docs))
+        return self._drop_deleted(np.unique(np.concatenate(docs)))
