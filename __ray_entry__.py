@@ -107,6 +107,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_probed": lambda sf: ann.knn_join(
             _emb(sf), k=5, block_rows=128, nprobe=2).select_columns(
                 ["vec_id", "rank", "neighbor_id"]),
+        # PQ compressed-scan ANN (r4): m-byte codes + ADC LUT scan +
+        # exact refine (approximate by construction; recall pytest)
+        "pq_topk": lambda sf: ann.pq_topk(
+            _emb(sf), ANN_QUERY_IDS, k=ANN_K, m=4, ksub=16,
+            refine=4).select_columns(["query_id", "rank", "vec_id"]),
         "embedding_near_dup_lsh": lambda sf: ann.embedding_near_dup_pairs_lsh(
             _emb(sf), threshold=0.45).select_columns(["id_a", "id_b"]),
         # -- inverted index / BM25 (stemmed → rows-only; pytest oracle

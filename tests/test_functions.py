@@ -894,3 +894,47 @@ def test_minhash_batch_bitidentical_to_per_row():
     for i, t in enumerate(texts):
         assert np.array_equal(np.unique(hs[off[i]:off[i + 1]]),
                               _shingle_hashes(t, 3))
+
+
+def test_pq_topk_recall_and_encode(ray_session):
+    """Product quantization: ADC scan + exact refine recovers the
+    brute-force top-k on the clustered fixture; codebooks and codes are
+    deterministic; pure ADC (refine=0) is the honest candidate
+    generator, not a ranker, on near-duplicate clusters."""
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(12, 16))
+    vecs = (np.repeat(cents, 25, axis=0)
+            + 0.08 * rng.normal(size=(300, 16)))
+    tbl = pa.table({
+        "vec_id": pa.array(range(300), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    qids = [3, 77, 150, 299]
+    want = {(r["query_id"], r["vec_id"])
+            for r in ann.brute_force_topk(ds, qids, k=10).take_all()}
+    got_rows = ann.pq_topk(ds, qids, k=10, m=4, ksub=16,
+                           refine=4).take_all()
+    got = {(r["query_id"], r["vec_id"]) for r in got_rows}
+    assert len(got & want) / len(want) >= 0.95
+    # k rows per query, ranks 1..k, sims descending, sim is EXACT cosine
+    per_q = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        per_q.setdefault(r["query_id"], []).append(r)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q, rows in per_q.items():
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        for r in rows:
+            assert abs(r["sim"] - float(unit[q] @ unit[r["vec_id"]])) < 1e-6
+    # codebooks deterministic; codes are m uint8 ids under ksub
+    b1 = ann.train_pq_codebooks(ds, m=4, ksub=16, iters=2)
+    b2 = ann.train_pq_codebooks(ds, m=4, ksub=16, iters=2)
+    assert np.array_equal(b1, b2)
+    codes = ann.pq_encode(ds, b1).take_all()
+    assert len(codes) == 300
+    for r in codes[:20]:
+        assert len(r["code"]) == 4
+        assert all(0 <= c < 16 for c in r["code"])

@@ -700,6 +700,228 @@ def ivf_topk(ds: Dataset, query_ids: list[int], k: int = 10,
     return partial.groupby("query_id").map_groups(_final_topk(k),
                                                   batch_format="pyarrow")
 
+# ------------------------------------------------- product quantization
+
+
+def train_pq_codebooks(ds: Dataset, m: int = 4, ksub: int = 16,
+                       iters: int = 3) -> np.ndarray:
+    """Per-subspace Lloyd codebooks for product quantization (Jégou,
+    Douze & Schmid 2011): the D-dim unit vectors split into *m*
+    contiguous subspaces of D/m dims; each subspace gets *ksub*
+    centroids minimizing L2 over its sub-vectors. Returns
+    ``(m, ksub, D/m)`` float64.
+
+    Distributed shape: ALL subspaces train in the same pass — each
+    iteration is one ``map_batches`` emitting (sub, cid, dim) partial
+    sums + counts, reduced by a cluster-side
+    ``groupby.aggregate(Sum)``; the driver pulls only the
+    m·ksub·(D/m) = ksub·D-row table per iteration, independent of the
+    corpus. Init is deterministic (the first *ksub* vectors'
+    sub-slices), so codebooks — and everything downstream — are
+    reproducible."""
+    from ray.data.aggregate import Sum
+
+    init, _ = load_query_matrix(ds, list(range(ksub)))
+    dim = init.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # (m, ksub, dsub) — subspace s's centroids start as the init rows'
+    # s-th slice
+    books = np.ascontiguousarray(
+        init.reshape(ksub, m, dsub).transpose(1, 0, 2)).copy()
+
+    for _ in range(iters):
+        b_ref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            bks = ray.get(b_ref)
+            emb = _normalize(_embedding_matrix(batch))
+            n = emb.shape[0]
+            sub_cols, cid_cols, dim_cols, s_cols, n_cols = [], [], [], [], []
+            for s_i in range(m):
+                x = emb[:, s_i * dsub:(s_i + 1) * dsub]
+                c = bks[s_i]
+                # L2 assignment: argmin |x-c|^2 = argmin |c|^2 - 2 x·c
+                d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+                assign = np.argmin(d2, axis=1)
+                sums = np.zeros((ksub, dsub))
+                np.add.at(sums, assign, x)
+                counts = np.bincount(assign, minlength=ksub)
+                sub_cols.append(np.full(ksub * dsub, s_i, dtype=np.int32))
+                cid_cols.append(np.repeat(
+                    np.arange(ksub, dtype=np.int32), dsub))
+                dim_cols.append(np.tile(
+                    np.arange(dsub, dtype=np.int32), ksub))
+                s_cols.append(sums.ravel())
+                n_cols.append(np.repeat(counts, dsub))
+            return pa.table({
+                "sub": pa.array(np.concatenate(sub_cols)),
+                "cid": pa.array(np.concatenate(cid_cols)),
+                "dim": pa.array(np.concatenate(dim_cols)),
+                "s": pa.array(np.concatenate(s_cols), type=pa.float64()),
+                "n": pa.array(np.concatenate(n_cols), type=pa.int64()),
+            })
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["sub", "cid", "dim"])
+               .aggregate(Sum("s", alias_name="s"),
+                          Sum("n", alias_name="n"))
+               .take_all())  # ksub·dim rows — small by contract
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        for r in agg:
+            sums[r["sub"], r["cid"], r["dim"]] = r["s"]
+            if r["dim"] == 0:
+                counts[r["sub"], r["cid"]] = r["n"]
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
+
+
+def pq_encode(ds: Dataset, codebooks: np.ndarray) -> Dataset:
+    """(vec_id, code:list<uint8>) — each vector compressed to *m* bytes
+    (its per-subspace nearest-centroid ids). The 100-TB story: a
+    float32 768-dim embedding is 3 KB; its m=96 PQ code is 96 bytes —
+    a 32× smaller table that ADC scans entirely in memory. Codebooks
+    broadcast once via ``ray.put``."""
+    m, ksub, dsub = codebooks.shape
+    b_ref = ray.put(codebooks)
+
+    class Encode:
+        def __init__(self):
+            self._b = ray.get(b_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_embedding_matrix(batch))
+            n = emb.shape[0]
+            codes = np.empty((n, m), dtype=np.uint8)
+            for s_i in range(m):
+                x = emb[:, s_i * dsub:(s_i + 1) * dsub]
+                c = self._b[s_i]
+                d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+                codes[:, s_i] = np.argmin(d2, axis=1)
+            return pa.table({
+                "vec_id": batch["vec_id"],
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), type=pa.uint8()),
+                    m).cast(pa.list_(pa.uint8())),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def pq_topk(ds: Dataset, query_ids: list[int], k: int = 10,
+            m: int = 4, ksub: int = 16, iters: int = 3,
+            codebooks: np.ndarray | None = None,
+            refine: int = 4, concurrency=(1, 8)) -> Dataset:
+    """PQ-ADC approximate top-k with exact refinement: every vector
+    quantizes to *m* bytes; each query precomputes a (m × ksub) lookup
+    table of ``q_sub · centroid`` dots, and a candidate's approximate
+    cosine is the sum of its codes' LUT entries — the asymmetric
+    distance computation of Jégou et al. 2011, for inner product on
+    unit vectors. One streaming pass over the corpus: encode the
+    batch, gather LUT entries (vectorized ``take``/sum, no per-row
+    Python), emit per-batch top-(refine·k) partials, reduce with the
+    shared exact-tie-break merge; the surviving refine·k candidates
+    per query are then rescored EXACTLY (one filtered gather + driver
+    matmul — the small side by the queries-are-tiny contract). This is
+    the standard compressed-scan + refine pipeline: at 100 TB the full
+    float vectors are touched only for nq·refine·k candidates, the
+    scan itself reads m bytes/vector. ``refine=0`` returns raw ADC
+    scores. Approximate by construction → rows-only gate entry; the
+    recall pytest pins the clustered-fixture recall vs brute force.
+    Output (query_id, rank, vec_id, sim); sim is the exact cosine
+    (ADC approximation when refine=0)."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(ds, m=m, ksub=ksub, iters=iters)
+    m, ksub, dsub = codebooks.shape
+    q_mat, qids = load_query_matrix(ds, query_ids)
+    # (nq, m, ksub) LUT: query sub-vector · subspace centroid
+    lut = np.einsum("qsd,skd->qsk",
+                    q_mat.reshape(len(qids), m, dsub), codebooks)
+    state = ray.put((codebooks, lut, np.asarray(qids, dtype=np.int64)))
+    r_k = max(k, refine * k) if refine else k  # per-batch candidate pool
+
+    class ADCTopK:
+        def __init__(self):
+            self._b, self._lut, self._qids = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(_embedding_matrix(batch))
+            n = emb.shape[0]
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            codes = np.empty((n, m), dtype=np.int64)
+            for s_i in range(m):
+                x = emb[:, s_i * dsub:(s_i + 1) * dsub]
+                c = self._b[s_i]
+                d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+                codes[:, s_i] = np.argmin(d2, axis=1)
+            # sims[q, i] = Σ_s lut[q, s, codes[i, s]] — gather + sum
+            nq = self._lut.shape[0]
+            flat = (np.arange(m) * ksub)[None, :] + codes  # (n, m)
+            lut2 = self._lut.reshape(nq, m * ksub)
+            sims = lut2[:, flat].sum(axis=2)  # (nq, n)
+            qid_col, vid_col, sim_col = [], [], []
+            kk = min(r_k, n)
+            for qi in range(nq):
+                top = np.argpartition(-sims[qi], kth=kk - 1)[:kk]
+                qid_col.extend([int(self._qids[qi])] * kk)
+                vid_col.extend(vids[top].tolist())
+                sim_col.extend(sims[qi][top].tolist())
+            return pa.table({
+                "query_id": pa.array(qid_col, type=pa.int64()),
+                "vec_id": pa.array(vid_col, type=pa.int64()),
+                "sim": pa.array(sim_col, type=pa.float64()),
+            })
+
+    partial = ds.map_batches(ADCTopK, batch_format="pyarrow",
+                             concurrency=concurrency)
+    adc = partial.groupby("query_id").map_groups(_final_topk(r_k),
+                                                 batch_format="pyarrow")
+    if not refine:
+        return adc
+    # exact refinement: nq·refine·k candidate rows — driver-small
+    cand = adc.take_all()
+    by_q: dict[int, list[int]] = {}
+    for r in cand:
+        by_q.setdefault(int(r["query_id"]), []).append(int(r["vec_id"]))
+    union = sorted({v for vs in by_q.values() for v in vs})
+    vs_arr = pa.array(union, type=pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=vs_arr))
+
+    rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    cand_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    cand_mat = _normalize(np.array([r["embedding"] for r in rows],
+                                   dtype=np.float64))
+    exact = q_mat @ cand_mat.T  # (nq, |union|)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for q, vs in sorted(by_q.items()):
+        idx = np.searchsorted(cand_ids, np.array(sorted(set(vs)),
+                                                 dtype=np.int64))
+        sims = exact[qpos[q]][idx]
+        vids = cand_ids[idx]
+        order = np.lexsort((vids, -sims))[:k]
+        for rank, o in enumerate(order.tolist(), 1):
+            out_q.append(q)
+            out_r.append(rank)
+            out_v.append(int(vids[o]))
+            out_s.append(float(sims[o]))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "rank": pa.array(out_r, type=pa.int32()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "sim": pa.array(out_s, type=pa.float64()),
+    }))
+
+
 # ------------------------------------------------- NN-Descent kNN graph
 
 
