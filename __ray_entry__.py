@@ -85,6 +85,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_prep": _training_prep,
         "winnow_fingerprints": lambda sf: textstats.winnow_fingerprint_sets(
             _docs(sf)),
+        # delete_docs visibility on the value-exact gate (r4): nostem
+        # match over an index with a fixed tombstone set
+        "deleted_match_nostem":
+            lambda sf: flagship.deleted_match_nostem_table(sf),
+        # r4 query-algebra extensions over the nostem index, all
+        # value-exact: minimum-should-match (the OR..AND dial), fuzzy
+        # Levenshtein-≤d match (length-band vocab prune + banded DP vs
+        # DuckDB levenshtein()), '*suffix' / '*infix*' wildcard sweeps
+        # (vectorized vocab scans vs SQL LIKE), a second ranked scorer
+        # (classic ln(N/df)·(1+ln tf), rank-only), and faceted match
+        # counts (broadcast match sets + per-batch partial counts +
+        # tiny groupby — the pre-aggregate shuffle shape)
+        "minshould_match": lambda sf: flagship.minshould_match_table(sf),
+        "fuzzy_match_nostem":
+            lambda sf: flagship.fuzzy_match_nostem_table(sf),
+        "suffix_match_nostem":
+            lambda sf: flagship.suffix_match_nostem_table(sf),
+        "infix_match_nostem":
+            lambda sf: flagship.infix_match_nostem_table(sf),
+        "tfidf_topk_nostem": lambda sf: flagship.tfidf_topk_nostem_table(sf),
+        "faceted_match_counts":
+            lambda sf: flagship.faceted_match_counts_table(sf),
+        # Lucene-ish boolean query language (querylang.py): AND/OR/NOT,
+        # parens, wildcards, fuzzy ~d, quoted phrases — compiled onto
+        # the searcher algebra, vs handcrafted set-op SQL mirrors
+        "boolean_expr_match":
+            lambda sf: flagship.boolean_expr_match_table(sf),
         # rows-only entries never sampled in r1-r3 (approximate by
         # nature; pytest pins recall on clustered fixtures)
         # beam search runs in full-index mode: adjacency AND vectors in
@@ -128,10 +155,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: flagship.boolean_match_nostem_table(sf),
         "index_statistics_nostem":
             lambda sf: flagship.index_statistics_nostem_table(sf),
-        # delete_docs visibility on the value-exact gate: same nostem
-        # match over an index with a fixed tombstone set (r4)
-        "deleted_match_nostem":
-            lambda sf: flagship.deleted_match_nostem_table(sf),
         # -- POSITIONAL index: phrase / proximity answered from persisted
         #    delta-varint positional postings (bucket-pruned, term-filter-
         #    pushed reads), value-exact vs a parallel-unnest DuckDB oracle
@@ -664,6 +687,152 @@ def oracle_sql() -> dict[str, str]:
                      as term
               from documents where trim(text) <> '')
             """ + "\nunion all\n".join(prefix_branches))
+
+    # r4 query-algebra extensions (engine: LocalSearcher.match_atleast /
+    # match_fuzzy / match_suffix / match_contains / tfidf, and the faceted
+    # broadcast-count pipeline) — all generated from the SAME constant
+    # query sets the engine answers (pipelines/flagship.py)
+    from ts_type_filter_ray.pipelines.flagship import (FUZZY_QUERY_SET,
+                                                       INFIX_QUERY_SET,
+                                                       MINSHOULD_QUERY_SET,
+                                                       SUFFIX_QUERY_SET)
+    minshould_branches = []
+    for i, (q, m) in enumerate(MINSHOULD_QUERY_SET):
+        terms = _stems(q)
+        if not terms:
+            continue
+        inlist = ",".join(f"'{t}'" for t in terms)
+        # toks is distinct (doc_id, term), so count(*) counts DISTINCT
+        # matching query terms per doc — the minimum-should-match rule
+        minshould_branches.append(
+            f"select cast({i} as bigint) as query_idx, doc_id from toks"
+            f" where term in ({inlist})"
+            f" group by doc_id having count(*) >= {m}")
+    minshould_sql = (nostem_toks_cte + "\n" +
+                     "\nunion all\n".join(minshould_branches))
+
+    fuzzy_branches = [
+        f"select distinct cast({i} as bigint) as query_idx, doc_id"
+        f" from toks where levenshtein(term, '{tok}') <= {d}"
+        for i, (tok, d) in enumerate(FUZZY_QUERY_SET)]
+    fuzzy_sql = (nostem_toks_cte + "\n" +
+                 "\nunion all\n".join(fuzzy_branches))
+
+    def _like_body(s: str) -> str:
+        # same LIKE-metacharacter escaping as _like_prefix, body only
+        return (s.replace("\\", "\\\\").replace("_", "\\_")
+                .replace("%", "\\%"))
+
+    suffix_branches = [
+        f"select distinct cast({i} as bigint) as query_idx, doc_id"
+        f" from toks where term like '%{_like_body(s)}' escape '\\'"
+        for i, s in enumerate(SUFFIX_QUERY_SET)]
+    suffix_sql = (nostem_toks_cte + "\n" +
+                  "\nunion all\n".join(suffix_branches))
+
+    infix_branches = [
+        f"select distinct cast({i} as bigint) as query_idx, doc_id"
+        f" from toks where term like '%{_like_body(s)}%' escape '\\'"
+        for i, s in enumerate(INFIX_QUERY_SET)]
+    infix_sql = (nostem_toks_cte + "\n" +
+                 "\nunion all\n".join(infix_branches))
+
+    # classic tf-idf rank-only oracle: same ln(N/df)·(1+ln tf) float64
+    # expression shapes and the same ascending-term left-fold as the
+    # engine (list(... order by term) + list_aggregate 'sum'); N counts
+    # ALL documents (empty-text docs included), matching IndexStats
+    tfidf_nostem_sql = rf"""
+            with base as (
+              select doc_id,
+                     case when trim(text) = '' then cast([] as varchar[])
+                          else regexp_split_to_array(lower(trim(text)),'\s+')
+                     end as arr
+              from documents),
+            stats as (select count(*)::BIGINT as n from documents),
+            tf_t as (
+              select doc_id, term, count(*)::BIGINT as tf
+              from (select doc_id, unnest(arr) as term from base)
+              group by doc_id, term),
+            df_t as (select term, count(*)::BIGINT as df
+                     from tf_t group by term),
+            q(query_idx, term) as (values {bm25_rows}),
+            scored as (
+              select q.query_idx, t.doc_id,
+                     list_aggregate(list(
+                       ln(s.n / d.df) * (1.0 + ln(t.tf))
+                       order by q.term asc), 'sum') as score
+              from q
+              join tf_t t on t.term = q.term
+              join df_t d on d.term = q.term
+              cross join stats s
+              group by q.query_idx, t.doc_id)
+            select query_idx, rank, doc_id from (
+              select query_idx, doc_id,
+                     row_number() over (partition by query_idx
+                                        order by score desc, doc_id asc)
+                         as rank
+              from scored)
+            where rank <= {BM25_NOSTEM_K}"""
+
+    # boolean query-language expressions: handcrafted set-op SQL mirrors
+    # of flagship.EXPR_QUERY_SET (INTERSECT/EXCEPT/UNION per expression
+    # tree; the phrase branch reuses the positional parallel-unnest CTE)
+    _expr_branch = (
+        "select distinct cast({i} as bigint) as query_idx, doc_id "
+        "from ({body})")
+    _expr_bodies = [
+        # 0: spark OR window
+        "select doc_id from toks where term in ('spark','window')",
+        # 1: hash AND join AND NOT merge
+        """select doc_id from toks where term = 'hash'
+           intersect select doc_id from toks where term = 'join'
+           except select doc_id from toks where term = 'merge'""",
+        # 2: (query OR table) AND fast
+        """select doc_id from toks where term in ('query','table')
+           intersect select doc_id from toks where term = 'fast'""",
+        # 3: sp* AND NOT *er
+        """select doc_id from toks where term like 'sp%'
+           except select doc_id from toks where term like '%er'""",
+        # 4: hask~1 OR jion~2
+        """select doc_id from toks where levenshtein(term,'hask') <= 1
+           union select doc_id from toks
+                 where levenshtein(term,'jion') <= 2""",
+        # 5: "batch batch batch" AND slow
+        """select t0.doc_id from tok t0
+             join tok t1 on t1.doc_id = t0.doc_id and t1.pos = t0.pos + 1
+             join tok t2 on t2.doc_id = t0.doc_id and t2.pos = t0.pos + 2
+           where t0.term = 'batch' and t1.term = 'batch'
+             and t2.term = 'batch'
+           intersect select doc_id from toks where term = 'slow'""",
+        # 6: *alu* AND key
+        """select doc_id from toks where term like '%alu%'
+           intersect select doc_id from toks where term = 'key'""",
+        # 7: (the AND a) OR dup
+        """select doc_id from toks where term = 'the'
+           intersect select doc_id from toks where term = 'a'
+           union select doc_id from toks where term = 'dup'""",
+    ]
+    expr_sql = (nostem_toks_cte + r""",
+            tok as (
+              select doc_id, unnest(toks) as term,
+                     unnest(range(len(toks)))::BIGINT as pos
+              from (select doc_id,
+                           regexp_split_to_array(lower(trim(text)),'\s+')
+                           as toks
+                    from documents where trim(text) <> ''))
+            """ + "\nunion all\n".join(
+        _expr_branch.format(i=i, body=b)
+        for i, b in enumerate(_expr_bodies)))
+
+    # faceted match counts: per-query distinct match sets joined to the
+    # documents facet column, counted per (query_idx, lang)
+    faceted_sql = (nostem_toks_cte + rf""",
+            q(query_idx, term) as (values {nostem_rows}),
+            m as (select distinct q.query_idx, t.doc_id
+                  from q join toks t using (term))
+            select m.query_idx, d.lang, count(*)::BIGINT as n_docs
+            from m join documents d using (doc_id)
+            group by m.query_idx, d.lang""")
     out = {
         "token_counts": r"""
             select doc_id,
@@ -1074,6 +1243,13 @@ def oracle_sql() -> dict[str, str]:
         "conjunctive_match": conjunctive_sql,
         "andnot_match": andnot_sql,
         "suggest_terms": suggest_sql,
+        "minshould_match": minshould_sql,
+        "fuzzy_match_nostem": fuzzy_sql,
+        "suffix_match_nostem": suffix_sql,
+        "infix_match_nostem": infix_sql,
+        "tfidf_topk_nostem": tfidf_nostem_sql,
+        "faceted_match_counts": faceted_sql,
+        "boolean_expr_match": expr_sql,
         "exact_dedup": """
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies

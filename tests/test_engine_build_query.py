@@ -220,3 +220,131 @@ def test_match_all_andnot_pinned(sonnets_index):
     # pinned docs are immune to negation
     out = s.match_andnot("fire", "fire").tolist()
     assert out == [5]
+
+
+def _sonnets_doc_terms(sonnets_corpus_dir):
+    import pyarrow.dataset as pads
+
+    from ts_type_filter_ray.text.porter2 import stem
+
+    tbl = pads.dataset(sonnets_corpus_dir).to_table()
+    contents = tbl["content"].to_pylist()
+    return [{stem(w) for w in c.split()} for c in contents]
+
+
+def test_match_atleast_golden(sonnets_index, sonnets_corpus_dir):
+    """Minimum-should-match ≡ brute-force distinct-stem overlap count."""
+    from ts_type_filter_ray.text.porter2 import stem
+
+    s = LocalSearcher(sonnets_index)
+    doc_terms = _sonnets_doc_terms(sonnets_corpus_dir)
+
+    for q, m in (("fire heat same", 2), ("fire heat same", 3),
+                 ("thrall quench fire heat", 2), ("fire", 1),
+                 ("fire zzznohit", 2), ("same", 5)):
+        qs = {stem(w) for w in q.split()}
+        want = sorted(d for d, t in enumerate(doc_terms)
+                      if len(t & qs) >= m)
+        assert s.match_atleast(q, m).tolist() == want, (q, m)
+    # m=1 ≡ disjunctive match; m=len ≡ conjunctive match
+    assert s.match_atleast("fire heat", 1).tolist() == s.match(
+        "fire heat").tolist()
+    assert s.match_atleast("fire heat", 2).tolist() == s.match_all(
+        "fire heat").tolist()
+    assert s.match_atleast("", 1).tolist() == []
+    with pytest.raises(ValueError):
+        s.match_atleast("fire", 0)
+
+
+def test_match_atleast_pinned(sonnets_index):
+    s = LocalSearcher(sonnets_index, pinned_doc_ids={9})
+    assert s.match_atleast("", 1).tolist() == [9]
+    assert 9 in s.match_atleast("fire heat", 2).tolist()
+    assert s.match_atleast("zzznohit", 1).tolist() == [9]
+
+
+def test_match_fuzzy_golden(sonnets_index, sonnets_corpus_dir):
+    """Fuzzy match ≡ brute-force Levenshtein sweep over the stemmed
+    vocabulary (reference DP in-test, independent of the banded one)."""
+    s = LocalSearcher(sonnets_index)
+    doc_terms = _sonnets_doc_terms(sonnets_corpus_dir)
+    vocab = set().union(*doc_terms)
+
+    def ref_lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[lb]
+
+    for tok, d in (("fire", 0), ("fir", 1), ("hea", 1), ("saem", 2),
+                   ("thrll", 1), ("zzzz", 1), ("Fire", 1)):
+        terms = {t for t in vocab if ref_lev(tok.lower(), t) <= d}
+        want = sorted(dd for dd, t in enumerate(doc_terms) if t & terms)
+        assert s.match_fuzzy(tok, d).tolist() == want, (tok, d)
+        got_terms = {t for t, _dist in s.fuzzy_terms(tok, d)}
+        assert got_terms == terms, (tok, d)
+    # fuzzy_terms reports the exact distance
+    for t, dist in s.fuzzy_terms("fir", 1):
+        assert ref_lev("fir", t) == dist
+
+
+def test_match_suffix_contains_golden(sonnets_index, sonnets_corpus_dir):
+    """'*suffix' / '*infix*' wildcard ≡ brute-force vocab string sweep."""
+    s = LocalSearcher(sonnets_index)
+    doc_terms = _sonnets_doc_terms(sonnets_corpus_dir)
+    vocab = set().union(*doc_terms)
+
+    for suf in ("e", "ir", "same", "zzq", "￿"):
+        terms = {t for t in vocab if t.endswith(suf)}
+        want = sorted(d for d, t in enumerate(doc_terms) if t & terms)
+        assert s.match_suffix(suf).tolist() == want, suf
+    assert s.match_suffix("").tolist() == []
+
+    for inf in ("ir", "a", "zzq", "fire"):
+        terms = {t for t in vocab if inf in t}
+        want = sorted(d for d, t in enumerate(doc_terms) if t & terms)
+        assert s.match_contains(inf).tolist() == want, inf
+    assert s.match_contains("").tolist() == []
+
+
+def test_tfidf_golden(sonnets_index, sonnets_corpus_dir):
+    """tf-idf top-k ≡ brute-force ln(N/df)·(1+ln tf) with ascending-term
+    accumulation and (score desc, doc_id asc) tie-break."""
+    import math
+
+    import pyarrow.dataset as pads
+    from collections import Counter
+
+    from ts_type_filter_ray.text.porter2 import stem
+
+    s = LocalSearcher(sonnets_index)
+    tbl = pads.dataset(sonnets_corpus_dir).to_table()
+    contents = tbl["content"].to_pylist()
+    doc_tf = [Counter(stem(w) for w in c.split()) for c in contents]
+    df = Counter(t for tf in doc_tf for t in tf)
+    n = len(contents)
+
+    for q in ("fire heat", "same", "fire zzznohit",
+              "thrall quench fire heat", "w1z"):
+        stems = query_stems(q)
+        scores = {}
+        for t in stems:  # ascending stems: left-fold order
+            if t not in df:
+                continue
+            idf = math.log(n / df[t])
+            for d, tf in enumerate(doc_tf):
+                if t in tf:
+                    scores[d] = scores.get(d, 0.0) + idf * (
+                        1.0 + math.log(tf[t]))
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = s.tfidf(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert np.allclose([sc for _, sc in got], [sc for _, sc in want],
+                           rtol=1e-12, atol=0.0), q
+    assert s.tfidf("zzznohit") == []

@@ -1,0 +1,201 @@
+"""Boolean query language (pipelines/querylang.py): parser AST shape,
+precedence, syntax errors, and end-to-end evaluation over a built index
+vs a brute-force Python reference evaluator."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ts_type_filter_ray.pipelines.flagship import identity_stemmer
+from ts_type_filter_ray.pipelines.querylang import (And, Contains, Fuzzy,
+                                                    Not, Or, Phrase, Prefix,
+                                                    QuerySyntaxError, Suffix,
+                                                    Term, evaluate,
+                                                    parse_query)
+
+DOCS = [
+    "the fast key order sort",            # 0
+    "order fast order fast order",        # 1
+    "batch batch batch stream",           # 2
+    "",                                   # 3
+    "Fast ORDER fast",                    # 4
+    "solo sorting",                       # 5
+    "keys fastest batch",                 # 6
+    "stream sort order",                  # 7
+]
+
+
+# -- parser ---------------------------------------------------------------
+
+
+def test_ast_shapes():
+    assert parse_query("fast") == Term("fast")
+    assert parse_query("fa*") == Prefix("fa")
+    assert parse_query("*st") == Suffix("st")
+    assert parse_query("*as*") == Contains("as")
+    assert parse_query("fst~1") == Fuzzy("fst", 1)
+    assert parse_query('"order fast"') == Phrase("order fast")
+    # precedence: AND binds tighter than OR; NOT tighter than AND
+    assert parse_query("a OR b AND c") == Or(
+        (Term("a"), And((Term("b"), Term("c")))))
+    assert parse_query("a AND NOT b") == And((Term("a"), Not(Term("b"))))
+    assert parse_query("(a OR b) AND c") == And(
+        (Or((Term("a"), Term("b"))), Term("c")))
+    # lowercase and/or/not are plain terms, not operators
+    assert parse_query("a AND and") == And((Term("a"), Term("and")))
+
+
+@pytest.mark.parametrize("bad", [
+    "", "a b", "a AND", "OR a", "a AND (b", "a)", "*", "a**b", "a~x",
+    '"" AND a', "a ~1",
+])
+def test_syntax_errors(bad):
+    with pytest.raises(QuerySyntaxError):
+        parse_query(bad)
+
+
+# -- evaluation -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lang_index(tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.build import build_index
+    from ts_type_filter_ray.pipelines.positional import (
+        PositionalSearcher, build_positional_index)
+    from ts_type_filter_ray.pipelines.query import LocalSearcher
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), type=pa.int64()),
+        "content": pa.array(DOCS, type=pa.string()),
+    })).repartition(3)
+    base = tmp_path_factory.mktemp("langidx")
+    idx = build_index(corpus, str(base / "bool"), doc_part_bits=2,
+                      num_term_buckets=4, tokenize_batch_size=2,
+                      stemmer=identity_stemmer)
+    pos = build_positional_index(corpus, str(base / "pos"),
+                                 num_term_buckets=4, doc_part_bits=2,
+                                 batch_size=2)
+    return (idx, LocalSearcher(idx, stemmer=identity_stemmer),
+            PositionalSearcher(pos))
+
+
+def _ref_lev(a, b):
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[lb]
+
+
+def _doc_terms():
+    return [set(t.lower().split()) for t in DOCS]
+
+
+def _ref_eval(node):
+    terms = _doc_terms()
+
+    def docs_where(pred):
+        return {d for d, ts in enumerate(terms) if any(pred(t) for t in ts)}
+
+    if isinstance(node, Term):
+        return docs_where(lambda t: t == node.text.lower())
+    if isinstance(node, Prefix):
+        return docs_where(lambda t: t.startswith(node.text.lower()))
+    if isinstance(node, Suffix):
+        return docs_where(lambda t: t.endswith(node.text.lower()))
+    if isinstance(node, Contains):
+        return docs_where(lambda t: node.text.lower() in t)
+    if isinstance(node, Fuzzy):
+        return docs_where(
+            lambda t: _ref_lev(node.text.lower(), t) <= node.max_dist)
+    if isinstance(node, Phrase):
+        p = node.text.lower().split()
+        out = set()
+        for d, text in enumerate(DOCS):
+            t = text.lower().split()
+            if any(t[i:i + len(p)] == p
+                   for i in range(len(t) - len(p) + 1)):
+                out.add(d)
+        return out
+    if isinstance(node, Or):
+        out = set()
+        for c in node.children:
+            out |= _ref_eval(c)
+        return out
+    if isinstance(node, And):
+        pos = [c for c in node.children if not isinstance(c, Not)]
+        neg = [c.child for c in node.children if isinstance(c, Not)]
+        cur = _ref_eval(pos[0])
+        for c in pos[1:]:
+            cur &= _ref_eval(c)
+        for c in neg:
+            cur -= _ref_eval(c)
+        return cur
+    raise AssertionError(node)
+
+
+EXPRS = [
+    "fast",
+    "fast AND order",
+    "fast OR batch",
+    "fast AND NOT order",
+    "(fast OR batch) AND stream",
+    "sort* AND NOT solo",
+    "*est* OR *ing",
+    "fst~1 OR ordr~1",
+    '"order fast" AND NOT batch',
+    '"batch batch batch"',
+    "key* AND (fast OR fastest)",
+    "so* AND NOT NOT solo",          # double negation = positive filter
+    "stream AND NOT missing",
+    "fast AND order AND NOT sort AND NOT missing",
+]
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_evaluate_matches_reference(lang_index, expr):
+    _idx, searcher, positional = lang_index
+    got = evaluate(expr, searcher, positional).tolist()
+    want = sorted(_ref_eval(parse_query(expr)))
+    assert got == want, expr
+
+
+def test_pure_negation_rejected(lang_index):
+    _idx, searcher, positional = lang_index
+    with pytest.raises(ValueError):
+        evaluate("NOT fast", searcher, positional)
+    with pytest.raises(ValueError):
+        evaluate("NOT fast AND NOT order", searcher, positional)
+    with pytest.raises(ValueError):
+        evaluate("fast OR NOT order", searcher, positional)
+
+
+def test_phrase_without_positional_is_contract_error(lang_index):
+    _idx, searcher, _pos = lang_index
+    with pytest.raises(ValueError):
+        evaluate('"order fast"', searcher, None)
+
+
+def test_pinned_applied_at_top(lang_index):
+    from ts_type_filter_ray.pipelines.query import LocalSearcher
+
+    idx, _searcher, positional = lang_index
+    # pinned docs survive even failing conjunctions and negations
+    pinned = LocalSearcher(idx, stemmer=identity_stemmer,
+                           pinned_doc_ids={3})
+    out = evaluate("fast AND NOT order", pinned, positional).tolist()
+    ref = sorted(_ref_eval(parse_query("fast AND NOT order")) | {3})
+    assert out == ref
+    assert evaluate("missing AND fast", pinned, positional).tolist() == [3]
+
+
+def test_double_negation_cancels_at_parse():
+    assert parse_query("a AND NOT NOT b") == And((Term("a"), Term("b")))
+    assert parse_query("NOT NOT a") == Term("a")

@@ -427,6 +427,225 @@ def andnot_match_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+# (query, m) minimum-should-match pairs over the nostem index: the dial
+# between OR (m=1) and AND (m=len); includes a miss-term pair where m is
+# unreachable and an m ≡ AND case.
+MINSHOULD_QUERY_SET: list[tuple[str, int]] = [
+    ("spark window stream", 2),
+    ("hash join merge sort", 3),
+    ("the a dup", 2),
+    ("key value", 2),
+    ("spark", 1),
+    ("nonexistentterm spark", 2),
+]
+
+# (token, max_dist) fuzzy pairs: substitution / insertion / deletion /
+# transposition-as-two-edits neighbors of real vocab terms, an exact
+# d=0 probe, and a guaranteed miss.
+FUZZY_QUERY_SET: list[tuple[str, int]] = [
+    ("hask", 1),   # hash (substitution)
+    ("kay", 1),    # key (substitution)
+    ("batc", 1),   # batch (insertion)
+    ("valu", 1),   # value (insertion)
+    ("jion", 2),   # join (transposition = two edits)
+    ("scan", 0),   # exact only
+    ("ro", 1),     # row
+    ("zzzz", 1),   # miss
+]
+
+# '*suffix' / '*infix*' wildcard sets: multi-term expansions, single-term
+# hits, and misses.
+SUFFIX_QUERY_SET: list[str] = ["er", "w", "an", "ue", "zz"]
+INFIX_QUERY_SET: list[str] = ["or", "at", "ue", "a", "zzz"]
+
+
+# Boolean query-language expressions (pipelines/querylang.py) over the
+# nostem index + nostem positional index: every grammar production is
+# exercised — OR, AND, NOT, parens, prefix/suffix/infix wildcards,
+# fuzzy ~d, and a quoted phrase.
+EXPR_QUERY_SET: list[str] = [
+    "spark OR window",
+    "hash AND join AND NOT merge",
+    "(query OR table) AND fast",
+    "sp* AND NOT *er",
+    "hask~1 OR jion~2",
+    '"batch batch batch" AND slow',
+    "*alu* AND key",
+    "(the AND a) OR dup",
+]
+
+
+def boolean_expr_match_table(sf_dir: str,
+                             exprs: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) match sets for Lucene-ish boolean EXPRESSIONS
+    (``querylang.evaluate``: AND/OR/NOT, parens, wildcards, fuzzy,
+    quoted phrases) over the identity-stemmer index + the nostem
+    positional index, value-exact vs handcrafted set-op SQL oracles
+    (INTERSECT / EXCEPT / UNION mirror the expression trees)."""
+    from .positional import PositionalSearcher
+    from .querylang import evaluate
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    positional = PositionalSearcher(phrase_index_for(sf_dir))
+    qi, di = [], []
+    for i, expr in enumerate(exprs or EXPR_QUERY_SET):
+        for doc_id in evaluate(expr, searcher, positional).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def minshould_match_table(sf_dir: str,
+                          pairs: list[tuple[str, int]] | None = None
+                          ) -> pa.Table:
+    """(query_idx, doc_id) minimum-should-match sets from the
+    identity-stemmer index (``LocalSearcher.match_atleast``) — docs
+    holding at least m distinct query terms, value-exact vs a
+    GROUP BY doc HAVING count(*) >= m oracle."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, (q, m) in enumerate(pairs or MINSHOULD_QUERY_SET):
+        for doc_id in searcher.match_atleast(q, m).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def fuzzy_match_nostem_table(sf_dir: str,
+                             pairs: list[tuple[str, int]] | None = None
+                             ) -> pa.Table:
+    """(query_idx, doc_id) fuzzy (Levenshtein ≤ d) match sets from the
+    identity-stemmer index (``LocalSearcher.match_fuzzy``: length-band
+    vocab prune + banded DP verify + postings union), value-exact vs a
+    DuckDB ``levenshtein()`` oracle."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, (tok, d) in enumerate(pairs or FUZZY_QUERY_SET):
+        for doc_id in searcher.match_fuzzy(tok, d).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def suffix_match_nostem_table(sf_dir: str,
+                              suffixes: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) '*suffix' wildcard match sets — one vectorized
+    ends_with sweep over the sorted vocabulary + postings union
+    (``LocalSearcher.match_suffix``), vs a SQL LIKE '%suffix' oracle."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, s in enumerate(suffixes or SUFFIX_QUERY_SET):
+        for doc_id in searcher.match_suffix(s).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def infix_match_nostem_table(sf_dir: str,
+                             infixes: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) '*infix*' wildcard match sets — vectorized
+    match_substring vocab sweep + postings union
+    (``LocalSearcher.match_contains``), vs a SQL LIKE '%infix%' oracle."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, s in enumerate(infixes or INFIX_QUERY_SET):
+        for doc_id in searcher.match_contains(s).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def tfidf_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                            queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) classic tf-idf top-k from the
+    identity-stemmer index — RANK-ONLY, value-exact vs a DuckDB oracle
+    computing the same ln(N/df)·(1+ln(tf)) with the same float64
+    expression shapes, ascending-term left-fold accumulation, and
+    (score desc, doc_id asc) tie-break. A second ranked scorer beside
+    BM25 over the same decoded postings (``LocalSearcher.tfidf``)."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        for r, (doc_id, _score) in enumerate(searcher.tfidf(q, k=k),
+                                             start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
+def faceted_match_counts_table(sf_dir: str,
+                               queries: list | None = None) -> pa.Table:
+    """(query_idx, lang, n_docs) — faceted search: boolean match sets
+    from the nostem index COUNTED BY FACET over the corpus. The match
+    sets (small) are broadcast once via ``ray.put``; the corpus-side
+    counting is a column-pruned read (doc_id, lang) → per-batch partial
+    (query_idx, lang, n) counts inside ``map_batches`` → a tiny
+    ``groupby().aggregate(Sum)`` — the pre-aggregate-then-shuffle shape,
+    so the all-to-all exchange moves O(queries × langs) rows, never the
+    corpus."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qset = queries or NOSTEM_QUERY_SET
+    matches = [(i, pa.array(searcher.match(q), type=pa.int64()))
+               for i, q in enumerate(qset)]
+    ref = ray.put(matches)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = ray.get(ref)
+        qi_out: list[int] = []
+        lang_out: list[str] = []
+        n_out: list[int] = []
+        for i, ids in pairs:
+            if len(ids) == 0:
+                continue
+            sub = batch.filter(pc.is_in(batch["doc_id"], value_set=ids))
+            if sub.num_rows == 0:
+                continue
+            vc = pc.value_counts(sub["lang"].combine_chunks())
+            for rec in vc.to_pylist():
+                qi_out.append(i)
+                lang_out.append(rec["values"])
+                n_out.append(rec["counts"])
+        return pa.table({
+            "query_idx": pa.array(qi_out, type=pa.int64()),
+            "lang": pa.array(lang_out, type=pa.string()),
+            "n": pa.array(n_out, type=pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["query_idx", "lang"]).aggregate(Sum("n")))
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table({
+        "query_idx": tbl["query_idx"].cast(pa.int64()),
+        "lang": tbl["lang"].cast(pa.string()),
+        "n_docs": tbl["sum(n)"].cast(pa.int64()),
+    })
+
+
 def suggest_table(sf_dir: str,
                   prefixes: list[str] | None = None) -> pa.Table:
     """(query_idx, rank, term, df) df-ranked autocomplete suggestions

@@ -62,6 +62,39 @@ def _tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
 
+def _lev_within(a: str, b: str, d: int) -> int | None:
+    """Levenshtein distance of *a*, *b* if ≤ *d*, else None — banded DP
+    (only the 2d+1 diagonals that can stay within budget are evaluated),
+    O(d·min(len)) per pair. Candidates arrive length-band pruned, so the
+    common early exit is the |len| gap check."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return None
+    if a == b:
+        return 0
+    # ensure b is the longer string (band is indexed off a's positions)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        cur = [i] + [d + 1] * lb
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            best = prev[j - 1] + cost
+            if prev[j] + 1 < best:
+                best = prev[j] + 1
+            if cur[j - 1] + 1 < best:
+                best = cur[j - 1] + 1
+            cur[j] = best
+        if min(cur[lo:hi + 1]) > d:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= d else None
+
+
 class SortedTermMap:
     """Binary-search lookups over a SORTED Arrow string array.
 
@@ -363,6 +396,170 @@ class LocalSearcher:
         order = np.lexsort((np.arange(hi - lo), -dfs))[:k]
         return [(arr[lo + int(o)].as_py(), int(dfs[o])) for o in order]
 
+    def match_atleast(self, query, m: int) -> np.ndarray:
+        """MINIMUM-SHOULD-MATCH: docs containing at least *m* DISTINCT
+        query terms — the dial between ``match`` (m=1) and ``match_all``
+        (m=len(terms)) every real query language exposes. Each term's
+        posting list holds a doc at most once, so a concat + unique-with-
+        counts IS the distinct-term count per doc. Pinned docs always
+        included; empty query → exactly the pinned set; m larger than
+        the distinct term count matches nothing (not even partials)."""
+        if m < 1:
+            raise ValueError(f"m must be >= 1, got {m}")
+        stems = query_stems(query, self._stemmer, self._breaker)
+        if not stems:
+            return self._pinned.copy()
+        arrays = [self._term_docs(t) for t in stems]
+        arrays = [a for a in arrays if a.size]
+        out = np.empty(0, dtype=np.int64)
+        if arrays and len(arrays) >= m:
+            ids, counts = np.unique(np.concatenate(arrays),
+                                    return_counts=True)
+            out = ids[counts >= m]
+        if self._pinned.size:
+            out = np.union1d(out, self._pinned)
+        return self._drop_deleted(out)
+
+    def _union_vocab_rows_raw(self, vocab_indices) -> np.ndarray:
+        """RAW union of postings for a set of vocabulary positions →
+        ascending unique doc_ids; no pinning, no tombstone filter (the
+        query-expression evaluator composes set ops over raw leaves and
+        applies both contracts once at the top)."""
+        arrays = []
+        for vi in vocab_indices:
+            s, e = int(self._starts[vi]), int(self._ends[vi])
+            term = self._terms.arr[int(vi)].as_py()
+            for i in range(s, e):
+                arrays.append(self._decode_row(term, i)[0])
+        if not arrays:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrays))
+
+    def _union_vocab_rows(self, vocab_indices) -> np.ndarray:
+        """Union of postings for a set of vocabulary positions →
+        ascending unique doc_ids (pinned included, tombstones dropped)."""
+        out = self._union_vocab_rows_raw(vocab_indices)
+        if self._pinned.size:
+            out = np.union1d(out, self._pinned)
+        return self._drop_deleted(out)
+
+    def _vocab_indices(self, kind: str, text: str,
+                       max_dist: int = 1) -> np.ndarray:
+        """Vocabulary positions matching a dictionary predicate:
+        ``prefix`` (sorted-range scan), ``suffix`` / ``contains`` (one
+        vectorized sweep), ``fuzzy`` (length-band prune + banded DP).
+        *text* is lowercased to match both index modes' normalization."""
+        text = text.lower()
+        if not text or self._terms.n == 0:
+            return np.empty(0, dtype=np.int64)
+        if kind == "prefix":
+            arr = self._terms.arr
+            lo = self._terms.bisect_left(text)
+            hi = lo
+            while hi < self._terms.n and arr[hi].as_py().startswith(text):
+                hi += 1
+            return np.arange(lo, hi, dtype=np.int64)
+        if kind == "suffix":
+            mask = pc.ends_with(self._terms.arr, pattern=text)
+            return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        if kind == "contains":
+            mask = pc.match_substring(self._terms.arr, pattern=text)
+            return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        if kind == "fuzzy":
+            lens = self._vocab_lengths()
+            band = np.flatnonzero(np.abs(lens - len(text)) <= max_dist)
+            if band.size == 0:
+                return band
+            cand = pc.take(self._terms.arr, pa.array(band)).to_pylist()
+            return np.array(
+                [vi for vi, term in zip(band.tolist(), cand)
+                 if _lev_within(text, term, max_dist) is not None],
+                dtype=np.int64)
+        raise ValueError(f"unknown vocab predicate {kind!r}")
+
+    def _vocab_match_docs(self, kind: str, text: str,
+                          max_dist: int = 1) -> np.ndarray:
+        """RAW doc-id union for a dictionary predicate (see
+        :meth:`_vocab_indices`) — the query-expression leaf primitive."""
+        return self._union_vocab_rows_raw(
+            self._vocab_indices(kind, text, max_dist))
+
+    def _stem_token(self, token: str) -> str:
+        """Stem a single whitespace-free token with this index's stemmer."""
+        return (self._stemmer or stem)(token)
+
+    def _vocab_lengths(self) -> np.ndarray:
+        """Per-term UTF-8 code-point lengths of the vocabulary (computed
+        vectorized once per searcher, cached — shared by the fuzzy
+        length-band prune)."""
+        lens = getattr(self, "_vlen", None)
+        if lens is None:
+            if self._terms.n:
+                lens = pc.utf8_length(self._terms.arr).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            else:
+                lens = np.empty(0, dtype=np.int64)
+            self._vlen = lens
+        return lens
+
+    def fuzzy_terms(self, token: str, max_dist: int = 1
+                    ) -> list[tuple[str, int]]:
+        """Vocabulary terms within Levenshtein distance ``max_dist`` of
+        *token* (lowercased), as (term, distance) sorted by term.
+
+        Candidate generation is a vectorized length-band prune
+        (|len(t) − len(q)| ≤ d bounds the distance from below), then the
+        exact banded DP verifies each candidate. The vocabulary is
+        orders of magnitude smaller than the corpus, so an O(vocab)
+        prune per query token is cheap; at extreme vocabularies the
+        SymSpell deletion-neighborhood index (persist every ≤d-deletion
+        variant of every term at build time, probe the query's variants
+        with Parquet pushdown) makes this O(len(q)^d) probes — same
+        verify step, documented scale path."""
+        token = token.lower()
+        if not token or self._terms.n == 0:
+            return []
+        lens = self._vocab_lengths()
+        band = np.flatnonzero(np.abs(lens - len(token)) <= max_dist)
+        if band.size == 0:
+            return []
+        cand = pc.take(self._terms.arr, pa.array(band)).to_pylist()
+        out = []
+        for term in cand:
+            d = _lev_within(token, term, max_dist)
+            if d is not None:
+                out.append((term, d))
+        return out
+
+    def match_fuzzy(self, token: str, max_dist: int = 1) -> np.ndarray:
+        """FUZZY match: docs containing ANY vocabulary term within
+        Levenshtein distance ``max_dist`` of *token* — the typo-tolerant
+        query shape (``spark~1``). Exact expansion (length-band prune +
+        banded DP, :meth:`fuzzy_terms`), postings union."""
+        if not token.strip():
+            return self._drop_deleted(self._pinned.copy())
+        return self._union_vocab_rows(
+            self._vocab_indices("fuzzy", token, max_dist))
+
+    def match_suffix(self, suffix: str) -> np.ndarray:
+        """Docs containing ANY term ending in *suffix* — the ``*ing``
+        wildcard, answered as ONE vectorized ``ends_with`` sweep over the
+        sorted vocabulary + postings union. The vocab sweep is O(vocab)
+        per query (vocab ≪ corpus); a reversed-term dictionary would make
+        it an O(log V) range scan — same trade the prefix path already
+        banks on, documented scale path. Empty suffix matches nothing."""
+        if not suffix:
+            return np.empty(0, dtype=np.int64)
+        return self._union_vocab_rows(self._vocab_indices("suffix", suffix))
+
+    def match_contains(self, infix: str) -> np.ndarray:
+        """Docs containing ANY term with *infix* as a substring — the
+        ``*foo*`` wildcard: one vectorized ``match_substring`` vocab
+        sweep + postings union. Empty infix matches nothing."""
+        if not infix:
+            return np.empty(0, dtype=np.int64)
+        return self._union_vocab_rows(self._vocab_indices("contains", infix))
+
     def match_prefix(self, prefix: str) -> np.ndarray:
         """Docs containing ANY term starting with *prefix* — the
         wildcard query shape (``pre*``), answered as a sorted-vocab
@@ -372,22 +569,9 @@ class LocalSearcher:
         not a query). Prefix is lowercased to match both index modes'
         lowercase normalization; stemmed indexes match against STEMMED
         vocabulary (caller owns that contract, same as ``match``)."""
-        prefix = prefix.lower()
         if not prefix:
             return np.empty(0, dtype=np.int64)
-        arrays = [self._pinned] if self._pinned.size else []
-        arr = self._terms.arr
-        lo = self._terms.bisect_left(prefix)
-        for vi in range(lo, self._terms.n):
-            term = arr[vi].as_py()
-            if not term.startswith(prefix):
-                break
-            s, e = int(self._starts[vi]), int(self._ends[vi])
-            for i in range(s, e):
-                arrays.append(self._decode_row(term, i)[0])
-        if not arrays:
-            return np.empty(0, dtype=np.int64)
-        return self._drop_deleted(np.unique(np.concatenate(arrays)))
+        return self._union_vocab_rows(self._vocab_indices("prefix", prefix))
 
     # -- BM25 ----------------------------------------------------------
 
@@ -503,6 +687,81 @@ class LocalSearcher:
                 # are included, so the deterministic tie-break is
                 # preserved (a full per-partition lexsort was the warm-
                 # query hot spot: 13.5 of 18 ms on a hot 3-term query)
+                kth = np.argpartition(-sums, k - 1)[:k]
+                thresh = sums[kth].min()
+                cand = np.flatnonzero(sums >= thresh)
+                sel = np.lexsort((uniq[cand], -sums[cand]))[:k]
+                uniq, sums = uniq[cand][sel], sums[cand][sel]
+            for d, s in zip(uniq.tolist(), sums.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        return [(-nd, s) for s, nd in sorted(heap, key=lambda x: (-x[0], -x[1]))]
+
+    def tfidf(self, query, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k by CLASSIC tf-idf — score(d) = Σ_t ln(N/df_t)·(1+ln(tf)),
+        the log-tf / raw-idf weighting — as a second ranked scorer beside
+        BM25 (exercises the same decoded postings through a different
+        formula). No block-max pruning: the stored max_impact bounds are
+        BM25 impacts, so this path scores every posting of every query
+        term (per-partition dense scatter-add, ascending-term left fold —
+        same exactness discipline as :meth:`bm25`). Tie-break
+        (score desc, doc_id asc). Docs whose every query term has
+        df = N score 0.0 and still rank (ln(1) = 0 contributions)."""
+        stats = self._stats
+        n = stats.num_documents
+        stems = query_stems(query, self._stemmer, self._breaker)
+        term_rows: list[tuple[str, float, int, int]] = []
+        for term in stems:
+            sl = self._term_slice(term)
+            if sl is not None:
+                df = self._df_of(term)
+                term_rows.append((term, math.log(n / df), sl[0], sl[1]))
+        if not term_rows:
+            return []
+        parts = sorted({int(self._part[i]) for _t, _f, s, e in term_rows
+                        for i in range(s, e)})
+        part_bits = stats.doc_part_bits
+        dense_ok = part_bits <= 22
+        buf = np.zeros(1 << part_bits, dtype=np.float64) if dense_ok else None
+        heap: list[tuple[float, int]] = []
+        for part in parts:
+            doc_arrays: list[np.ndarray] = []
+            contrib_arrays: list[np.ndarray] = []
+            for _term, idf, s, e in term_rows:  # ascending term order
+                for i in range(s, e):
+                    if self._part[i] != part:
+                        continue
+                    row = self._decode_row(_term, i)
+                    doc_arrays.append(row[4] if dense_ok else row[0])
+                    contrib_arrays.append(idf * (1.0 + np.log(row[1])))
+            if not doc_arrays:
+                continue
+            if dense_ok:
+                base = np.int64(part) << np.int64(part_bits)
+                touched = np.unique(np.concatenate(doc_arrays))
+                for rel_t, contrib_t in zip(doc_arrays, contrib_arrays):
+                    buf[rel_t] += contrib_t
+                # contributions can be exactly 0.0 (df = N), so the
+                # touched set is tracked explicitly, not via nonzero
+                uniq = touched + base
+                sums = buf[touched].copy()
+                buf[touched] = 0.0
+            else:
+                uniq = np.unique(np.concatenate(doc_arrays))
+                sums = np.zeros(uniq.size, dtype=np.float64)
+                for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
+                    sums[np.searchsorted(uniq, docs_t)] += contrib_t
+            if self._tomb.size:
+                live = self._drop_deleted(uniq)
+                if live.size != uniq.size:
+                    keep = np.searchsorted(uniq, live)
+                    uniq, sums = live, sums[keep]
+                    if uniq.size == 0:
+                        continue
+            if uniq.size > k:
                 kth = np.argpartition(-sums, k - 1)[:k]
                 thresh = sums[kth].min()
                 cand = np.flatnonzero(sums >= thresh)

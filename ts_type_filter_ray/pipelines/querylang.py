@@ -1,0 +1,267 @@
+"""Boolean query-expression language over a built index.
+
+A Lucene-ish grammar compiled onto the searcher algebra — the user-facing
+surface a fulltext engine needs once it has more than one primitive:
+
+    expr   := or
+    or     := and (OR and)*
+    and    := unary (AND unary)*
+    unary  := NOT unary | atom
+    atom   := '(' expr ')' | '"phrase words"' | TERM
+    TERM   := word | word'*' | '*'word | '*'word'*' | word'~'d
+
+Operators are UPPERCASE keywords so lowercase corpus terms named "and"/
+"or"/"not" stay queryable. Adjacent atoms without an operator are a
+syntax error (no silent default). Pure negation (`NOT x` outside an AND
+with at least one positive conjunct) is rejected like Lucene rejects
+pure-negative queries — complementing needs a corpus universe, which the
+searcher deliberately does not hold.
+
+Evaluation maps each leaf to RAW postings (no pinning at leaf level —
+pinning a leaf inside an AND would corrupt conjunctive semantics), folds
+set ops over ascending unique int64 doc-id arrays, then applies the
+reference's pinned contract (pinned docs always included) and tombstone
+visibility ONCE at the top: ``evaluate() = drop_deleted(pinned ∪ eval)``.
+
+Phrases need a positional index (``pipelines/positional.py``); passing
+``positional=None`` makes phrase atoms a contract error rather than a
+silent wrong answer.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["parse_query", "evaluate", "QuerySyntaxError"]
+
+
+class QuerySyntaxError(ValueError):
+    """Malformed query expression."""
+
+
+# -- AST -----------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+
+
+@dataclass(frozen=True)
+class Prefix:
+    text: str
+
+
+@dataclass(frozen=True)
+class Suffix:
+    text: str
+
+
+@dataclass(frozen=True)
+class Contains:
+    text: str
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    text: str
+    max_dist: int
+
+
+@dataclass(frozen=True)
+class Phrase:
+    text: str
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+# -- Lexer / parser -------------------------------------------------------
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+')
+
+
+def _lex(s: str) -> list[str]:
+    toks = _TOKEN_RE.findall(s)
+    rest = _TOKEN_RE.sub("", s)
+    if rest.strip():
+        raise QuerySyntaxError(f"unparseable characters: {rest.strip()!r}")
+    return toks
+
+
+_FUZZY_RE = re.compile(r"^(?P<body>[^~*]+)~(?P<d>\d+)$")
+
+
+def _atom_from_word(w: str):
+    m = _FUZZY_RE.match(w)
+    if m:
+        return Fuzzy(m.group("body"), int(m.group("d")))
+    lead, trail = w.startswith("*"), w.endswith("*") and len(w) > 1
+    body = w.strip("*")
+    if not body:
+        raise QuerySyntaxError(f"bare wildcard: {w!r}")
+    if "*" in body:
+        raise QuerySyntaxError(f"interior '*' not supported: {w!r}")
+    if "~" in body:
+        raise QuerySyntaxError(f"malformed fuzzy term: {w!r}")
+    if lead and trail:
+        return Contains(body)
+    if lead:
+        return Suffix(body)
+    if trail:
+        return Prefix(body)
+    return Term(w)
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise QuerySyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise QuerySyntaxError(
+                f"unexpected token {self.peek()!r} — atoms must be joined "
+                "with AND/OR")
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() == "OR":
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def and_expr(self):
+        parts = [self.unary()]
+        while self.peek() == "AND":
+            self.next()
+            parts.append(self.unary())
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def unary(self):
+        if self.peek() == "NOT":
+            self.next()
+            inner = self.unary()
+            # double negation cancels at parse time, so Not(Not(x))
+            # never reaches the evaluator
+            return inner.child if isinstance(inner, Not) else Not(inner)
+        return self.atom()
+
+    def atom(self):
+        t = self.next()
+        if t == "(":
+            node = self.or_expr()
+            if self.next() != ")":
+                raise QuerySyntaxError("missing ')'")
+            return node
+        if t == ")":
+            raise QuerySyntaxError("unexpected ')'")
+        if t in ("AND", "OR"):
+            raise QuerySyntaxError(f"operator {t} where an atom was expected")
+        if t.startswith('"'):
+            body = t[1:-1].strip()
+            if not body:
+                raise QuerySyntaxError("empty phrase")
+            return Phrase(body)
+        return _atom_from_word(t)
+
+
+def parse_query(s: str):
+    """Parse *s* into an expression AST (raises :class:`QuerySyntaxError`)."""
+    toks = _lex(s)
+    if not toks:
+        raise QuerySyntaxError("empty query")
+    return _Parser(toks).parse()
+
+
+# -- Evaluation -----------------------------------------------------------
+
+
+def _eval(node, searcher, positional) -> np.ndarray:
+    if isinstance(node, Term):
+        # single whitespace-free token → exactly one stem
+        return searcher._term_docs(searcher._stem_token(node.text))
+    if isinstance(node, Prefix):
+        return searcher._vocab_match_docs("prefix", node.text)
+    if isinstance(node, Suffix):
+        return searcher._vocab_match_docs("suffix", node.text)
+    if isinstance(node, Contains):
+        return searcher._vocab_match_docs("contains", node.text)
+    if isinstance(node, Fuzzy):
+        return searcher._vocab_match_docs("fuzzy", node.text,
+                                          max_dist=node.max_dist)
+    if isinstance(node, Phrase):
+        if positional is None:
+            raise ValueError(
+                "phrase atoms need a positional index — pass positional=")
+        return positional.phrase(node.text)
+    if isinstance(node, Or):
+        arrays = [_eval(c, searcher, positional) for c in node.children]
+        arrays = [a for a in arrays if a.size]
+        if not arrays:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrays))
+    if isinstance(node, And):
+        pos = [c for c in node.children if not isinstance(c, Not)]
+        neg = [c.child for c in node.children if isinstance(c, Not)]
+        if not pos:
+            raise ValueError(
+                "pure negation has no universe — AND needs at least one "
+                "positive conjunct")
+        arrays = sorted((_eval(c, searcher, positional) for c in pos),
+                        key=lambda a: a.size)
+        cur = arrays[0]
+        for a in arrays[1:]:
+            if cur.size == 0:
+                break
+            cur = np.intersect1d(cur, a, assume_unique=True)
+        if neg and cur.size:
+            drop = np.unique(np.concatenate(
+                [_eval(c, searcher, positional) for c in neg] or
+                [np.empty(0, dtype=np.int64)]))
+            cur = np.setdiff1d(cur, drop, assume_unique=True)
+        return cur
+    if isinstance(node, Not):
+        raise ValueError(
+            "pure negation has no universe — NOT is only valid inside an "
+            "AND with at least one positive conjunct")
+    raise TypeError(f"unknown node {node!r}")
+
+
+def evaluate(query: str, searcher, positional=None) -> np.ndarray:
+    """Evaluate *query* over *searcher* (a ``LocalSearcher``) → ascending
+    unique doc_ids. Phrases are answered by *positional* (a
+    ``PositionalSearcher`` over the same corpus). Pinned docs are always
+    included and tombstoned docs never returned — both applied once at
+    the top, so leaf set ops stay pure."""
+    out = _eval(parse_query(query), searcher, positional)
+    if searcher._pinned.size:
+        out = np.union1d(out, searcher._pinned)
+    return searcher._drop_deleted(out)
