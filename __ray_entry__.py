@@ -100,11 +100,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minshould_match": lambda sf: flagship.minshould_match_table(sf),
         "fuzzy_match_nostem":
             lambda sf: flagship.fuzzy_match_nostem_table(sf),
+        # same fuzzy queries from the persisted SymSpell deletion-
+        # neighborhood index (O(len^d) pushdown probes — the
+        # extreme-vocabulary scale path), same levenshtein() oracle
+        "fuzzy_match_indexed":
+            lambda sf: flagship.fuzzy_match_indexed_table(sf),
         "suffix_match_nostem":
             lambda sf: flagship.suffix_match_nostem_table(sf),
         "infix_match_nostem":
             lambda sf: flagship.infix_match_nostem_table(sf),
         "tfidf_topk_nostem": lambda sf: flagship.tfidf_topk_nostem_table(sf),
+        # search-after pagination: page 2 (ranks k+1..2k) fetched via the
+        # exact (score desc, doc_id asc) cursor, vs the rank-windowed
+        # oracle — proves the cursor reproduces the global ordering
+        "bm25_page2_nostem": lambda sf: flagship.bm25_page2_nostem_table(sf),
         "faceted_match_counts":
             lambda sf: flagship.faceted_match_counts_table(sf),
         # Lucene-ish boolean query language (querylang.py): AND/OR/NOT,
@@ -619,6 +628,11 @@ def oracle_sql() -> dict[str, str]:
                          as rank
               from scored)
             where rank <= {BM25_NOSTEM_K}"""
+
+    # page 2 of the same ranking (search-after cursor on the engine side)
+    bm25_page2_sql = (bm25_nostem_sql.rsplit("where rank <=", 1)[0]
+                      + f"where rank > {BM25_NOSTEM_K} "
+                      f"and rank <= {2 * BM25_NOSTEM_K}")
 
     from ts_type_filter_ray.pipelines.flagship import (
         ANDNOT_QUERY_SET, CONJ_QUERY_SET, SUGGEST_K, SUGGEST_SET)
@@ -1224,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
             from q join toks t using (term)
             where t.doc_id not in ({deleted_ids})""",
         "bm25_topk_nostem": bm25_nostem_sql,
+        "bm25_page2_nostem": bm25_page2_sql,
         "index_statistics_nostem": r"""
             with toks as (
               select doc_id,
@@ -1245,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms": suggest_sql,
         "minshould_match": minshould_sql,
         "fuzzy_match_nostem": fuzzy_sql,
+        "fuzzy_match_indexed": fuzzy_sql,
         "suffix_match_nostem": suffix_sql,
         "infix_match_nostem": infix_sql,
         "tfidf_topk_nostem": tfidf_nostem_sql,

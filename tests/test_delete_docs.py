@@ -53,6 +53,14 @@ def test_match_surfaces_exclude_deleted(deleted_index):
         assert d not in s.match_prefix("f").tolist()
         assert d not in s.match_all("same").tolist()
         assert d not in s.match_andnot("fire", "zzznohit").tolist()
+        assert d not in s.match_atleast("fire heat same", 1).tolist()
+        assert d not in s.match_fuzzy("fire", 1).tolist()
+        assert d not in s.match_suffix("e").tolist()
+        assert d not in s.match_contains("a").tolist()
+        assert d not in [doc for doc, _sc in s.tfidf("fire heat", k=200)]
+    from ts_type_filter_ray.pipelines.querylang import evaluate
+    expr_out = evaluate("fire OR heat OR same", s)
+    assert not set(DELETED) & set(expr_out.tolist())
 
 
 def test_deletion_beats_pinning(deleted_index):
@@ -170,3 +178,45 @@ def test_positional_searcher_excludes_deleted(ray_session,
     s2 = PositionalSearcher(idx)  # reload picks up tombstones
     assert s2.phrase("order fast").tolist() == [0, 2]
     assert s2.proximity("order", "fast", 1).tolist() == [0, 2]
+
+
+def test_upsert_docs_lifecycle(ray_session, tmp_path_factory):
+    """upsert = tombstone old ids + extend under fresh ids: the old
+    content disappears immediately, the replacement is findable at its
+    new id, old ids are never reused, and compaction afterwards equals
+    an oracle over survivors + replacements."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.build import upsert_docs
+
+    docs = ["alpha beta", "gamma delta", "alpha gamma", "epsilon zeta"]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "content": pa.array(docs, type=pa.string())}))
+    root = str(tmp_path_factory.mktemp("upsert") / "idx")
+    idx = build_index(corpus, root, doc_part_bits=3, num_term_buckets=4)
+    n0 = idx.stats.num_documents
+
+    # replace docs 1 and 2 with updated contents
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "content": pa.array(["gamma delta UPDATED", "alpha omega"],
+                            type=pa.string())}))
+    upserted = upsert_docs(root, [1, 2], new)
+    s = LocalSearcher(upserted)
+    # old ids invisible, replacements visible at ids n0, n0+1
+    assert s.match("gamma").tolist() == [n0]
+    assert s.match("alpha").tolist() == [0, n0 + 1]
+    assert s.match("omega").tolist() == [n0 + 1]
+    assert s.match("updated").tolist() == [n0]
+
+    # compaction → equals an oracle over survivors + replacements
+    compacted = compact_index(root)
+    live = [(0, docs[0]), (3, docs[3]),
+            (n0, "gamma delta UPDATED"), (n0 + 1, "alpha omega")]
+    oracle = build_oracle([d for d, _ in live], [c for _, c in live])
+    s2 = LocalSearcher(compacted)
+    for q in ("alpha", "gamma", "omega", "updated", "epsilon", "beta"):
+        assert s2.match(q).tolist() == oracle.match(q), q
+        assert s2.bm25(q, k=5) == oracle.bm25(q, k=5), q

@@ -313,6 +313,29 @@ def test_match_suffix_contains_golden(sonnets_index, sonnets_corpus_dir):
     assert s.match_contains("").tolist() == []
 
 
+def test_bm25_search_after_pagination(sonnets_index, sonnets_oracle):
+    """Concatenated cursor pages ≡ one deep top-k, for every page size,
+    including tie regions; cursor past the last result → empty page."""
+    s = LocalSearcher(sonnets_index)
+    for q in ("fire heat", "same", "thrall quench fire", "w1z w2z"):
+        deep = s.bm25(q, k=40)
+        assert deep == sonnets_oracle.bm25(q, k=40)
+        for k in (1, 3, 7, 10):
+            pages, cursor = [], None
+            while True:
+                page = s.bm25(q, k=k, after=cursor)
+                if not page:
+                    break
+                pages.extend(page)
+                cursor = page[-1]
+                if len(pages) >= len(deep):
+                    break
+            assert pages[:len(deep)] == deep, (q, k)
+            if len(deep) < 40 and cursor is not None:
+                # result set exhausted: the next fetch is empty
+                assert s.bm25(q, k=k, after=cursor) == [], (q, k)
+
+
 def test_tfidf_golden(sonnets_index, sonnets_corpus_dir):
     """tf-idf top-k ≡ brute-force ln(N/df)·(1+ln tf) with ascending-term
     accumulation and (score desc, doc_id asc) tie-break."""

@@ -426,6 +426,21 @@ def delete_docs(root: str, doc_ids) -> BuiltIndex:
     return idx
 
 
+def upsert_docs(root: str, replace_doc_ids, new_corpus: Dataset,
+                **extend_kwargs) -> BuiltIndex:
+    """UPDATE = delete + re-add under FRESH ids (the LSM upsert): the
+    replaced ids are tombstoned (immediately invisible, statistics
+    frozen) and *new_corpus* extends the index as a new segment at
+    O(new docs) cost — ids are never reused (``id_ceiling``), so readers
+    holding old ids can still distinguish "deleted" from "replaced by".
+    ``compact_index`` later purges the tombstones and recomputes
+    statistics. *new_corpus* carries dense 0-based ids like any corpus
+    (extend shifts them past the ceiling). Breaker/stemmer must match
+    the original build (same contract as ``extend_index``)."""
+    delete_docs(root, replace_doc_ids)
+    return extend_index(root, new_corpus, **extend_kwargs)
+
+
 def _purge_one_docs_shard(path: str, tombs) -> tuple[int, int]:
     """Rewrite one docs shard without tombstoned rows (to ``.purge.tmp``
     beside it — the caller swaps after every bucket compacted). Returns

@@ -286,6 +286,32 @@ def bm25_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
     })
 
 
+def bm25_page2_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                            queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) — the SECOND page (ranks k+1..2k) of
+    BM25 results, fetched with the search-after cursor
+    (``LocalSearcher.bm25(after=page1[-1])``), value-exact vs the same
+    DuckDB rank oracle windowed to rank > k. Externally proves the
+    cursor reproduces the global ordering page by page."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        page1 = searcher.bm25(q, k=k)
+        if not page1:
+            continue
+        page2 = searcher.bm25(q, k=k, after=page1[-1])
+        for r, (doc_id, _score) in enumerate(page2, start=k + 1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
 # Phrase / proximity query sets for the POSITIONAL index (lowercase
 # whitespace tokens, nostem — SQL-expressible): contiguous phrases incl.
 # a self-adjacent repeated token ("batch batch batch" occurs verbatim in
@@ -527,6 +553,28 @@ def fuzzy_match_nostem_table(sf_dir: str,
     qi, di = [], []
     for i, (tok, d) in enumerate(pairs or FUZZY_QUERY_SET):
         for doc_id in searcher.match_fuzzy(tok, d).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def fuzzy_match_indexed_table(sf_dir: str,
+                              pairs: list[tuple[str, int]] | None = None
+                              ) -> pa.Table:
+    """Same fuzzy match sets answered ENTIRELY from persisted artifacts
+    (``pipelines/fuzzy.py``): SymSpell deletion-neighborhood probes with
+    bucket + variant filter pushdown → banded-DP verify → bucket+term
+    pushdown postings read. The extreme-vocabulary scale path for
+    ``match_fuzzy`` — O(len^d) probes per query instead of an O(vocab)
+    sweep; same DuckDB ``levenshtein()`` oracle."""
+    from .fuzzy import build_fuzzy_index, match_fuzzy_indexed
+
+    idx = build_documents_index_nostem(sf_dir)
+    build_fuzzy_index(idx.root, max_dist=2)
+    qi, di = [], []
+    for i, (tok, d) in enumerate(pairs or FUZZY_QUERY_SET):
+        for doc_id in match_fuzzy_indexed(idx, tok, d).tolist():
             qi.append(i)
             di.append(doc_id)
     return pa.table({"query_idx": pa.array(qi, type=pa.int64()),

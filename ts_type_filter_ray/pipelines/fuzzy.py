@@ -1,0 +1,196 @@
+"""SymSpell-style deletion-neighborhood fuzzy index.
+
+``LocalSearcher.match_fuzzy`` sweeps the in-memory vocabulary per query —
+fine while vocab ≪ corpus, but at extreme vocabularies (10⁸⁺ terms) the
+per-query O(vocab) prune is the wrong shape. This module persists the
+classic deletes-only neighborhood as an index artifact so a fuzzy query
+becomes O(len(q)^d) HASHED PROBES with Parquet pushdown, independent of
+vocabulary size:
+
+- **Build** (once, distributed): for every vocabulary term, emit every
+  string reachable by ≤ ``max_dist`` character DELETIONS (including the
+  term itself) as ``(variant, term)`` rows, hash-partitioned by
+  ``md5(variant) % num_buckets`` and variant-sorted within each file for
+  row-group pruning. One shared-nothing Ray task per SOURCE term bucket —
+  the postings layout already guarantees each term lives in exactly one
+  bucket, so per-bucket ``unique(term)`` needs no global dedup shuffle
+  (same argument as ``build.merge_partial_buckets``).
+
+- **Query**: generate the ≤ ``max_dist`` deletion variants of the query
+  token (O(len^d) strings), read ONLY their hash buckets with a
+  ``variant IN (...)`` filter pushed into the scan, verify the surviving
+  candidate terms with the exact banded Levenshtein DP, and union their
+  postings through the same bucket+term-pushdown read the boolean path
+  uses.
+
+Completeness: lev(a, b) ≤ d implies the deletes-only neighborhoods of
+depth d intersect (align a and b; deleting the unmatched characters of
+each side of the alignment yields a common subsequence reachable by ≤ d
+deletions from either string — insertions delete from one side,
+substitutions from both). The intersection is a SUPERSET of the true
+matches (e.g. transpositions surface at depth 1 but cost 2), which is
+why the exact DP verify runs on every candidate. Parity with the vocab
+sweep is pytest-pinned over fuzzed tokens (tests/test_fuzzy_index.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..text.hashvec import md5_lower64_strings
+from .build import BuiltIndex
+from .query import _lev_within, _load_rows_for_terms, _drop_tombstoned
+
+__all__ = ["deletion_variants", "build_fuzzy_index",
+           "fuzzy_candidate_terms", "match_fuzzy_indexed"]
+
+
+def deletion_variants(term: str, depth: int) -> set[str]:
+    """All strings reachable from *term* by ≤ *depth* single-character
+    deletions, INCLUDING *term* itself."""
+    out = {term}
+    frontier = {term}
+    for _ in range(depth):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1:])
+        frontier = nxt - out
+        out |= nxt
+    return out
+
+
+def _fuzzy_dir(root: str) -> str:
+    return os.path.join(root, "fuzzy")
+
+
+def _load_meta(root: str) -> dict | None:
+    path = os.path.join(_fuzzy_dir(root), "_meta.json")
+    if not os.path.exists(path) or not os.path.exists(
+            os.path.join(_fuzzy_dir(root), "_SUCCESS")):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _variant_buckets(variants: list[str], num_buckets: int) -> np.ndarray:
+    return (md5_lower64_strings(variants).astype(np.uint64)
+            % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _emit_one_bucket(postings_dir: str, bucket: int, max_dist: int,
+                     num_vbuckets: int, out_dir: str) -> int:
+    """Emit the deletion neighborhood of one source term bucket into
+    ``vbucket=*/src=<bucket>.parquet`` files (variant-sorted). Source
+    buckets partition the vocabulary, so filenames never collide and a
+    re-run per bucket is idempotent (full overwrite of its own files)."""
+    dset = pads.dataset(postings_dir, partitioning="hive")
+    tbl = dset.to_table(filter=pc.field("bucket") == bucket,
+                        columns=["term"])
+    terms = pc.unique(tbl["term"]).to_pylist()
+    variants: list[str] = []
+    owners: list[str] = []
+    for t in terms:
+        for v in deletion_variants(t, max_dist):
+            variants.append(v)
+            owners.append(t)
+    if not variants:
+        return 0
+    vb = _variant_buckets(variants, num_vbuckets)
+    out = pa.table({
+        "variant": pa.array(variants, type=pa.string()),
+        "term": pa.array(owners, type=pa.string()),
+    })
+    order = pc.sort_indices(out["variant"])
+    out = out.take(order)
+    vb = vb[order.to_numpy(zero_copy_only=False)]
+    for b in np.unique(vb).tolist():
+        sub = out.filter(pa.array(vb == b))
+        d = os.path.join(out_dir, f"vbucket={int(b)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, f"src={bucket}.parquet"))
+    return len(variants)
+
+
+def build_fuzzy_index(root: str, max_dist: int = 1,
+                      num_vbuckets: int | None = None) -> str:
+    """Build (or reuse) the deletion-neighborhood index under
+    ``<root>/fuzzy``. Idempotent: an existing artifact with depth ≥
+    *max_dist* is reused; a shallower one is rebuilt."""
+    import ray
+
+    idx = BuiltIndex.load(root)
+    meta = _load_meta(root)
+    if meta is not None and meta["max_dist"] >= max_dist:
+        return _fuzzy_dir(root)
+    out_dir = _fuzzy_dir(root)
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    nvb = num_vbuckets or idx.stats.num_term_buckets
+    # shared-nothing per-source-bucket tasks (the vocabulary is already
+    # disjointly partitioned on disk — a Dataset groupby would re-shuffle
+    # placed data, same reasoning as merge_partial_buckets)
+    task = ray.remote(_emit_one_bucket)
+    refs = [task.remote(idx.postings_dir, b, max_dist, nvb, out_dir)
+            for b in range(idx.stats.num_term_buckets)]
+    ray.get(refs)
+    with open(os.path.join(out_dir, "_meta.json"), "w") as f:
+        json.dump({"max_dist": max_dist, "num_vbuckets": nvb}, f)
+    open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+    return out_dir
+
+
+def fuzzy_candidate_terms(root: str, token: str,
+                          max_dist: int = 1) -> list[str]:
+    """Vocabulary terms within Levenshtein ``max_dist`` of *token*, from
+    the persisted deletion index: O(len^d) variant probes with bucket +
+    variant filter pushdown, exact banded-DP verify. Sorted ascending."""
+    meta = _load_meta(root)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no fuzzy index under {root!r} — run build_fuzzy_index first")
+    if max_dist > meta["max_dist"]:
+        raise ValueError(
+            f"fuzzy index built with max_dist={meta['max_dist']}, "
+            f"queried with {max_dist}")
+    token = token.lower()
+    if not token:
+        return []
+    qvars = sorted(deletion_variants(token, max_dist))
+    vbs = sorted(set(_variant_buckets(qvars, meta["num_vbuckets"]).tolist()))
+    dset = pads.dataset(_fuzzy_dir(root), partitioning="hive")
+    tbl = dset.to_table(
+        filter=(pc.field("vbucket").isin(vbs)
+                & pc.field("variant").isin(qvars)),
+        columns=["term"])
+    cand = pc.unique(tbl["term"]).to_pylist()
+    return sorted(t for t in cand
+                  if _lev_within(token, t, max_dist) is not None)
+
+
+def match_fuzzy_indexed(index: BuiltIndex, token: str,
+                        max_dist: int = 1) -> np.ndarray:
+    """Fuzzy boolean match answered entirely from persisted artifacts:
+    deletion-index probes → verified candidate terms → bucket+term
+    pushdown postings read → ascending unique doc_ids (tombstones
+    dropped). Result ≡ ``LocalSearcher.match_fuzzy`` (pytest-pinned)."""
+    from ..state import postings as plib
+
+    terms = fuzzy_candidate_terms(index.root, token, max_dist)
+    if not terms:
+        return np.empty(0, dtype=np.int64)
+    tbl = _load_rows_for_terms(index, terms)
+    arrays = [plib.decode_doc_ids(buf)
+              for buf in tbl["doc_ids_enc"].to_pylist()] if tbl.num_rows \
+        else []
+    if not arrays:
+        return np.empty(0, dtype=np.int64)
+    return _drop_tombstoned(index, np.unique(np.concatenate(arrays)))

@@ -580,8 +580,19 @@ class LocalSearcher:
         n = self._stats.num_documents
         return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
 
-    def bm25(self, query, k: int = 10) -> list[tuple[int, float]]:
+    def bm25(self, query, k: int = 10,
+             after: tuple[int, float] | None = None
+             ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), tie-break (score desc, doc_id asc).
+
+        ``after=(doc_id, score)`` — a RESULT ROW — is the SEARCH-AFTER
+        cursor: only docs
+        strictly after the cursor in (score desc, doc_id asc) order are
+        returned — pass the last row of a page to get the next page.
+        Exact because scores are deterministic bit-identical floats, so
+        ``bm25(q, k) + bm25(q, k, after=page[-1]) == bm25(q, 2k)``
+        (pytest-pinned). Cheaper than deep top-k re-ranking at every
+        page: the heap never holds more than k entries.
 
         Partition-level block-max pruning: for each doc-partition p the
         upper bound ub(p) = Σ_t idf(t)·max_impact(t,p) is computed from
@@ -677,6 +688,15 @@ class LocalSearcher:
                 if live.size != uniq.size:
                     keep = np.searchsorted(uniq, live)
                     uniq, sums = live, sums[keep]
+                    if uniq.size == 0:
+                        continue
+            if after is not None:
+                # search-after: strictly after the cursor in the exact
+                # (score desc, doc_id asc) result order
+                a_d, a_s = after
+                keep = (sums < a_s) | ((sums == a_s) & (uniq > a_d))
+                if not keep.all():
+                    uniq, sums = uniq[keep], sums[keep]
                     if uniq.size == 0:
                         continue
             if uniq.size > k:
