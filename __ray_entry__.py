@@ -114,6 +114,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact (score desc, doc_id asc) cursor, vs the rank-windowed
         # oracle — proves the cursor reproduces the global ordering
         "bm25_page2_nostem": lambda sf: flagship.bm25_page2_nostem_table(sf),
+        # filter + rank: BM25 restricted to a boolean-expression match
+        # set (scores unchanged, candidates filtered), rank-only
+        "bm25_filtered_nostem":
+            lambda sf: flagship.bm25_filtered_nostem_table(sf),
+        # "did you mean": (distance asc, df desc, term asc) corrections
+        "spell_correct": lambda sf: flagship.spell_correct_table(sf),
         "faceted_match_counts":
             lambda sf: flagship.faceted_match_counts_table(sf),
         # Lucene-ish boolean query language (querylang.py): AND/OR/NOT,
@@ -634,6 +640,22 @@ def oracle_sql() -> dict[str, str]:
                       + f"where rank > {BM25_NOSTEM_K} "
                       f"and rank <= {2 * BM25_NOSTEM_K}")
 
+    # filtered ranked search: the SAME scored CTE ranked only over docs
+    # matching the boolean filter expression (flagship.BM25_FILTER_EXPR
+    # = 'batch AND NOT slow' — mirrored as EXCEPT)
+    bm25_filtered_sql = (bm25_nostem_sql.rsplit(
+        "select query_idx, rank, doc_id from (", 1)[0] + rf"""
+            , flt as (
+              select doc_id from tf_t where term = 'batch'
+              except select doc_id from tf_t where term = 'slow')
+            select query_idx, rank, doc_id from (
+              select query_idx, doc_id,
+                     row_number() over (partition by query_idx
+                                        order by score desc, doc_id asc)
+                         as rank
+              from scored join flt using (doc_id))
+            where rank <= {BM25_NOSTEM_K}""")
+
     from ts_type_filter_ray.pipelines.flagship import (
         ANDNOT_QUERY_SET, CONJ_QUERY_SET, SUGGEST_K, SUGGEST_SET)
     nostem_toks_cte = r"""
@@ -837,6 +859,23 @@ def oracle_sql() -> dict[str, str]:
             """ + "\nunion all\n".join(
         _expr_branch.format(i=i, body=b)
         for i, b in enumerate(_expr_bodies)))
+
+    # spell correction: (distance asc, df desc, term asc) window rank
+    # within levenshtein max_dist, top SPELL_K per probe
+    from ts_type_filter_ray.pipelines.flagship import (SPELL_K,
+                                                       SPELL_QUERY_SET)
+    spell_branches = [
+        f"select cast({i} as bigint) as query_idx, rank, term, dist, df"
+        f" from (select row_number() over ("
+        f"   order by levenshtein(term,'{tok}') asc, df desc, term asc)"
+        f"   as rank, term, levenshtein(term,'{tok}')::BIGINT as dist, df"
+        f"   from df_t where levenshtein(term,'{tok}') <= {d})"
+        f" where rank <= {SPELL_K}"
+        for i, (tok, d) in enumerate(SPELL_QUERY_SET)]
+    spell_sql = (nostem_toks_cte + r""",
+            df_t as (select term, count(*)::BIGINT as df
+                     from toks group by term)
+            """ + "\nunion all\n".join(spell_branches))
 
     # faceted match counts: per-query distinct match sets joined to the
     # documents facet column, counted per (query_idx, lang)
@@ -1239,6 +1278,8 @@ def oracle_sql() -> dict[str, str]:
             where t.doc_id not in ({deleted_ids})""",
         "bm25_topk_nostem": bm25_nostem_sql,
         "bm25_page2_nostem": bm25_page2_sql,
+        "bm25_filtered_nostem": bm25_filtered_sql,
+        "spell_correct": spell_sql,
         "index_statistics_nostem": r"""
             with toks as (
               select doc_id,

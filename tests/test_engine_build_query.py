@@ -336,6 +336,56 @@ def test_bm25_search_after_pagination(sonnets_index, sonnets_oracle):
                 assert s.bm25(q, k=k, after=cursor) == [], (q, k)
 
 
+def test_suggest_correction_golden(sonnets_index, sonnets_corpus_dir):
+    """Spell correction ≡ brute-force (distance asc, df desc, term asc)
+    rerank of the Levenshtein neighborhood."""
+    from collections import Counter
+
+    s = LocalSearcher(sonnets_index)
+    doc_terms = _sonnets_doc_terms(sonnets_corpus_dir)
+    df = Counter(t for terms in doc_terms for t in terms)
+
+    def ref_lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[lb]
+
+    for tok, d in (("fir", 2), ("saem", 2), ("heat", 1), ("zzzz", 1),
+                   ("thrll", 2)):
+        cand = [(ref_lev(tok, t), -df[t], t) for t in df
+                if ref_lev(tok, t) <= d]
+        cand.sort()
+        want = [(t, dist, -negdf) for dist, negdf, t in cand[:3]]
+        assert s.suggest_correction(tok, d, k=3) == want, (tok, d)
+    assert s.suggest_correction("", 2) == []
+
+
+def test_bm25_filtered_golden(sonnets_index, sonnets_oracle):
+    """Filtered BM25 ≡ deep unfiltered ranking restricted to the allowed
+    set (scores unchanged); composes with the search-after cursor."""
+    s = LocalSearcher(sonnets_index)
+    for q in ("fire heat", "same", "thrall quench fire"):
+        allowed = s.match("heat thrall")  # some overlapping subset
+        deep = [row for row in s.bm25(q, k=200)
+                if row[0] in set(allowed.tolist())]
+        assert s.bm25(q, k=10, allowed=allowed) == deep[:10], q
+        # filter ∘ cursor: page 2 of the filtered ranking
+        page1 = s.bm25(q, k=5, allowed=allowed)
+        if page1:
+            page2 = s.bm25(q, k=5, allowed=allowed, after=page1[-1])
+            assert page1 + page2 == deep[:len(page1) + len(page2)], q
+        # empty filter → no results
+        import numpy as np
+        assert s.bm25(q, k=5, allowed=np.empty(0, dtype=np.int64)) == []
+
+
 def test_tfidf_golden(sonnets_index, sonnets_corpus_dir):
     """tf-idf top-k ≡ brute-force ln(N/df)·(1+ln tf) with ascending-term
     accumulation and (score desc, doc_id asc) tie-break."""

@@ -113,3 +113,30 @@ def test_flagship_served_identical_to_local(ray_session):
     local = bm25_topk_table(sf)
     served = bm25_topk_served_table(sf, num_actors=3)
     assert local.equals(served)
+
+
+def test_match_expr_distributes(served):
+    """Boolean expressions distribute over the doc-partitioned pool:
+    union of per-actor evaluations ≡ the local evaluator."""
+    from ts_type_filter_ray.pipelines.querylang import evaluate
+
+    svc, local, _oracle = served
+    for expr in ("fire OR heat", "fire AND NOT heat",
+                 "(fire OR heat) AND same", "fir* AND NOT *ing",
+                 "saem~2 OR thrall"):
+        assert (svc.match_expr(expr).tolist()
+                == evaluate(expr, local).tolist()), expr
+
+
+def test_bm25_filtered_distributes(served):
+    """Filter + rank over the pool ≡ local filtered ranking (each actor
+    filters its own doc slice; local allowed ≡ global ∩ slice)."""
+    from ts_type_filter_ray.pipelines.querylang import evaluate
+
+    svc, local, _oracle = served
+    for q, expr in (("fire heat", "same OR thrall"),
+                    ("same", "fire AND NOT heat"),
+                    ("thrall quench", "f*")):
+        allowed = evaluate(expr, local)
+        assert (svc.bm25_filtered(q, expr, k=7)
+                == local.bm25(q, k=7, allowed=allowed)), (q, expr)

@@ -286,6 +286,82 @@ def bm25_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
     })
 
 
+# (token, max_dist) spell-correction probes: typos of hot vocab terms,
+# an exact hit (ranks first at distance 0), and a miss.
+SPELL_QUERY_SET: list[tuple[str, int]] = [
+    ("batc", 2),
+    ("jion", 2),
+    ("slwo", 2),
+    ("spark", 1),
+    ("custmer", 2),
+    ("zzzz", 1),
+]
+SPELL_K = 3
+
+
+def spell_correct_table(sf_dir: str,
+                        pairs: list[tuple[str, int]] | None = None
+                        ) -> pa.Table:
+    """(query_idx, rank, term, dist, df) — "did you mean" spell
+    correction: top-k vocabulary terms ranked (distance asc, df desc,
+    term asc) within Levenshtein max_dist
+    (``LocalSearcher.suggest_correction``), value-exact vs a DuckDB
+    levenshtein + window-rank oracle."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, tm, dv, dfv = [], [], [], [], []
+    for i, (tok, d) in enumerate(pairs or SPELL_QUERY_SET):
+        for r, (term, dist, df) in enumerate(
+                searcher.suggest_correction(tok, d, SPELL_K), start=1):
+            qi.append(i)
+            rk.append(r)
+            tm.append(term)
+            dv.append(dist)
+            dfv.append(df)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "term": pa.array(tm, type=pa.string()),
+        "dist": pa.array(dv, type=pa.int64()),
+        "df": pa.array(dfv, type=pa.int64()),
+    })
+
+
+# FILTERED ranked search: BM25 over the usual query set, restricted to
+# docs satisfying a boolean expression (the filter+rank shape every
+# search engine exposes). The expression exercises AND NOT through the
+# query language.
+BM25_FILTER_EXPR = "batch AND NOT slow"
+
+
+def bm25_filtered_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                               queries: list | None = None,
+                               filter_expr: str = BM25_FILTER_EXPR
+                               ) -> pa.Table:
+    """(query_idx, rank, doc_id) BM25 top-k restricted to the docs
+    matching *filter_expr* (``querylang.evaluate`` →
+    ``LocalSearcher.bm25(allowed=...)``) — scores unchanged, candidates
+    filtered; rank-only, value-exact vs the rank oracle joined to the
+    expression's match set."""
+    from .querylang import evaluate
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    allowed = evaluate(filter_expr, searcher)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        for r, (doc_id, _score) in enumerate(
+                searcher.bm25(q, k=k, allowed=allowed), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
 def bm25_page2_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
                             queries: list | None = None) -> pa.Table:
     """(query_idx, rank, doc_id) — the SECOND page (ranks k+1..2k) of

@@ -560,6 +560,32 @@ class LocalSearcher:
             return np.empty(0, dtype=np.int64)
         return self._union_vocab_rows(self._vocab_indices("contains", infix))
 
+    def suggest_correction(self, token: str, max_dist: int = 2,
+                           k: int = 3) -> list[tuple[str, int, int]]:
+        """Spell correction ("did you mean"): top-*k* vocabulary terms
+        ranked (distance asc, df desc, term asc) within Levenshtein
+        ``max_dist`` of *token* — the fuzzy expansion reranked the way a
+        search box wants it: closest first, popularity breaks distance
+        ties. Returns (term, distance, df) rows; an exact vocabulary hit
+        ranks first at distance 0."""
+        token = token.lower()
+        if not token or self._terms.n == 0:
+            return []
+        lens = self._vocab_lengths()
+        band = np.flatnonzero(np.abs(lens - len(token)) <= max_dist)
+        if band.size == 0:
+            return []
+        cand = pc.take(self._terms.arr, pa.array(band)).to_pylist()
+        rows = []
+        for term in cand:
+            d = _lev_within(token, term, max_dist)
+            if d is not None:
+                # _df_of honors the global-df override under
+                # doc-partitioned serving
+                rows.append((d, -self._df_of(term), term))
+        rows.sort()
+        return [(term, d, -negdf) for d, negdf, term in rows[:k]]
+
     def match_prefix(self, prefix: str) -> np.ndarray:
         """Docs containing ANY term starting with *prefix* — the
         wildcard query shape (``pre*``), answered as a sorted-vocab
@@ -581,7 +607,8 @@ class LocalSearcher:
         return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
 
     def bm25(self, query, k: int = 10,
-             after: tuple[int, float] | None = None
+             after: tuple[int, float] | None = None,
+             allowed: np.ndarray | None = None
              ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), tie-break (score desc, doc_id asc).
 
@@ -594,6 +621,11 @@ class LocalSearcher:
         (pytest-pinned). Cheaper than deep top-k re-ranking at every
         page: the heap never holds more than k entries.
 
+        ``allowed`` (sorted unique doc_ids, e.g. ``querylang.evaluate``
+        output) is the FILTERED-SEARCH shape — only allowed docs rank;
+        scores are unchanged (the filter restricts candidates, it never
+        perturbs N/df/avgdl). Composes with ``after``.
+
         Partition-level block-max pruning: for each doc-partition p the
         upper bound ub(p) = Σ_t idf(t)·max_impact(t,p) is computed from
         the stored block-max metadata; partitions are scored in
@@ -602,6 +634,8 @@ class LocalSearcher:
         granularity. Exactness: no document in p can score above ub(p).
         """
         stats = self._stats
+        if allowed is not None and allowed.size == 0:
+            return []
         stems = query_stems(query, self._stemmer, self._breaker)
         term_rows: list[tuple[str, float, int, int]] = []
         for term in stems:
@@ -688,6 +722,17 @@ class LocalSearcher:
                 if live.size != uniq.size:
                     keep = np.searchsorted(uniq, live)
                     uniq, sums = live, sums[keep]
+                    if uniq.size == 0:
+                        continue
+            if allowed is not None:
+                # filtered search: membership via one merge-scan of two
+                # sorted arrays (both ascending)
+                pos = np.searchsorted(allowed, uniq)
+                ok = ((pos < allowed.size)
+                      & (allowed[np.minimum(pos, allowed.size - 1)]
+                         == uniq))
+                if not ok.all():
+                    uniq, sums = uniq[ok], sums[ok]
                     if uniq.size == 0:
                         continue
             if after is not None:

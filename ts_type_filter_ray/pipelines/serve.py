@@ -91,6 +91,16 @@ class _DocPartSearcher:
     def bm25(self, query, k: int) -> list[tuple[int, float]]:
         return self._searcher.bm25(query, k)
 
+    def match_expr(self, expr: str) -> list[int]:
+        from .querylang import evaluate
+        return evaluate(expr, self._searcher).tolist()
+
+    def bm25_filtered(self, query, filter_expr: str,
+                      k: int) -> list[tuple[int, float]]:
+        from .querylang import evaluate
+        allowed = evaluate(filter_expr, self._searcher)
+        return self._searcher.bm25(query, k, allowed=allowed)
+
 
 class SearchService:
     """Search-actor pool over a built index.
@@ -147,6 +157,31 @@ class SearchService:
         """Global top-k from per-actor local top-k's — exact because every
         doc's full score lives on exactly one actor."""
         locals_ = ray.get([a.bm25.remote(query, k) for a in self._actors])
+        merged = [item for sub in locals_ for item in sub]
+        merged.sort(key=lambda ds: (-ds[1], ds[0]))
+        return merged[:k]
+
+    def match_expr(self, expr: str) -> np.ndarray:
+        """Distributed boolean-expression evaluation: every leaf
+        predicate is per-doc, and doc partitions are disjoint, so set
+        ops DISTRIBUTE over the actors' universes — the union of
+        per-actor ``querylang.evaluate`` results is the exact global
+        result (pytest-pinned vs the local evaluator). Phrase atoms are
+        a contract error here (actors hold no positional index)."""
+        parts = ray.get([a.match_expr.remote(expr) for a in self._actors])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in parts]))
+
+    def bm25_filtered(self, query, filter_expr: str,
+                      k: int = 10) -> list[tuple[int, float]]:
+        """Filter + rank, distributed: each actor evaluates the filter
+        over ITS doc slice (local allowed ≡ global allowed ∩ slice) and
+        ranks locally; the coordinator merges local top-k's — exact for
+        the same reason ``bm25`` is."""
+        locals_ = ray.get([a.bm25_filtered.remote(query, filter_expr, k)
+                           for a in self._actors])
         merged = [item for sub in locals_ for item in sub]
         merged.sort(key=lambda ds: (-ds[1], ds[0]))
         return merged[:k]
