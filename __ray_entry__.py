@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: flagship.bm25_filtered_nostem_table(sf),
         # "did you mean": (distance asc, df desc, term asc) corrections
         "spell_correct": lambda sf: flagship.spell_correct_table(sf),
+        # "related searches": top co-occurring terms within each query's
+        # match set — broadcast match ids, one corpus pass of partial
+        # (query, term, df) counts, vocab-bounded groupby + per-query
+        # map_groups top-k (the corpus never shuffles)
+        "related_terms": lambda sf: flagship.related_terms_table(sf),
         "faceted_match_counts":
             lambda sf: flagship.faceted_match_counts_table(sf),
         # Lucene-ish boolean query language (querylang.py): AND/OR/NOT,
@@ -860,6 +865,26 @@ def oracle_sql() -> dict[str, str]:
         _expr_branch.format(i=i, body=b)
         for i, b in enumerate(_expr_bodies)))
 
+    # related searches: per-query top co-occurring terms within the
+    # match set, query terms excluded, (df desc, term asc) rank
+    from ts_type_filter_ray.pipelines.flagship import (RELATED_K,
+                                                       RELATED_QUERY_SET)
+    related_branches = []
+    for i, q in enumerate(RELATED_QUERY_SET):
+        inlist = ",".join(f"'{t}'" for t in _stems(q))
+        related_branches.append(
+            f"select cast({i} as bigint) as query_idx, rank, term, df"
+            f" from (select row_number() over ("
+            f"     order by df desc, term asc) as rank, term, df"
+            f"   from (select term, count(*)::BIGINT as df from toks"
+            f"     where doc_id in (select doc_id from toks"
+            f"                      where term in ({inlist}))"
+            f"       and term not in ({inlist})"
+            f"     group by term))"
+            f" where rank <= {RELATED_K}")
+    related_sql = (nostem_toks_cte + "\n" +
+                   "\nunion all\n".join(related_branches))
+
     # spell correction: (distance asc, df desc, term asc) window rank
     # within levenshtein max_dist, top SPELL_K per probe
     from ts_type_filter_ray.pipelines.flagship import (SPELL_K,
@@ -1280,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_page2_nostem": bm25_page2_sql,
         "bm25_filtered_nostem": bm25_filtered_sql,
         "spell_correct": spell_sql,
+        "related_terms": related_sql,
         "index_statistics_nostem": r"""
             with toks as (
               select doc_id,

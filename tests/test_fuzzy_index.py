@@ -95,3 +95,33 @@ def test_missing_artifact_raises(ray_session, sonnets_corpus_dir,
                       num_term_buckets=4, tokenize_batch_size=64)
     with pytest.raises(FileNotFoundError):
         fuzzy_candidate_terms(idx.root, "fire", 1)
+
+
+def test_stale_after_extend_detected(ray_session, tmp_path_factory):
+    """Extending the index changes the vocabulary: the deletion artifact
+    must refuse to answer (stale) until rebuilt, and the rebuild picks
+    up the new terms."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.build import extend_index
+
+    docs = ["alpha beta", "gamma delta"]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "content": pa.array(docs, type=pa.string())}))
+    root = str(tmp_path_factory.mktemp("fz_stale") / "idx")
+    from ts_type_filter_ray.pipelines.build import build_index as bi
+    idx = bi(corpus, root, doc_part_bits=3, num_term_buckets=4)
+    build_fuzzy_index(root, max_dist=1)
+    assert fuzzy_candidate_terms(root, "alpho", 1) == ["alpha"]
+
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "content": pa.array(["omega zulu"], type=pa.string())}))
+    extend_index(root, new)
+    with pytest.raises(ValueError, match="STALE"):
+        fuzzy_candidate_terms(root, "omega", 1)
+    build_fuzzy_index(root, max_dist=1)  # rebuild over the new vocab
+    assert fuzzy_candidate_terms(root, "omego", 1) == ["omega"]
+    assert fuzzy_candidate_terms(root, "alpho", 1) == ["alpha"]

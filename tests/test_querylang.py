@@ -199,3 +199,41 @@ def test_pinned_applied_at_top(lang_index):
 def test_double_negation_cancels_at_parse():
     assert parse_query("a AND NOT NOT b") == And((Term("a"), Term("b")))
     assert parse_query("NOT NOT a") == Term("a")
+
+
+def test_proximity_ast():
+    from ts_type_filter_ray.pipelines.querylang import Proximity
+    assert parse_query('"order fast"~2') == Proximity("order fast", 2)
+    assert parse_query('"order fast"~2 AND batch') == And(
+        (Proximity("order fast", 2), Term("batch")))
+    with pytest.raises(QuerySyntaxError):
+        parse_query('"a b c"~2')     # slop needs exactly 2 terms
+    with pytest.raises(QuerySyntaxError):
+        parse_query('"solo"~1')
+
+
+def test_proximity_evaluation(lang_index):
+    _idx, searcher, positional = lang_index
+
+    def ref_prox(a, b, w):
+        out = set()
+        for d, text in enumerate(DOCS):
+            t = text.lower().split()
+            pa_ = [i for i, x in enumerate(t) if x == a]
+            pb = [i for i, x in enumerate(t) if x == b]
+            if any(abs(i - j) <= w for i in pa_ for j in pb):
+                out.add(d)
+        return out
+
+    for a, b, w in (("order", "fast", 1), ("fast", "sort", 3),
+                    ("batch", "stream", 1), ("solo", "sorting", 1)):
+        got = evaluate(f'"{a} {b}"~{w}', searcher, positional).tolist()
+        assert got == sorted(ref_prox(a, b, w)), (a, b, w)
+    # composes with boolean context
+    got = evaluate('"order fast"~1 AND NOT batch', searcher,
+                   positional).tolist()
+    want = sorted(ref_prox("order", "fast", 1)
+                  - _ref_eval(parse_query("batch")))
+    assert got == want
+    with pytest.raises(ValueError):
+        evaluate('"order fast"~1', searcher, None)

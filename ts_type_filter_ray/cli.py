@@ -77,6 +77,26 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--highlight", action="store_true")
     q.add_argument("--corpus", help="corpus dir (needed for --highlight)")
 
+    se = sub.add_parser(
+        "search",
+        help="boolean EXPRESSION search: AND/OR/NOT, parens, pre*/*suf/"
+             "*in* wildcards, term~d fuzzy (quoted phrases need a "
+             "positional index — not available here)")
+    se.add_argument("index")
+    se.add_argument("expr")
+    se.add_argument("--rank", metavar="QUERY",
+                    help="BM25-rank the expression's match set by QUERY "
+                         "(filter + rank)")
+    se.add_argument("-k", type=int, default=10)
+
+    co = sub.add_parser("correct",
+                        help='spell correction ("did you mean"): top-k '
+                             "vocabulary terms by (distance, df)")
+    co.add_argument("index")
+    co.add_argument("token")
+    co.add_argument("--max-dist", type=int, default=2)
+    co.add_argument("-k", type=int, default=3)
+
     st = sub.add_parser("stats", help="print index statistics")
     st.add_argument("index")
     st.add_argument("--top", type=int, default=20)
@@ -90,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.query import LocalSearcher, highlight
     from .sources.corpus import read_corpus
 
-    if args.cmd in ("query", "stats") and \
+    if args.cmd in ("query", "stats", "search", "correct") and \
             not os.path.exists(os.path.join(args.index, "stats.json")):
         print(f"error: no index at {args.index!r} (missing stats.json)",
               file=sys.stderr)
@@ -176,6 +196,30 @@ def main(argv: list[str] | None = None) -> int:
                     print(highlight(args.terms, row["content"]))
             else:
                 print(" ".join(map(str, ids.tolist())))
+        return 0
+
+    if args.cmd == "search":
+        from .pipelines.querylang import QuerySyntaxError, evaluate
+        searcher = LocalSearcher(BuiltIndex.load(args.index))
+        try:
+            ids = evaluate(args.expr, searcher)
+        except (QuerySyntaxError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if args.rank:
+            for doc_id, score in searcher.bm25(args.rank, k=args.k,
+                                               allowed=ids):
+                print(f"{doc_id}\t{score:.6f}")
+        else:
+            print(f"Found {ids.size} matches.")
+            print(" ".join(map(str, ids.tolist())))
+        return 0
+
+    if args.cmd == "correct":
+        searcher = LocalSearcher(BuiltIndex.load(args.index))
+        for term, dist, df in searcher.suggest_correction(
+                args.token, args.max_dist, args.k):
+            print(f"{term}\t{dist}\t{df}")
         return 0
 
     if args.cmd == "stats":

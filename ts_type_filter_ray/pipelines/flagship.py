@@ -561,6 +561,107 @@ SUFFIX_QUERY_SET: list[str] = ["er", "w", "an", "ue", "zz"]
 INFIX_QUERY_SET: list[str] = ["or", "at", "ue", "a", "zzz"]
 
 
+# Query-refinement ("related searches") set: queries with non-trivial
+# match sets whose co-occurring vocabulary is worth suggesting.
+RELATED_QUERY_SET: list[str] = [
+    "spark",
+    "query fast",
+    "hash partition window stream",
+]
+RELATED_K = 5
+
+
+def related_terms_table(sf_dir: str,
+                        queries: list[str] | None = None,
+                        k: int = RELATED_K) -> pa.Table:
+    """(query_idx, rank, term, df) — top-k terms CO-OCCURRING with each
+    query's match set (df = distinct matched docs containing the term,
+    query terms excluded; tie (df desc, term asc)) — the "related
+    searches" refinement surface. Distributed shape: match sets
+    broadcast once via ``ray.put``; one corpus pass computes per-batch
+    partial (query, term, df) counts with the vectorized
+    dictionary-encode kernel (same as ``textstats.term_df_tf``); a
+    vocabulary-bounded ``groupby().aggregate(Sum)`` merges partials and
+    a per-query ``map_groups`` takes the top-k — the corpus never
+    shuffles."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _tokens
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    from .query import query_stems
+    qset = queries or RELATED_QUERY_SET
+    matches = [(i, np.asarray(searcher.match(q), dtype=np.int64))
+               for i, q in enumerate(qset)]
+    stems = {i: set(query_stems(q, stemmer=identity_stemmer))
+             for i, q in enumerate(qset)}
+    ref = ray.put(matches)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = ray.get(ref)
+        _n, flat, parents = _tokens(batch)
+        out_q: list[int] = []
+        out_t: list[str] = []
+        out_d: list[int] = []
+        if len(flat):
+            flat = pc.utf8_lower(flat)
+            enc = pc.dictionary_encode(flat).combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            vocab = enc.dictionary.to_pylist()
+            par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+            docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pardoc = docs[par]
+            key = par * len(vocab) + codes  # distinct (doc, term) key
+            for i, ids in pairs:
+                if ids.size == 0:
+                    continue
+                pos = np.searchsorted(ids, pardoc)
+                hit = ((pos < ids.size)
+                       & (ids[np.minimum(pos, ids.size - 1)] == pardoc))
+                if not hit.any():
+                    continue
+                uniq = np.unique(key[hit])
+                term_idx = (uniq % len(vocab)).astype(np.int64)
+                df = np.bincount(term_idx, minlength=len(vocab))
+                nz = np.flatnonzero(df)
+                out_q.extend([i] * nz.size)
+                out_t.extend(vocab[j] for j in nz.tolist())
+                out_d.extend(df[nz].tolist())
+        return pa.table({
+            "query_idx": pa.array(out_q, type=pa.int64()),
+            "term": pa.array(out_t, type=pa.string()),
+            "df": pa.array(out_d, type=pa.int64()),
+        })
+
+    def topk(group) -> "pa.Table":
+        import pandas as pd
+        i = int(group["query_idx"].iloc[0])
+        g = group[~group["term"].isin(stems[i])]
+        g = g.sort_values(["df", "term"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_idx", "rank", "term", "df"]]
+
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["query_idx", "term"]).aggregate(Sum("df"))
+             .rename_columns(["query_idx", "term", "df"])
+             .groupby("query_idx").map_groups(topk, batch_format="pandas"))
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table({
+        "query_idx": tbl["query_idx"].cast(pa.int64()),
+        "rank": tbl["rank"].cast(pa.int64()),
+        "term": tbl["term"].cast(pa.string()),
+        "df": tbl["df"].cast(pa.int64()),
+    })
+
+
 # Boolean query-language expressions (pipelines/querylang.py) over the
 # nostem index + nostem positional index: every grammar production is
 # exercised — OR, AND, NOT, parens, prefix/suffix/infix wildcards,

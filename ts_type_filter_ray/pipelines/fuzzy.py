@@ -71,6 +71,16 @@ def _fuzzy_dir(root: str) -> str:
     return os.path.join(root, "fuzzy")
 
 
+def _vocab_fingerprint(idx: BuiltIndex) -> list:
+    """Identity of the vocabulary the artifact was derived from — any
+    build/extend/compact changes at least one of these, so a stale
+    deletion index (missing newly-indexed terms) is detected rather
+    than silently under-matching."""
+    st = idx.stats
+    return [st.num_unique_terms, st.num_postings, st.num_segments,
+            st.num_documents]
+
+
 def _load_meta(root: str) -> dict | None:
     path = os.path.join(_fuzzy_dir(root), "_meta.json")
     if not os.path.exists(path) or not os.path.exists(
@@ -128,7 +138,8 @@ def build_fuzzy_index(root: str, max_dist: int = 1,
 
     idx = BuiltIndex.load(root)
     meta = _load_meta(root)
-    if meta is not None and meta["max_dist"] >= max_dist:
+    if (meta is not None and meta["max_dist"] >= max_dist
+            and meta.get("vocab_fp") == _vocab_fingerprint(idx)):
         return _fuzzy_dir(root)
     out_dir = _fuzzy_dir(root)
     import shutil
@@ -143,7 +154,8 @@ def build_fuzzy_index(root: str, max_dist: int = 1,
             for b in range(idx.stats.num_term_buckets)]
     ray.get(refs)
     with open(os.path.join(out_dir, "_meta.json"), "w") as f:
-        json.dump({"max_dist": max_dist, "num_vbuckets": nvb}, f)
+        json.dump({"max_dist": max_dist, "num_vbuckets": nvb,
+                   "vocab_fp": _vocab_fingerprint(idx)}, f)
     open(os.path.join(out_dir, "_SUCCESS"), "w").close()
     return out_dir
 
@@ -157,6 +169,11 @@ def fuzzy_candidate_terms(root: str, token: str,
     if meta is None:
         raise FileNotFoundError(
             f"no fuzzy index under {root!r} — run build_fuzzy_index first")
+    if meta.get("vocab_fp") != _vocab_fingerprint(BuiltIndex.load(root)):
+        raise ValueError(
+            f"fuzzy index under {root!r} is STALE (the index was "
+            "extended/compacted since it was built) — re-run "
+            "build_fuzzy_index")
     if max_dist > meta["max_dist"]:
         raise ValueError(
             f"fuzzy index built with max_dist={meta['max_dist']}, "

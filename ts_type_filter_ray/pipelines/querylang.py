@@ -7,8 +7,13 @@ surface a fulltext engine needs once it has more than one primitive:
     or     := and (OR and)*
     and    := unary (AND unary)*
     unary  := NOT unary | atom
-    atom   := '(' expr ')' | '"phrase words"' | TERM
+    atom   := '(' expr ')' | '"phrase words"' | '"a b"~d' | TERM
     TERM   := word | word'*' | '*'word | '*'word'*' | word'~'d
+
+``"a b"~d`` is the sloppy-phrase (proximity) form: the two terms within
+``|Δpos| ≤ d`` of each other (answered by the positional index; slop on
+phrases of ≠ 2 terms is rejected — general sloppy phrase matching needs
+an ordered multi-term alignment the positional searcher doesn't expose).
 
 Operators are UPPERCASE keywords so lowercase corpus terms named "and"/
 "or"/"not" stay queryable. Adjacent atoms without an operator are a
@@ -74,6 +79,12 @@ class Fuzzy:
 @dataclass(frozen=True)
 class Phrase:
     text: str
+
+
+@dataclass(frozen=True)
+class Proximity:
+    text: str
+    slop: int
 
 
 @dataclass(frozen=True)
@@ -189,6 +200,13 @@ class _Parser:
             body = t[1:-1].strip()
             if not body:
                 raise QuerySyntaxError("empty phrase")
+            nxt = self.peek()
+            if nxt is not None and re.fullmatch(r"~\d+", nxt):
+                self.next()
+                if len(body.split()) != 2:
+                    raise QuerySyntaxError(
+                        "slop (~d) is only supported on 2-term phrases")
+                return Proximity(body, int(nxt[1:]))
             return Phrase(body)
         return _atom_from_word(t)
 
@@ -222,6 +240,12 @@ def _eval(node, searcher, positional) -> np.ndarray:
             raise ValueError(
                 "phrase atoms need a positional index — pass positional=")
         return positional.phrase(node.text)
+    if isinstance(node, Proximity):
+        if positional is None:
+            raise ValueError(
+                "proximity atoms need a positional index — pass positional=")
+        a, b = node.text.lower().split()
+        return positional.proximity(a, b, node.slop)
     if isinstance(node, Or):
         arrays = [_eval(c, searcher, positional) for c in node.children]
         arrays = [a for a in arrays if a.size]
