@@ -237,3 +237,98 @@ def test_proximity_evaluation(lang_index):
     assert got == want
     with pytest.raises(ValueError):
         evaluate('"order fast"~1', searcher, None)
+
+
+def test_parser_roundtrip_fuzz():
+    """Random expression trees render → parse back to the SAME AST
+    (modulo double-negation cancellation, which the generator avoids)."""
+    import random
+
+    from ts_type_filter_ray.pipelines.querylang import Proximity
+
+    rng = random.Random(99)
+    WORDS = ["fast", "order", "batch", "solo", "stream", "key"]
+
+    def leaf():
+        kind = rng.randrange(7)
+        w = rng.choice(WORDS)
+        if kind == 0:
+            return Term(w)
+        if kind == 1:
+            return Prefix(w[:2])
+        if kind == 2:
+            return Suffix(w[-2:])
+        if kind == 3:
+            return Contains(w[1:3])
+        if kind == 4:
+            return Fuzzy(w, rng.randint(0, 2))
+        if kind == 5:
+            return Phrase(f"{rng.choice(WORDS)} {rng.choice(WORDS)}")
+        return Proximity(f"{rng.choice(WORDS)} {rng.choice(WORDS)}",
+                         rng.randint(1, 4))
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return leaf()
+        kind = rng.randrange(3)
+        if kind == 0:
+            return Or(tuple(gen(depth - 1)
+                            for _ in range(rng.randint(2, 3))))
+        if kind == 1:
+            # AND with at least one positive, NOT only on non-Not children
+            kids = []
+            for j in range(rng.randint(2, 3)):
+                c = gen(depth - 1)
+                if j > 0 and rng.random() < 0.4 and not isinstance(c, Not):
+                    c = Not(c)
+                kids.append(c)
+            return And(tuple(kids))
+        return leaf()
+
+    def render(n, parent=None):
+        if isinstance(n, Term):
+            return n.text
+        if isinstance(n, Prefix):
+            return n.text + "*"
+        if isinstance(n, Suffix):
+            return "*" + n.text
+        if isinstance(n, Contains):
+            return "*" + n.text + "*"
+        if isinstance(n, Fuzzy):
+            return f"{n.text}~{n.max_dist}"
+        if isinstance(n, Phrase):
+            return f'"{n.text}"'
+        if isinstance(n, Proximity):
+            return f'"{n.text}"~{n.slop}'
+        if isinstance(n, Not):
+            return "NOT " + render(n.child, Not)
+        if isinstance(n, And):
+            s = " AND ".join(render(c, And) for c in n.children)
+            return f"({s})" if parent in (Not,) else s
+        if isinstance(n, Or):
+            s = " OR ".join(render(c, Or) for c in n.children)
+            return f"({s})" if parent in (And, Not) else s
+        raise AssertionError(n)
+
+    def normalize(n):
+        # parser right-nests nothing — it flattens chains; the generator
+        # can nest And inside And (via gen), which parses flat. Normalize
+        # both sides by flattening same-op chains.
+        if isinstance(n, And):
+            kids = []
+            for c in map(normalize, n.children):
+                kids.extend(c.children if isinstance(c, And) else [c])
+            return And(tuple(kids))
+        if isinstance(n, Or):
+            kids = []
+            for c in map(normalize, n.children):
+                kids.extend(c.children if isinstance(c, Or) else [c])
+            return Or(tuple(kids))
+        if isinstance(n, Not):
+            return Not(normalize(n.child))
+        return n
+
+    for _ in range(300):
+        tree = gen(3)
+        text = render(tree)
+        assert normalize(parse_query(text)) == normalize(tree), text
