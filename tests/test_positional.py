@@ -228,3 +228,87 @@ def test_stemmed_index_merges_token_forms(pos_index_stemmed):
     want = sorted((d, i) for d, text in enumerate(DOCS_STEM)
                   for i, t in enumerate(_stoks(text)) if t == "run")
     assert got == want
+
+
+def _mk_corpus(docs, nparts=3):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "content": pa.array(docs, type=pa.string()),
+    })).repartition(nparts)
+
+
+def test_extend_and_compact_positional(ray_session, tmp_path_factory):
+    """Fresh build over A+B ≡ build A then LSM-extend B, for every
+    phrase/proximity query — before AND after compaction; stats match;
+    compaction collapses back to one file per bucket."""
+    import os
+
+    from ts_type_filter_ray.pipelines.positional import (
+        build_positional_index, compact_positional_index,
+        extend_positional_index)
+
+    docs_b = ["order fast order", "new phrase batch batch", "fast solo"]
+    both = DOCS + docs_b
+
+    base = tmp_path_factory.mktemp("posext")
+    fresh = build_positional_index(_mk_corpus(both), str(base / "fresh"),
+                                   num_term_buckets=4, doc_part_bits=2,
+                                   batch_size=2)
+    inc = build_positional_index(_mk_corpus(DOCS), str(base / "inc"),
+                                 num_term_buckets=4, doc_part_bits=2,
+                                 batch_size=2)
+    inc = extend_positional_index(str(base / "inc"), _mk_corpus(docs_b),
+                                  batch_size=2)
+    assert inc.num_segments == 2
+    assert inc.id_ceiling == len(both)
+    for attr in ("num_documents", "num_terms", "num_postings",
+                 "num_positions"):
+        assert getattr(inc, attr) == getattr(fresh, attr), attr
+
+    sf, si = PositionalSearcher(fresh), PositionalSearcher(inc)
+    for p in PHRASES + ["new phrase", "batch batch", "fast solo"]:
+        assert si.phrase(p).tolist() == sf.phrase(p).tolist(), p
+    for a, b, w in PROX:
+        assert si.proximity(a, b, w).tolist() == \
+            sf.proximity(a, b, w).tolist(), (a, b, w)
+
+    comp = compact_positional_index(str(base / "inc"))
+    assert comp.num_segments == 1
+    for attr in ("num_documents", "num_terms", "num_postings",
+                 "num_positions"):
+        assert getattr(comp, attr) == getattr(fresh, attr), attr
+    # exactly one data file per bucket after compaction
+    for d in sorted(os.listdir(comp.postings_dir)):
+        if d.startswith("bucket="):
+            files = [f for f in os.listdir(
+                os.path.join(comp.postings_dir, d))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))]
+            assert len(files) == 1, d
+    sc = PositionalSearcher(comp)
+    for p in PHRASES + ["new phrase", "batch batch", "fast solo"]:
+        assert sc.phrase(p).tolist() == sf.phrase(p).tolist(), p
+    for a, b, w in PROX:
+        assert sc.proximity(a, b, w).tolist() == \
+            sf.proximity(a, b, w).tolist(), (a, b, w)
+
+
+def test_extend_positional_stemmed(ray_session, tmp_path_factory):
+    """Stemmed extension merges vocabulary forms across segments."""
+    from ts_type_filter_ray.pipelines.positional import (
+        build_positional_index, extend_positional_index)
+    from ts_type_filter_ray.text.porter2 import stem
+
+    base = tmp_path_factory.mktemp("posext_stem")
+    idx = build_positional_index(_mk_corpus(["running tests daily"]),
+                                 str(base / "i"), num_term_buckets=2,
+                                 doc_part_bits=2, stemmer=stem)
+    extend_positional_index(str(base / "i"),
+                            _mk_corpus(["the runs tested often"]),
+                            stemmer=stem)
+    from ts_type_filter_ray.pipelines.positional import (PositionalIndex,
+                                                         PositionalSearcher)
+    s = PositionalSearcher(PositionalIndex.load(str(base / "i")),
+                           stemmer=stem)
+    # both docs match the stemmed phrase "run test*"
+    assert s.phrase("running tested").tolist() == [0, 1]

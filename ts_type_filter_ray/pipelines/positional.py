@@ -187,31 +187,51 @@ class PositionalIndex:
     num_positions: int
     doc_part_bits: int
     num_term_buckets: int
+    #: LSM lifecycle (defaults keep pre-extension stats files loadable):
+    #: segment_<g>.parquet files beside merged.parquet per bucket, and a
+    #: never-reused id ceiling (extends allocate past it)
+    num_segments: int = 1
+    id_ceiling: int | None = None
 
     @property
     def postings_dir(self) -> str:
         return os.path.join(self.root, "postings")
+
+    @property
+    def next_doc_id(self) -> int:
+        return self.id_ceiling if self.id_ceiling is not None \
+            else self.num_documents
 
     @classmethod
     def load(cls, root: str) -> "PositionalIndex":
         with open(os.path.join(root, "stats.json")) as f:
             return cls(root=root, **json.load(f))
 
+    def _dump(self) -> None:
+        meta = {k: v for k, v in self.__dict__.items() if k != "root"}
+        with open(os.path.join(self.root, "stats.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+
 
 def _merge_one_positional_bucket(bucket_dir: str, out_dir: str,
-                                 bucket: int) -> tuple[int, int, int]:
-    """One bucket's partial files → one compressed positional segment.
+                                 bucket: int,
+                                 file_name: str = "merged.parquet"
+                                 ) -> tuple[int, int, int]:
+    """One bucket's partial files → one compressed positional segment
+    (*file_name* — ``segment_<g>.parquet`` for LSM extensions).
     Returns (distinct_terms, postings, positions). Idempotent via a
-    ``_SUCCESS`` marker (same two-phase-commit shape as the main merge).
-    """
+    ``_SUCCESS``(.stem) marker (same two-phase-commit shape as the main
+    merge)."""
     try:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(1)
     except Exception:
         pass
     dest = os.path.join(out_dir, f"bucket={bucket}")
-    marker = os.path.join(dest, "_SUCCESS")
-    out_file = os.path.join(dest, "merged.parquet")
+    stem = file_name.rsplit(".", 1)[0]
+    marker = os.path.join(dest, ("_SUCCESS" if file_name == "merged.parquet"
+                                 else f"_SUCCESS.{stem}"))
+    out_file = os.path.join(dest, file_name)
     if not os.path.exists(marker):
         files = [os.path.join(bucket_dir, f)
                  for f in sorted(os.listdir(bucket_dir))
@@ -372,10 +392,183 @@ def build_positional_index(corpus: Dataset, out_dir: str, *,
         num_positions=sum(r[2] for r in results),
         doc_part_bits=doc_part_bits,
         num_term_buckets=num_term_buckets,
+        num_segments=1,
+        id_ceiling=int(n_docs),
     )
-    meta = {k: v for k, v in idx.__dict__.items() if k != "root"}
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(meta, f, indent=1)
+    idx._dump()
+    return idx
+
+
+def _count_positional_bucket(dest: str) -> tuple[int, int, int]:
+    """(distinct_terms, postings, positions) across EVERY segment file of
+    one bucket dir — terms are disjoint across buckets, so per-bucket
+    distinct counts sum to the global count (same argument as the main
+    index's ``_count_one_bucket``)."""
+    files = [os.path.join(dest, f) for f in sorted(os.listdir(dest))
+             if f.endswith(".parquet") and not f.startswith((".", "_"))]
+    if not files:
+        return 0, 0, 0
+    tbl = pads.dataset(files).to_table(
+        columns=["term", "df", "pcounts_enc"])
+    n_terms = pc.count_distinct(tbl["term"]).as_py() or 0
+    n_post = pc.sum(tbl["df"]).as_py() or 0
+    n_pos = sum(int(plib.decode_varints(b.as_py()).sum())
+                for b in tbl["pcounts_enc"])
+    return int(n_terms), int(n_post), n_pos
+
+
+def extend_positional_index(root: str, new_corpus: Dataset, *,
+                            batch_size: int = 256,
+                            stemmer=None) -> PositionalIndex:
+    """LSM extension, mirroring ``build.extend_index``: the existing
+    segments are untouched; the new documents tokenize + spill + merge
+    into ONE new ``segment_<gen>.parquet`` per bucket at O(new docs)
+    cost. New docs get ids past the never-reused ceiling (*new_corpus*
+    carries dense 0-based ids, same contract as the corpus readers).
+    ``PositionalSearcher`` needs no changes — ``_term_keys`` already
+    unions every segment file of a term's bucket, and segment doc
+    ranges are disjoint. ``stemmer`` must match the original build
+    (caller-owned contract)."""
+    import shutil
+
+    import ray
+
+    idx = PositionalIndex.load(root)
+    offset = idx.next_doc_id
+    gen = idx.num_segments
+
+    def shift_ids(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(batch["doc_id"], offset))
+
+    n_new = new_corpus.count()
+    if n_new == 0:
+        raise ValueError("cannot extend with an empty corpus")
+    partials_dir = os.path.join(root, f"partials_ext{gen}")
+    shutil.rmtree(partials_dir, ignore_errors=True)
+    new_corpus.map_batches(shift_ids, batch_format="pyarrow").map_batches(
+        tokenize_positions_task,
+        fn_kwargs={"num_term_buckets": idx.num_term_buckets,
+                   "doc_part_bits": idx.doc_part_bits,
+                   "stemmer": stemmer},
+        batch_format="pyarrow", batch_size=batch_size,
+    ).write_parquet(partials_dir, partition_cols=["bucket"])
+
+    postings_dir = idx.postings_dir
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    per_task_cpus = max(1, total_cpus // 16)
+    task = ray.remote(num_cpus=per_task_cpus)(_merge_one_positional_bucket)
+    refs = []
+    for name in sorted(os.listdir(partials_dir)):
+        if not name.startswith("bucket="):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        refs.append(task.remote(os.path.join(partials_dir, name),
+                                postings_dir, bucket,
+                                f"segment_{gen}.parquet"))
+    ray.get(refs)
+    shutil.rmtree(partials_dir, ignore_errors=True)
+
+    # recount across EVERY bucket (buckets untouched by this extension
+    # still own vocabulary)
+    count = ray.remote(_count_positional_bucket)
+    crefs = [count.remote(os.path.join(postings_dir, d))
+             for d in sorted(os.listdir(postings_dir))
+             if d.startswith("bucket=")]
+    counts = ray.get(crefs)
+
+    idx.num_documents += int(n_new)
+    idx.num_terms = sum(c[0] for c in counts)
+    idx.num_postings = sum(c[1] for c in counts)
+    idx.num_positions = sum(c[2] for c in counts)
+    idx.num_segments = gen + 1
+    idx.id_ceiling = offset + int(n_new)
+    idx._dump()
+    return idx
+
+
+def _decode_segments_to_partial(dest: str) -> pa.Table:
+    """Every segment row of one bucket dir, decoded back to the PARTIAL
+    (list-column) format ``_merge_one_positional_bucket`` consumes —
+    the compaction adapter."""
+    files = [os.path.join(dest, f) for f in sorted(os.listdir(dest))
+             if f.endswith(".parquet") and not f.startswith((".", "_"))]
+    tbl = pads.dataset(files).to_table(
+        columns=["term", "part", "doc_ids_enc", "pcounts_enc", "poss_enc"])
+    terms, parts = [], []
+    docs_l, cnts_l, poss_l = [], [], []
+    for i in range(tbl.num_rows):
+        docs = plib.decode_doc_ids(tbl["doc_ids_enc"][i].as_py())
+        cnts = plib.decode_varints(tbl["pcounts_enc"][i].as_py())
+        dpos = plib.decode_varints(tbl["poss_enc"][i].as_py())
+        pos = np.cumsum(dpos)
+        starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+        carry = np.zeros(len(dpos), dtype=np.int64)
+        if len(starts) > 1:
+            carry[starts[1:]] = pos[starts[1:] - 1]
+        pos = pos - np.maximum.accumulate(carry)
+        terms.append(tbl["term"][i].as_py())
+        parts.append(tbl["part"][i].as_py())
+        docs_l.append(docs.tolist())
+        cnts_l.append(cnts.astype(np.int32).tolist())
+        poss_l.append(pos.astype(np.int32).tolist())
+    return pa.table({
+        "term": pa.array(terms, type=pa.string()),
+        "part": pa.array(parts, type=pa.int32()),
+        "doc_ids": pa.array(docs_l, type=pa.list_(pa.int64())),
+        "pcounts": pa.array(cnts_l, type=pa.list_(pa.int32())),
+        "poss": pa.array(poss_l, type=pa.list_(pa.int32())),
+    })
+
+
+def _compact_one_positional_bucket(postings_dir: str, tmp_dir: str,
+                                   bucket: int) -> tuple[int, int, int]:
+    """Decode one bucket's segments to partial format, re-merge into a
+    single ``merged.parquet`` under *tmp_dir* (the swap happens on the
+    driver once every bucket committed)."""
+    dest = os.path.join(postings_dir, f"bucket={bucket}")
+    partial = _decode_segments_to_partial(dest)
+    stage = os.path.join(tmp_dir, f"stage_{bucket}")
+    os.makedirs(stage, exist_ok=True)
+    pq.write_table(partial, os.path.join(stage, "partial.parquet"))
+    out = _merge_one_positional_bucket(stage, tmp_dir, bucket)
+    import shutil
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def compact_positional_index(root: str) -> PositionalIndex:
+    """Collapse extension segments back to one ``merged.parquet`` per
+    bucket — results unchanged (pytest-pinned vs a fresh build over the
+    union), reads per query drop back to one file per bucket. Two-phase:
+    every bucket compacts into a tmp dir, then one atomic directory
+    swap."""
+    import shutil
+
+    import ray
+
+    idx = PositionalIndex.load(root)
+    postings_dir = idx.postings_dir
+    tmp_dir = os.path.join(root, "postings.compact.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    buckets = [int(d.split("=", 1)[1])
+               for d in sorted(os.listdir(postings_dir))
+               if d.startswith("bucket=")]
+    task = ray.remote(_compact_one_positional_bucket)
+    results = ray.get([task.remote(postings_dir, tmp_dir, b)
+                       for b in buckets])
+    old = os.path.join(root, "postings.old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(postings_dir, old)
+    os.replace(tmp_dir, postings_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    idx.num_terms = sum(r[0] for r in results)
+    idx.num_postings = sum(r[1] for r in results)
+    idx.num_positions = sum(r[2] for r in results)
+    idx.num_segments = 1
+    idx._dump()
     return idx
 
 
