@@ -26,7 +26,9 @@ PHRASES = ["order fast", "fast order fast", "batch batch",
 
 PROX = [("order", "fast", 1), ("key", "sort", 3), ("key", "sort", 2),
         ("a", "g", 1), ("a", "g", 3), ("solo", "solo", 2),
-        ("batch", "stream", 1), ("nope", "fast", 5)]
+        ("batch", "stream", 1), ("nope", "fast", 5),
+        # same-term pairs: need the term TWICE within the window
+        ("order", "order", 2), ("batch", "batch", 1), ("fast", "fast", 1)]
 
 
 def _toks(s):
@@ -46,12 +48,15 @@ def _oracle_phrase(phrase):
 
 
 def _oracle_prox(a, b, w):
+    # two DISTINCT positions (vacuous for distinct terms; for a == b it
+    # requires the term twice within the window — a single occurrence
+    # must not trivially match itself)
     out = []
     for d, text in enumerate(DOCS):
         t = _toks(text)
         pa_ = [i for i, x in enumerate(t) if x == a]
         pb = [i for i, x in enumerate(t) if x == b]
-        if any(abs(i - j) <= w for i in pa_ for j in pb):
+        if any(abs(i - j) <= w and i != j for i in pa_ for j in pb):
             out.append(d)
     return out
 
@@ -312,3 +317,69 @@ def test_extend_positional_stemmed(ray_session, tmp_path_factory):
                            stemmer=stem)
     # both docs match the stemmed phrase "run test*"
     assert s.phrase("running tested").tolist() == [0, 1]
+
+
+def test_compaction_swap_recovery(ray_session, tmp_path_factory):
+    """A crash between the two swap renames is recoverable: committed
+    (tmp has _COMPLETE) → load finishes the swap; uncommitted → load
+    rolls back to the original postings. Queries never silently answer
+    from a missing postings dir."""
+    import os
+    import shutil
+
+    from ts_type_filter_ray.pipelines.positional import (
+        PositionalIndex, build_positional_index)
+
+    base = tmp_path_factory.mktemp("posrec")
+    idx = build_positional_index(_mk_corpus(DOCS), str(base / "i"),
+                                 num_term_buckets=2, doc_part_bits=2)
+    root = idx.root
+    postings = os.path.join(root, "postings")
+    want = PositionalSearcher(idx).phrase("order fast").tolist()
+
+    # committed swap interrupted after the first rename: postings moved
+    # to .old, tmp (the compacted copy) has _COMPLETE
+    shutil.copytree(postings, os.path.join(root, "postings.compact.tmp"))
+    open(os.path.join(root, "postings.compact.tmp", "_COMPLETE"),
+         "w").close()
+    os.replace(postings, os.path.join(root, "postings.old"))
+    idx2 = PositionalIndex.load(root)
+    assert os.path.isdir(postings)
+    assert not os.path.isdir(os.path.join(root, "postings.old"))
+    assert PositionalSearcher(idx2).phrase("order fast").tolist() == want
+
+    # uncommitted swap (no _COMPLETE): roll back from .old
+    shutil.copytree(postings, os.path.join(root, "postings.old"))
+    shutil.rmtree(postings)
+    idx3 = PositionalIndex.load(root)
+    assert os.path.isdir(postings)
+    assert PositionalSearcher(idx3).phrase("order fast").tolist() == want
+
+
+def test_upsert_validates_before_destruction(ray_session,
+                                             tmp_path_factory):
+    """A failing upsert must not half-commit the delete."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.build import (build_index,
+                                                    load_tombstones,
+                                                    upsert_docs)
+
+    corpus = _mk_corpus(["alpha beta", "gamma delta"], nparts=1)
+    c2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "content": pa.array(["x y"], type=pa.string())}))
+    root = str(tmp_path_factory.mktemp("upsafe") / "idx")
+    build_index(corpus, root, doc_part_bits=2, num_term_buckets=2)
+    # empty replacement corpus → extend fails BEFORE any tombstone
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "content": pa.array([], type=pa.string())}))
+    with pytest.raises(ValueError):
+        upsert_docs(root, [0], empty)
+    assert load_tombstones(root).size == 0  # nothing deleted
+    # replacing a not-yet-allocated id is rejected up front
+    with pytest.raises(ValueError, match="ceiling"):
+        upsert_docs(root, [99], c2)
+    assert load_tombstones(root).size == 0

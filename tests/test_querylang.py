@@ -332,3 +332,12 @@ def test_parser_roundtrip_fuzz():
         tree = gen(3)
         text = render(tree)
         assert normalize(parse_query(text)) == normalize(tree), text
+
+
+def test_same_term_proximity_requires_two_occurrences(lang_index):
+    _idx, searcher, positional = lang_index
+    # 'order' twice within 2 only in doc 1 ("order fast order fast
+    # order"); single occurrences must not self-match
+    assert evaluate('"order order"~2', searcher, positional).tolist() \
+        == [1]
+    assert evaluate('"solo solo"~3', searcher, positional).tolist() == []

@@ -299,6 +299,11 @@ def extend_index(root: str, new_corpus: Dataset, *,
 
     t0 = time.perf_counter()
     postings_dir = os.path.join(root, "postings")
+    # a PREVIOUS crashed attempt at this generation may have left
+    # per-bucket segment_<gen> files + _SUCCESS markers; their marker
+    # would short-circuit this run's merge and silently keep the old
+    # attempt's data (possibly from a different corpus) — clear them
+    _clear_generation(postings_dir, f"segment_{gen}")
     merge_partial_buckets(
         partials_dir, postings_dir, avgdl, st.k1, st.b,
         file_name=f"segment_{gen}.parquet")
@@ -324,6 +329,22 @@ def extend_index(root: str, new_corpus: Dataset, *,
     with open(os.path.join(root, "stats.json"), "w") as f:
         json.dump(stats.__dict__, f, indent=1)
     return BuiltIndex(root=root, stats=stats, timings=timings)
+
+
+def _clear_generation(postings_dir: str, stem: str) -> None:
+    """Remove every bucket's ``<stem>.parquet`` + ``_SUCCESS.<stem>``
+    (leftovers of a crashed extension attempt at the same generation —
+    their markers would make a retry with different data silently keep
+    the stale segments)."""
+    if not os.path.isdir(postings_dir):
+        return
+    for d in os.listdir(postings_dir):
+        if not d.startswith("bucket="):
+            continue
+        for name in (f"{stem}.parquet", f"_SUCCESS.{stem}"):
+            p = os.path.join(postings_dir, d, name)
+            if os.path.exists(p):
+                os.remove(p)
 
 
 def _docs_from_meta_files(srcs: list[str], dest: str) -> tuple[int, int]:
@@ -428,17 +449,27 @@ def delete_docs(root: str, doc_ids) -> BuiltIndex:
 
 def upsert_docs(root: str, replace_doc_ids, new_corpus: Dataset,
                 **extend_kwargs) -> BuiltIndex:
-    """UPDATE = delete + re-add under FRESH ids (the LSM upsert): the
+    """UPDATE = re-add under FRESH ids + delete (the LSM upsert): the
+    replacements land as a new segment at O(new docs) cost, THEN the
     replaced ids are tombstoned (immediately invisible, statistics
-    frozen) and *new_corpus* extends the index as a new segment at
-    O(new docs) cost — ids are never reused (``id_ceiling``), so readers
-    holding old ids can still distinguish "deleted" from "replaced by".
-    ``compact_index`` later purges the tombstones and recomputes
-    statistics. *new_corpus* carries dense 0-based ids like any corpus
-    (extend shifts them past the ceiling). Breaker/stemmer must match
-    the original build (same contract as ``extend_index``)."""
-    delete_docs(root, replace_doc_ids)
-    return extend_index(root, new_corpus, **extend_kwargs)
+    frozen) — extend-before-delete, so a failing extension (empty or
+    malformed corpus) changes nothing instead of half-committing a
+    destructive delete. Ids are never reused (``id_ceiling``), so
+    readers holding old ids can still distinguish "deleted" from
+    "replaced by". ``compact_index`` later purges the tombstones and
+    recomputes statistics. *new_corpus* carries dense 0-based ids like
+    any corpus (extend shifts them past the ceiling). Breaker/stemmer
+    must match the original build (same contract as
+    ``extend_index``)."""
+    ceiling = BuiltIndex.load(root).stats.next_doc_id
+    ids = sorted(set(int(d) for d in replace_doc_ids))
+    if ids and ids[-1] >= ceiling:
+        raise ValueError(
+            f"replace_doc_ids contains id {ids[-1]} >= the id ceiling "
+            f"{ceiling} — only existing docs can be replaced")
+    out = extend_index(root, new_corpus, **extend_kwargs)
+    delete_docs(root, ids)
+    return out
 
 
 def _purge_one_docs_shard(path: str, tombs) -> tuple[int, int]:

@@ -204,6 +204,7 @@ class PositionalIndex:
 
     @classmethod
     def load(cls, root: str) -> "PositionalIndex":
+        _recover_postings_swap(root)
         with open(os.path.join(root, "stats.json")) as f:
             return cls(root=root, **json.load(f))
 
@@ -317,12 +318,23 @@ def _merge_one_positional_bucket(bucket_dir: str, out_dir: str,
         pq.write_table(merged, tmp)
         os.replace(tmp, out_file)
         open(marker, "w").close()
-    out = pq.read_table(out_file, columns=["term", "df", "pcounts_enc"])
-    n_terms = pc.count_distinct(out["term"]).as_py() or 0
-    n_post = pc.sum(out["df"]).as_py() or 0
-    n_pos = sum(int(plib.decode_varints(b.as_py()).sum())
-                for b in out["pcounts_enc"])
-    return int(n_terms), int(n_post), n_pos
+    # BUCKET-TOTAL counts across every segment file (not just the one
+    # written here) — refreshes the per-bucket _counts.json cache
+    return _count_positional_bucket(dest, force=True)
+
+
+def _undelta_positions(dpos: np.ndarray, cnts: np.ndarray) -> np.ndarray:
+    """Invert the per-doc delta encoding of one posting row's positions
+    (first position of each doc absolute, rest deltas): cumsum, then
+    subtract the carried prefix at each doc start. Shared by the query
+    path (``_term_keys``) and compaction (``_decode_segments_to_partial``)
+    so the encoding has exactly one decoder."""
+    pos = np.cumsum(dpos)
+    starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
+    carry = np.zeros(len(dpos), dtype=np.int64)
+    if len(starts) > 1:
+        carry[starts[1:]] = pos[starts[1:] - 1]
+    return pos - np.maximum.accumulate(carry)
 
 
 def _ragged_arange(counts: np.ndarray) -> np.ndarray:
@@ -399,22 +411,64 @@ def build_positional_index(corpus: Dataset, out_dir: str, *,
     return idx
 
 
-def _count_positional_bucket(dest: str) -> tuple[int, int, int]:
+def _recover_postings_swap(root: str) -> None:
+    """Finish or roll back a compaction swap interrupted mid-flight —
+    called by :meth:`PositionalIndex.load` and at the start of
+    :func:`compact_positional_index`, so a crash between the two
+    directory renames can never leave queries silently answering from
+    a missing postings dir."""
+    import shutil
+
+    postings = os.path.join(root, "postings")
+    tmp = os.path.join(root, "postings.compact.tmp")
+    old = os.path.join(root, "postings.old")
+    if not os.path.isdir(postings):
+        if os.path.isdir(tmp) and os.path.exists(
+                os.path.join(tmp, "_COMPLETE")):
+            os.replace(tmp, postings)  # finish the committed swap
+        elif os.path.isdir(old):
+            os.replace(old, postings)  # roll back an uncommitted one
+        elif os.path.exists(os.path.join(root, "stats.json")):
+            raise FileNotFoundError(
+                f"positional index at {root!r} has no postings dir and "
+                "no recoverable swap state")
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+    marker = os.path.join(postings, "_COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
+def _count_positional_bucket(dest: str,
+                             force: bool = False) -> tuple[int, int, int]:
     """(distinct_terms, postings, positions) across EVERY segment file of
     one bucket dir — terms are disjoint across buckets, so per-bucket
     distinct counts sum to the global count (same argument as the main
-    index's ``_count_one_bucket``)."""
+    index's ``_count_one_bucket``). Results are cached in
+    ``_counts.json`` beside the segments (``force=True`` recomputes and
+    rewrites), so an extension only pays the full varint-decode recount
+    for buckets it actually touched."""
+    cpath = os.path.join(dest, "_counts.json")
+    if not force and os.path.exists(cpath):
+        with open(cpath) as f:
+            c = json.load(f)
+        return int(c["terms"]), int(c["postings"]), int(c["positions"])
     files = [os.path.join(dest, f) for f in sorted(os.listdir(dest))
              if f.endswith(".parquet") and not f.startswith((".", "_"))]
     if not files:
         return 0, 0, 0
     tbl = pads.dataset(files).to_table(
         columns=["term", "df", "pcounts_enc"])
-    n_terms = pc.count_distinct(tbl["term"]).as_py() or 0
-    n_post = pc.sum(tbl["df"]).as_py() or 0
+    n_terms = int(pc.count_distinct(tbl["term"]).as_py() or 0)
+    n_post = int(pc.sum(tbl["df"]).as_py() or 0)
     n_pos = sum(int(plib.decode_varints(b.as_py()).sum())
                 for b in tbl["pcounts_enc"])
-    return int(n_terms), int(n_post), n_pos
+    tmp = cpath + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"terms": n_terms, "postings": n_post,
+                   "positions": n_pos}, f)
+    os.replace(tmp, cpath)
+    return n_terms, n_post, n_pos
 
 
 def extend_positional_index(root: str, new_corpus: Dataset, *,
@@ -456,32 +510,49 @@ def extend_positional_index(root: str, new_corpus: Dataset, *,
     ).write_parquet(partials_dir, partition_cols=["bucket"])
 
     postings_dir = idx.postings_dir
+    # clear leftovers of a CRASHED attempt at this same generation —
+    # their _SUCCESS markers would short-circuit this run's merges and
+    # silently keep the old attempt's (possibly different-corpus) data
+    for d in os.listdir(postings_dir):
+        if d.startswith("bucket="):
+            for nm in (f"segment_{gen}.parquet",
+                       f"_SUCCESS.segment_{gen}"):
+                p = os.path.join(postings_dir, d, nm)
+                if os.path.exists(p):
+                    os.remove(p)
     total_cpus = int(ray.cluster_resources().get("CPU", 8))
     per_task_cpus = max(1, total_cpus // 16)
     task = ray.remote(num_cpus=per_task_cpus)(_merge_one_positional_bucket)
+    touched: list[int] = []
     refs = []
     for name in sorted(os.listdir(partials_dir)):
         if not name.startswith("bucket="):
             continue
         bucket = int(name.split("=", 1)[1])
+        touched.append(bucket)
         refs.append(task.remote(os.path.join(partials_dir, name),
                                 postings_dir, bucket,
                                 f"segment_{gen}.parquet"))
-    ray.get(refs)
+    counts = {b: c for b, c in zip(touched, ray.get(refs))}
     shutil.rmtree(partials_dir, ignore_errors=True)
 
-    # recount across EVERY bucket (buckets untouched by this extension
-    # still own vocabulary)
+    # untouched buckets still own vocabulary: their counts come from the
+    # per-bucket _counts.json cache (one file read), so the extension's
+    # recount cost tracks the buckets it touched, not the index size —
+    # legacy caches missing → computed once and cached
     count = ray.remote(_count_positional_bucket)
-    crefs = [count.remote(os.path.join(postings_dir, d))
-             for d in sorted(os.listdir(postings_dir))
-             if d.startswith("bucket=")]
-    counts = ray.get(crefs)
+    others = [int(d.split("=", 1)[1])
+              for d in sorted(os.listdir(postings_dir))
+              if d.startswith("bucket=")
+              and int(d.split("=", 1)[1]) not in counts]
+    counts.update(zip(others, ray.get(
+        [count.remote(os.path.join(postings_dir, f"bucket={b}"))
+         for b in others])))
 
     idx.num_documents += int(n_new)
-    idx.num_terms = sum(c[0] for c in counts)
-    idx.num_postings = sum(c[1] for c in counts)
-    idx.num_positions = sum(c[2] for c in counts)
+    idx.num_terms = sum(c[0] for c in counts.values())
+    idx.num_postings = sum(c[1] for c in counts.values())
+    idx.num_positions = sum(c[2] for c in counts.values())
     idx.num_segments = gen + 1
     idx.id_ceiling = offset + int(n_new)
     idx._dump()
@@ -502,12 +573,7 @@ def _decode_segments_to_partial(dest: str) -> pa.Table:
         docs = plib.decode_doc_ids(tbl["doc_ids_enc"][i].as_py())
         cnts = plib.decode_varints(tbl["pcounts_enc"][i].as_py())
         dpos = plib.decode_varints(tbl["poss_enc"][i].as_py())
-        pos = np.cumsum(dpos)
-        starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
-        carry = np.zeros(len(dpos), dtype=np.int64)
-        if len(starts) > 1:
-            carry[starts[1:]] = pos[starts[1:] - 1]
-        pos = pos - np.maximum.accumulate(carry)
+        pos = _undelta_positions(dpos, cnts)
         terms.append(tbl["term"][i].as_py())
         parts.append(tbl["part"][i].as_py())
         docs_l.append(docs.tolist())
@@ -559,11 +625,19 @@ def compact_positional_index(root: str) -> PositionalIndex:
     task = ray.remote(_compact_one_positional_bucket)
     results = ray.get([task.remote(postings_dir, tmp_dir, b)
                        for b in buckets])
+    # commit marker BEFORE the renames: a crash between the two
+    # os.replace calls is then recoverable — PositionalIndex.load /
+    # the next compact run finishes the swap (or rolls back an
+    # uncommitted one) via _recover_postings_swap
+    open(os.path.join(tmp_dir, "_COMPLETE"), "w").close()
     old = os.path.join(root, "postings.old")
     shutil.rmtree(old, ignore_errors=True)
     os.replace(postings_dir, old)
     os.replace(tmp_dir, postings_dir)
     shutil.rmtree(old, ignore_errors=True)
+    marker = os.path.join(postings_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
     idx.num_terms = sum(r[0] for r in results)
     idx.num_postings = sum(r[1] for r in results)
     idx.num_positions = sum(r[2] for r in results)
@@ -621,13 +695,7 @@ class PositionalSearcher:
                 docs = plib.decode_doc_ids(tbl["doc_ids_enc"][i].as_py())
                 cnts = plib.decode_varints(tbl["pcounts_enc"][i].as_py())
                 dpos = plib.decode_varints(tbl["poss_enc"][i].as_py())
-                # un-delta within each doc: cumsum, then subtract the
-                # carried prefix at each doc start
-                pos = np.cumsum(dpos)
-                starts = np.concatenate(([0], np.cumsum(cnts)))[:-1]
-                carry = np.zeros(len(dpos), dtype=np.int64)
-                carry[starts[1:]] = pos[starts[1:] - 1]
-                pos = pos - np.maximum.accumulate(carry)
+                pos = _undelta_positions(dpos, cnts)
                 keys = ((np.repeat(docs, cnts) << POS_BITS) | pos)
                 out[term].append(keys)
         return {t: (np.sort(np.concatenate(a)) if a
@@ -652,27 +720,38 @@ class PositionalSearcher:
 
     def proximity(self, term_a: str, term_b: str,
                   window: int) -> np.ndarray:
-        """doc_ids where the two (distinct) terms co-occur within
-        *window* token positions (|pos_a - pos_b| ≤ window)."""
+        """doc_ids where the two terms co-occur within *window* token
+        positions (|pos_a - pos_b| ≤ window) at two DISTINCT positions.
+        For distinct terms the distinct-position requirement is vacuous
+        (two terms never share a position); for ``term_a == term_b`` it
+        means the term must occur at least twice within the window —
+        without it every single occurrence would trivially match itself
+        (|p - p| = 0 ≤ w)."""
         a = self._stem(term_a.lower())
         b = self._stem(term_b.lower())
         keys = self._term_keys([a, b])
         ka, kb = keys[a], keys[b]
         if ka.size == 0 or kb.size == 0:
             return np.empty(0, dtype=np.int64)
+        same = a == b
         docs: list[np.ndarray] = []
         mask = np.int64(_MAX_DOC_LEN)
         # only POSITIVE shifts, applied to each side in turn — a negative
         # shift at pos 0 would underflow the key into the previous doc's
         # position space. A positive shift stays in-doc iff pos+off does
         # not exceed the position field, guarded by the validity filter.
+        # same-term: off 0 is the self-match (skipped) and the two
+        # directions coincide, so offsets 1..w in one direction cover
+        # every distinct pair.
         for off in range(0, window + 1):
             o = np.int64(off)
+            if same and off == 0:
+                continue
             ok_a = ka[(ka & mask) <= mask - o]
             hit = np.intersect1d(ok_a + o, kb, assume_unique=True)
             if hit.size:
                 docs.append(hit >> POS_BITS)
-            if off == 0:
+            if off == 0 or same:
                 continue
             ok_b = kb[(kb & mask) <= mask - o]
             hit = np.intersect1d(ok_b + o, ka, assume_unique=True)

@@ -330,14 +330,20 @@ class LocalSearcher:
         return self._drop_deleted(np.unique(np.concatenate(arrays)))
 
     def _term_docs(self, term: str) -> np.ndarray:
-        """All doc_ids holding *term*, ascending (rows are part-sorted
-        and parts are disjoint ascending ranges, so concatenation is
-        already globally sorted)."""
+        """All doc_ids holding *term*, ascending unique. A doc lives in
+        exactly one segment row (disjoint id ranges), so the concat has
+        no duplicates — but on multi-segment (extended) indexes the same
+        (term, part) pair owns one row per segment in FILE-DISCOVERY
+        order (``segment_10`` sorts before ``segment_2``), so the concat
+        is not globally sorted and must be sorted here: downstream set
+        ops (``intersect1d(assume_unique=True)``, ``searchsorted``
+        membership in ``bm25(allowed=)``) require ascending input."""
         sl = self._term_slice(term)
         if sl is None:
             return np.empty(0, dtype=np.int64)
         arrays = [self._decode_row(term, i)[0] for i in range(sl[0], sl[1])]
-        return arrays[0] if len(arrays) == 1 else np.concatenate(arrays)
+        return arrays[0] if len(arrays) == 1 else np.sort(
+            np.concatenate(arrays))
 
     def match_all(self, query) -> np.ndarray:
         """CONJUNCTIVE match — docs containing EVERY distinct query term
@@ -466,14 +472,9 @@ class LocalSearcher:
             mask = pc.match_substring(self._terms.arr, pattern=text)
             return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
         if kind == "fuzzy":
-            lens = self._vocab_lengths()
-            band = np.flatnonzero(np.abs(lens - len(text)) <= max_dist)
-            if band.size == 0:
-                return band
-            cand = pc.take(self._terms.arr, pa.array(band)).to_pylist()
             return np.array(
-                [vi for vi, term in zip(band.tolist(), cand)
-                 if _lev_within(text, term, max_dist) is not None],
+                [vi for vi, _term, _d
+                 in self._fuzzy_candidates(text, max_dist)],
                 dtype=np.int64)
         raise ValueError(f"unknown vocab predicate {kind!r}")
 
@@ -502,20 +503,21 @@ class LocalSearcher:
             self._vlen = lens
         return lens
 
-    def fuzzy_terms(self, token: str, max_dist: int = 1
-                    ) -> list[tuple[str, int]]:
-        """Vocabulary terms within Levenshtein distance ``max_dist`` of
-        *token* (lowercased), as (term, distance) sorted by term.
+    def _fuzzy_candidates(self, token: str, max_dist: int
+                          ) -> list[tuple[int, str, int]]:
+        """(vocab_index, term, distance) for every vocabulary term within
+        Levenshtein ``max_dist`` of *token* (lowercased), vocab order —
+        THE fuzzy primitive (match_fuzzy / fuzzy_terms /
+        suggest_correction all consume it).
 
         Candidate generation is a vectorized length-band prune
         (|len(t) − len(q)| ≤ d bounds the distance from below), then the
         exact banded DP verifies each candidate. The vocabulary is
         orders of magnitude smaller than the corpus, so an O(vocab)
-        prune per query token is cheap; at extreme vocabularies the
-        SymSpell deletion-neighborhood index (persist every ≤d-deletion
-        variant of every term at build time, probe the query's variants
-        with Parquet pushdown) makes this O(len(q)^d) probes — same
-        verify step, documented scale path."""
+        prune per query token is cheap (14–58 ms at 459k terms, see
+        BASELINE.md); at extreme vocabularies the persisted SymSpell
+        deletion-neighborhood index (``pipelines/fuzzy.py``) makes this
+        O(len(q)^d) probes — same verify step."""
         token = token.lower()
         if not token or self._terms.n == 0:
             return []
@@ -525,11 +527,19 @@ class LocalSearcher:
             return []
         cand = pc.take(self._terms.arr, pa.array(band)).to_pylist()
         out = []
-        for term in cand:
+        for vi, term in zip(band.tolist(), cand):
             d = _lev_within(token, term, max_dist)
             if d is not None:
-                out.append((term, d))
+                out.append((vi, term, d))
         return out
+
+    def fuzzy_terms(self, token: str, max_dist: int = 1
+                    ) -> list[tuple[str, int]]:
+        """Vocabulary terms within Levenshtein distance ``max_dist`` of
+        *token* (lowercased), as (term, distance) in vocab (= term-
+        ascending) order. See :meth:`_fuzzy_candidates`."""
+        return [(term, d) for _vi, term, d
+                in self._fuzzy_candidates(token, max_dist)]
 
     def match_fuzzy(self, token: str, max_dist: int = 1) -> np.ndarray:
         """FUZZY match: docs containing ANY vocabulary term within
@@ -568,22 +578,10 @@ class LocalSearcher:
         search box wants it: closest first, popularity breaks distance
         ties. Returns (term, distance, df) rows; an exact vocabulary hit
         ranks first at distance 0."""
-        token = token.lower()
-        if not token or self._terms.n == 0:
-            return []
-        lens = self._vocab_lengths()
-        band = np.flatnonzero(np.abs(lens - len(token)) <= max_dist)
-        if band.size == 0:
-            return []
-        cand = pc.take(self._terms.arr, pa.array(band)).to_pylist()
-        rows = []
-        for term in cand:
-            d = _lev_within(token, term, max_dist)
-            if d is not None:
-                # _df_of honors the global-df override under
-                # doc-partitioned serving
-                rows.append((d, -self._df_of(term), term))
-        rows.sort()
+        # _df_of honors the global-df override under doc-partitioned
+        # serving
+        rows = sorted((d, -self._df_of(term), term) for _vi, term, d
+                      in self._fuzzy_candidates(token, max_dist))
         return [(term, d, -negdf) for d, negdf, term in rows[:k]]
 
     def match_prefix(self, prefix: str) -> np.ndarray:
