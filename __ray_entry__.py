@@ -132,6 +132,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the searcher algebra, vs handcrafted set-op SQL mirrors
         "boolean_expr_match":
             lambda sf: flagship.boolean_expr_match_table(sf),
+        # metadata field filters (lang:en, source:src1*) from the
+        # facet-as-term metadata index, composed with content terms
+        "field_filter_match":
+            lambda sf: flagship.field_filter_match_table(sf),
         # rows-only entries never sampled in r1-r3 (approximate by
         # nature; pytest pins recall on clustered fixtures)
         # beam search runs in full-index mode: adjacency AND vectors in
@@ -902,6 +906,34 @@ def oracle_sql() -> dict[str, str]:
                      from toks group by term)
             """ + "\nunion all\n".join(spell_branches))
 
+    # metadata field filters: set-op mirrors over the documents columns
+    # (engine side answers from the facet-as-term metadata index)
+    _field_bodies = [
+        # 0: lang:en AND spark
+        """select doc_id from documents where lower(lang) = 'en'
+           intersect select doc_id from toks where term = 'spark'""",
+        # 1: source:src3 AND NOT batch
+        """select doc_id from documents where lower(source) = 'src3'
+           except select doc_id from toks where term = 'batch'""",
+        # 2: lang:de OR lang:fr
+        """select doc_id from documents
+           where lower(lang) in ('de','fr')""",
+        # 3: (lang:en OR lang:zh) AND hash AND join
+        """select doc_id from documents where lower(lang) in ('en','zh')
+           intersect select doc_id from toks where term = 'hash'
+           intersect select doc_id from toks where term = 'join'""",
+        # 4: source:src1* AND merge
+        """select doc_id from documents where lower(source) like 'src1%'
+           intersect select doc_id from toks where term = 'merge'""",
+        # 5: spark AND NOT source:src0
+        """select doc_id from toks where term = 'spark'
+           except select doc_id from documents
+                  where lower(source) = 'src0'""",
+    ]
+    field_filter_sql = (nostem_toks_cte + "\n" + "\nunion all\n".join(
+        _expr_branch.format(i=i, body=b)
+        for i, b in enumerate(_field_bodies)))
+
     # faceted match counts: per-query distinct match sets joined to the
     # documents facet column, counted per (query_idx, lang)
     faceted_sql = (nostem_toks_cte + rf""",
@@ -1333,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk_nostem": tfidf_nostem_sql,
         "faceted_match_counts": faceted_sql,
         "boolean_expr_match": expr_sql,
+        "field_filter_match": field_filter_sql,
         "exact_dedup": """
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies

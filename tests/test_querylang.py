@@ -341,3 +341,57 @@ def test_same_term_proximity_requires_two_occurrences(lang_index):
     assert evaluate('"order order"~2', searcher, positional).tolist() \
         == [1]
     assert evaluate('"solo solo"~3', searcher, positional).tolist() == []
+
+
+def test_field_ast():
+    from ts_type_filter_ray.pipelines.querylang import Field, FieldPrefix
+    assert parse_query("lang:en") == Field("lang", "en")
+    assert parse_query("source:src1*") == FieldPrefix("source", "src1")
+    assert parse_query("lang:en AND fast") == And(
+        (Field("lang", "en"), Term("fast")))
+    with pytest.raises(QuerySyntaxError):
+        parse_query("lang:e*n")
+    with pytest.raises(QuerySyntaxError):
+        parse_query("lang:en~1")
+
+
+def test_field_evaluation(lang_index, tmp_path_factory, ray_session):
+    """Field filters answered from a facet-as-term metadata index,
+    composed with content terms."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.build import build_index
+    from ts_type_filter_ray.pipelines.query import LocalSearcher
+
+    idx, searcher, positional = lang_index
+    langs = ["en", "de", "en", "fr", "EN", "de", "en", "fr"]
+    meta = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), type=pa.int64()),
+        "content": pa.array([f"lang:{la}" for la in langs],
+                            type=pa.string()),
+    })).repartition(2)
+    root = str(tmp_path_factory.mktemp("metaidx") / "idx")
+    fields = LocalSearcher(
+        build_index(meta, root, doc_part_bits=2, num_term_buckets=2,
+                    stemmer=identity_stemmer),
+        stemmer=identity_stemmer)
+
+    def lang_docs(*vals):
+        return {d for d, la in enumerate(langs) if la.lower() in vals}
+
+    cases = [
+        ("lang:en", lang_docs("en")),
+        ("lang:EN", lang_docs("en")),           # value lowercased
+        ("lang:de OR lang:fr", lang_docs("de", "fr")),
+        ("lang:e*", lang_docs("en")),           # value prefix
+        ("fast AND lang:en", lang_docs("en")
+         & _ref_eval(parse_query("fast"))),
+        ("fast AND NOT lang:en", _ref_eval(parse_query("fast"))
+         - lang_docs("en")),
+    ]
+    for expr, want in cases:
+        got = evaluate(expr, searcher, positional, fields=fields).tolist()
+        assert got == sorted(want), expr
+    with pytest.raises(ValueError, match="metadata index"):
+        evaluate("lang:en", searcher, positional)

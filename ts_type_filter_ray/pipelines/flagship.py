@@ -561,6 +561,73 @@ SUFFIX_QUERY_SET: list[str] = ["er", "w", "an", "ue", "zz"]
 INFIX_QUERY_SET: list[str] = ["or", "at", "ue", "a", "zzz"]
 
 
+def metadata_index_for(sf_dir: str, force: bool = False) -> BuiltIndex:
+    """Metadata TERM index over ``{sf_dir}/documents.parquet`` — the
+    facet-as-term layout: each doc's content is its metadata rendered as
+    ``lang:<v> source:<v>`` tokens, indexed through the ordinary
+    identity-stemmer build. Field filters (``lang:en``) then route
+    through the same bucket-pruned postings machinery as any term, and
+    value prefixes (``source:src1*``) through the sorted-vocab range
+    scan — no corpus scan per query, which is what a per-query
+    ``documents`` column read would be at 100 TB."""
+    out = _index_cache_dir(sf_dir, variant="meta")
+    if not force and os.path.exists(os.path.join(out, "stats.json")):
+        return BuiltIndex.load(out)
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .build import build_index
+
+    def to_content(batch: pa.Table) -> pa.Table:
+        content = pc.binary_join_element_wise(
+            "lang:", pc.cast(batch["lang"], pa.string()),
+            " source:", pc.cast(batch["source"], pa.string()), "")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "content": pc.cast(content, pa.string()),
+        })
+
+    corpus = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"]).map_batches(
+            to_content, batch_format="pyarrow")
+    return build_index(corpus, out, doc_part_bits=12, num_term_buckets=4,
+                       tokenize_batch_size=512, stemmer=identity_stemmer)
+
+
+# Field-filter expressions: metadata predicates (exact + value-prefix)
+# composed with content terms through the boolean language.
+FIELD_EXPR_SET: list[str] = [
+    "lang:en AND spark",
+    "source:src3 AND NOT batch",
+    "lang:de OR lang:fr",
+    "(lang:en OR lang:zh) AND hash AND join",
+    "source:src1* AND merge",
+    "spark AND NOT source:src0",
+]
+
+
+def field_filter_match_table(sf_dir: str,
+                             exprs: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) match sets for boolean expressions mixing
+    METADATA filters (``lang:en``, ``source:src1*`` — answered from the
+    facet-as-term metadata index) with content terms — value-exact vs
+    set-op SQL over the documents columns."""
+    from .querylang import evaluate
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    fields = LocalSearcher(metadata_index_for(sf_dir),
+                           stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, expr in enumerate(exprs or FIELD_EXPR_SET):
+        for doc_id in evaluate(expr, searcher, fields=fields).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
 # Query-refinement ("related searches") set: queries with non-trivial
 # match sets whose co-occurring vocabulary is worth suggesting.
 RELATED_QUERY_SET: list[str] = [

@@ -7,8 +7,17 @@ surface a fulltext engine needs once it has more than one primitive:
     or     := and (OR and)*
     and    := unary (AND unary)*
     unary  := NOT unary | atom
-    atom   := '(' expr ')' | '"phrase words"' | '"a b"~d' | TERM
+    atom   := '(' expr ')' | '"phrase words"' | '"a b"~d' | FIELD | TERM
     TERM   := word | word'*' | '*'word | '*'word'*' | word'~'d
+    FIELD  := name':'value | name':'value'*'
+
+``name:value`` is a METADATA filter (Lucene field syntax): it matches
+docs whose metadata field *name* has *value* — answered by a metadata
+term index (the facet-as-term layout: each doc's metadata is indexed as
+``name:value`` tokens), passed to :func:`evaluate` as ``fields=``. A
+trailing ``*`` prefix-matches the value (``source:src1*``). Colon
+tokens are therefore field syntax, not searchable corpus terms — the
+same trade Lucene makes.
 
 ``"a b"~d`` is the sloppy-phrase (proximity) form: the two terms within
 ``|Δpos| ≤ d`` of each other (answered by the positional index; slop on
@@ -88,6 +97,18 @@ class Proximity:
 
 
 @dataclass(frozen=True)
+class Field:
+    name: str
+    value: str
+
+
+@dataclass(frozen=True)
+class FieldPrefix:
+    name: str
+    value: str
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -116,9 +137,19 @@ def _lex(s: str) -> list[str]:
 
 
 _FUZZY_RE = re.compile(r"^(?P<body>[^~*]+)~(?P<d>\d+)$")
+_FIELD_RE = re.compile(r"^(?P<name>[A-Za-z_][A-Za-z0-9_]*):(?P<val>\S+)$")
 
 
 def _atom_from_word(w: str):
+    fm = _FIELD_RE.match(w)
+    if fm:
+        name, val = fm.group("name"), fm.group("val")
+        trail = val.endswith("*") and len(val) > 1
+        body = val[:-1] if trail else val
+        if "*" in body or "~" in body:
+            raise QuerySyntaxError(
+                f"field values support only a trailing '*': {w!r}")
+        return FieldPrefix(name, body) if trail else Field(name, body)
     m = _FUZZY_RE.match(w)
     if m:
         return Fuzzy(m.group("body"), int(m.group("d")))
@@ -222,10 +253,19 @@ def parse_query(s: str):
 # -- Evaluation -----------------------------------------------------------
 
 
-def _eval(node, searcher, positional) -> np.ndarray:
+def _eval(node, searcher, positional, fields) -> np.ndarray:
     if isinstance(node, Term):
         # single whitespace-free token → exactly one stem
         return searcher._term_docs(searcher._stem_token(node.text))
+    if isinstance(node, (Field, FieldPrefix)):
+        if fields is None:
+            raise ValueError(
+                "field atoms (name:value) need a metadata index — pass "
+                "fields=")
+        key = f"{node.name}:{node.value}".lower()
+        if isinstance(node, Field):
+            return fields._term_docs(key)
+        return fields._vocab_match_docs("prefix", key)
     if isinstance(node, Prefix):
         return searcher._vocab_match_docs("prefix", node.text)
     if isinstance(node, Suffix):
@@ -247,7 +287,7 @@ def _eval(node, searcher, positional) -> np.ndarray:
         a, b = node.text.lower().split()
         return positional.proximity(a, b, node.slop)
     if isinstance(node, Or):
-        arrays = [_eval(c, searcher, positional) for c in node.children]
+        arrays = [_eval(c, searcher, positional, fields) for c in node.children]
         arrays = [a for a in arrays if a.size]
         if not arrays:
             return np.empty(0, dtype=np.int64)
@@ -259,7 +299,7 @@ def _eval(node, searcher, positional) -> np.ndarray:
             raise ValueError(
                 "pure negation has no universe — AND needs at least one "
                 "positive conjunct")
-        arrays = sorted((_eval(c, searcher, positional) for c in pos),
+        arrays = sorted((_eval(c, searcher, positional, fields) for c in pos),
                         key=lambda a: a.size)
         cur = arrays[0]
         for a in arrays[1:]:
@@ -268,7 +308,7 @@ def _eval(node, searcher, positional) -> np.ndarray:
             cur = np.intersect1d(cur, a, assume_unique=True)
         if neg and cur.size:
             drop = np.unique(np.concatenate(
-                [_eval(c, searcher, positional) for c in neg] or
+                [_eval(c, searcher, positional, fields) for c in neg] or
                 [np.empty(0, dtype=np.int64)]))
             cur = np.setdiff1d(cur, drop, assume_unique=True)
         return cur
@@ -279,13 +319,16 @@ def _eval(node, searcher, positional) -> np.ndarray:
     raise TypeError(f"unknown node {node!r}")
 
 
-def evaluate(query: str, searcher, positional=None) -> np.ndarray:
+def evaluate(query: str, searcher, positional=None,
+             fields=None) -> np.ndarray:
     """Evaluate *query* over *searcher* (a ``LocalSearcher``) → ascending
-    unique doc_ids. Phrases are answered by *positional* (a
-    ``PositionalSearcher`` over the same corpus). Pinned docs are always
+    unique doc_ids. Phrases and proximity are answered by *positional*
+    (a ``PositionalSearcher`` over the same corpus); ``name:value``
+    metadata filters by *fields* (a ``LocalSearcher`` over the metadata
+    term index — the facet-as-term layout). Pinned docs are always
     included and tombstoned docs never returned — both applied once at
     the top, so leaf set ops stay pure."""
-    out = _eval(parse_query(query), searcher, positional)
+    out = _eval(parse_query(query), searcher, positional, fields)
     if searcher._pinned.size:
         out = np.union1d(out, searcher._pinned)
     return searcher._drop_deleted(out)
