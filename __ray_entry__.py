@@ -118,6 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set (scores unchanged, candidates filtered), rank-only
         "bm25_filtered_nostem":
             lambda sf: flagship.bm25_filtered_nostem_table(sf),
+        # reciprocal-rank fusion of the two ranked scorers (the
+        # multi-list ensemble shape hybrid search uses), rank-only
+        "rrf_fusion_nostem":
+            lambda sf: flagship.rrf_fusion_nostem_table(sf),
         # "did you mean": (distance asc, df desc, term asc) corrections
         "spell_correct": lambda sf: flagship.spell_correct_table(sf),
         # "related searches": top co-occurring terms within each query's
@@ -648,6 +652,79 @@ def oracle_sql() -> dict[str, str]:
     bm25_page2_sql = (bm25_nostem_sql.rsplit("where rank <=", 1)[0]
                       + f"where rank > {BM25_NOSTEM_K} "
                       f"and rank <= {2 * BM25_NOSTEM_K}")
+
+    # reciprocal-rank fusion of the BM25 and tf-idf top-RRF_DEPTH lists:
+    # both rankings computed in SQL, fused with the identical
+    # coalesce(1/(k0+r_bm25), 0) + coalesce(1/(k0+r_tfidf), 0)
+    # arithmetic (same addition order as the engine)
+    from ts_type_filter_ray.pipelines.flagship import RRF_DEPTH, RRF_K0
+    rrf_sql = rf"""
+            with base as (
+              select doc_id,
+                     case when trim(text) = '' then cast([] as varchar[])
+                          else regexp_split_to_array(lower(trim(text)),'\s+')
+                     end as arr
+              from documents),
+            dl_t as (select doc_id, len(arr)::BIGINT as dl from base),
+            stats as (select count(*)::BIGINT as n,
+                             coalesce(sum(dl), 0)::BIGINT as tdl from dl_t),
+            tf_t as (
+              select doc_id, term, count(*)::BIGINT as tf
+              from (select doc_id, unnest(arr) as term from base)
+              group by doc_id, term),
+            df_t as (select term, count(*)::BIGINT as df
+                     from tf_t group by term),
+            q(query_idx, term) as (values {bm25_rows}),
+            bscored as (
+              select q.query_idx, t.doc_id,
+                     list_aggregate(list(
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * ((t.tf * ({BM25_K1} + 1.0))
+                          / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                             + {BM25_B} * l.dl / (s.tdl / s.n))))
+                       order by q.term asc), 'sum') as score
+              from q
+              join tf_t t on t.term = q.term
+              join df_t d on d.term = q.term
+              join dl_t l on l.doc_id = t.doc_id
+              cross join stats s
+              group by q.query_idx, t.doc_id),
+            tscored as (
+              select q.query_idx, t.doc_id,
+                     list_aggregate(list(
+                       ln(s.n / d.df) * (1.0 + ln(t.tf))
+                       order by q.term asc), 'sum') as score
+              from q
+              join tf_t t on t.term = q.term
+              join df_t d on d.term = q.term
+              cross join stats s
+              group by q.query_idx, t.doc_id),
+            br as (select query_idx, doc_id,
+                          row_number() over (partition by query_idx
+                                             order by score desc,
+                                                      doc_id asc) as rank
+                   from bscored),
+            tr as (select query_idx, doc_id,
+                          row_number() over (partition by query_idx
+                                             order by score desc,
+                                                      doc_id asc) as rank
+                   from tscored),
+            fused as (
+              select coalesce(b.query_idx, t.query_idx) as query_idx,
+                     coalesce(b.doc_id, t.doc_id) as doc_id,
+                     coalesce(1.0 / ({RRF_K0} + b.rank), 0.0)
+                     + coalesce(1.0 / ({RRF_K0} + t.rank), 0.0) as score
+              from (select * from br where rank <= {RRF_DEPTH}) b
+              full outer join
+                   (select * from tr where rank <= {RRF_DEPTH}) t
+                on b.query_idx = t.query_idx and b.doc_id = t.doc_id)
+            select query_idx, rank, doc_id from (
+              select query_idx, doc_id,
+                     row_number() over (partition by query_idx
+                                        order by score desc, doc_id asc)
+                         as rank
+              from fused)
+            where rank <= {BM25_NOSTEM_K}"""
 
     # filtered ranked search: the SAME scored CTE ranked only over docs
     # matching the boolean filter expression (flagship.BM25_FILTER_EXPR
@@ -1336,6 +1413,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nostem": bm25_nostem_sql,
         "bm25_page2_nostem": bm25_page2_sql,
         "bm25_filtered_nostem": bm25_filtered_sql,
+        "rrf_fusion_nostem": rrf_sql,
         "spell_correct": spell_sql,
         "related_terms": related_sql,
         "index_statistics_nostem": r"""

@@ -140,3 +140,46 @@ def test_bm25_filtered_distributes(served):
         allowed = evaluate(expr, local)
         assert (svc.bm25_filtered(q, expr, k=7)
                 == local.bm25(q, k=7, allowed=allowed)), (q, expr)
+
+
+def test_served_field_filters(ray_session, sonnets_corpus_dir,
+                              tmp_path_factory):
+    """Metadata field filters distribute over the pool: each actor holds
+    the metadata postings for ITS doc partitions, so expression results
+    equal the local evaluator with a whole-index fields searcher."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.querylang import evaluate
+
+    base = tmp_path_factory.mktemp("serve_fields")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(base / "idx"),
+                      doc_part_bits=4, num_term_buckets=8)
+    n = idx.stats.num_documents
+    langs = ["en" if d % 2 else "de" for d in range(n)]
+    meta = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "content": pa.array([f"lang:{la}" for la in langs],
+                            type=pa.string()),
+    })).repartition(3)
+    mroot = str(base / "meta")
+    midx = build_index(meta, mroot, doc_part_bits=4, num_term_buckets=2)
+
+    svc = SearchService(idx.root, num_actors=3, metadata_root=mroot)
+    local = LocalSearcher(idx)
+    fields = LocalSearcher(midx)
+    for expr in ("fire AND lang:en", "lang:de AND NOT heat",
+                 "(fire OR heat) AND lang:e*", "lang:en OR lang:de"):
+        want = evaluate(expr, local, fields=fields).tolist()
+        assert svc.match_expr(expr).tolist() == want, expr
+    q, expr = "fire heat", "same AND lang:en"
+    allowed = evaluate(expr, local, fields=fields)
+    assert svc.bm25_filtered(q, expr, k=7) == local.bm25(
+        q, k=7, allowed=allowed)
+
+    # mismatched partitioning is rejected up front
+    bad = build_index(meta, str(base / "meta_bad"), doc_part_bits=6,
+                      num_term_buckets=2)
+    with pytest.raises(ValueError, match="doc_part_bits"):
+        SearchService(idx.root, num_actors=2,
+                      metadata_root=str(base / "meta_bad"))

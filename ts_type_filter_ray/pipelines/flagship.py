@@ -362,6 +362,45 @@ def bm25_filtered_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
     })
 
 
+# Reciprocal-rank fusion: fuse the top-RRF_DEPTH lists of the two
+# ranked scorers (BM25 and classic tf-idf) with the standard
+# 1/(k0 + rank) weights — the multi-scorer ensemble shape (also how
+# BM25+vector hybrid search fuses lists).
+RRF_K0 = 60
+RRF_DEPTH = 20
+
+
+def rrf_fusion_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                            queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) — reciprocal-rank fusion of the BM25
+    and tf-idf top-RRF_DEPTH lists: score(d) = Σ_lists 1/(RRF_K0 +
+    rank_list(d)), missing-from-list contributes 0, tie (score desc,
+    doc_id asc). RANK-ONLY, value-exact vs a DuckDB oracle computing
+    both rankings and the same fusion arithmetic (BM25 term + tf-idf
+    term in that addition order on both sides)."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        scores: dict[int, float] = {}
+        for r, (doc_id, _s) in enumerate(searcher.bm25(q, k=RRF_DEPTH),
+                                         start=1):
+            scores[doc_id] = 1.0 / (RRF_K0 + r)
+        for r, (doc_id, _s) in enumerate(searcher.tfidf(q, k=RRF_DEPTH),
+                                         start=1):
+            scores[doc_id] = scores.get(doc_id, 0.0) + 1.0 / (RRF_K0 + r)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (doc_id, _s) in enumerate(ranked, start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
 def bm25_page2_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
                             queries: list | None = None) -> pa.Table:
     """(query_idx, rank, doc_id) — the SECOND page (ranks k+1..2k) of

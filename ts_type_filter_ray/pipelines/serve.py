@@ -61,13 +61,13 @@ class _DocPartSearcher:
     """One search actor: all posting rows whose ``part`` is in its
     assigned set, plus the broadcast global df table."""
 
-    def __init__(self, index_root: str, parts: list[int], df_ref,
-                 pinned_doc_ids: list[int] | None = None):
+    @staticmethod
+    def _part_searcher(index_root: str, parts: list[int],
+                       pinned_doc_ids=None) -> LocalSearcher:
         from .build import load_tombstones
 
         index = BuiltIndex.load(index_root)
-        self._searcher = LocalSearcher.__new__(LocalSearcher)
-        s = self._searcher
+        s = LocalSearcher.__new__(LocalSearcher)
         s._stats = index.stats
         s._stemmer = None
         s._breaker = None
@@ -79,11 +79,26 @@ class _DocPartSearcher:
                                      "doc_ids_enc", "tfs_enc", "dls_enc"])
         s._ingest(tbl)  # Arrow-native load (same path as LocalSearcher)
         s._init_cache(warm_top_terms=0)
+        return s
+
+    def __init__(self, index_root: str, parts: list[int], df_ref,
+                 pinned_doc_ids: list[int] | None = None,
+                 metadata_root: str | None = None):
+        self._searcher = self._part_searcher(index_root, parts,
+                                             pinned_doc_ids)
         # GLOBAL df (idf must be global even though this actor only holds
         # a doc-slice of each posting list). Ray auto-dereferences the
         # broadcast ObjectRef argument — one shared plasma copy per node.
-        s.set_global_df(ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef)
-                        else df_ref)
+        self._searcher.set_global_df(
+            ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef)
+            else df_ref)
+        # metadata term index sliced to the SAME doc partitions: field
+        # filters then distribute exactly like every other leaf (a
+        # metadata posting for a doc lives in this actor iff the doc
+        # does). No pinning on the fields side — evaluate() applies the
+        # pinned contract once at the top via the content searcher.
+        self._fields = (self._part_searcher(metadata_root, parts)
+                        if metadata_root else None)
 
     def match(self, query) -> list[int]:
         return self._searcher.match(query).tolist()
@@ -93,12 +108,14 @@ class _DocPartSearcher:
 
     def match_expr(self, expr: str) -> list[int]:
         from .querylang import evaluate
-        return evaluate(expr, self._searcher).tolist()
+        return evaluate(expr, self._searcher,
+                        fields=self._fields).tolist()
 
     def bm25_filtered(self, query, filter_expr: str,
                       k: int) -> list[tuple[int, float]]:
         from .querylang import evaluate
-        allowed = evaluate(filter_expr, self._searcher)
+        allowed = evaluate(filter_expr, self._searcher,
+                           fields=self._fields)
         return self._searcher.bm25(query, k, allowed=allowed)
 
 
@@ -110,9 +127,18 @@ class SearchService:
     """
 
     def __init__(self, index_root: str, num_actors: int = 4,
-                 pinned_doc_ids: set[int] | None = None):
+                 pinned_doc_ids: set[int] | None = None,
+                 metadata_root: str | None = None):
         index = BuiltIndex.load(index_root)
         self._stats = index.stats
+        if metadata_root is not None:
+            mstats = BuiltIndex.load(metadata_root).stats
+            if mstats.doc_part_bits != index.stats.doc_part_bits:
+                raise ValueError(
+                    "metadata index doc_part_bits "
+                    f"({mstats.doc_part_bits}) must match the content "
+                    f"index ({index.stats.doc_part_bits}) so field "
+                    "postings partition to the same actors")
 
         # Global df: concatenate the per-bucket ``_df.parquet`` tables the
         # build persisted at merge time (terms are disjoint across buckets)
@@ -143,7 +169,8 @@ class SearchService:
             if i == 0:
                 sub_pinned = sorted(sub_pinned + leftover)
             self._actors.append(actor_cls.remote(index_root, sub, df_ref,
-                                                 sub_pinned))
+                                                 sub_pinned,
+                                                 metadata_root))
 
     def match(self, query) -> np.ndarray:
         """Union of per-actor matches, ascending doc_id (insertion order)."""
