@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # facet-as-term metadata index, composed with content terms
         "field_filter_match":
             lambda sf: flagship.field_filter_match_table(sf),
+        # query-time synonym expansion (index stays synonym-free)
+        "synonym_match": lambda sf: flagship.synonym_match_table(sf),
         # rows-only entries never sampled in r1-r3 (approximate by
         # nature; pytest pins recall on clustered fixtures)
         # beam search runs in full-index mode: adjacency AND vectors in
@@ -983,6 +985,27 @@ def oracle_sql() -> dict[str, str]:
                      from toks group by term)
             """ + "\nunion all\n".join(spell_branches))
 
+    # query-time synonym expansion: expanded IN-list mirrors of
+    # flagship.SYNONYM_EXPR_SET under flagship.SYNONYM_MAP
+    _syn_bodies = [
+        # 0: fast
+        """select doc_id from toks
+           where term in ('fast','quick','rapid')""",
+        # 1: join AND NOT hash
+        """select doc_id from toks where term in ('join','merge')
+           except select doc_id from toks where term = 'hash'""",
+        # 2: (spark OR window) AND join
+        """select doc_id from toks
+           where term in ('spark','flame','window')
+           intersect select doc_id from toks
+                     where term in ('join','merge')""",
+        # 3: batch (no synonyms)
+        "select doc_id from toks where term = 'batch'",
+    ]
+    synonym_sql = (nostem_toks_cte + "\n" + "\nunion all\n".join(
+        _expr_branch.format(i=i, body=b)
+        for i, b in enumerate(_syn_bodies)))
+
     # metadata field filters: set-op mirrors over the documents columns
     # (engine side answers from the facet-as-term metadata index)
     _field_bodies = [
@@ -1444,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         "faceted_match_counts": faceted_sql,
         "boolean_expr_match": expr_sql,
         "field_filter_match": field_filter_sql,
+        "synonym_match": synonym_sql,
         "exact_dedup": """
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies

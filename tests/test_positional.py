@@ -383,3 +383,39 @@ def test_upsert_validates_before_destruction(ray_session,
     with pytest.raises(ValueError, match="ceiling"):
         upsert_docs(root, [99], c2)
     assert load_tombstones(root).size == 0
+
+
+def test_best_windows_golden(pos_index):
+    """Snippet windows ≡ brute force: among windows anchored at hit
+    positions, maximal (distinct query terms, hits), tie → earliest."""
+    s = PositionalSearcher(pos_index)
+
+    def ref(query, window, doc_ids):
+        terms = sorted(set(query.lower().split()))
+        rows = []
+        for d in sorted(doc_ids):
+            toks = _toks(DOCS[d])
+            hits = [(i, t) for i, t in enumerate(toks) if t in terms]
+            if not hits:
+                continue
+            best = None
+            for i, (p0, _t0) in enumerate(hits):
+                inside = [(p, t) for p, t in hits
+                          if p0 <= p < p0 + window]
+                cand = (-len({t for _p, t in inside}), -len(inside), p0)
+                if best is None or cand < best:
+                    best = cand
+            rows.append((d, best[2], -best[0], -best[1]))
+        return rows
+
+    all_ids = list(range(len(DOCS)))
+    for query, w in (("order fast", 2), ("order fast", 3),
+                     ("batch stream", 4), ("a c g", 3), ("key sort", 5),
+                     ("missing terms", 4), ("solo", 1)):
+        assert s.best_windows(query, w, all_ids) == ref(query, w, all_ids), \
+            (query, w)
+    # restricted to a result page
+    assert s.best_windows("order fast", 2, [1, 4]) == ref(
+        "order fast", 2, [1, 4])
+    assert s.best_windows("", 3, all_ids) == []
+    assert s.best_windows("order", 3, []) == []

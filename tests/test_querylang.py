@@ -395,3 +395,31 @@ def test_field_evaluation(lang_index, tmp_path_factory, ray_session):
         assert got == sorted(want), expr
     with pytest.raises(ValueError, match="metadata index"):
         evaluate("lang:en", searcher, positional)
+
+
+def test_synonym_expansion(lang_index):
+    _idx, searcher, positional = lang_index
+    syn = {"fast": ["fastest", "quick"], "order": ["sort"],
+           "solo": ["missing_syn"]}
+
+    def docs(*terms):
+        out = set()
+        for t in terms:
+            out |= _ref_eval(parse_query(t))
+        return out
+
+    cases = [
+        ("fast", docs("fast", "fastest")),
+        ("order AND NOT batch",
+         docs("order", "sort") - docs("batch")),
+        ("solo", docs("solo")),                      # absent syn harmless
+        ("fast AND order", docs("fast", "fastest")
+         & docs("order", "sort")),
+        ("fa*", docs("fa*")),                        # wildcards unexpanded
+    ]
+    for expr, want in cases:
+        got = evaluate(expr, searcher, positional, synonyms=syn).tolist()
+        assert got == sorted(want), expr
+    # no map → no expansion
+    assert evaluate("fast", searcher, positional).tolist() == \
+        sorted(docs("fast"))

@@ -667,6 +667,43 @@ def field_filter_match_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+# Query-time synonym map (the Lucene synonym-filter shape: index stays
+# synonym-free, the tiny map broadcasts with the query). Mixes synonyms
+# that exist in the corpus vocabulary (merge) with ones that don't
+# (quick, rapid, flame) — absent expansions must be harmless.
+SYNONYM_MAP: dict[str, list[str]] = {
+    "fast": ["quick", "rapid"],
+    "join": ["merge"],
+    "spark": ["flame"],
+}
+SYNONYM_EXPR_SET: list[str] = [
+    "fast",
+    "join AND NOT hash",
+    "(spark OR window) AND join",
+    "batch",
+]
+
+
+def synonym_match_table(sf_dir: str,
+                        exprs: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) match sets with QUERY-TIME synonym expansion:
+    every Term leaf unions over its ``SYNONYM_MAP`` expansion set
+    (``querylang.evaluate(synonyms=...)``), value-exact vs expanded
+    IN-list SQL."""
+    from .querylang import evaluate
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, expr in enumerate(exprs or SYNONYM_EXPR_SET):
+        out = evaluate(expr, searcher, synonyms=SYNONYM_MAP)
+        for doc_id in out.tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
 # Query-refinement ("related searches") set: queries with non-trivial
 # match sets whose co-occurring vocabulary is worth suggesting.
 RELATED_QUERY_SET: list[str] = [

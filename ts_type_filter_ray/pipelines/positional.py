@@ -718,6 +718,66 @@ class PositionalSearcher:
             return np.empty(0, dtype=np.int64)
         return self._drop_deleted(np.unique(cur >> POS_BITS))
 
+    def best_windows(self, query: str, window: int,
+                     doc_ids) -> list[tuple[int, int, int, int]]:
+        """Snippet selection: for each doc in *doc_ids*, the best
+        *window*-token window — maximal (distinct query terms, total
+        hits), tie → earliest start; windows are anchored at hit
+        positions (dropping a hit-free prefix never loses hits). Returns
+        (doc_id, start, distinct_terms, hits) rows ascending by doc_id;
+        docs with no hits are omitted.
+
+        Intended for the RESULT PAGE (the top-k docs a query returned),
+        not the corpus: cost is O(Σ hits² per doc) over k docs — the
+        candidate positions come from the same bucket-pruned term reads
+        as phrase/proximity, so no content is fetched at all."""
+        terms = sorted({self._stem(t) for t in query.lower().split()})
+        if not terms:
+            return []
+        want = self._drop_deleted(
+            np.asarray(sorted(set(int(d) for d in doc_ids)),
+                       dtype=np.int64))
+        if want.size == 0:
+            return []
+        keys = self._term_keys(terms)
+        docs_l, pos_l, tid_l = [], [], []
+        for ti, t in enumerate(terms):
+            k = keys[t]
+            if k.size == 0:
+                continue
+            d = k >> POS_BITS
+            sel = np.searchsorted(want, d)
+            ok = (sel < want.size) & (want[np.minimum(
+                sel, want.size - 1)] == d)
+            if not ok.any():
+                continue
+            docs_l.append(d[ok])
+            pos_l.append((k & np.int64(_MAX_DOC_LEN))[ok])
+            tid_l.append(np.full(int(ok.sum()), ti, dtype=np.int64))
+        if not docs_l:
+            return []
+        docs = np.concatenate(docs_l)
+        pos = np.concatenate(pos_l)
+        tid = np.concatenate(tid_l)
+        order = np.lexsort((pos, docs))
+        docs, pos, tid = docs[order], pos[order], tid[order]
+        out: list[tuple[int, int, int, int]] = []
+        starts = np.flatnonzero(np.concatenate(
+            ([True], docs[1:] != docs[:-1])))
+        ends = np.append(starts[1:], len(docs))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            p = pos[s:e]
+            t = tid[s:e]
+            best = None  # (-distinct, -hits, start)
+            for lo in range(len(p)):
+                hi = int(np.searchsorted(p, p[lo] + window))
+                distinct = len(set(t[lo:hi].tolist()))
+                cand = (-distinct, -(hi - lo), int(p[lo]))
+                if best is None or cand < best:
+                    best = cand
+            out.append((int(docs[s]), best[2], -best[0], -best[1]))
+        return out
+
     def proximity(self, term_a: str, term_b: str,
                   window: int) -> np.ndarray:
         """doc_ids where the two terms co-occur within *window* token

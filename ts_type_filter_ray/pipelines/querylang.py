@@ -253,10 +253,22 @@ def parse_query(s: str):
 # -- Evaluation -----------------------------------------------------------
 
 
-def _eval(node, searcher, positional, fields) -> np.ndarray:
+def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
     if isinstance(node, Term):
-        # single whitespace-free token → exactly one stem
-        return searcher._term_docs(searcher._stem_token(node.text))
+        # single whitespace-free token → exactly one stem; with a
+        # synonym map the leaf becomes the union over the expansion set
+        # (query-time synonym filter — the map is tiny and broadcast,
+        # the index stays synonym-free, so the map can change per query)
+        words = [node.text]
+        if synonyms:
+            words += list(synonyms.get(node.text.lower(), ()))
+        arrays = [searcher._term_docs(searcher._stem_token(w))
+                  for w in words]
+        arrays = [a for a in arrays if a.size]
+        if not arrays:
+            return np.empty(0, dtype=np.int64)
+        return arrays[0] if len(arrays) == 1 else np.unique(
+            np.concatenate(arrays))
     if isinstance(node, (Field, FieldPrefix)):
         if fields is None:
             raise ValueError(
@@ -287,7 +299,7 @@ def _eval(node, searcher, positional, fields) -> np.ndarray:
         a, b = node.text.lower().split()
         return positional.proximity(a, b, node.slop)
     if isinstance(node, Or):
-        arrays = [_eval(c, searcher, positional, fields) for c in node.children]
+        arrays = [_eval(c, searcher, positional, fields, synonyms) for c in node.children]
         arrays = [a for a in arrays if a.size]
         if not arrays:
             return np.empty(0, dtype=np.int64)
@@ -299,7 +311,7 @@ def _eval(node, searcher, positional, fields) -> np.ndarray:
             raise ValueError(
                 "pure negation has no universe — AND needs at least one "
                 "positive conjunct")
-        arrays = sorted((_eval(c, searcher, positional, fields) for c in pos),
+        arrays = sorted((_eval(c, searcher, positional, fields, synonyms) for c in pos),
                         key=lambda a: a.size)
         cur = arrays[0]
         for a in arrays[1:]:
@@ -308,7 +320,7 @@ def _eval(node, searcher, positional, fields) -> np.ndarray:
             cur = np.intersect1d(cur, a, assume_unique=True)
         if neg and cur.size:
             drop = np.unique(np.concatenate(
-                [_eval(c, searcher, positional, fields) for c in neg] or
+                [_eval(c, searcher, positional, fields, synonyms) for c in neg] or
                 [np.empty(0, dtype=np.int64)]))
             cur = np.setdiff1d(cur, drop, assume_unique=True)
         return cur
@@ -320,15 +332,20 @@ def _eval(node, searcher, positional, fields) -> np.ndarray:
 
 
 def evaluate(query: str, searcher, positional=None,
-             fields=None) -> np.ndarray:
+             fields=None, synonyms=None) -> np.ndarray:
     """Evaluate *query* over *searcher* (a ``LocalSearcher``) → ascending
     unique doc_ids. Phrases and proximity are answered by *positional*
     (a ``PositionalSearcher`` over the same corpus); ``name:value``
     metadata filters by *fields* (a ``LocalSearcher`` over the metadata
-    term index — the facet-as-term layout). Pinned docs are always
-    included and tombstoned docs never returned — both applied once at
-    the top, so leaf set ops stay pure."""
-    out = _eval(parse_query(query), searcher, positional, fields)
+    term index — the facet-as-term layout). *synonyms* (an optional
+    small ``term → [alternatives]`` map, matched on the lowercased raw
+    token before stemming) expands every Term leaf into the union over
+    its expansion set — the query-time synonym filter: the index stays
+    synonym-free and the map can change per query. Pinned docs are
+    always included and tombstoned docs never returned — both applied
+    once at the top, so leaf set ops stay pure."""
+    out = _eval(parse_query(query), searcher, positional, fields,
+                synonyms)
     if searcher._pinned.size:
         out = np.union1d(out, searcher._pinned)
     return searcher._drop_deleted(out)
