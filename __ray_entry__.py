@@ -611,56 +611,11 @@ def oracle_sql() -> dict[str, str]:
     bm25_rows = ",".join(
         f"({qi},'{t}')" for qi, q in enumerate(BM25_NOSTEM_QUERY_SET)
         for t in query_stems(q, stemmer=identity_stemmer))
-    bm25_nostem_sql = rf"""
-            with base as (
-              select doc_id,
-                     case when trim(text) = '' then cast([] as varchar[])
-                          else regexp_split_to_array(lower(trim(text)),'\s+')
-                     end as arr
-              from documents),
-            dl_t as (select doc_id, len(arr)::BIGINT as dl from base),
-            stats as (select count(*)::BIGINT as n,
-                             coalesce(sum(dl), 0)::BIGINT as tdl from dl_t),
-            tf_t as (
-              select doc_id, term, count(*)::BIGINT as tf
-              from (select doc_id, unnest(arr) as term from base)
-              group by doc_id, term),
-            df_t as (select term, count(*)::BIGINT as df
-                     from tf_t group by term),
-            q(query_idx, term) as (values {bm25_rows}),
-            scored as (
-              select q.query_idx, t.doc_id,
-                     list_aggregate(list(
-                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                       * ((t.tf * ({BM25_K1} + 1.0))
-                          / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
-                             + {BM25_B} * l.dl / (s.tdl / s.n))))
-                       order by q.term asc), 'sum') as score
-              from q
-              join tf_t t on t.term = q.term
-              join df_t d on d.term = q.term
-              join dl_t l on l.doc_id = t.doc_id
-              cross join stats s
-              group by q.query_idx, t.doc_id)
-            select query_idx, rank, doc_id from (
-              select query_idx, doc_id,
-                     row_number() over (partition by query_idx
-                                        order by score desc, doc_id asc)
-                         as rank
-              from scored)
-            where rank <= {BM25_NOSTEM_K}"""
-
-    # page 2 of the same ranking (search-after cursor on the engine side)
-    bm25_page2_sql = (bm25_nostem_sql.rsplit("where rank <=", 1)[0]
-                      + f"where rank > {BM25_NOSTEM_K} "
-                      f"and rank <= {2 * BM25_NOSTEM_K}")
-
-    # reciprocal-rank fusion of the BM25 and tf-idf top-RRF_DEPTH lists:
-    # both rankings computed in SQL, fused with the identical
-    # coalesce(1/(k0+r_bm25), 0) + coalesce(1/(k0+r_tfidf), 0)
-    # arithmetic (same addition order as the engine)
-    from ts_type_filter_ray.pipelines.flagship import RRF_DEPTH, RRF_K0
-    rrf_sql = rf"""
+    # ONE shared CTE stack carries both ranked scorers (bscored = BM25,
+    # tscored = classic tf-idf): bm25_topk / page2 / filtered / tfidf /
+    # rrf all derive from it, so each scoring formula exists in exactly
+    # one place (unreferenced CTEs are pruned by DuckDB's planner).
+    _rank_ctes = rf"""
             with base as (
               select doc_id,
                      case when trim(text) = '' then cast([] as varchar[])
@@ -700,8 +655,43 @@ def oracle_sql() -> dict[str, str]:
               join tf_t t on t.term = q.term
               join df_t d on d.term = q.term
               cross join stats s
-              group by q.query_idx, t.doc_id),
-            br as (select query_idx, doc_id,
+              group by q.query_idx, t.doc_id)"""
+
+    def _ranked_select(source: str, where: str) -> str:
+        return rf"""
+            select query_idx, rank, doc_id from (
+              select query_idx, doc_id,
+                     row_number() over (partition by query_idx
+                                        order by score desc, doc_id asc)
+                         as rank
+              from {source})
+            where {where}"""
+
+    bm25_nostem_sql = _rank_ctes + _ranked_select(
+        "bscored", f"rank <= {BM25_NOSTEM_K}")
+    tfidf_nostem_sql = _rank_ctes + _ranked_select(
+        "tscored", f"rank <= {BM25_NOSTEM_K}")
+    # page 2 of the same ranking (search-after cursor on the engine side)
+    bm25_page2_sql = _rank_ctes + _ranked_select(
+        "bscored",
+        f"rank > {BM25_NOSTEM_K} and rank <= {2 * BM25_NOSTEM_K}")
+    # filtered ranked search: the SAME scored CTE ranked only over docs
+    # matching the boolean filter expression (flagship.BM25_FILTER_EXPR
+    # = 'batch AND NOT slow' — mirrored as EXCEPT)
+    bm25_filtered_sql = (_rank_ctes + rf"""
+            , flt as (
+              select doc_id from tf_t where term = 'batch'
+              except select doc_id from tf_t where term = 'slow')"""
+        + _ranked_select("bscored join flt using (doc_id)",
+                         f"rank <= {BM25_NOSTEM_K}"))
+
+    # reciprocal-rank fusion of the BM25 and tf-idf top-RRF_DEPTH lists:
+    # both rankings computed in SQL, fused with the identical
+    # coalesce(1/(k0+r_bm25), 0) + coalesce(1/(k0+r_tfidf), 0)
+    # arithmetic (same addition order as the engine)
+    from ts_type_filter_ray.pipelines.flagship import RRF_DEPTH, RRF_K0
+    rrf_sql = (_rank_ctes + rf"""
+            , br as (select query_idx, doc_id,
                           row_number() over (partition by query_idx
                                              order by score desc,
                                                       doc_id asc) as rank
@@ -719,30 +709,8 @@ def oracle_sql() -> dict[str, str]:
               from (select * from br where rank <= {RRF_DEPTH}) b
               full outer join
                    (select * from tr where rank <= {RRF_DEPTH}) t
-                on b.query_idx = t.query_idx and b.doc_id = t.doc_id)
-            select query_idx, rank, doc_id from (
-              select query_idx, doc_id,
-                     row_number() over (partition by query_idx
-                                        order by score desc, doc_id asc)
-                         as rank
-              from fused)
-            where rank <= {BM25_NOSTEM_K}"""
-
-    # filtered ranked search: the SAME scored CTE ranked only over docs
-    # matching the boolean filter expression (flagship.BM25_FILTER_EXPR
-    # = 'batch AND NOT slow' — mirrored as EXCEPT)
-    bm25_filtered_sql = (bm25_nostem_sql.rsplit(
-        "select query_idx, rank, doc_id from (", 1)[0] + rf"""
-            , flt as (
-              select doc_id from tf_t where term = 'batch'
-              except select doc_id from tf_t where term = 'slow')
-            select query_idx, rank, doc_id from (
-              select query_idx, doc_id,
-                     row_number() over (partition by query_idx
-                                        order by score desc, doc_id asc)
-                         as rank
-              from scored join flt using (doc_id))
-            where rank <= {BM25_NOSTEM_K}""")
+                on b.query_idx = t.query_idx and b.doc_id = t.doc_id)"""
+        + _ranked_select("fused", f"rank <= {BM25_NOSTEM_K}"))
 
     from ts_type_filter_ray.pipelines.flagship import (
         ANDNOT_QUERY_SET, CONJ_QUERY_SET, SUGGEST_K, SUGGEST_SET)
@@ -861,42 +829,9 @@ def oracle_sql() -> dict[str, str]:
     infix_sql = (nostem_toks_cte + "\n" +
                  "\nunion all\n".join(infix_branches))
 
-    # classic tf-idf rank-only oracle: same ln(N/df)·(1+ln tf) float64
-    # expression shapes and the same ascending-term left-fold as the
-    # engine (list(... order by term) + list_aggregate 'sum'); N counts
-    # ALL documents (empty-text docs included), matching IndexStats
-    tfidf_nostem_sql = rf"""
-            with base as (
-              select doc_id,
-                     case when trim(text) = '' then cast([] as varchar[])
-                          else regexp_split_to_array(lower(trim(text)),'\s+')
-                     end as arr
-              from documents),
-            stats as (select count(*)::BIGINT as n from documents),
-            tf_t as (
-              select doc_id, term, count(*)::BIGINT as tf
-              from (select doc_id, unnest(arr) as term from base)
-              group by doc_id, term),
-            df_t as (select term, count(*)::BIGINT as df
-                     from tf_t group by term),
-            q(query_idx, term) as (values {bm25_rows}),
-            scored as (
-              select q.query_idx, t.doc_id,
-                     list_aggregate(list(
-                       ln(s.n / d.df) * (1.0 + ln(t.tf))
-                       order by q.term asc), 'sum') as score
-              from q
-              join tf_t t on t.term = q.term
-              join df_t d on d.term = q.term
-              cross join stats s
-              group by q.query_idx, t.doc_id)
-            select query_idx, rank, doc_id from (
-              select query_idx, doc_id,
-                     row_number() over (partition by query_idx
-                                        order by score desc, doc_id asc)
-                         as rank
-              from scored)
-            where rank <= {BM25_NOSTEM_K}"""
+    # (tfidf_nostem_sql derives from the shared _rank_ctes stack above —
+    # same ln(N/df)·(1+ln tf) float64 shapes and ascending-term
+    # left-fold; N counts ALL documents, matching IndexStats)
 
     # boolean query-language expressions: handcrafted set-op SQL mirrors
     # of flagship.EXPR_QUERY_SET (INTERSECT/EXCEPT/UNION per expression

@@ -618,9 +618,18 @@ def metadata_index_for(sf_dir: str, force: bool = False) -> BuiltIndex:
     from .build import build_index
 
     def to_content(batch: pa.Table) -> pa.Table:
+        lang = pc.cast(batch["lang"], pa.string())
+        source = pc.cast(batch["source"], pa.string())
+        # whitespace inside a value would split into stray tokens and
+        # silently corrupt the facet-as-term layout — make it loud
+        for name, col in (("lang", lang), ("source", source)):
+            bad = pc.match_substring_regex(col, r"\s")
+            if pc.any(bad).as_py():
+                raise ValueError(
+                    f"metadata column {name!r} contains whitespace in "
+                    "some values — facet tokens must be whitespace-free")
         content = pc.binary_join_element_wise(
-            "lang:", pc.cast(batch["lang"], pa.string()),
-            " source:", pc.cast(batch["source"], pa.string()), "")
+            "lang:", lang, " source:", source, "")
         return pa.table({
             "doc_id": batch["doc_id"],
             "content": pc.cast(content, pa.string()),

@@ -261,7 +261,14 @@ def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
         # the index stays synonym-free, so the map can change per query)
         words = [node.text]
         if synonyms:
-            words += list(synonyms.get(node.text.lower(), ()))
+            alts = synonyms.get(node.text.lower(), ())
+            if isinstance(alts, str):
+                # list('quick') would silently union five single-letter
+                # terms' postings — a natural caller mistake, make it loud
+                raise TypeError(
+                    "synonym expansions must be a sequence of terms, "
+                    f"not a string: {alts!r}")
+            words += list(alts)
         arrays = [searcher._term_docs(searcher._stem_token(w))
                   for w in words]
         arrays = [a for a in arrays if a.size]
@@ -276,7 +283,13 @@ def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
                 "fields=")
         key = f"{node.name}:{node.value}".lower()
         if isinstance(node, Field):
-            return fields._term_docs(key)
+            # the fields searcher's OWN stemmer mirrors whatever
+            # normalization its index was built with (identity for the
+            # facet-as-term layout; a stemmed metadata index stays
+            # consistent because build and query stem the same token)
+            return fields._term_docs(fields._stem_token(key))
+        # value prefixes scan the (possibly stemmed) metadata
+        # vocabulary — same caller-owned contract as match_prefix
         return fields._vocab_match_docs("prefix", key)
     if isinstance(node, Prefix):
         return searcher._vocab_match_docs("prefix", node.text)

@@ -19,6 +19,8 @@ the single-process warm path (it is also what each actor wraps).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -150,7 +152,16 @@ class SearchService:
 
         meta = pads.dataset(index.postings_dir, partitioning="hive").to_table(
             columns=["part"])
-        parts = sorted(set(meta["part"].to_pylist()))
+        part_set = set(meta["part"].to_pylist())
+        if metadata_root is not None:
+            # a partition whose docs are all content-empty still owns
+            # metadata postings — assignment must cover the UNION of
+            # both indexes' parts or field filters silently miss docs
+            mmeta = pads.dataset(
+                os.path.join(metadata_root, "postings"),
+                partitioning="hive").to_table(columns=["part"])
+            part_set |= set(mmeta["part"].to_pylist())
+        parts = sorted(part_set)
         num_actors = max(1, min(num_actors, len(parts)))
         assign = [parts[i::num_actors] for i in range(num_actors)]
         pinned = sorted(pinned_doc_ids or ())
