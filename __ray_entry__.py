@@ -142,6 +142,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: flagship.field_filter_match_table(sf),
         # query-time synonym expansion (index stays synonym-free)
         "synonym_match": lambda sf: flagship.synonym_match_table(sf),
+        # IVF with nprobe = n_centroids scans every cell → EXACT, so the
+        # whole IVF machinery (distributed Lloyd, assignment, probe
+        # routing, per-cell top-k merge) sits on the value-exact gate
+        # with the brute-force oracle (same nostem trick, ANN edition);
+        # the approximate nprobe<cells path stays rows-only below
+        "ann_ivf_exhaustive": lambda sf: ann.ivf_topk(
+            _emb(sf), ANN_QUERY_IDS, k=ANN_K, n_centroids=8,
+            nprobe=8).select_columns(["query_id", "rank", "vec_id"]),
+        # PQ with refine·k ≥ N rescores every vector exactly → the whole
+        # compressed-scan pipeline (codebook training, m-byte encode,
+        # ADC LUT scan, candidate merge, exact refine) on the
+        # value-exact gate; the approximate refine=4 path stays
+        # rows-only below
+        "pq_exhaustive_refine": lambda sf: ann.pq_topk(
+            _emb(sf), ANN_QUERY_IDS, k=ANN_K, m=4, ksub=16,
+            refine=50).select_columns(["query_id", "rank", "vec_id"]),
+        # probed kNN join with nprobe ≥ #cells runs the full block-pair
+        # grid → exact → shares the knn_join oracle; exercises the cell
+        # routing + pair pruning machinery value-exactly
+        "knn_join_probed_exhaustive": lambda sf: ann.knn_join(
+            _emb(sf), k=5, block_rows=128, nprobe=99).select_columns(
+                ["vec_id", "rank", "neighbor_id"]),
         # rows-only entries never sampled in r1-r3 (approximate by
         # nature; pytest pins recall on clustered fixtures)
         # beam search runs in full-index mode: adjacency AND vectors in
@@ -1638,4 +1660,11 @@ def oracle_sql() -> dict[str, str]:
     # the Bloom-prefiltered variant is contract-identical to the
     # exhaustive operator, so it shares the oracle verbatim
     out["decontaminate_bloom"] = out["decontaminate"]
+    # IVF at nprobe = n_centroids scans every cell, and PQ at
+    # refine·k ≥ N rescores every vector exactly → both exact → both
+    # share the brute-force cosine oracle (rank-only)
+    out["ann_ivf_exhaustive"] = out["ann_topk"]
+    out["pq_exhaustive_refine"] = out["ann_topk"]
+    # probed kNN join at nprobe ≥ #cells runs every block pair → exact
+    out["knn_join_probed_exhaustive"] = out["knn_join"]
     return out
