@@ -97,6 +97,22 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--max-dist", type=int, default=2)
     co.add_argument("-k", type=int, default=3)
 
+    pb = sub.add_parser("posbuild",
+                        help="build a POSITIONAL (phrase/proximity) index "
+                             "from a parquet corpus dir")
+    pb.add_argument("--corpus", required=True)
+    pb.add_argument("--out", required=True)
+
+    ph = sub.add_parser("phrase",
+                        help="phrase containment over a positional index; "
+                             "--near W makes a 2-term query a proximity "
+                             "(|dpos| <= W) match; --snippet W prints each "
+                             "doc's best W-token window")
+    ph.add_argument("index")
+    ph.add_argument("phrase")
+    ph.add_argument("--near", type=int, metavar="W")
+    ph.add_argument("--snippet", type=int, metavar="W")
+
     st = sub.add_parser("stats", help="print index statistics")
     st.add_argument("index")
     st.add_argument("--top", type=int, default=20)
@@ -110,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.query import LocalSearcher, highlight
     from .sources.corpus import read_corpus
 
-    if args.cmd in ("query", "stats", "search", "correct") and \
+    if args.cmd in ("query", "stats", "search", "correct", "phrase") and \
             not os.path.exists(os.path.join(args.index, "stats.json")):
         print(f"error: no index at {args.index!r} (missing stats.json)",
               file=sys.stderr)
@@ -196,6 +212,37 @@ def main(argv: list[str] | None = None) -> int:
                     print(highlight(args.terms, row["content"]))
             else:
                 print(" ".join(map(str, ids.tolist())))
+        return 0
+
+    if args.cmd == "posbuild":
+        from .pipelines.positional import build_positional_index
+        idx = build_positional_index(read_corpus(args.corpus), args.out)
+        print(f"built positional index: {idx.num_documents} docs, "
+              f"{idx.num_terms} terms, {idx.num_positions} positions "
+              f"-> {args.out}")
+        return 0
+
+    if args.cmd == "phrase":
+        from .pipelines.positional import (PositionalIndex,
+                                           PositionalSearcher)
+        s = PositionalSearcher(PositionalIndex.load(args.index))
+        if args.near is not None:
+            terms = args.phrase.split()
+            if len(terms) != 2:
+                print("error: --near needs exactly two terms",
+                      file=sys.stderr)
+                return 2
+            ids = s.proximity(terms[0], terms[1], args.near)
+        else:
+            ids = s.phrase(args.phrase)
+        print(f"Found {ids.size} matches.")
+        print(" ".join(map(str, ids.tolist())))
+        if args.snippet and ids.size:
+            for doc_id, start, distinct, hits in s.best_windows(
+                    args.phrase, args.snippet, ids.tolist()):
+                print(f"doc {doc_id}: tokens [{start}, "
+                      f"{start + args.snippet}) — {distinct} terms, "
+                      f"{hits} hits")
         return 0
 
     if args.cmd == "search":
