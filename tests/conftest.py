@@ -11,6 +11,12 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # Ray's streaming executor does NOT preserve block order by default:
+    # under CPU contention take_all() can interleave blocks and any
+    # positional row assertion flakes (observed once in a contended
+    # test_stages_over_ray run). Engine paths sort explicitly and never
+    # rely on this; pinning it here makes the SUITE deterministic.
+    ctx.execution_options.preserve_order = True
     yield
     ray.shutdown()
 

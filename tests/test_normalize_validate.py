@@ -210,17 +210,24 @@ def test_stages_over_ray(ray_session):
         {"cart": '{"name": "a", "opt": "x"}'},
         {"cart": '{"name": "b"}'},
     ])
+    # key on row CONTENT, not position — block order is an executor
+    # property, not an engine contract
     normed = carts.map_batches(NormalizeCartsStage,
                                fn_constructor_args=(spec,),
                                batch_format="pyarrow",
                                concurrency=1).take_all()
-    assert normed[0]["normalized"] == '{"name": "a"}'
+    by_cart = {r["cart"]: r["normalized"] for r in normed}
+    assert by_cart['{"name": "a", "opt": null}'] == '{"name": "a"}'
 
     valid = carts.map_batches(ValidateCartsStage,
                               fn_constructor_args=(src, "Cart"),
                               batch_format="pyarrow",
                               concurrency=1).take_all()
-    assert [r["valid"] for r in valid] == [False, True, False]
+    assert {r["cart"]: r["valid"] for r in valid} == {
+        '{"name": "a", "opt": null}': False,
+        '{"name": "a", "opt": "x"}': True,
+        '{"name": "b"}': False,
+    }
 
 
 def test_validator_v1_menu_cart():
