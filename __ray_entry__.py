@@ -48,6 +48,11 @@ def _rel_mod():
     return relational
 
 
+def _packing():
+    from ts_type_filter_ray.functions import packing
+    return packing
+
+
 def entry() -> Any:
     """Flagship: build the distributed inverted index over the sf0.001
     documents corpus and answer the fixed BM25 query set."""
@@ -142,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: flagship.field_filter_match_table(sf),
         # query-time synonym expansion (index stays synonym-free)
         "synonym_match": lambda sf: flagship.synonym_match_table(sf),
+        # sequence packing: the concat-and-chunk training layout — one
+        # (doc, seq) overlap row per boundary crossing; distributed
+        # exclusive scan (only the tiny counts table shuffles)
+        "pack_sequences": lambda sf: _packing().pack_token_spans(
+            _docs(sf), seq_len=64),
         # IVF with nprobe = n_centroids scans every cell → EXACT, so the
         # whole IVF machinery (distributed Lloyd, assignment, probe
         # routing, per-cell top-k merge) sits on the value-exact gate
@@ -1425,6 +1435,32 @@ def oracle_sql() -> dict[str, str]:
         "boolean_expr_match": expr_sql,
         "field_filter_match": field_filter_sql,
         "synonym_match": synonym_sql,
+        # sequence packing: window exclusive-cumsum over doc_id order,
+        # range-unnest of the covered sequence ids, overlap arithmetic
+        "pack_sequences": r"""
+            with t as (
+              select doc_id,
+                     (case when trim(text) = '' then 0
+                           else len(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                      end)::BIGINT as n
+              from documents),
+            o as (
+              select doc_id, n,
+                     coalesce(sum(n) over (order by doc_id
+                                           rows between unbounded
+                                           preceding and 1 preceding),
+                              0)::BIGINT as o
+              from t),
+            s as (
+              select doc_id, n, o,
+                     unnest(range(o // 64,
+                                  (o + n - 1) // 64 + 1))::BIGINT as seq_id
+              from o where n > 0)
+            select doc_id, seq_id,
+                   (least((seq_id + 1) * 64, o + n)
+                    - greatest(seq_id * 64, o))::BIGINT as n_tokens
+            from s""",
         "exact_dedup": """
             select sha256(text) as sha256, min(doc_id) as keep_doc_id,
                    count(*) as n_copies

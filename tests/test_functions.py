@@ -938,3 +938,45 @@ def test_pq_topk_recall_and_encode(ray_session):
     for r in codes[:20]:
         assert len(r["code"]) == 4
         assert all(0 <= c < 16 for c in r["code"])
+
+
+def test_pack_token_spans_invariants(ray_session):
+    """Concat-and-chunk packing manifest: per-doc token totals are
+    preserved, every sequence except the last is exactly full, docs
+    straddle boundaries in consecutive sequences, empty docs vanish —
+    across multiple prefix-sum partitions (part_bits=1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.packing import pack_token_spans
+
+    docs = ["a b c", "", "d e f g h i j", "k", "l m n o p",
+            "q r", "s t u v w x y z aa bb"]
+    n_tok = [len(d.split()) for d in docs]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+    })).repartition(3)
+    L = 4
+    out = pack_token_spans(ds, seq_len=L, part_bits=1).to_pandas()
+
+    # per-doc totals preserved; empty docs absent
+    got_tot = out.groupby("doc_id").n_tokens.sum().to_dict()
+    assert got_tot == {d: n for d, n in enumerate(n_tok) if n > 0}
+    # every sequence except the last is exactly full
+    per_seq = out.groupby("seq_id").n_tokens.sum()
+    total = sum(n_tok)
+    assert sorted(per_seq.index) == list(range((total + L - 1) // L))
+    assert (per_seq[per_seq.index < per_seq.index.max()] == L).all()
+    assert per_seq[per_seq.index.max()] == total - L * (total // L) or \
+        per_seq[per_seq.index.max()] == L
+    # straddling docs cover consecutive sequences
+    for d in out.doc_id.unique():
+        seqs = sorted(out[out.doc_id == d].seq_id.tolist())
+        assert seqs == list(range(seqs[0], seqs[-1] + 1)), d
+    # offsets follow doc order: doc 0 starts sequence 0
+    first = out[out.doc_id == 0]
+    assert first.seq_id.min() == 0
+    with __import__("pytest").raises(ValueError):
+        pack_token_spans(ds, seq_len=0)
