@@ -73,7 +73,12 @@ def pack_token_spans(ds: Dataset, seq_len: int,
             .astype(np.int64))
         return pa.table({"doc_id": doc, "part": part, "n": n_tok})
 
-    c = ds.map_batches(counts, batch_format="pyarrow")
+    # materialize: BOTH branches below consume `c`, and a lazy plan would
+    # re-run the content scan + tokenize from scratch for each (the
+    # docstring's "one content pass" promise). The counts table is three
+    # int64 columns per doc — object-store-resident (and spillable) at
+    # any corpus size the manifest itself is representable at.
+    c = ds.map_batches(counts, batch_format="pyarrow").materialize()
 
     def part_partials(batch: pa.Table) -> pa.Table:
         part = batch["part"].to_numpy(zero_copy_only=False)
@@ -97,7 +102,6 @@ def pack_token_spans(ds: Dataset, seq_len: int,
     base_ref = ray.put(base)
 
     def spans(group):
-        import pandas as pd  # noqa: F401  (map_groups pandas contract)
         bases = ray.get(base_ref)
         part = int(group["part"].iloc[0])
         g = group.sort_values("doc_id")
