@@ -152,6 +152,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exclusive scan (only the tiny counts table shuffles)
         "pack_sequences": lambda sf: _packing().pack_token_spans(
             _docs(sf), seq_len=64),
+        # ---- late-r4 additions, all value-exact ----
+        # bulk (set-at-a-time) execution: the query set streams as a
+        # DATASET through a BulkSearcher actor pool (searcher built once
+        # per actor, query-partitioned parallelism) — same lowercase-
+        # token oracle shape as boolean_match_nostem, bulk workload
+        "bulk_match_nostem": lambda sf: flagship.bulk_match_nostem_table(sf),
+        # the same pool in bm25 mode over the nostem BM25 query set —
+        # rank-only, reuses the rank-CTE oracle verbatim
+        "bulk_bm25_topk_nostem":
+            lambda sf: flagship.bulk_bm25_topk_table(sf),
+        # regex vocabulary match: one vectorized match_substring_regex
+        # sweep over the sorted vocab (RE2 both sides), postings union
+        "regex_match_nostem":
+            lambda sf: flagship.regex_match_nostem_table(sf),
+        # more-like-this: seed doc's top-m tf·ln(N/df) terms → BM25 with
+        # the seed excluded; rank-only vs a composed DuckDB oracle
+        "mlt_topk_nostem": lambda sf: flagship.mlt_topk_nostem_table(sf),
+        # field-collapsed top-k: best doc per lang per query, re-ranked —
+        # the search-result diversification shape, rank-only
+        "collapsed_topk_nostem":
+            lambda sf: flagship.collapsed_topk_nostem_table(sf),
+        # out-of-vocabulary rate vs the corpus's top-V vocabulary
+        # (distributed top-V via partial counts + vocab-sized groupby +
+        # sort/limit; one exact integer division → value-exact floats)
+        "oov_rate": lambda sf: textstats.oov_rate(_docs(sf), top_v=16),
         # IVF with nprobe = n_centroids scans every cell → EXACT, so the
         # whole IVF machinery (distributed Lloyd, assignment, probe
         # routing, per-cell top-k merge) sits on the value-exact gate
@@ -743,6 +768,128 @@ def oracle_sql() -> dict[str, str]:
                    (select * from tr where rank <= {RRF_DEPTH}) t
                 on b.query_idx = t.query_idx and b.doc_id = t.doc_id)"""
         + _ranked_select("fused", f"rank <= {BM25_NOSTEM_K}"))
+
+    # ---- late-r4 query surfaces ----
+    from ts_type_filter_ray.pipelines.flagship import (
+        BULK_QUERY_SET, COLLAPSE_K, MLT_K, MLT_SEED_DOC_IDS, MLT_TERMS,
+        REGEX_QUERY_SET)
+    # bulk workload: same lowercase-token match oracle as
+    # boolean_match_nostem, over the bulk query set's stem rows
+    bulk_rows = ",".join(
+        f"({qi},'{t}')" for qi, q in enumerate(BULK_QUERY_SET)
+        for t in query_stems(q, stemmer=identity_stemmer))
+    bulk_match_sql = rf"""
+            with q(query_idx, term) as (values {bulk_rows}),
+            toks as (
+              select distinct doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                       as term
+                from documents where trim(text) <> ''))
+            select distinct q.query_idx, t.doc_id
+            from q join toks t using (term)"""
+    # regex vocabulary match: DuckDB regexp_matches is RE2 partial-match,
+    # identical semantics to the engine's match_substring_regex sweep
+    regex_rows = ",".join(f"({i},'{p}')"
+                          for i, p in enumerate(REGEX_QUERY_SET))
+    regex_match_sql = rf"""
+            with pat(query_idx, pattern) as (values {regex_rows}),
+            toks as (
+              select distinct doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                       as term
+                from documents where trim(text) <> ''))
+            select distinct p.query_idx, t.doc_id
+            from pat p join toks t on regexp_matches(t.term, p.pattern)"""
+    # more-like-this: the seed's top-m tf·ln(N/df) terms become the
+    # query (tie (score desc, term asc)); scoring is the same Robertson
+    # fold as bscored; the seed is excluded BEFORE ranking
+    mlt_seed_rows = ",".join(f"({i},{d})"
+                             for i, d in enumerate(MLT_SEED_DOC_IDS))
+    mlt_sql = rf"""
+            with base as (
+              select doc_id,
+                     case when trim(text) = '' then cast([] as varchar[])
+                          else regexp_split_to_array(lower(trim(text)),'\s+')
+                     end as arr
+              from documents),
+            dl_t as (select doc_id, len(arr)::BIGINT as dl from base),
+            stats as (select count(*)::BIGINT as n,
+                             coalesce(sum(dl), 0)::BIGINT as tdl from dl_t),
+            tf_t as (
+              select doc_id, term, count(*)::BIGINT as tf
+              from (select doc_id, unnest(arr) as term from base)
+              group by doc_id, term),
+            df_t as (select term, count(*)::BIGINT as df
+                     from tf_t group by term),
+            seeds(seed_idx, sdoc) as (values {mlt_seed_rows}),
+            sterms as (
+              select s.seed_idx, s.sdoc, t.term,
+                     row_number() over (partition by s.seed_idx
+                         order by t.tf * ln(st.n / d.df) desc,
+                                  t.term asc) as trank
+              from seeds s
+              join tf_t t on t.doc_id = s.sdoc
+              join df_t d on d.term = t.term
+              cross join stats st),
+            q as (select seed_idx as query_idx, sdoc, term
+                  from sterms where trank <= {MLT_TERMS}),
+            mscored as (
+              select q.query_idx, t.doc_id, q.sdoc,
+                     list_aggregate(list(
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * ((t.tf * ({BM25_K1} + 1.0))
+                          / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                             + {BM25_B} * l.dl / (s.tdl / s.n))))
+                       order by q.term asc), 'sum') as score
+              from q
+              join tf_t t on t.term = q.term
+              join df_t d on d.term = q.term
+              join dl_t l on l.doc_id = t.doc_id
+              cross join stats s
+              group by q.query_idx, t.doc_id, q.sdoc)
+            select query_idx, rank, doc_id from (
+              select query_idx, doc_id,
+                     row_number() over (partition by query_idx
+                                        order by score desc, doc_id asc)
+                         as rank
+              from mscored where doc_id <> sdoc)
+            where rank <= {MLT_K}"""
+    # field-collapsed top-k: best doc per (query, lang) re-ranked
+    collapsed_sql = (_rank_ctes + r"""
+            , best as (
+              select query_idx, b.doc_id, score,
+                     row_number() over (partition by query_idx, d.lang
+                                        order by score desc,
+                                                 b.doc_id asc) as lrank
+              from bscored b join documents d on d.doc_id = b.doc_id)"""
+        + _ranked_select("(select query_idx, doc_id, score from best"
+                         " where lrank = 1) cb",
+                         f"rank <= {COLLAPSE_K}"))
+    # out-of-vocabulary rate vs the top-16 corpus vocabulary: exact
+    # integers + one IEEE division (same contract as commonness_scores)
+    oov_sql = r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            topv as (
+              select term from (
+                select term, count(*) as c from toks group by term
+                order by c desc, term asc limit 16)),
+            agg as (
+              select t.doc_id, count(*)::BIGINT as n_tokens,
+                     sum(case when v.term is null then 1 else 0
+                         end)::BIGINT as n_oov
+              from toks t left join topv v using (term)
+              group by t.doc_id)
+            select d.doc_id,
+                   coalesce(a.n_tokens, 0)::BIGINT as n_tokens,
+                   coalesce(a.n_oov, 0)::BIGINT as n_oov,
+                   coalesce(a.n_oov::DOUBLE / a.n_tokens, 0.0) as oov_ratio
+            from documents d left join agg a using (doc_id)"""
 
     from ts_type_filter_ray.pipelines.flagship import (
         ANDNOT_QUERY_SET, CONJ_QUERY_SET, SUGGEST_K, SUGGEST_SET)
@@ -1435,6 +1582,13 @@ def oracle_sql() -> dict[str, str]:
         "boolean_expr_match": expr_sql,
         "field_filter_match": field_filter_sql,
         "synonym_match": synonym_sql,
+        # late-r4 surfaces
+        "bulk_match_nostem": bulk_match_sql,
+        "bulk_bm25_topk_nostem": bm25_nostem_sql,
+        "regex_match_nostem": regex_match_sql,
+        "mlt_topk_nostem": mlt_sql,
+        "collapsed_topk_nostem": collapsed_sql,
+        "oov_rate": oov_sql,
         # sequence packing: window exclusive-cumsum over doc_id order,
         # range-unnest of the covered sequence ids, overlap arithmetic
         "pack_sequences": r"""

@@ -718,3 +718,68 @@ class LangIdStage:
 def language_id(ds: Dataset, concurrency=(1, 4)) -> Dataset:
     return ds.map_batches(LangIdStage, batch_format="pyarrow",
                           concurrency=concurrency)
+
+
+def top_vocabulary(ds: Dataset, v: int) -> list[str]:
+    """The *v* most frequent lowercase tokens of the corpus (total
+    occurrences; tie (count desc, term asc)) — per-batch PARTIAL counts
+    (dictionary-encode + bincount, no per-token Python) pre-aggregate
+    before the vocabulary-sized ``groupby(term).sum`` shuffle; the
+    distributed ``sort().limit(v)`` brings only v rows to the driver
+    (never the vocabulary)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(pc.utf8_lower(flat))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary,
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    top = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("c", alias_name="c"))
+             .sort(["c", "term"], descending=[True, False])
+             .limit(v)
+             .take_all())  # bounded: exactly v rows
+    return [r["term"] for r in top]
+
+
+def oov_rate(ds: Dataset, top_v: int = 16) -> Dataset:
+    """(doc_id, n_tokens, n_oov, oov_ratio) — fraction of each doc's
+    tokens OUTSIDE the corpus's top-``top_v`` vocabulary (the
+    out-of-vocabulary rate quality signal: high OOV ⇒ garbled /
+    non-natural text relative to the corpus's dominant register).
+    The reference vocabulary is broadcast as a tiny set (v terms);
+    oov_ratio is ONE IEEE division of two exact integers, so the score
+    is value-exact across engines (same contract as
+    :func:`commonness_scores` — no libm in the hot formula)."""
+    vocab = set(top_vocabulary(ds, top_v))
+    vocab_arr = pa.array(sorted(vocab), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_tok_arr, flat, parents = _tokens(batch)
+        n = batch.num_rows
+        n_tok = n_tok_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat):
+            in_v = pc.is_in(pc.utf8_lower(flat), value_set=vocab_arr)
+            par = parents.to_numpy(zero_copy_only=False)
+            oov = ~in_v.to_numpy(zero_copy_only=False)
+            n_oov = np.bincount(par, weights=oov,
+                                minlength=n).astype(np.int64)
+        else:
+            n_oov = np.zeros(n, dtype=np.int64)
+        safe = np.maximum(n_tok, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "n_oov": pa.array(n_oov),
+            "oov_ratio": pa.array(n_oov / safe, type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1041,3 +1041,193 @@ def suggest_table(sf_dir: str,
                      "rank": pa.array(rk, type=pa.int64()),
                      "term": pa.array(tm, type=pa.string()),
                      "df": pa.array(dfv, type=pa.int64())})
+
+
+# ---- bulk (set-at-a-time) query execution ---------------------------
+
+# Deterministic bulk workload: every sf-corpus vocabulary term as a
+# single-term query, multi-term disjunctions, mixed case, misses, and
+# the empty query — large enough that the actor pool processes several
+# batches, small enough for the oracle's VALUES table.
+BULK_QUERY_SET: list[str] = (
+    ["scan", "column", "window", "order", "sort", "part", "agg",
+     "value", "line", "key", "join", "merge", "group", "query",
+     "vector", "hash", "slow", "stream", "filter", "fast", "batch",
+     "spark", "table", "small", "data", "big", "customer", "row",
+     "dup", "the", "a"]
+    + ["query fast", "hash JOIN merge", "Batch Stream", "spark dup",
+       "nonexistentterm", "", "big small slow fast",
+       "customer vector line"]
+)
+
+
+def bulk_match_nostem_table(sf_dir: str,
+                            queries: list | None = None) -> pa.Table:
+    """(query_idx, doc_id) boolean matches for the BULK query workload,
+    executed as a DATASET of queries streaming through a
+    :class:`pipelines.bulk.BulkSearcher` actor pool (query-partitioned
+    parallelism, searcher built once per actor) — the distributed
+    bulk-execution shape on the value-exact gate: the same DuckDB
+    lowercase-token oracle as ``boolean_match_nostem``, over this
+    workload's query set."""
+    from .bulk import bulk_match
+
+    idx = build_documents_index_nostem(sf_dir)
+    ds = bulk_match(idx.root, queries or BULK_QUERY_SET,
+                    stemmer=identity_stemmer, concurrency=2)
+    df = ds.to_pandas()
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    return pa.table({
+        "query_idx": tbl["query_idx"].cast(pa.int64()),
+        "doc_id": tbl["doc_id"].cast(pa.int64()),
+    })
+
+
+def bulk_bm25_topk_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                         queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) rank-only BM25 top-k for the nostem
+    BM25 query set, executed through the bulk actor pool — pytest pins
+    it table-equal to the driver-loop ``bm25_topk_nostem_table``; the
+    gate reuses the same rank-CTE oracle."""
+    from .bulk import bulk_bm25
+
+    idx = build_documents_index_nostem(sf_dir)
+    ds = bulk_bm25(idx.root, queries or BM25_NOSTEM_QUERY_SET, k=k,
+                   stemmer=identity_stemmer, concurrency=2)
+    df = ds.to_pandas()
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    return pa.table({
+        "query_idx": tbl["query_idx"].cast(pa.int64()),
+        "rank": tbl["rank"].cast(pa.int64()),
+        "doc_id": tbl["doc_id"].cast(pa.int64()),
+    })
+
+
+# ---- regex vocabulary match -----------------------------------------
+
+# RE2 patterns (partial match, ≡ DuckDB regexp_matches): anchored
+# alternation, prefix/suffix classes, a dot-class, a miss.
+REGEX_QUERY_SET: list[str] = [
+    "^s",              # scan sort slow stream spark small ...
+    "er$",             # order filter customer
+    "^(batch|merge)$",  # exact alternation
+    "a.g",             # dot class: agg
+    "^d(up|ata)$",     # dup, data
+    "zzz",             # miss
+]
+
+
+def regex_match_nostem_table(sf_dir: str,
+                             patterns: list[str] | None = None
+                             ) -> pa.Table:
+    """(query_idx, doc_id) — docs containing ANY vocabulary term
+    matching each RE2 pattern (``LocalSearcher.match_regex``: one
+    vectorized ``match_substring_regex`` vocabulary sweep + postings
+    union), value-exact vs DuckDB ``regexp_matches`` over lowercase
+    whitespace tokens."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, p in enumerate(patterns or REGEX_QUERY_SET):
+        for doc_id in searcher.match_regex(p).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+# ---- more-like-this --------------------------------------------------
+
+MLT_SEED_DOC_IDS: list[int] = [1, 42, 123]
+MLT_TERMS = 5    # query terms taken from each seed document
+MLT_K = 10       # results per seed
+
+
+def mlt_topk_nostem_table(sf_dir: str,
+                          seeds: list[int] | None = None,
+                          m: int = MLT_TERMS, k: int = MLT_K) -> pa.Table:
+    """(query_idx, rank, doc_id) MORE-LIKE-THIS retrieval: each seed
+    document's top-*m* terms by tf·ln(N/df) (tie (score desc, term asc))
+    become a BM25 query; the seed itself is excluded from its results.
+    Exclusion trick: take top-(k+1), drop the seed if present, keep the
+    first k — ≡ ranking over all non-seed docs. Rank-only output; the
+    DuckDB oracle runs the identical term selection and Robertson
+    scoring (same float64 expression shapes and tie-breaks)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    n = idx.stats.num_documents
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    text_by_id = dict(zip(docs["doc_id"].to_pylist(),
+                          docs["text"].to_pylist()))
+    qi, rk, di = [], [], []
+    for i, seed in enumerate(seeds or MLT_SEED_DOC_IDS):
+        toks = text_by_id.get(seed, "").strip().split()
+        tf: dict[str, int] = {}
+        for t in toks:
+            t = t.lower()
+            tf[t] = tf.get(t, 0) + 1
+        scored = []
+        for term, f in tf.items():
+            df = searcher._df_of(term)
+            if df > 0:
+                scored.append((-(f * math.log(n / df)), term))
+        scored.sort()
+        terms = [term for _s, term in scored[:m]]
+        hits = searcher.bm25(terms, k=k + 1)
+        hits = [(d, s) for d, s in hits if d != seed][:k]
+        for r, (doc_id, _score) in enumerate(hits, start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "rank": pa.array(rk, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+# ---- field-collapsed top-k -------------------------------------------
+
+COLLAPSE_K = 10
+
+
+def collapsed_topk_nostem_table(sf_dir: str, k: int = COLLAPSE_K,
+                                queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) BM25 top-k COLLAPSED on ``lang``: at
+    most one result (the best-scoring doc, tie doc_id asc) per language
+    per query — the search-result diversification / field-collapse
+    shape. The engine scores ALL matching docs exactly (k = N disables
+    nothing: block-max pruning stays exact at any k), walks the global
+    ranking keeping each language's first doc, and truncates to k; the
+    oracle mirrors with row_number() partitioned by (query, lang) = 1
+    re-ranked per query."""
+    import pyarrow.parquet as pq
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    lang_by_id = dict(zip(docs["doc_id"].to_pylist(),
+                          docs["lang"].to_pylist()))
+    n = idx.stats.num_documents
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        seen: set[str] = set()
+        rank = 0
+        for doc_id, _score in searcher.bm25(q, k=n):
+            lang = lang_by_id[doc_id]
+            if lang in seen:
+                continue
+            seen.add(lang)
+            rank += 1
+            if rank > k:
+                break
+            qi.append(i)
+            rk.append(rank)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "rank": pa.array(rk, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})

@@ -452,9 +452,20 @@ class LocalSearcher:
     def _vocab_indices(self, kind: str, text: str,
                        max_dist: int = 1) -> np.ndarray:
         """Vocabulary positions matching a dictionary predicate:
-        ``prefix`` (sorted-range scan), ``suffix`` / ``contains`` (one
-        vectorized sweep), ``fuzzy`` (length-band prune + banded DP).
-        *text* is lowercased to match both index modes' normalization."""
+        ``prefix`` (sorted-range scan), ``suffix`` / ``contains`` /
+        ``regex`` (one vectorized sweep), ``fuzzy`` (length-band prune +
+        banded DP). *text* is lowercased to match both index modes'
+        normalization — except ``regex``, where lowercasing would corrupt
+        metacharacter classes (``[A-Z]``); the vocabulary is lowercase,
+        so callers write lowercase literals in their patterns."""
+        if kind == "regex":
+            if not text or self._terms.n == 0:
+                return np.empty(0, dtype=np.int64)
+            # RE2 syntax, partial match — the same semantics as DuckDB's
+            # regexp_matches, which keeps this surface value-exactly
+            # oracle-able
+            mask = pc.match_substring_regex(self._terms.arr, pattern=text)
+            return np.flatnonzero(mask.to_numpy(zero_copy_only=False))
         text = text.lower()
         if not text or self._terms.n == 0:
             return np.empty(0, dtype=np.int64)
@@ -569,6 +580,20 @@ class LocalSearcher:
         if not infix:
             return np.empty(0, dtype=np.int64)
         return self._union_vocab_rows(self._vocab_indices("contains", infix))
+
+    def match_regex(self, pattern: str) -> np.ndarray:
+        """Docs containing ANY vocabulary term matching *pattern* (RE2,
+        partial match — anchor with ``^``/``$`` for whole-term matches):
+        one vectorized ``match_substring_regex`` sweep over the sorted
+        vocabulary + postings union, the suffix/infix wildcard shape
+        generalized to full regular expressions. Like those, the sweep is
+        O(vocab) per query with vocab ≪ corpus; patterns with a literal
+        prefix could first narrow to the prefix's sorted range (the
+        Lucene trick) — documented scale path. Empty pattern matches
+        nothing."""
+        if not pattern:
+            return np.empty(0, dtype=np.int64)
+        return self._union_vocab_rows(self._vocab_indices("regex", pattern))
 
     def suggest_correction(self, token: str, max_dist: int = 2,
                            k: int = 3) -> list[tuple[str, int, int]]:
