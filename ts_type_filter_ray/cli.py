@@ -62,6 +62,14 @@ def main(argv: list[str] | None = None) -> int:
                              "and purge any delete tombstones")
     cp.add_argument("index")
 
+    mg = sub.add_parser("merge",
+                        help="merge independently built shard indexes "
+                             "into one (doc ids re-based shard by shard; "
+                             "equals a fresh build over the concatenation)")
+    mg.add_argument("--shards", required=True,
+                    help="comma-separated shard index roots, in id order")
+    mg.add_argument("--out", required=True)
+
     dl = sub.add_parser("delete",
                         help="tombstone doc ids (invisible immediately; "
                              "stats frozen until compact purges)")
@@ -172,6 +180,21 @@ def main(argv: list[str] | None = None) -> int:
         s = idx.stats
         print(f"compacted to 1 segment: {s.num_documents} docs, "
               f"{s.num_unique_terms} terms, {s.num_postings} postings")
+        return 0
+
+    if args.cmd == "merge":
+        from .pipelines.build import merge_index_roots
+        roots = [r.strip() for r in args.shards.split(",") if r.strip()]
+        for r in roots:
+            if not os.path.exists(os.path.join(r, "stats.json")):
+                print(f"error: no index at {r!r} (missing stats.json)",
+                      file=sys.stderr)
+                return 2
+        idx = merge_index_roots(roots, args.out)
+        s = idx.stats
+        print(f"merged {len(roots)} shards: {s.num_documents} docs, "
+              f"{s.num_unique_terms} terms, {s.num_postings} postings "
+              f"-> {args.out}")
         return 0
 
     if args.cmd == "delete":

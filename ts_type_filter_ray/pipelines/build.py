@@ -826,3 +826,179 @@ def merge_partial_buckets(partials_dir: str, postings_dir: str,
     n_terms = sum(r[0] for r in results)
     n_postings = sum(r[1] for r in results)
     return n_terms, n_postings
+
+
+def _shift_docs_shard(src: str, dest: str, offset: int) -> None:
+    """Copy one docs shard with ``doc_id += offset`` (shard-merge path)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src)
+    i = tbl.schema.get_field_index("doc_id")
+    tbl = tbl.set_column(i, "doc_id", pc.add(tbl["doc_id"], offset))
+    pq.write_table(tbl, dest)
+
+
+def _merge_shards_one_bucket(srcs: list[tuple[str, int]], dest: str,
+                             bucket: int, doc_part_bits: int,
+                             avgdl: float, k1: float,
+                             b: float) -> tuple[int, int]:
+    """Merge one term bucket across shard indexes: decode every shard's
+    segment rows, shift doc ids by the shard's offset, RE-SPLIT rows at
+    the shifted part boundaries (part = doc_id >> doc_part_bits changes
+    under a shift that is not part-aligned), then one ordinary
+    ``merge_bucket_table`` pass prices df/block-max at the merged avgdl.
+    *srcs* = (shard bucket dir, id offset); dirs may be missing (a shard
+    whose vocabulary never hashed into this bucket)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.tokenizer import merge_bucket_table
+    from ..state import postings as plib
+
+    try:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+    partials = []
+    for src, offset in srcs:
+        if not os.path.isdir(src):
+            continue
+        seg_files = [os.path.join(src, f) for f in sorted(os.listdir(src))
+                     if f.endswith(".parquet")
+                     and not f.startswith((".", "_"))]
+        if not seg_files:
+            continue
+        rows = pa.concat_tables(
+            [pq.read_table(f) for f in seg_files]).combine_chunks()
+        ids_flat, off = plib.decode_doc_ids_column(rows["doc_ids_enc"])
+        tfs_flat, _ = plib.decode_varints_column(rows["tfs_enc"])
+        dls_flat, _ = plib.decode_varints_column(rows["dls_enc"])
+        if len(ids_flat) == 0:
+            continue
+        off = np.asarray(off, dtype=np.int64)
+        ids_flat = ids_flat + offset
+        parts_flat = (ids_flat >> doc_part_bits).astype(np.int64)
+        row_of = np.repeat(np.arange(rows.num_rows, dtype=np.int64),
+                           np.diff(off))
+        change = np.ones(len(ids_flat), dtype=bool)
+        change[1:] = ((row_of[1:] != row_of[:-1])
+                      | (parts_flat[1:] != parts_flat[:-1]))
+        starts = np.flatnonzero(change)
+        new_off = np.append(starts, len(ids_flat)).astype(np.int64)
+        parent = pa.array(row_of[starts])
+        partials.append(pa.table({
+            "bucket": pa.array(np.full(len(starts), bucket,
+                                       dtype=np.int32)),
+            "term": rows["term"].take(parent),
+            "part": pa.array(parts_flat[starts].astype(np.int32)),
+            "doc_ids": pa.LargeListArray.from_arrays(
+                pa.array(new_off), pa.array(ids_flat)),
+            "tfs": pa.LargeListArray.from_arrays(
+                pa.array(new_off), pa.array(tfs_flat)),
+            "dls": pa.LargeListArray.from_arrays(
+                pa.array(new_off), pa.array(dls_flat)),
+        }))
+    os.makedirs(dest, exist_ok=True)
+    if partials:
+        merged = merge_bucket_table(
+            pa.concat_tables(partials).combine_chunks(), avgdl, k1, b)
+        merged = merged.drop_columns(["bucket"])
+        tmp = os.path.join(dest, ".shardmerge.tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, os.path.join(dest, "merged.parquet"))
+        open(os.path.join(dest, "_SUCCESS"), "w").close()
+    return _count_one_bucket(dest) if partials else (0, 0)
+
+
+def merge_index_roots(roots: list[str], out_dir: str) -> BuiltIndex:
+    """Merge independently built SHARD indexes into one index at
+    *out_dir* — the distributed build lifecycle's reduce step: build K
+    shards over K corpus slices in parallel (each with its own dense
+    0-based ids), then merge at O(total postings) decode + re-encode
+    cost with NO re-tokenize (tokenize dominates a build ~3:1).
+
+    Shard k's doc ids are re-based by the cumulative ``next_doc_id`` of
+    the shards before it, so for dense (never-purged) shards the merged
+    index is BIT-IDENTICAL — postings, stats, query results — to a
+    fresh build over the concatenated corpus (pytest-pinned). Contracts:
+    every shard must share (doc_part_bits, num_term_buckets, k1, b) and
+    carry no tombstones (run :func:`compact_index` first); the same
+    breaker/stemmer must have built every shard (not serialized — the
+    caller owns that, same as ``extend_index``)."""
+    import numpy as np
+    import ray
+
+    if not roots:
+        raise ValueError("merge_index_roots needs at least one shard")
+    shards = [BuiltIndex.load(r) for r in roots]
+    first = shards[0].stats
+    for s in shards[1:]:
+        st = s.stats
+        if (st.doc_part_bits, st.num_term_buckets, st.k1, st.b) != \
+                (first.doc_part_bits, first.num_term_buckets,
+                 first.k1, first.b):
+            raise ValueError(
+                "shard config mismatch: every shard must share "
+                "(doc_part_bits, num_term_buckets, k1, b)")
+    for s in shards:
+        if load_tombstones(s.root).size:
+            raise ValueError(
+                f"shard {s.root} has tombstones — compact_index it "
+                "before merging")
+
+    offsets = [0]
+    for s in shards[:-1]:
+        offsets.append(offsets[-1] + s.stats.next_doc_id)
+    n_docs = sum(s.stats.num_documents for s in shards)
+    total_dl = sum(s.stats.total_doc_len for s in shards)
+    avgdl = total_dl / n_docs
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs_dir = os.path.join(out_dir, "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    shift_task = ray.remote(_shift_docs_shard)
+    doc_refs = []
+    for k, (s, offset) in enumerate(zip(shards, offsets)):
+        for f in sorted(os.listdir(s.docs_dir)):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                doc_refs.append(shift_task.remote(
+                    os.path.join(s.docs_dir, f),
+                    os.path.join(docs_dir, f"docs_s{k:03d}_{f}"), offset))
+
+    postings_dir = os.path.join(out_dir, "postings")
+    buckets = sorted({d for s in shards
+                      for d in os.listdir(os.path.join(s.root, "postings"))
+                      if d.startswith("bucket=")})
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    per_task_cpus = max(1, total_cpus // 16)
+    task = ray.remote(num_cpus=per_task_cpus)(_merge_shards_one_bucket)
+    refs = [task.remote(
+        [(os.path.join(s.root, "postings", d), off)
+         for s, off in zip(shards, offsets)],
+        os.path.join(postings_dir, d), int(d.rsplit("=", 1)[1]),
+        first.doc_part_bits, avgdl, first.k1, first.b)
+        for d in buckets]
+    results = ray.get(refs)
+    ray.get(doc_refs)
+
+    dense = all(s.stats.id_ceiling is None for s in shards)
+    stats = IndexStats(
+        num_documents=n_docs,
+        total_doc_len=total_dl,
+        num_unique_terms=sum(r[0] for r in results),
+        num_postings=sum(r[1] for r in results),
+        k1=first.k1, b=first.b,
+        doc_part_bits=first.doc_part_bits,
+        num_term_buckets=first.num_term_buckets,
+        num_segments=1,
+        min_merge_avgdl=avgdl,
+        id_ceiling=None if dense
+        else offsets[-1] + shards[-1].stats.next_doc_id,
+    )
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats.__dict__, f, indent=1)
+    return BuiltIndex(root=out_dir, stats=stats)
