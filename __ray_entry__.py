@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-only top-k from the identity-stemmer index
         "bm25_topk_nostem":
             lambda sf: flagship.bm25_topk_nostem_table(sf),
+        # BM25F fielded ranking (title weighted 2x over body) from the
+        # two-field identity-stemmer index — rank-only, value-exact
+        "bm25f_topk_nostem":
+            lambda sf: flagship.bm25f_topk_nostem_table(sf),
         # value-exact oracles never sampled in r1-r3
         "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
         "range_join": lambda sf: _events_mod().range_join_count(
@@ -768,6 +772,74 @@ def oracle_sql() -> dict[str, str]:
                    (select * from tr where rank <= {RRF_DEPTH}) t
                 on b.query_idx = t.query_idx and b.doc_id = t.doc_id)"""
         + _ranked_select("fused", f"rank <= {BM25_NOSTEM_K}"))
+
+    # BM25F fielded ranking (pipelines/fielded.py): title = first
+    # FIELDED_TITLE_TOKENS whitespace tokens (weight 2.0), body = the
+    # rest (weight 1.0) — the oracle slices the same token array, then
+    # computes the identical fielded pseudo-frequency (per-field
+    # b/avgdl, title leg + body leg in declared order), Robertson idf
+    # over the UNION document frequency, one saturation curve, and the
+    # ascending-term left fold. Rank-only output.
+    from ts_type_filter_ray.pipelines.flagship import (FIELDED_TITLE_TOKENS,
+                                                       FIELDED_WEIGHTS)
+    _ft = FIELDED_TITLE_TOKENS
+    _wt, _wb = FIELDED_WEIGHTS["title"], FIELDED_WEIGHTS["body"]
+    bm25f_sql = rf"""
+            with base as (
+              select doc_id,
+                     case when trim(text) = '' then cast([] as varchar[])
+                          else regexp_split_to_array(lower(trim(text)),'\s+')
+                     end as arr
+              from documents),
+            farr as (select doc_id, arr[1:{_ft}] as tarr,
+                            arr[{_ft + 1}:] as barr from base),
+            dl_f as (select doc_id, len(tarr)::BIGINT as dlt,
+                            len(barr)::BIGINT as dlb from farr),
+            fstats as (select count(*)::BIGINT as n,
+                              coalesce(sum(dlt), 0)::BIGINT as tdlt,
+                              coalesce(sum(dlb), 0)::BIGINT as tdlb
+                       from dl_f),
+            tf_ti as (select doc_id, term, count(*)::BIGINT as tf
+                      from (select doc_id, unnest(tarr) as term from farr)
+                      group by doc_id, term),
+            tf_bo as (select doc_id, term, count(*)::BIGINT as tf
+                      from (select doc_id, unnest(barr) as term from farr)
+                      group by doc_id, term),
+            pairs as (select doc_id, term from tf_ti
+                      union
+                      select doc_id, term from tf_bo),
+            df_u as (select term, count(*)::BIGINT as df
+                     from pairs group by term),
+            q(query_idx, term) as (values {bm25_rows}),
+            wtf_t as (
+              select p.doc_id, p.term,
+                     {_wt} * (coalesce(tt.tf, 0)
+                              / (1.0 - {BM25_B}
+                                 + {BM25_B} * l.dlt / (s.tdlt / s.n)))
+                     + {_wb} * (coalesce(tb.tf, 0)
+                                / (1.0 - {BM25_B}
+                                   + {BM25_B} * l.dlb / (s.tdlb / s.n)))
+                         as wtf
+              from pairs p
+              left join tf_ti tt on tt.doc_id = p.doc_id
+                                and tt.term = p.term
+              left join tf_bo tb on tb.doc_id = p.doc_id
+                                and tb.term = p.term
+              join dl_f l on l.doc_id = p.doc_id
+              cross join fstats s),
+            fscored as (
+              select q.query_idx, w.doc_id,
+                     list_aggregate(list(
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * ((w.wtf * ({BM25_K1} + 1.0)) / (w.wtf + {BM25_K1}))
+                       order by q.term asc), 'sum') as score
+              from q
+              join wtf_t w on w.term = q.term
+              join df_u d on d.term = q.term
+              cross join fstats s
+              group by q.query_idx, w.doc_id)"""
+    bm25f_nostem_sql = bm25f_sql + _ranked_select(
+        "fscored", f"rank <= {BM25_NOSTEM_K}")
 
     # ---- late-r4 query surfaces ----
     from ts_type_filter_ray.pipelines.flagship import (
@@ -1548,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
             from q join toks t using (term)
             where t.doc_id not in ({deleted_ids})""",
         "bm25_topk_nostem": bm25_nostem_sql,
+        "bm25f_topk_nostem": bm25f_nostem_sql,
         "bm25_page2_nostem": bm25_page2_sql,
         "bm25_filtered_nostem": bm25_filtered_sql,
         "rrf_fusion_nostem": rrf_sql,

@@ -1231,3 +1231,57 @@ def collapsed_topk_nostem_table(sf_dir: str, k: int = COLLAPSE_K,
     return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
                      "rank": pa.array(rk, type=pa.int64()),
                      "doc_id": pa.array(di, type=pa.int64())})
+
+
+# BM25F fielded retrieval gate: title = first FIELDED_TITLE_TOKENS
+# whitespace tokens, body = the rest (deterministic, SQL-expressible
+# field derivation — the oracle slices the same token array), title
+# weighted 2x. Weights/bs declared in accumulation order.
+FIELDED_TITLE_TOKENS = 6
+FIELDED_WEIGHTS: dict[str, float] = {"title": 2.0, "body": 1.0}
+
+
+def fielded_index_for(sf_dir: str, force: bool = False) -> str:
+    """Build (or reuse) the two-field nostem index for *sf_dir*."""
+    from ..sources.corpus import corpus_from_documents
+    from .fielded import build_fielded_index, derive_title_body
+
+    root = _index_cache_dir(sf_dir, variant="fielded")
+    done = all(os.path.exists(os.path.join(root, f"field={f}",
+                                           "stats.json"))
+               for f in FIELDED_WEIGHTS)
+    if force or not done:
+        corpus = derive_title_body(corpus_from_documents(sf_dir),
+                                   FIELDED_TITLE_TOKENS)
+        build_fielded_index(corpus, root, list(FIELDED_WEIGHTS),
+                            doc_part_bits=12, num_term_buckets=8,
+                            tokenize_batch_size=128,
+                            stemmer=identity_stemmer)
+    return root
+
+
+def bm25f_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                            queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) BM25F top-k over the two-field
+    identity-stemmer index — RANK-ONLY, value-exact vs a DuckDB oracle
+    computing the same fielded pseudo-frequency (per-field b/avgdl,
+    declared field order inside tf~), the same Robertson idf over the
+    union df, the same single saturation curve, the same float64
+    expression shapes and ascending-term left fold, and the
+    (score desc, doc_id asc) tie-break. Puts the fielded combiner
+    (``FieldedSearcher.bm25f``) on the external value-exact gate."""
+    from .fielded import FieldedSearcher
+
+    root = fielded_index_for(sf_dir)
+    fs = FieldedSearcher(root, FIELDED_WEIGHTS, stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        for r, (doc_id, _score) in enumerate(fs.bm25f(q, k=k), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })

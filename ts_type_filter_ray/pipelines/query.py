@@ -345,6 +345,25 @@ class LocalSearcher:
         return arrays[0] if len(arrays) == 1 else np.sort(
             np.concatenate(arrays))
 
+    def term_postings(self, term: str
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, dls) for *term* across every segment row,
+        doc-ascending (multi-segment concat re-sorted, same contract as
+        ``_term_docs``). The raw-posting accessor composite scorers
+        (e.g. the BM25F fielded combiner) build on."""
+        sl = self._term_slice(term)
+        if sl is None:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0, dtype=np.float64)
+        rows = [self._decode_row(term, i)[:3] for i in range(sl[0], sl[1])]
+        if len(rows) == 1:
+            return rows[0]
+        ids = np.concatenate([r[0] for r in rows])
+        tfs = np.concatenate([r[1] for r in rows])
+        dls = np.concatenate([r[2] for r in rows])
+        order = np.argsort(ids, kind="stable")
+        return ids[order], tfs[order], dls[order]
+
     def match_all(self, query) -> np.ndarray:
         """CONJUNCTIVE match — docs containing EVERY distinct query term
         (the AND the reference's disjunctive ``match`` lacks; real query
