@@ -85,6 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-field identity-stemmer index — rank-only, value-exact
         "bm25f_topk_nostem":
             lambda sf: flagship.bm25f_topk_nostem_table(sf),
+        # Dirichlet query-likelihood ranking (collection-frequency
+        # language model) — rank-only, value-exact
+        "ql_topk_nostem":
+            lambda sf: flagship.ql_topk_nostem_table(sf),
         # value-exact oracles never sampled in r1-r3
         "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
         "range_join": lambda sf: _events_mod().range_join_count(
@@ -840,6 +844,53 @@ def oracle_sql() -> dict[str, str]:
               group by q.query_idx, w.doc_id)"""
     bm25f_nostem_sql = bm25f_sql + _ranked_select(
         "fscored", f"rank <= {BM25_NOSTEM_K}")
+
+    # Dirichlet query-likelihood (LocalSearcher.query_likelihood): the
+    # scorer that exercises COLLECTION term frequency. ctf = Σ tf over
+    # the whole corpus, C = total tokens, qtf = the term's multiplicity
+    # in the query (NOT deduplicated — query_stem_counts), |q| = Σ qtf
+    # over collection-present terms. Same float64 shapes: term fold of
+    # qtf·ln(1 + tf/(μ·ctf/C)) ascending, then + |q|·ln(μ/(dl+μ)).
+    from ts_type_filter_ray.pipelines.flagship import QL_MU
+    from ts_type_filter_ray.pipelines.query import query_stem_counts
+    ql_rows = ",".join(
+        f"({qi},'{t}',{c})" for qi, q in enumerate(BM25_NOSTEM_QUERY_SET)
+        for t, c in query_stem_counts(q, stemmer=identity_stemmer))
+    ql_nostem_sql = rf"""
+            with base as (
+              select doc_id,
+                     case when trim(text) = '' then cast([] as varchar[])
+                          else regexp_split_to_array(lower(trim(text)),'\s+')
+                     end as arr
+              from documents),
+            dl_t as (select doc_id, len(arr)::BIGINT as dl from base),
+            stats as (select coalesce(sum(dl), 0)::BIGINT as tdl from dl_t),
+            tf_t as (
+              select doc_id, term, count(*)::BIGINT as tf
+              from (select doc_id, unnest(arr) as term from base)
+              group by doc_id, term),
+            ctf_t as (select term, sum(tf)::BIGINT as ctf
+                      from tf_t group by term),
+            q(query_idx, term, qtf) as (values {ql_rows}),
+            qlen_t as (
+              select q.query_idx, sum(q.qtf)::BIGINT as qlen
+              from q join ctf_t f on f.term = q.term
+              group by q.query_idx),
+            qscored as (
+              select q.query_idx, t.doc_id,
+                     list_aggregate(list(
+                       q.qtf * ln(1.0 + t.tf / ({QL_MU} * (f.ctf / s.tdl)))
+                       order by q.term asc), 'sum')
+                     + ql.qlen * ln({QL_MU} / (l.dl + {QL_MU})) as score
+              from q
+              join tf_t t on t.term = q.term
+              join ctf_t f on f.term = q.term
+              join dl_t l on l.doc_id = t.doc_id
+              join qlen_t ql on ql.query_idx = q.query_idx
+              cross join stats s
+              group by q.query_idx, t.doc_id, ql.qlen, l.dl)"""
+    ql_nostem_sql = ql_nostem_sql + _ranked_select(
+        "qscored", f"rank <= {BM25_NOSTEM_K}")
 
     # ---- late-r4 query surfaces ----
     from ts_type_filter_ray.pipelines.flagship import (
@@ -1621,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
             where t.doc_id not in ({deleted_ids})""",
         "bm25_topk_nostem": bm25_nostem_sql,
         "bm25f_topk_nostem": bm25f_nostem_sql,
+        "ql_topk_nostem": ql_nostem_sql,
         "bm25_page2_nostem": bm25_page2_sql,
         "bm25_filtered_nostem": bm25_filtered_sql,
         "rrf_fusion_nostem": rrf_sql,

@@ -1285,3 +1285,34 @@ def bm25f_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
         "rank": pa.array(rk, type=pa.int64()),
         "doc_id": pa.array(di, type=pa.int64()),
     })
+
+
+# Dirichlet query-likelihood smoothing parameter (Zhai & Lafferty 2001
+# default range; value is shared verbatim with the DuckDB oracle)
+QL_MU = 2000.0
+
+
+def ql_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                         queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) Dirichlet query-likelihood top-k from
+    the identity-stemmer index — RANK-ONLY, value-exact vs a DuckDB
+    oracle computing the same smoothed language model (same collection
+    term frequencies, μ, query-side multiplicities, float64 expression
+    shapes, ascending-term left fold + post-fold dl normalizer, and
+    (score desc, doc_id asc) tie-break). The third ranked scorer
+    (``LocalSearcher.query_likelihood``) — the one that exercises
+    COLLECTION frequency statistics."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        ranked = searcher.query_likelihood(q, k=k, mu=QL_MU)
+        for r, (doc_id, _score) in enumerate(ranked, start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })

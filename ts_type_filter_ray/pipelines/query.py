@@ -56,6 +56,23 @@ def query_stems(query, stemmer=None, breaker=None) -> list[str]:
     return sorted({_stem(w) for w in words})
 
 
+def query_stem_counts(query, stemmer=None, breaker=None
+                      ) -> list[tuple[str, int]]:
+    """Query → (stem, multiplicity) pairs sorted by stem ascending —
+    the NON-deduplicating variant of :func:`query_stems` for scorers
+    where the query-side term frequency matters (query likelihood)."""
+    if isinstance(query, str):
+        query = [query]
+    _break = breaker or break_on_whitespace
+    _stem = stemmer or stem
+    counts: dict[str, int] = {}
+    for part in query:
+        for w in _break(part):
+            s = _stem(w)
+            counts[s] = counts.get(s, 0) + 1
+    return sorted(counts.items())
+
+
 def _tf_factor(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
                k1: float, b: float) -> np.ndarray:
     # Same expression shape as oracle.bm25_tf_factor → bit-identical float64.
@@ -881,6 +898,117 @@ class LocalSearcher:
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
         return [(-nd, s) for s, nd in sorted(heap, key=lambda x: (-x[0], -x[1]))]
+
+    def query_likelihood(self, query, k: int = 10, mu: float = 2000.0
+                         ) -> list[tuple[int, float]]:
+        """Top-k by the Dirichlet-smoothed query-likelihood language
+        model (Zhai & Lafferty 2001) — the third ranked scorer, and the
+        one that exercises COLLECTION term frequency (ctf):
+
+            score(d) = Σ_t qtf(t) · ln(1 + tf(t,d) / (μ · ctf_t / C))
+                       + |q| · ln(μ / (dl_d + μ))
+
+        with C = total collection tokens, qtf = the term's multiplicity
+        in the query (:func:`query_stem_counts` — queries are NOT
+        deduplicated here), and |q| = Σ qtf over query terms that exist
+        in the collection (out-of-vocabulary terms have p(t|C) = 0 and
+        drop from both the sum and |q| — the standard convention).
+        Candidates are docs matching ≥1 query term; ctf is the exact
+        Σ tf over the term's postings (every row decodes for scoring
+        anyway — no pruning applies, the stored impacts bound BM25, not
+        QL). Same exactness discipline as :meth:`tfidf`: per-partition
+        dense scatter-add, ascending-term left fold, then the
+        dl-dependent normalizer added AFTER the fold (the oracle's
+        ``list_aggregate(...) + qlen·ln(μ/(dl+μ))`` shape), tie-break
+        (score desc, doc_id asc)."""
+        stats = self._stats
+        coll = float(stats.total_doc_len)
+        pairs = query_stem_counts(query, self._stemmer, self._breaker)
+        # (term, qtf, ctf, row range) for collection-present terms
+        term_rows: list[tuple[str, float, float, int, int]] = []
+        qlen = 0
+        for term, qtf in pairs:  # ascending term order
+            sl = self._term_slice(term)
+            if sl is None:
+                continue
+            ctf = 0
+            for i in range(sl[0], sl[1]):
+                ctf += int(self._decode_row(term, i)[1].sum())
+            qlen += qtf
+            term_rows.append((term, float(qtf), float(ctf), sl[0], sl[1]))
+        if not term_rows:
+            return []
+        qlen_f = float(qlen)
+        parts = sorted({int(self._part[i])
+                        for _t, _q, _c, s, e in term_rows
+                        for i in range(s, e)})
+        part_bits = stats.doc_part_bits
+        dense_ok = part_bits <= 22
+        buf = np.zeros(1 << part_bits, dtype=np.float64) if dense_ok else None
+        dlb = np.zeros(1 << part_bits, dtype=np.float64) if dense_ok else None
+        heap: list[tuple[float, int]] = []
+        for part in parts:
+            doc_arrays: list[np.ndarray] = []
+            contrib_arrays: list[np.ndarray] = []
+            dl_arrays: list[np.ndarray] = []
+            for _term, qtf, ctf, s, e in term_rows:  # ascending terms
+                for i in range(s, e):
+                    if self._part[i] != part:
+                        continue
+                    row = self._decode_row(_term, i)
+                    doc_arrays.append(row[4] if dense_ok else row[0])
+                    # same float64 shape as the oracle:
+                    # qtf * ln(1.0 + tf / (mu * (ctf / C)))
+                    contrib_arrays.append(
+                        qtf * np.log(1.0 + row[1] / (mu * (ctf / coll))))
+                    dl_arrays.append(row[2])
+            if not doc_arrays:
+                continue
+            if dense_ok:
+                base = np.int64(part) << np.int64(part_bits)
+                touched = np.unique(np.concatenate(doc_arrays))
+                for rel_t, contrib_t, dl_t in zip(doc_arrays,
+                                                  contrib_arrays,
+                                                  dl_arrays):
+                    buf[rel_t] += contrib_t
+                    dlb[rel_t] = dl_t  # identical per doc across terms
+                uniq = touched + base
+                sums = buf[touched].copy()
+                dls_u = dlb[touched].copy()
+                buf[touched] = 0.0
+            else:
+                uniq = np.unique(np.concatenate(doc_arrays))
+                sums = np.zeros(uniq.size, dtype=np.float64)
+                dls_u = np.zeros(uniq.size, dtype=np.float64)
+                for docs_t, contrib_t, dl_t in zip(doc_arrays,
+                                                   contrib_arrays,
+                                                   dl_arrays):
+                    pos = np.searchsorted(uniq, docs_t)
+                    sums[pos] += contrib_t
+                    dls_u[pos] = dl_t
+            # dl normalizer AFTER the term fold (oracle expression order)
+            sums = sums + qlen_f * np.log(mu / (dls_u + mu))
+            if self._tomb.size:
+                live = self._drop_deleted(uniq)
+                if live.size != uniq.size:
+                    keep = np.searchsorted(uniq, live)
+                    uniq, sums = live, sums[keep]
+                    if uniq.size == 0:
+                        continue
+            if uniq.size > k:
+                kth = np.argpartition(-sums, k - 1)[:k]
+                thresh = sums[kth].min()
+                cand = np.flatnonzero(sums >= thresh)
+                sel = np.lexsort((uniq[cand], -sums[cand]))[:k]
+                uniq, sums = uniq[cand][sel], sums[cand][sel]
+            for d, s in zip(uniq.tolist(), sums.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        return [(-nd, s) for s, nd in sorted(heap,
+                                             key=lambda x: (-x[0], -x[1]))]
 
 
 # -- Dataset-shaped one-off paths (no warm server) ----------------------
