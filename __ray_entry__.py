@@ -89,6 +89,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # language model) — rank-only, value-exact
         "ql_topk_nostem":
             lambda sf: flagship.ql_topk_nostem_table(sf),
+        # numeric field index (Lucene points/doc-values analog):
+        # range atoms in the query language answered by manifest +
+        # row-group-statistics pruned reads over a value-sorted layout
+        "range_filter_match":
+            lambda sf: flagship.range_filter_match_table(sf),
+        # match sets ordered by a numeric field (doc-values gather)
+        "sorted_match": lambda sf: flagship.sorted_match_table(sf),
+        # numeric aggregations (count/sum/min/max/avg) per match set
+        "field_stats_match":
+            lambda sf: flagship.field_stats_match_table(sf),
         # value-exact oracles never sampled in r1-r3
         "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
         "range_join": lambda sf: _events_mod().range_join_count(
@@ -891,7 +901,6 @@ def oracle_sql() -> dict[str, str]:
               group by q.query_idx, t.doc_id, ql.qlen, l.dl)"""
     ql_nostem_sql = ql_nostem_sql + _ranked_select(
         "qscored", f"rank <= {BM25_NOSTEM_K}")
-
     # ---- late-r4 query surfaces ----
     from ts_type_filter_ray.pipelines.flagship import (
         BULK_QUERY_SET, COLLAPSE_K, MLT_K, MLT_SEED_DOC_IDS, MLT_TERMS,
@@ -1184,6 +1193,63 @@ def oracle_sql() -> dict[str, str]:
             """ + "\nunion all\n".join(
         _expr_branch.format(i=i, body=b)
         for i, b in enumerate(_expr_bodies)))
+
+    # numeric field index gates — handcrafted mirrors of
+    # flagship.RANGE_EXPR_SET (range leaves become BETWEEN / comparison
+    # predicates over documents.n_chars; term leaves reuse the distinct
+    # lowercased-token CTE; set ops mirror the expression trees)
+    _range_branch = (
+        "select distinct cast({i} as bigint) as query_idx, doc_id "
+        "from ({body})")
+    _range_bodies = [
+        # 0: value AND n_chars:[100 TO 300]
+        """select doc_id from toks where term = 'value'
+           intersect select doc_id from documents
+                     where n_chars between 100 and 300""",
+        # 1: batch AND n_chars:{250 TO 450}
+        """select doc_id from toks where term = 'batch'
+           intersect select doc_id from documents
+                     where n_chars > 250 and n_chars < 450""",
+        # 2: spark OR n_chars:[* TO 60]
+        """select doc_id from toks where term = 'spark'
+           union select doc_id from documents where n_chars <= 60""",
+        # 3: n_chars:[400 TO *] AND NOT slow
+        """select doc_id from documents where n_chars >= 400
+           except select doc_id from toks where term = 'slow'""",
+        # 4: table AND n_chars:[500 TO 500]
+        """select doc_id from toks where term = 'table'
+           intersect select doc_id from documents where n_chars = 500""",
+    ]
+    from ts_type_filter_ray.pipelines.flagship import (SORT_FIELD_K,
+                                                       SORT_FIELD_QUERY_SET)
+    range_filter_sql = (nostem_toks_cte + "\n" + "\nunion all\n".join(
+        _range_branch.format(i=i, body=b)
+        for i, b in enumerate(_range_bodies)))
+
+    sort_rows = ",".join(
+        f"({qi},'{t}')" for qi, q in enumerate(SORT_FIELD_QUERY_SET)
+        for t in query_stems(q, stemmer=identity_stemmer))
+    _sort_match_cte = rf""",
+            sq(query_idx, term) as (values {sort_rows}),
+            sm as (select distinct sq.query_idx, t.doc_id
+                   from sq join toks t on t.term = sq.term)"""
+    sorted_match_sql = (nostem_toks_cte + _sort_match_cte + rf"""
+            select query_idx, rank, doc_id, n_chars from (
+              select sm.query_idx, sm.doc_id, d.n_chars,
+                     row_number() over (partition by sm.query_idx
+                                        order by d.n_chars desc,
+                                                 sm.doc_id asc) as rank
+              from sm join documents d on d.doc_id = sm.doc_id)
+            where rank <= {SORT_FIELD_K}""")
+    field_stats_sql = (nostem_toks_cte + _sort_match_cte + r"""
+            select sm.query_idx,
+                   count(*)::BIGINT as n_docs,
+                   sum(d.n_chars)::DOUBLE as sum_chars,
+                   min(d.n_chars)::BIGINT as min_chars,
+                   max(d.n_chars)::BIGINT as max_chars,
+                   sum(d.n_chars)::DOUBLE / count(*)::DOUBLE as avg_chars
+            from sm join documents d on d.doc_id = sm.doc_id
+            group by sm.query_idx""")
 
     # related searches: per-query top co-occurring terms within the
     # match set, query terms excluded, (df desc, term asc) rank
@@ -1673,6 +1739,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nostem": bm25_nostem_sql,
         "bm25f_topk_nostem": bm25f_nostem_sql,
         "ql_topk_nostem": ql_nostem_sql,
+        "range_filter_match": range_filter_sql,
+        "sorted_match": sorted_match_sql,
+        "field_stats_match": field_stats_sql,
         "bm25_page2_nostem": bm25_page2_sql,
         "bm25_filtered_nostem": bm25_filtered_sql,
         "rrf_fusion_nostem": rrf_sql,

@@ -13,6 +13,7 @@ library code from calling ray.init, but a CLI run is standalone).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -88,8 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     se = sub.add_parser(
         "search",
         help="boolean EXPRESSION search: AND/OR/NOT, parens, pre*/*suf/"
-             "*in* wildcards, term~d fuzzy (quoted phrases need a "
-             "positional index — not available here)")
+             "*in* wildcards, term~d fuzzy, numeric ranges "
+             "'field:[lo TO hi]' when the index has a numeric sidecar "
+             "(quoted phrases need a positional index — not available "
+             "here)")
     se.add_argument("index")
     se.add_argument("expr")
     se.add_argument("--rank", metavar="QUERY",
@@ -127,8 +130,6 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
-
-    import os
 
     from .pipelines.build import BuiltIndex, build_index
     from .pipelines.query import LocalSearcher, highlight
@@ -271,8 +272,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "search":
         from .pipelines.querylang import QuerySyntaxError, evaluate
         searcher = LocalSearcher(BuiltIndex.load(args.index))
+        # numeric range atoms (n:[lo TO hi]) work when the index carries
+        # a numeric sidecar (build_numeric_index under the same root)
+        numeric = None
+        if os.path.isdir(os.path.join(args.index, "_numeric")):
+            from .pipelines.numeric import NumericIndex
+            numeric = NumericIndex(args.index)
         try:
-            ids = evaluate(args.expr, searcher)
+            ids = evaluate(args.expr, searcher, numeric=numeric)
         except (QuerySyntaxError, ValueError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2

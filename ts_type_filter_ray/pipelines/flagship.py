@@ -1316,3 +1316,118 @@ def ql_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
         "rank": pa.array(rk, type=pa.int64()),
         "doc_id": pa.array(di, type=pa.int64()),
     })
+
+
+# -- Numeric field surfaces: range filters, sort-by-field, field stats ----
+# (the Lucene points / doc-values analog — pipelines/numeric.py)
+
+def numeric_index_for(sf_dir: str) -> "object":
+    """Numeric field index over ``documents.n_chars``, nested under the
+    nostem index cache root (``_numeric/`` — invisible to postings
+    discovery). Built from a COLUMN-PRUNED read (doc_id + n_chars only;
+    the text column never leaves storage for numeric builds)."""
+    from .numeric import NumericIndex, build_numeric_index
+
+    idx = build_documents_index_nostem(sf_dir)
+    marker = os.path.join(idx.root, "_numeric", "_SUCCESS.n_chars")
+    if not os.path.exists(marker):
+        import ray.data as rd
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "n_chars"])
+        build_numeric_index(ds, idx.root, ["n_chars"])
+    return NumericIndex(idx.root)
+
+
+# Range expressions exercising inclusive / exclusive / open bounds and
+# composition with every boolean operator (mirrored branch-by-branch in
+# the SQL oracle)
+RANGE_EXPR_SET: list[str] = [
+    "value AND n_chars:[100 TO 300]",
+    "batch AND n_chars:{250 TO 450}",
+    "spark OR n_chars:[* TO 60]",
+    "n_chars:[400 TO *] AND NOT slow",
+    "table AND n_chars:[500 TO 500]",
+]
+
+
+def range_filter_match_table(sf_dir: str,
+                             exprs: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id) match sets for boolean expressions containing
+    numeric RANGE atoms (``n_chars:[lo TO hi]``) — the range leaf is
+    answered by manifest + row-group-statistics pruned reads over the
+    value-sorted numeric layout, never a documents scan; value-exact vs
+    SQL ``BETWEEN`` mirrors."""
+    from .querylang import evaluate
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    ni = numeric_index_for(sf_dir)
+    qi, di = [], []
+    for i, expr in enumerate(exprs or RANGE_EXPR_SET):
+        for doc_id in evaluate(expr, searcher, numeric=ni).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+SORT_FIELD_QUERY_SET: list[str] = ["spark", "batch", "value fast"]
+SORT_FIELD_K = 15
+
+
+def sorted_match_table(sf_dir: str,
+                       queries: list[str] | None = None,
+                       k: int = SORT_FIELD_K) -> pa.Table:
+    """(query_idx, rank, doc_id, n_chars) — match sets ordered by a
+    NUMERIC FIELD (n_chars desc, doc_id asc) instead of relevance: the
+    sort-by-field result page. Field values come from the doc-sorted
+    doc-values layout via a pruned gather (O(matches) row groups), never
+    a documents scan."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    ni = numeric_index_for(sf_dir)
+    qi, rk, di, nc = [], [], [], []
+    for i, q in enumerate(queries or SORT_FIELD_QUERY_SET):
+        ids = searcher.match(q)
+        for r, (doc_id, val) in enumerate(
+                ni.topk_by_field("n_chars", ids, k=k), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+            nc.append(int(val))  # int64 field: the float carry is exact
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+        "n_chars": pa.array(nc, type=pa.int64()),
+    })
+
+
+def field_stats_match_table(sf_dir: str,
+                            queries: list[str] | None = None) -> pa.Table:
+    """(query_idx, n_docs, sum_chars, min_chars, max_chars, avg_chars)
+    — numeric aggregations over each query's match set (the stats-facet
+    shape). avg is float64(sum)/float64(count) on BOTH sides (engine and
+    ``sum::DOUBLE / count::DOUBLE`` oracle), so the float compares
+    exactly."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    ni = numeric_index_for(sf_dir)
+    rows = {"query_idx": [], "n_docs": [], "sum_chars": [],
+            "min_chars": [], "max_chars": [], "avg_chars": []}
+    for i, q in enumerate(queries or SORT_FIELD_QUERY_SET):
+        st = ni.stats("n_chars", searcher.match(q))
+        rows["query_idx"].append(i)
+        rows["n_docs"].append(st["count"])
+        rows["sum_chars"].append(st["sum"])
+        rows["min_chars"].append(int(st["min"]))
+        rows["max_chars"].append(int(st["max"]))
+        rows["avg_chars"].append(float(st["avg"]))
+    return pa.table({
+        "query_idx": pa.array(rows["query_idx"], type=pa.int64()),
+        "n_docs": pa.array(rows["n_docs"], type=pa.int64()),
+        "sum_chars": pa.array(rows["sum_chars"], type=pa.float64()),
+        "min_chars": pa.array(rows["min_chars"], type=pa.int64()),
+        "max_chars": pa.array(rows["max_chars"], type=pa.int64()),
+        "avg_chars": pa.array(rows["avg_chars"], type=pa.float64()),
+    })

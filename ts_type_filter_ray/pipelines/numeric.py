@@ -1,0 +1,289 @@
+"""Numeric field index: range queries, doc-value gathers, sort-by-field.
+
+The points/doc-values half of a fulltext engine (the reference's index
+is text-only — ``inverted_index.py`` has no numeric fields; this is the
+Lucene-points analog a user needs once documents carry metadata like
+``n_chars``). Two sorted single-field Parquet layouts per field, both
+built with one Ray Data sort each and both answered by PRUNED reads —
+no query ever scans the documents table:
+
+- ``byval/`` — ``(value, doc_id)`` value-sorted. A range query
+  ``[lo, hi]`` prunes files by the manifest's per-file [min, max], then
+  row groups by footer statistics, and reads only overlapping 4096-row
+  groups: O(matching + log) I/O independent of corpus size (the same
+  manual row-group pruning the fuzzy index uses —
+  ``fuzzy.fuzzy_candidate_terms`` — because pyarrow's dataset filter
+  does not prune row groups for these predicates).
+- ``byid/`` — ``(doc_id, value)`` doc-sorted: the doc-values column.
+  Gathers for a match set (sort-by-field, numeric stats over matches)
+  prune the same way on doc_id, so a k-doc gather reads O(k) groups.
+
+Scale notes: each layout is ONE ``Dataset.sort`` over a two-column
+projection (16 bytes/row — the all-to-all ships values+ids only, never
+text), written as one file per sorted block so files are disjoint in
+key-space and prune independently. The JSON manifest is O(num files)
+driver state; at cluster scale it would become a Parquet manifest with
+the same (file, min, max) rows read column-pruned — noted, not needed
+at sandbox scale. Values must be non-null numerics; builds reject null
+values loudly rather than silently dropping docs from range semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+__all__ = ["build_numeric_index", "NumericIndex"]
+
+_ROW_GROUP = 4096
+
+
+def _numeric_dir(root: str) -> str:
+    return os.path.join(root, "_numeric")
+
+
+class _SortedWriter:
+    """map_batches callable: one sorted block → one Parquet file +
+    manifest row (file, key min/max, rows). Runs after ``Dataset.sort``,
+    so each block is internally sorted and blocks are range-disjoint —
+    per-file pruning needs no cross-file coordination."""
+
+    def __init__(self, out_dir: str, key_col: str, other_col: str):
+        self._dir = out_dir
+        self._key = key_col
+        self._other = other_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], type=pa.string()),
+                             "kmin": pa.array([], type=pa.float64()),
+                             "kmax": pa.array([], type=pa.float64()),
+                             "rows": pa.array([], type=pa.int64())})
+        if batch[self._key].null_count or batch[self._other].null_count:
+            raise ValueError(
+                f"numeric index field {self._key!r}/{self._other!r} has "
+                "nulls — null semantics for range queries are undefined; "
+                "filter or fill before build_numeric_index")
+        batch = batch.select([self._key, self._other])
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        path = os.path.join(self._dir, name)
+        pq.write_table(batch, path + ".tmp", row_group_size=_ROW_GROUP)
+        os.replace(path + ".tmp", path)
+        col = batch[self._key]
+        return pa.table({
+            "file": pa.array([name], type=pa.string()),
+            "kmin": pa.array([float(pc.min(col).as_py())],
+                             type=pa.float64()),
+            "kmax": pa.array([float(pc.max(col).as_py())],
+                             type=pa.float64()),
+            "rows": pa.array([batch.num_rows], type=pa.int64()),
+        })
+
+
+def _write_sorted(ds, out_dir: str, key_col: str, other_col: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = ds.sort(key_col).map_batches(
+        _SortedWriter(out_dir, key_col, other_col),
+        batch_size=None, batch_format="pyarrow",
+    ).take_all()  # bounded: one row per sorted block
+    rows = sorted(manifest, key=lambda r: (r["kmin"], r["file"]))
+    tmp = os.path.join(out_dir, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rows, f)
+    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+
+
+def build_numeric_index(ds, out_root: str, fields: list[str],
+                        doc_id_col: str = "doc_id") -> str:
+    """Build the numeric field index for *fields* of Dataset *ds* under
+    ``{out_root}/_numeric`` (the ``_`` prefix keeps it invisible to any
+    postings/dataset discovery over the index root, like ``_df.parquet``).
+    Idempotent per field via ``_SUCCESS.<field>`` markers, so a re-run
+    after a crash skips finished fields (resumable-output contract)."""
+    base = _numeric_dir(out_root)
+    os.makedirs(base, exist_ok=True)
+    schema = ds.schema()  # ray.data Schema: parallel .names / .types
+    types = dict(zip(schema.names, schema.types))
+    for f in fields:
+        if f not in types:
+            raise ValueError(f"field {f!r} not in dataset schema "
+                             f"{schema.names}")
+        marker = os.path.join(base, f"_SUCCESS.{f}")
+        if os.path.exists(marker):
+            continue
+        fdir = os.path.join(base, f"field={f}")
+        two = ds.select_columns([doc_id_col, f])
+        _write_sorted(two, os.path.join(fdir, "byval"), f, doc_id_col)
+        _write_sorted(two, os.path.join(fdir, "byid"), doc_id_col, f)
+        dtype = str(types[f])
+        with open(os.path.join(fdir, "_field.json"), "w") as fh:
+            json.dump({"dtype": dtype, "doc_id_col": doc_id_col}, fh)
+        open(marker, "w").close()
+    return base
+
+
+def _load_manifest(d: str) -> list[dict]:
+    with open(os.path.join(d, "_manifest.json")) as f:
+        return json.load(f)
+
+
+def _prune_read(d: str, manifest: list[dict], key_col: str,
+                lo: float, hi: float, columns: list[str]) -> list[pa.Table]:
+    """Read only the row groups whose [min, max] statistics intersect
+    [lo, hi] from the files whose manifest range intersects it."""
+    out = []
+    for row in manifest:
+        if row["kmax"] < lo or row["kmin"] > hi:
+            continue
+        pf = pq.ParquetFile(os.path.join(d, row["file"]))
+        md = pf.metadata
+        ci = pf.schema_arrow.get_field_index(key_col)
+        rgs = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(ci).statistics
+            if st is None or st.min is None or st.max is None or \
+                    (float(st.max) >= lo and float(st.min) <= hi):
+                rgs.append(i)
+        if rgs:
+            out.append(pf.read_row_groups(rgs, columns=columns))
+    return out
+
+
+class NumericIndex:
+    """Query-side handle over a built numeric index. Holds only the
+    per-field manifests (O(files) driver state) — every read is pruned."""
+
+    def __init__(self, root: str):
+        base = _numeric_dir(root)
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                f"no numeric index under {root!r} — run "
+                "build_numeric_index first")
+        self._base = base
+        self._fields: dict[str, dict] = {}
+        for name in sorted(os.listdir(base)):
+            if not name.startswith("field="):
+                continue
+            f = name[len("field="):]
+            if not os.path.exists(os.path.join(base, f"_SUCCESS.{f}")):
+                continue
+            fdir = os.path.join(base, name)
+            with open(os.path.join(fdir, "_field.json")) as fh:
+                meta = json.load(fh)
+            self._fields[f] = {
+                "dir": fdir,
+                "meta": meta,
+                "byval": _load_manifest(os.path.join(fdir, "byval")),
+                "byid": _load_manifest(os.path.join(fdir, "byid")),
+            }
+
+    @property
+    def fields(self) -> list[str]:
+        return sorted(self._fields)
+
+    def _field(self, field: str) -> dict:
+        try:
+            return self._fields[field]
+        except KeyError:
+            raise KeyError(
+                f"field {field!r} not in numeric index "
+                f"(have {self.fields})") from None
+
+    # -- range queries (byval layout) ----------------------------------
+
+    def range_docs(self, field: str, lo=None, hi=None,
+                   include_lo: bool = True, include_hi: bool = True
+                   ) -> np.ndarray:
+        """Ascending unique doc_ids whose *field* value lies in the
+        range. ``None`` bounds are open (Lucene's ``*``); inclusivity
+        per side mirrors ``[..]`` vs ``{..}``. Pruned reads only."""
+        info = self._field(field)
+        flo = -np.inf if lo is None else float(lo)
+        fhi = np.inf if hi is None else float(hi)
+        if flo > fhi:
+            return np.empty(0, dtype=np.int64)
+        chunks = _prune_read(os.path.join(info["dir"], "byval"),
+                             info["byval"], field, flo, fhi,
+                             [field, info["meta"]["doc_id_col"]])
+        ids = []
+        for t in chunks:
+            v = t[field].to_numpy(zero_copy_only=False)
+            m = (v >= flo) if include_lo else (v > flo)
+            m &= (v <= fhi) if include_hi else (v < fhi)
+            if m.any():
+                ids.append(t[info["meta"]["doc_id_col"]]
+                           .to_numpy(zero_copy_only=False)[m])
+        if not ids:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(ids)).astype(np.int64)
+
+    # -- doc-value gathers (byid layout) --------------------------------
+
+    def gather(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        """Values of *field* aligned to *doc_ids* (any order, unique).
+        Raises on ids absent from the index — a silent NaN would corrupt
+        sort/stats semantics. Reads only the row groups covering the
+        requested id range."""
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        if doc_ids.size == 0:
+            return np.empty(0, dtype=np.float64)
+        info = self._field(field)
+        id_col = info["meta"]["doc_id_col"]
+        lo, hi = float(doc_ids.min()), float(doc_ids.max())
+        chunks = _prune_read(os.path.join(info["dir"], "byid"),
+                             info["byid"], id_col, lo, hi,
+                             [id_col, field])
+        order = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[order]
+        vals = np.full(doc_ids.size, np.nan, dtype=np.float64)
+        found = np.zeros(doc_ids.size, dtype=bool)
+        for t in chunks:
+            ids_t = t[id_col].to_numpy(zero_copy_only=False)
+            v_t = t[field].to_numpy(zero_copy_only=False).astype(np.float64)
+            pos = np.searchsorted(sorted_ids, ids_t)
+            ok = (pos < sorted_ids.size) & \
+                (sorted_ids[np.minimum(pos, sorted_ids.size - 1)] == ids_t)
+            tgt = order[pos[ok]]
+            vals[tgt] = v_t[ok]
+            found[tgt] = True
+        if not found.all():
+            missing = doc_ids[~found][:5].tolist()
+            raise KeyError(
+                f"doc_ids missing from numeric index field {field!r}: "
+                f"{missing}{'...' if (~found).sum() > 5 else ''}")
+        return vals
+
+    def topk_by_field(self, field: str, doc_ids: np.ndarray, k: int,
+                      ascending: bool = False
+                      ) -> list[tuple[int, float]]:
+        """Top-k of *doc_ids* ordered by *field* (value desc by default,
+        doc_id asc tie-break) — the sort-by-field result page."""
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        if doc_ids.size == 0:
+            return []
+        vals = self.gather(field, doc_ids)
+        keys = vals if ascending else -vals
+        sel = np.lexsort((doc_ids, keys))[:k]
+        return [(int(doc_ids[i]), float(vals[i])) for i in sel]
+
+    def stats(self, field: str, doc_ids: np.ndarray) -> dict:
+        """count / sum / min / max / avg of *field* over *doc_ids*.
+        avg is computed as float64(sum)/float64(count) — the exact
+        expression shape the SQL oracle uses (``sum::DOUBLE /
+        count::DOUBLE``), so the float is reproducible bit-for-bit."""
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        if doc_ids.size == 0:
+            return {"count": 0, "sum": 0.0, "min": None, "max": None,
+                    "avg": None}
+        vals = self.gather(field, doc_ids)
+        total = float(np.sum(vals))
+        n = int(doc_ids.size)
+        return {"count": n, "sum": total,
+                "min": float(vals.min()), "max": float(vals.max()),
+                "avg": np.float64(total) / np.float64(n)}

@@ -7,9 +7,12 @@ surface a fulltext engine needs once it has more than one primitive:
     or     := and (OR and)*
     and    := unary (AND unary)*
     unary  := NOT unary | atom
-    atom   := '(' expr ')' | '"phrase words"' | '"a b"~d' | FIELD | TERM
+    atom   := '(' expr ')' | '"phrase words"' | '"a b"~d'
+            | FIELD | RANGE | TERM
     TERM   := word | word'*' | '*'word | '*'word'*' | word'~'d
     FIELD  := name':'value | name':'value'*'
+    RANGE  := name':[' bound ' TO ' bound ']'     (numeric, inclusive)
+            | name':{' bound ' TO ' bound '}'     (exclusive; * = open)
 
 ``name:value`` is a METADATA filter (Lucene field syntax): it matches
 docs whose metadata field *name* has *value* — answered by a metadata
@@ -109,6 +112,18 @@ class FieldPrefix:
 
 
 @dataclass(frozen=True)
+class Range:
+    """Lucene numeric range: ``name:[lo TO hi]`` (inclusive) /
+    ``name:{lo TO hi}`` (exclusive), ``*`` = open bound. Answered by a
+    numeric field index (``pipelines/numeric.py``), never a scan."""
+    name: str
+    lo: float | None
+    hi: float | None
+    lo_inc: bool
+    hi_inc: bool
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -138,6 +153,21 @@ def _lex(s: str) -> list[str]:
 
 _FUZZY_RE = re.compile(r"^(?P<body>[^~*]+)~(?P<d>\d+)$")
 _FIELD_RE = re.compile(r"^(?P<name>[A-Za-z_][A-Za-z0-9_]*):(?P<val>\S+)$")
+# 'name:[10' / 'name:{3.5' — the opening token of a 3-token range atom
+# ('name:[lo TO hi]'); whitespace around TO is required, like Lucene
+_RANGE_OPEN_RE = re.compile(
+    r"^(?P<name>[A-Za-z_][A-Za-z0-9_]*):(?P<br>[\[{])(?P<lo>\S+)$")
+_RANGE_CLOSE_RE = re.compile(r"^(?P<hi>\S+?)(?P<br>[\]}])$")
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+
+def _range_bound(raw: str, what: str) -> float | None:
+    if raw == "*":
+        return None
+    if not _NUM_RE.match(raw):
+        raise QuerySyntaxError(f"range {what} bound must be a number or "
+                               f"'*': {raw!r}")
+    return float(raw)
 
 
 def _atom_from_word(w: str):
@@ -216,6 +246,21 @@ class _Parser:
             return inner.child if isinstance(inner, Not) else Not(inner)
         return self.atom()
 
+    def _range_atom(self, rm) -> Range:
+        # 'name:[lo' already consumed; expect 'TO' then 'hi]' / 'hi}'
+        lo_inc = rm.group("br") == "["
+        lo = _range_bound(rm.group("lo"), "lower")
+        if self.next() != "TO":
+            raise QuerySyntaxError(
+                "range atoms are 'name:[lo TO hi]' — missing TO")
+        cm = _RANGE_CLOSE_RE.match(self.next())
+        if not cm:
+            raise QuerySyntaxError(
+                "range atoms must close with ']' or '}'")
+        hi_inc = cm.group("br") == "]"
+        hi = _range_bound(cm.group("hi"), "upper")
+        return Range(rm.group("name"), lo, hi, lo_inc, hi_inc)
+
     def atom(self):
         t = self.next()
         if t == "(":
@@ -227,6 +272,9 @@ class _Parser:
             raise QuerySyntaxError("unexpected ')'")
         if t in ("AND", "OR"):
             raise QuerySyntaxError(f"operator {t} where an atom was expected")
+        rm = _RANGE_OPEN_RE.match(t)
+        if rm:
+            return self._range_atom(rm)
         if t.startswith('"'):
             body = t[1:-1].strip()
             if not body:
@@ -253,7 +301,8 @@ def parse_query(s: str):
 # -- Evaluation -----------------------------------------------------------
 
 
-def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
+def _eval(node, searcher, positional, fields, synonyms,
+          numeric) -> np.ndarray:
     if isinstance(node, Term):
         # single whitespace-free token → exactly one stem; with a
         # synonym map the leaf becomes the union over the expansion set
@@ -276,6 +325,14 @@ def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
             return np.empty(0, dtype=np.int64)
         return arrays[0] if len(arrays) == 1 else np.unique(
             np.concatenate(arrays))
+    if isinstance(node, Range):
+        if numeric is None:
+            raise ValueError(
+                "range atoms (name:[lo TO hi]) need a numeric field "
+                "index — pass numeric=")
+        return numeric.range_docs(node.name, node.lo, node.hi,
+                                  include_lo=node.lo_inc,
+                                  include_hi=node.hi_inc)
     if isinstance(node, (Field, FieldPrefix)):
         if fields is None:
             raise ValueError(
@@ -312,7 +369,7 @@ def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
         a, b = node.text.lower().split()
         return positional.proximity(a, b, node.slop)
     if isinstance(node, Or):
-        arrays = [_eval(c, searcher, positional, fields, synonyms) for c in node.children]
+        arrays = [_eval(c, searcher, positional, fields, synonyms, numeric) for c in node.children]
         arrays = [a for a in arrays if a.size]
         if not arrays:
             return np.empty(0, dtype=np.int64)
@@ -324,7 +381,7 @@ def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
             raise ValueError(
                 "pure negation has no universe — AND needs at least one "
                 "positive conjunct")
-        arrays = sorted((_eval(c, searcher, positional, fields, synonyms) for c in pos),
+        arrays = sorted((_eval(c, searcher, positional, fields, synonyms, numeric) for c in pos),
                         key=lambda a: a.size)
         cur = arrays[0]
         for a in arrays[1:]:
@@ -333,7 +390,7 @@ def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
             cur = np.intersect1d(cur, a, assume_unique=True)
         if neg and cur.size:
             drop = np.unique(np.concatenate(
-                [_eval(c, searcher, positional, fields, synonyms) for c in neg] or
+                [_eval(c, searcher, positional, fields, synonyms, numeric) for c in neg] or
                 [np.empty(0, dtype=np.int64)]))
             cur = np.setdiff1d(cur, drop, assume_unique=True)
         return cur
@@ -345,7 +402,7 @@ def _eval(node, searcher, positional, fields, synonyms) -> np.ndarray:
 
 
 def evaluate(query: str, searcher, positional=None,
-             fields=None, synonyms=None) -> np.ndarray:
+             fields=None, synonyms=None, numeric=None) -> np.ndarray:
     """Evaluate *query* over *searcher* (a ``LocalSearcher``) → ascending
     unique doc_ids. Phrases and proximity are answered by *positional*
     (a ``PositionalSearcher`` over the same corpus); ``name:value``
@@ -356,9 +413,11 @@ def evaluate(query: str, searcher, positional=None,
     its expansion set — the query-time synonym filter: the index stays
     synonym-free and the map can change per query. Pinned docs are
     always included and tombstoned docs never returned — both applied
-    once at the top, so leaf set ops stay pure."""
+    once at the top, so leaf set ops stay pure. Numeric range atoms
+    (``name:[lo TO hi]``) are answered by *numeric* (a
+    :class:`~.numeric.NumericIndex` over the same corpus)."""
     out = _eval(parse_query(query), searcher, positional, fields,
-                synonyms)
+                synonyms, numeric)
     if searcher._pinned.size:
         out = np.union1d(out, searcher._pinned)
     return searcher._drop_deleted(out)
