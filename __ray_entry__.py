@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numeric aggregations (count/sum/min/max/avg) per match set
         "field_stats_match":
             lambda sf: flagship.field_stats_match_table(sf),
+        # forward index: per-doc term vectors (the doc-major transpose
+        # of the postings, derived by a distributed decode pass — never
+        # re-tokenizing), pruned row-group reads per doc set
+        "term_vectors": lambda sf: flagship.term_vectors_table(sf),
         # value-exact oracles never sampled in r1-r3
         "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
         "range_join": lambda sf: _events_mod().range_join_count(
@@ -1221,7 +1225,8 @@ def oracle_sql() -> dict[str, str]:
            intersect select doc_id from documents where n_chars = 500""",
     ]
     from ts_type_filter_ray.pipelines.flagship import (SORT_FIELD_K,
-                                                       SORT_FIELD_QUERY_SET)
+                                                       SORT_FIELD_QUERY_SET,
+                                                       TV_DOC_IDS)
     range_filter_sql = (nostem_toks_cte + "\n" + "\nunion all\n".join(
         _range_branch.format(i=i, body=b)
         for i, b in enumerate(_range_bodies)))
@@ -1740,6 +1745,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk_nostem": bm25f_nostem_sql,
         "ql_topk_nostem": ql_nostem_sql,
         "range_filter_match": range_filter_sql,
+        "term_vectors": rf"""
+            select doc_id, term, count(*)::BIGINT as tf
+            from (select doc_id,
+                         unnest(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) as term
+                  from documents
+                  where trim(text) <> ''
+                    and doc_id in ({",".join(map(str, TV_DOC_IDS))}))
+            group by doc_id, term""",
         "sorted_match": sorted_match_sql,
         "field_stats_match": field_stats_sql,
         "bm25_page2_nostem": bm25_page2_sql,

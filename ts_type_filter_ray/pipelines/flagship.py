@@ -1431,3 +1431,27 @@ def field_stats_match_table(sf_dir: str,
         "max_chars": pa.array(rows["max_chars"], type=pa.int64()),
         "avg_chars": pa.array(rows["avg_chars"], type=pa.float64()),
     })
+
+
+# -- Forward index (term vectors) -----------------------------------------
+
+TV_DOC_IDS: list[int] = [0, 3, 17, 42, 111, 205]
+
+
+def forward_index_for(sf_dir: str) -> "object":
+    """Forward (doc-major) index derived from the nostem postings —
+    built once per corpus cache, reused across gate runs."""
+    from .forward import ForwardIndex, build_forward_index
+
+    idx = build_documents_index_nostem(sf_dir)
+    build_forward_index(idx.root)
+    return ForwardIndex(idx.root)
+
+
+def term_vectors_table(sf_dir: str,
+                       doc_ids: list[int] | None = None) -> pa.Table:
+    """(doc_id, term, tf) term vectors for a fixed doc set — the
+    doc-major transpose of the postings, value-exact vs a SQL
+    unnest + GROUP BY oracle over the same lowercased tokens."""
+    fwd = forward_index_for(sf_dir)
+    return fwd.term_vectors(doc_ids or TV_DOC_IDS)

@@ -52,12 +52,14 @@ class _SortedWriter:
     """map_batches callable: one sorted block → one Parquet file +
     manifest row (file, key min/max, rows). Runs after ``Dataset.sort``,
     so each block is internally sorted and blocks are range-disjoint —
-    per-file pruning needs no cross-file coordination."""
+    per-file pruning needs no cross-file coordination. *columns* beyond
+    the key ride along unchanged (the forward index stores term+tf next
+    to its doc_id key)."""
 
-    def __init__(self, out_dir: str, key_col: str, other_col: str):
+    def __init__(self, out_dir: str, key_col: str, columns: list[str]):
         self._dir = out_dir
         self._key = key_col
-        self._other = other_col
+        self._cols = columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -65,12 +67,13 @@ class _SortedWriter:
                              "kmin": pa.array([], type=pa.float64()),
                              "kmax": pa.array([], type=pa.float64()),
                              "rows": pa.array([], type=pa.int64())})
-        if batch[self._key].null_count or batch[self._other].null_count:
-            raise ValueError(
-                f"numeric index field {self._key!r}/{self._other!r} has "
-                "nulls — null semantics for range queries are undefined; "
-                "filter or fill before build_numeric_index")
-        batch = batch.select([self._key, self._other])
+        for c in self._cols:
+            if batch[c].null_count:
+                raise ValueError(
+                    f"sorted layout column {c!r} has nulls — null "
+                    "semantics for range/gather queries are undefined; "
+                    "filter or fill before building")
+        batch = batch.select(self._cols)
         name = f"part-{uuid.uuid4().hex}.parquet"
         path = os.path.join(self._dir, name)
         pq.write_table(batch, path + ".tmp", row_group_size=_ROW_GROUP)
@@ -86,10 +89,11 @@ class _SortedWriter:
         })
 
 
-def _write_sorted(ds, out_dir: str, key_col: str, other_col: str) -> None:
+def _write_sorted(ds, out_dir: str, key_col: str,
+                  columns: list[str]) -> None:
     os.makedirs(out_dir, exist_ok=True)
     manifest = ds.sort(key_col).map_batches(
-        _SortedWriter(out_dir, key_col, other_col),
+        _SortedWriter(out_dir, key_col, columns),
         batch_size=None, batch_format="pyarrow",
     ).take_all()  # bounded: one row per sorted block
     rows = sorted(manifest, key=lambda r: (r["kmin"], r["file"]))
@@ -119,8 +123,10 @@ def build_numeric_index(ds, out_root: str, fields: list[str],
             continue
         fdir = os.path.join(base, f"field={f}")
         two = ds.select_columns([doc_id_col, f])
-        _write_sorted(two, os.path.join(fdir, "byval"), f, doc_id_col)
-        _write_sorted(two, os.path.join(fdir, "byid"), doc_id_col, f)
+        _write_sorted(two, os.path.join(fdir, "byval"), f,
+                      [f, doc_id_col])
+        _write_sorted(two, os.path.join(fdir, "byid"), doc_id_col,
+                      [doc_id_col, f])
         dtype = str(types[f])
         with open(os.path.join(fdir, "_field.json"), "w") as fh:
             json.dump({"dtype": dtype, "doc_id_col": doc_id_col}, fh)

@@ -1010,6 +1010,50 @@ class LocalSearcher:
         return [(-nd, s) for s, nd in sorted(heap,
                                              key=lambda x: (-x[0], -x[1]))]
 
+    def explain(self, query, doc_id: int) -> dict:
+        """Per-term BM25 score breakdown for one (query, doc) — the
+        Lucene ``explain()`` surface. Returns ``{"doc_id", "score",
+        "terms": [{term, tf, df, dl, idf, tf_factor, contribution}]}``
+        with terms ascending and ``score`` accumulated as the SAME
+        left fold over ``idf * tf_factor`` the ranked scorer runs
+        (:meth:`bm25` scatter-adds per ascending term from 0.0), so
+        ``explain(q, d)["score"]`` is bit-identical to the score
+        :meth:`bm25` would rank *d* with (pytest-pinned). A tombstoned
+        doc raises — it can never appear in a ranking."""
+        stats = self._stats
+        doc_id = int(doc_id)
+        tomb_pos = np.searchsorted(self._tomb, doc_id)
+        if tomb_pos < self._tomb.size and self._tomb[tomb_pos] == doc_id:
+            raise KeyError(f"doc {doc_id} is tombstoned")
+        part = doc_id >> stats.doc_part_bits
+        terms_out: list[dict] = []
+        score = 0.0
+        for term in query_stems(query, self._stemmer, self._breaker):
+            sl = self._term_slice(term)
+            if sl is None:
+                continue
+            idf = self.idf(term)
+            for i in range(sl[0], sl[1]):
+                if self._part[i] != part:
+                    continue
+                row = self._decode_row(term, i)
+                pos = int(np.searchsorted(row[0], doc_id))
+                if pos >= row[0].size or row[0][pos] != doc_id:
+                    continue
+                contribution = idf * row[3][pos]  # ≡ bm25's idf·factor
+                terms_out.append({
+                    "term": term,
+                    "tf": int(row[1][pos]),
+                    "df": self._df_of(term),
+                    "dl": int(row[2][pos]),
+                    "idf": float(idf),
+                    "tf_factor": float(row[3][pos]),
+                    "contribution": float(contribution),
+                })
+                score += contribution
+        return {"doc_id": doc_id, "score": float(score),
+                "terms": terms_out}
+
 
 # -- Dataset-shaped one-off paths (no warm server) ----------------------
 
