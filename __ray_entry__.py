@@ -103,6 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of the postings, derived by a distributed decode pass — never
         # re-tokenizing), pruned row-group reads per doc set
         "term_vectors": lambda sf: flagship.term_vectors_table(sf),
+        # index-time stopwords (Lucene StopFilter semantics: dropped
+        # from postings AND doc_len) — the stopword machinery itself on
+        # the value-exact gate via the identity-stemmer build
+        "stopword_match": lambda sf: flagship.stopword_match_table(sf),
+        "index_statistics_stopworded":
+            lambda sf: flagship.index_statistics_stopworded_table(sf),
         # value-exact oracles never sampled in r1-r3
         "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
         "range_join": lambda sf: _events_mod().range_join_count(
@@ -1226,7 +1232,13 @@ def oracle_sql() -> dict[str, str]:
     ]
     from ts_type_filter_ray.pipelines.flagship import (SORT_FIELD_K,
                                                        SORT_FIELD_QUERY_SET,
+                                                       STOPWORD_QUERY_SET,
+                                                       STOPWORD_SET,
                                                        TV_DOC_IDS)
+    _stop_inlist = ",".join(f"'{w}'" for w in STOPWORD_SET)
+    stopword_rows = ",".join(
+        f"({qi},'{t}')" for qi, q in enumerate(STOPWORD_QUERY_SET)
+        for t in query_stems(q, stemmer=identity_stemmer))
     range_filter_sql = (nostem_toks_cte + "\n" + "\nunion all\n".join(
         _range_branch.format(i=i, body=b)
         for i, b in enumerate(_range_bodies)))
@@ -1745,6 +1757,33 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk_nostem": bm25f_nostem_sql,
         "ql_topk_nostem": ql_nostem_sql,
         "range_filter_match": range_filter_sql,
+        "stopword_match": rf"""
+            with toks as (
+              select distinct doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+')) as term
+                from documents where trim(text) <> '')
+              where term not in ({_stop_inlist})),
+            q(query_idx, term) as (values {stopword_rows})
+            select distinct q.query_idx, t.doc_id
+            from q join toks t on t.term = q.term""",
+        "index_statistics_stopworded": rf"""
+            with toks as (
+              select doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+')) as term
+                from documents where trim(text) <> '')
+              where term not in ({_stop_inlist}))
+            select (select count(*) from documents)::BIGINT
+                       as num_documents,
+                   (select count(distinct term) from toks)::BIGINT
+                       as num_unique_terms,
+                   (select count(*) from
+                       (select distinct doc_id, term from toks))::BIGINT
+                       as num_postings,
+                   (select count(*) from toks)::BIGINT as total_doc_len""",
         "term_vectors": rf"""
             select doc_id, term, count(*)::BIGINT as tf
             from (select doc_id,

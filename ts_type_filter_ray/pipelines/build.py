@@ -116,11 +116,16 @@ def build_index(corpus: Dataset, out_dir: str, *,
                 tokenize_batch_size: int = 256,
                 tokenize_concurrency: int | tuple[int, int] | None = None,
                 breaker=None, stemmer=None, keep_partials: bool = False,
-                k1: float = BM25_K1, b: float = BM25_B) -> BuiltIndex:
+                k1: float = BM25_K1, b: float = BM25_B,
+                stopwords=None) -> BuiltIndex:
     """Build the full index under *out_dir* and return its handle.
 
     *corpus* must have columns ``doc_id:int64, content:(large_)string``
     (plus any metadata columns, carried into ``docs/``).
+
+    ``stopwords`` (lowercase surface forms) are dropped at index time —
+    from postings AND doc_len — as if never written (Lucene StopFilter
+    semantics; see ``stages/tokenizer.py``).
     """
     os.makedirs(out_dir, exist_ok=True)
 
@@ -141,7 +146,7 @@ def build_index(corpus: Dataset, out_dir: str, *,
     partials_dir = os.path.join(out_dir, "partials")
     shutil.rmtree(partials_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    if breaker is None and stemmer is None:
+    if breaker is None and stemmer is None and stopwords is None:
         # default path: stateless task pool → the executor fuses
         # read → tokenize → write into one task per block (partials never
         # transit the object store, every CPU serves every stage)
@@ -154,11 +159,12 @@ def build_index(corpus: Dataset, out_dir: str, *,
             batch_format="pyarrow",
             batch_size=tokenize_batch_size)
     else:
-        # opaque user callables → actor pool (loaded once per actor)
+        # opaque user callables / stopword set → actor pool (loaded
+        # once per actor)
         partials = corpus.map_batches(
             TokenizePartials,
             fn_constructor_args=(doc_part_bits, num_term_buckets,
-                                 breaker, stemmer, True),
+                                 breaker, stemmer, True, stopwords),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             concurrency=tokenize_concurrency or (1, 16))

@@ -1455,3 +1455,59 @@ def term_vectors_table(sf_dir: str,
     unnest + GROUP BY oracle over the same lowercased tokens."""
     fwd = forward_index_for(sf_dir)
     return fwd.term_vectors(doc_ids or TV_DOC_IDS)
+
+
+# -- Index-time stopwords ---------------------------------------------------
+
+# Lowercase surface forms, hot in the synthetic corpus so their removal
+# visibly changes postings, doc_len, and match sets
+STOPWORD_SET: list[str] = ["the", "a", "of", "and", "on"]
+STOPWORD_QUERY_SET: list[str] = [
+    "the",               # pure stopword → empty
+    "the spark",         # mixed → only the content term matches
+    "a of and",          # all stopwords → empty
+    "batch value",       # no stopwords → unchanged semantics
+]
+
+
+def build_documents_index_stopworded(sf_dir: str) -> BuiltIndex:
+    """Identity-stemmer build with ``STOPWORD_SET`` dropped at index
+    time (postings AND doc_len — Lucene StopFilter semantics), so the
+    stopword machinery itself sits on the value-exact gate."""
+    out = _index_cache_dir(sf_dir, variant="nostem_stop")
+    if os.path.exists(os.path.join(out, "stats.json")):
+        return BuiltIndex.load(out)
+    corpus = corpus_from_documents(sf_dir)
+    return build_index(corpus, out, doc_part_bits=12, num_term_buckets=16,
+                       tokenize_batch_size=128, stemmer=identity_stemmer,
+                       stopwords=STOPWORD_SET)
+
+
+def stopword_match_table(sf_dir: str,
+                         queries: list | None = None) -> pa.Table:
+    """(query_idx, doc_id) match sets from the STOPWORDED index —
+    stopword query terms can never match (they were never indexed);
+    value-exact vs the token oracle with the stoplist filtered out."""
+    idx = build_documents_index_stopworded(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, q in enumerate(queries or STOPWORD_QUERY_SET):
+        for doc_id in searcher.match(q).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def index_statistics_stopworded_table(sf_dir: str) -> pa.Table:
+    """Distributed aggregates of the stopworded index — total_doc_len
+    must exclude stopword occurrences (the doc_len side of StopFilter
+    semantics), num_unique_terms must exclude the stoplist."""
+    idx = build_documents_index_stopworded(sf_dir)
+    s = idx.stats
+    return pa.table({
+        "num_documents": pa.array([s.num_documents], type=pa.int64()),
+        "num_unique_terms": pa.array([s.num_unique_terms], type=pa.int64()),
+        "num_postings": pa.array([s.num_postings], type=pa.int64()),
+        "total_doc_len": pa.array([s.total_doc_len], type=pa.int64()),
+    })

@@ -64,7 +64,8 @@ class TokenizePartials:
 
     def __init__(self, doc_part_bits: int = DEFAULT_DOC_PART_BITS,
                  num_term_buckets: int = 32,
-                 breaker=None, stemmer=None, emit_meta: bool = False):
+                 breaker=None, stemmer=None, emit_meta: bool = False,
+                 stopwords=None):
         """``breaker``/``stemmer`` preserve the reference's extension
         surface (``Index(extractor=None, breaker=None, stemmer=None)``,
         ``inverted_index.py:36-39``); defaults are the reference-
@@ -76,7 +77,15 @@ class TokenizePartials:
         (``part = bucket = -1``; sha256 rides in ``term``, doc_len in
         ``dls``; non-core input columns pass through) — the corpus is
         read and tokenized exactly once, and doc_len comes from the same
-        breaker as the postings."""
+        breaker as the postings.
+
+        ``stopwords`` (an optional set of LOWERCASE surface forms,
+        Lucene's StopFilter position in the chain: dropped after word
+        breaking, before stemming) removes those tokens from postings
+        AND from doc_len — a stopworded index behaves as if the words
+        were never written. The set is per-actor state (loaded once in
+        __init__), and on the vectorized path membership is tested once
+        per UNIQUE batch token, never per posting."""
         self._part_bits = doc_part_bits
         self._num_buckets = num_term_buckets
         # module-level lru_cache: hot vocab amortized per actor
@@ -84,6 +93,8 @@ class TokenizePartials:
         self._break = breaker  # None → str.split fast path
         self._bucket_cache: dict[str, int] = {}
         self._emit_meta = emit_meta
+        self._stop = frozenset(w.lower() for w in stopwords) \
+            if stopwords else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._break is None:
@@ -157,6 +168,18 @@ class TokenizePartials:
             enc = enc.combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False)
         vocab = enc.dictionary.to_pylist()
+        if self._stop is not None:
+            # membership on the unique tokens only, then one mask gather
+            stop_u = np.fromiter((t.lower() in self._stop for t in vocab),
+                                 dtype=bool, count=len(vocab))
+            if stop_u.any():
+                keep = ~stop_u[codes]
+                codes = codes[keep]
+                par = par[keep]
+                n_tok = np.bincount(par, minlength=n_docs).astype(np.int32)
+                doc_lens = n_tok.tolist()
+                if codes.size == 0:
+                    return pa.table(empty_cols), doc_lens
         _stem = self._stem
         stems_u = np.array([_stem(t) for t in vocab])
         stem_vocab, sid_inverse = np.unique(stems_u, return_inverse=True)
@@ -213,8 +236,11 @@ class TokenizePartials:
         # per (term, part) → [doc_ids], [tfs], [dls]
         acc: dict[tuple[str, int], tuple[list[int], list[int], list[int]]] = {}
         doc_lens: list[int] = []
+        stop = self._stop
         for doc_id, content in zip(doc_ids, contents):
             words = _break(content)
+            if stop is not None:
+                words = [w for w in words if w.lower() not in stop]
             dl = len(words)
             doc_lens.append(dl)
             counts = Counter(map(_stem, words))
