@@ -48,6 +48,11 @@ def _rel_mod():
     return relational
 
 
+def _analytics():
+    from ts_type_filter_ray.pipelines import analytics
+    return analytics
+
+
 def _packing():
     from ts_type_filter_ray.functions import packing
     return packing
@@ -77,6 +82,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- never-driver-sampled entries FIRST (VERDICT r3 #1): the
         # driver checks the leading ~50 entries of this dict, so queries
         # whose oracles have no CORRECTNESS row in any round lead. ----
+        # search-analytics surfaces (pipelines/analytics.py), all
+        # value-exact: significant-terms aggregation (fg/bg lift with
+        # the float column itself on the gate), fixed-width numeric
+        # histogram facets, and function-score ranking (BM25 x numeric
+        # doc-values boost, full-window rescore, rank-only)
+        "significant_terms":
+            lambda sf: _analytics().significant_terms_table(sf),
+        "numeric_histogram":
+            lambda sf: _analytics().numeric_histogram_table(sf),
+        "function_score_topk":
+            lambda sf: _analytics().function_score_table(sf),
         # BM25 ranking itself on the value-exact gate (VERDICT r3 #2):
         # rank-only top-k from the identity-stemmer index
         "bm25_topk_nostem":
@@ -1268,6 +1284,79 @@ def oracle_sql() -> dict[str, str]:
             from sm join documents d on d.doc_id = sm.doc_id
             group by sm.query_idx""")
 
+    # significant terms (pipelines/analytics.py): foreground df over the
+    # match set vs background df over the corpus; lift computed with the
+    # IDENTICAL float64 expression shape as the engine (one exact int64
+    # product per side, one rounded division), so the float column
+    # itself crosses the gate; (lift desc, fg_df desc, term asc) rank,
+    # query stems excluded, fg_df >= MIN_FG noise floor
+    from ts_type_filter_ray.pipelines.analytics import (HISTOGRAM_QUERY_SET,
+                                                        HISTOGRAM_WIDTH,
+                                                        SIGTERMS_K,
+                                                        SIGTERMS_MIN_FG,
+                                                        SIGTERMS_QUERY_SET)
+    sig_rows = ",".join(
+        f"({qi},'{t}')" for qi, q in enumerate(SIGTERMS_QUERY_SET)
+        for t in _stems(q))
+    significant_terms_sql = (nostem_toks_cte + rf""",
+            sq(query_idx, term) as (values {sig_rows}),
+            m as (select distinct sq.query_idx, t.doc_id
+                  from sq join toks t using (term)),
+            nfg as (select query_idx, count(*)::BIGINT as n_fg
+                    from m group by query_idx),
+            bg as (select term, count(*)::BIGINT as bg_df
+                   from toks group by term),
+            fg as (select m.query_idx, t.term,
+                          count(*)::BIGINT as fg_df
+                   from m join toks t on t.doc_id = m.doc_id
+                   group by m.query_idx, t.term),
+            scored as (
+              select f.query_idx, f.term, f.fg_df, b.bg_df,
+                     (f.fg_df * (select count(*) from documents))::DOUBLE
+                     / (b.bg_df * g.n_fg)::DOUBLE as lift
+              from fg f
+              join bg b using (term)
+              join nfg g using (query_idx)
+              where f.fg_df >= {SIGTERMS_MIN_FG}
+                and not exists (select 1 from sq
+                                where sq.query_idx = f.query_idx
+                                  and sq.term = f.term))
+            select query_idx, rank, term, fg_df, bg_df, lift from (
+              select *, row_number() over (partition by query_idx
+                                           order by lift desc,
+                                                    fg_df desc,
+                                                    term asc) as rank
+              from scored)
+            where rank <= {SIGTERMS_K}""")
+
+    # numeric histogram facets: fixed-width buckets of n_chars over each
+    # query's match set (floor division on both sides; empty buckets
+    # omitted by GROUP BY on both sides)
+    hist_rows = ",".join(
+        f"({qi},'{t}')" for qi, q in enumerate(HISTOGRAM_QUERY_SET)
+        for t in _stems(q))
+    numeric_histogram_sql = (nostem_toks_cte + rf""",
+            hq(query_idx, term) as (values {hist_rows}),
+            hm as (select distinct hq.query_idx, t.doc_id
+                   from hq join toks t using (term))
+            select hm.query_idx,
+                   (d.n_chars // {HISTOGRAM_WIDTH})
+                       * {HISTOGRAM_WIDTH} as bucket_lo,
+                   count(*)::BIGINT as n_docs
+            from hm join documents d on d.doc_id = hm.doc_id
+            group by hm.query_idx, bucket_lo""")
+
+    # function score: bscored (the shared bit-identical BM25 CTE) times
+    # the numeric doc-values boost — same float64 expression shape as
+    # analytics.function_score_table (int->double conversion, one
+    # rounded division, one rounded multiply); rank-only output
+    function_score_sql = (_rank_ctes + r""",
+            fscored as (
+              select b.query_idx, b.doc_id,
+                     b.score * (1.0 + d.n_chars / 1000.0) as score
+              from bscored b join documents d on d.doc_id = b.doc_id)"""
+        + _ranked_select("fscored", f"rank <= {BM25_NOSTEM_K}"))
+
     # related searches: per-query top co-occurring terms within the
     # match set, query terms excluded, (df desc, term asc) rank
     from ts_type_filter_ray.pipelines.flagship import (RELATED_K,
@@ -1753,6 +1842,9 @@ def oracle_sql() -> dict[str, str]:
             select distinct q.query_idx, t.doc_id
             from q join toks t using (term)
             where t.doc_id not in ({deleted_ids})""",
+        "significant_terms": significant_terms_sql,
+        "numeric_histogram": numeric_histogram_sql,
+        "function_score_topk": function_score_sql,
         "bm25_topk_nostem": bm25_nostem_sql,
         "bm25f_topk_nostem": bm25f_nostem_sql,
         "ql_topk_nostem": ql_nostem_sql,
