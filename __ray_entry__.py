@@ -156,6 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: flagship.fuzzy_match_indexed_table(sf),
         "suffix_match_nostem":
             lambda sf: flagship.suffix_match_nostem_table(sf),
+        # the same leading wildcards answered from the reversed-term
+        # dictionary (O(log V) range scan — the documented scale path),
+        # same LIKE oracle
+        "suffix_match_indexed":
+            lambda sf: flagship.suffix_match_indexed_table(sf),
         "infix_match_nostem":
             lambda sf: flagship.infix_match_nostem_table(sf),
         "tfidf_topk_nostem": lambda sf: flagship.tfidf_topk_nostem_table(sf),
@@ -1915,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match_nostem": fuzzy_sql,
         "fuzzy_match_indexed": fuzzy_sql,
         "suffix_match_nostem": suffix_sql,
+        "suffix_match_indexed": suffix_sql,
         "infix_match_nostem": infix_sql,
         "tfidf_topk_nostem": tfidf_nostem_sql,
         "faceted_match_counts": faceted_sql,

@@ -313,6 +313,22 @@ def test_match_suffix_contains_golden(sonnets_index, sonnets_corpus_dir):
     assert s.match_contains("").tolist() == []
 
 
+def test_match_suffix_indexed_parity(sonnets_index):
+    """The reversed-term dictionary range scan (O(log V) scale path)
+    returns the identical doc sets as the O(V) ends_with sweep, for
+    hits, multi-term suffixes, misses, uppercase input, and the
+    empty suffix."""
+    s = LocalSearcher(sonnets_index)
+    for suf in ("e", "ir", "same", "ing", "s", "zzq", "E", "￿"):
+        assert (s.match_suffix_indexed(suf).tolist()
+                == s.match_suffix(suf).tolist()), suf
+    assert s.match_suffix_indexed("").tolist() == []
+    # the cached reversed dictionary is a permutation of the vocabulary
+    rmap, perm = s._reversed_vocab()
+    assert rmap.n == s._terms.n == perm.size
+    assert sorted(perm.tolist()) == list(range(s._terms.n))
+
+
 def test_bm25_search_after_pagination(sonnets_index, sonnets_oracle):
     """Concatenated cursor pages ≡ one deep top-k, for every page size,
     including tie regions; cursor past the last result → empty page."""

@@ -926,6 +926,25 @@ def suffix_match_nostem_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+def suffix_match_indexed_table(sf_dir: str,
+                               suffixes: list[str] | None = None
+                               ) -> pa.Table:
+    """(query_idx, doc_id) '*suffix' wildcard match sets answered from
+    the REVERSED-TERM dictionary (``LocalSearcher.match_suffix_indexed``
+    — O(log V) range scan instead of the O(V) ends_with sweep), same
+    LIKE '%suffix' oracle as ``suffix_match_nostem``: the scale path
+    itself sits on the value-exact gate."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, s in enumerate(suffixes or SUFFIX_QUERY_SET):
+        for doc_id in searcher.match_suffix_indexed(s).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
 def infix_match_nostem_table(sf_dir: str,
                              infixes: list[str] | None = None) -> pa.Table:
     """(query_idx, doc_id) '*infix*' wildcard match sets — vectorized

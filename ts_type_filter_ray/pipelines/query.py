@@ -609,6 +609,52 @@ class LocalSearcher:
             return np.empty(0, dtype=np.int64)
         return self._union_vocab_rows(self._vocab_indices("suffix", suffix))
 
+    def _reversed_vocab(self) -> tuple["SortedTermMap | None", np.ndarray]:
+        """Reversed-term dictionary: the vocabulary with each term's
+        code points reversed, sorted ascending, plus the permutation
+        mapping reversed-sorted positions back to original vocabulary
+        indices. Built vectorized ONCE per searcher on first use
+        (``utf8_reverse`` + one sort — O(V log V), ~the cost of a single
+        ``ends_with`` sweep) and cached; every subsequent leading
+        wildcard is an O(log V) range scan. UTF-8 byte order equals
+        code-point order, so reversed-prefix ranges are contiguous."""
+        rv = getattr(self, "_rvidx", None)
+        if rv is None:
+            if self._terms.n:
+                rev = pc.utf8_reverse(self._terms.arr)
+                perm = pc.sort_indices(rev).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                arr = pc.take(rev, pa.array(perm))
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                rv = (SortedTermMap(arr), perm)
+            else:
+                rv = (None, np.empty(0, dtype=np.int64))
+            self._rvidx = rv
+        return rv
+
+    def match_suffix_indexed(self, suffix: str) -> np.ndarray:
+        """Docs containing ANY term ending in *suffix*, answered from
+        the REVERSED-term dictionary (:meth:`_reversed_vocab`): the
+        ``*ing`` leading wildcard becomes a prefix range scan —
+        ``bisect`` to the first reversed candidate, walk while the
+        reversed prefix holds (terms visited = terms matched), union
+        postings. O(log V + matches) per query vs the O(V) ``ends_with``
+        sweep of :meth:`match_suffix` — the scale path that method's
+        docstring banks on. Result sets are identical (pytest-pinned)."""
+        if not suffix:
+            return np.empty(0, dtype=np.int64)
+        rmap, perm = self._reversed_vocab()
+        if rmap is None:
+            return np.empty(0, dtype=np.int64)
+        pre = suffix.lower()[::-1]
+        lo = rmap.bisect_left(pre)
+        hi = lo
+        arr = rmap.arr
+        while hi < rmap.n and arr[hi].as_py().startswith(pre):
+            hi += 1
+        return self._union_vocab_rows(np.sort(perm[lo:hi]))
+
     def match_contains(self, infix: str) -> np.ndarray:
         """Docs containing ANY term with *infix* as a substring — the
         ``*foo*`` wildcard: one vectorized ``match_substring`` vocab
