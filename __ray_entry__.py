@@ -93,6 +93,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _analytics().numeric_histogram_table(sf),
         "function_score_topk":
             lambda sf: _analytics().function_score_table(sf),
+        # term-partitioned serving topology (serve.TermRoutedService):
+        # stems route to the actor owning their term bucket; match
+        # unions and the coordinator-side ascending-term score fold are
+        # value-exact on the same oracles as the local/doc-partitioned
+        # paths
+        "boolean_match_term_routed":
+            lambda sf: flagship.boolean_match_term_routed_table(sf),
+        "bm25_topk_term_routed":
+            lambda sf: flagship.bm25_topk_term_routed_table(sf),
         # BM25 ranking itself on the value-exact gate (VERDICT r3 #2):
         # rank-only top-k from the identity-stemmer index
         "bm25_topk_nostem":
@@ -1847,6 +1856,17 @@ def oracle_sql() -> dict[str, str]:
             select distinct q.query_idx, t.doc_id
             from q join toks t using (term)
             where t.doc_id not in ({deleted_ids})""",
+        "boolean_match_term_routed": rf"""
+            with q(query_idx, term) as (values {nostem_rows}),
+            toks as (
+              select distinct doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                       as term
+                from documents where trim(text) <> ''))
+            select distinct q.query_idx, t.doc_id
+            from q join toks t using (term)""",
+        "bm25_topk_term_routed": bm25_nostem_sql,
         "significant_terms": significant_terms_sql,
         "numeric_histogram": numeric_histogram_sql,
         "function_score_topk": function_score_sql,

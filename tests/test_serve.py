@@ -183,3 +183,50 @@ def test_served_field_filters(ray_session, sonnets_corpus_dir,
     with pytest.raises(ValueError, match="doc_part_bits"):
         SearchService(idx.root, num_actors=2,
                       metadata_root=str(base / "meta_bad"))
+
+
+# -- Term-partitioned topology (TermRoutedService) ------------------------
+
+
+@pytest.fixture(scope="module")
+def term_routed(ray_session, sonnets_corpus_dir, tmp_path_factory):
+    from ts_type_filter_ray.pipelines.serve import TermRoutedService
+    out = tmp_path_factory.mktemp("serve_idx_term")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    svc = TermRoutedService(idx.root, num_actors=3)
+    local = LocalSearcher(idx)
+    return svc, local
+
+
+def test_term_routed_match_identical(term_routed):
+    svc, local = term_routed
+    for q in QUERIES:
+        assert svc.match(q).tolist() == local.match(q).tolist(), f"{q!r}"
+
+
+def test_term_routed_bm25_bit_identical(term_routed):
+    """Scores (not just ranks) must equal LocalSearcher's: the
+    coordinator's ascending-term fold reproduces the same float64
+    accumulation."""
+    svc, local = term_routed
+    for q in QUERIES:
+        assert svc.bm25(q, k=5) == local.bm25(q, k=5), f"{q!r}"
+
+
+def test_term_routed_pinned_and_tombstones(ray_session, sonnets_corpus_dir,
+                                           tmp_path_factory):
+    from ts_type_filter_ray.pipelines.build import delete_docs
+    from ts_type_filter_ray.pipelines.serve import TermRoutedService
+    out = tmp_path_factory.mktemp("serve_idx_term_del")
+    idx = build_index(read_corpus(sonnets_corpus_dir), str(out),
+                      doc_part_bits=4, num_term_buckets=8)
+    local = LocalSearcher(idx)
+    victim = int(local.match("same")[0])
+    delete_docs(idx.root, [victim])
+    svc = TermRoutedService(idx.root, num_actors=3,
+                            pinned_doc_ids={100, 3})
+    assert svc.match("").tolist() == [3, 100]
+    got = svc.match("same").tolist()
+    assert victim not in got and 100 in got
+    assert victim not in [d for d, _ in svc.bm25("same", k=200)]

@@ -145,6 +145,54 @@ def bm25_topk_served_table(sf_dir: str, k: int = 10,
     })
 
 
+def boolean_match_term_routed_table(sf_dir: str,
+                                    queries: list | None = None,
+                                    num_actors: int = 4) -> pa.Table:
+    """(query_idx, doc_id) nostem match sets answered by the
+    TERM-PARTITIONED actor pool (``serve.TermRoutedService`` — each stem
+    routed to the one actor owning its term bucket), on the same
+    value-exact token oracle as ``boolean_match_nostem``: the alternate
+    serving topology itself sits on the gate."""
+    from .serve import TermRoutedService
+    idx = build_documents_index_nostem(sf_dir)
+    svc = TermRoutedService(idx.root, num_actors=num_actors,
+                            stemmer=identity_stemmer)
+    qi, di = [], []
+    for i, q in enumerate(queries or NOSTEM_QUERY_SET):
+        for doc_id in svc.match(q).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def bm25_topk_term_routed_table(sf_dir: str, k: int | None = None,
+                                queries: list | None = None,
+                                num_actors: int = 4) -> pa.Table:
+    """(query_idx, rank, doc_id) RANK-ONLY BM25 top-k from the
+    term-partitioned pool — same oracle as ``bm25_topk_nostem``
+    (coordinator-side ascending-term left fold reproduces the
+    bit-identical scores; pytest additionally pins score equality with
+    ``LocalSearcher``)."""
+    from .serve import TermRoutedService
+    if k is None:
+        k = BM25_NOSTEM_K
+    idx = build_documents_index_nostem(sf_dir)
+    svc = TermRoutedService(idx.root, num_actors=num_actors,
+                            stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        for r, (doc_id, _score) in enumerate(svc.bm25(q, k=k), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
 def boolean_match_table(sf_dir: str, queries: list | None = None) -> pa.Table:
     """(query_idx, doc_id) match sets (insertion order ≡ doc_id asc)."""
     idx = build_documents_index(sf_dir)

@@ -1,17 +1,33 @@
-"""Distributed query serving: a pool of search actors, each owning a set
-of **doc partitions** (``part = doc_id >> doc_part_bits``).
+"""Distributed query serving — BOTH classic topologies:
 
-Why doc-partitioned (not term-partitioned): a document's BM25 score sums
-contributions from many terms, and terms hash across buckets — a
-term-partitioned pool would have to ship per-doc partial scores between
-actors. With doc partitioning every actor holds *all* terms' posting rows
-for its docs (Parquet filter pushdown on ``part``), computes complete
-scores locally with the same left-fold term order as the oracle, and
-returns only its local top-k; the coordinator merges k·A candidates.
-Exact, rank-identical, O(k) network per actor.
+**Doc-partitioned** (:class:`SearchService`): each actor owns a set of
+doc partitions (``part = doc_id >> doc_part_bits``) and holds *all*
+terms' posting rows for its docs (Parquet filter pushdown on ``part``),
+computes complete scores locally with the same left-fold term order as
+the oracle, and returns only its local top-k; the coordinator merges
+k·A candidates. Exact, rank-identical, O(k) network per actor — the
+default because a document's BM25 score sums contributions from many
+terms. Global statistics (N, avgdl, per-term df) are computed once and
+broadcast via ``ray.put`` — the small-side broadcast pattern
+(SURVEY.md §2.4 J1).
 
-Global statistics (N, avgdl, per-term df) are computed once and broadcast
-via ``ray.put`` — the small-side broadcast pattern (SURVEY.md §2.4 J1).
+**Term-partitioned** (:class:`TermRoutedService`): each actor owns a
+set of TERM BUCKETS (``bucket = crc32(term) % num_term_buckets`` — the
+unit the index is already sharded by on disk, so each actor's load is a
+plain bucket-pruned read) and holds the COMPLETE posting list of every
+term it owns — which makes its local df the global df, no broadcast
+needed. A query routes each stem to its owner (O(1) hash, at most
+min(|stems|, A) actors touched); owners return per-term
+(doc_id, idf·tf_factor) contribution arrays and the coordinator folds
+them in ascending-term order — the same left fold as ``LocalSearcher``,
+so scores are bit-identical. The honest tradeoff: scoring ships
+O(Σ df(t)) contributions per query (vs O(k·A) doc-partitioned), which
+is why term partitioning is the topology of choice for boolean MATCH
+(posting-list-sized unions the coordinator needs anyway) and for
+memory-constrained vocabularies (each term's state lives exactly once),
+while doc partitioning wins for ranked top-k; impact-ordered posting
+truncation is the classic mitigation when term-routed ranking must
+scale (documented, not implemented).
 
 This module is the multi-node serving shape; ``LocalSearcher`` remains
 the single-process warm path (it is also what each actor wraps).
@@ -226,3 +242,151 @@ class SearchService:
 
     def stems(self, query) -> list[str]:
         return query_stems(query)
+
+
+class _TermBucketSearcher:
+    """One term-routed search actor: the complete posting lists of every
+    term hashing into its assigned buckets (bucket-pruned read — the
+    on-disk sharding unit IS the ownership unit, so no row ever loads
+    twice). Holding every part of its terms makes local df ≡ global df:
+    idf needs no broadcast."""
+
+    def __init__(self, index_root: str, buckets: list[int]):
+        index = BuiltIndex.load(index_root)
+        self._searcher = LocalSearcher(index, buckets=buckets,
+                                       warm_top_terms=0)
+
+    def match_stems(self, stems: list[str]) -> np.ndarray:
+        """RAW ascending-unique doc union for the owned stems (no
+        pinning/tombstones — the coordinator applies both once)."""
+        s = self._searcher
+        arrays = []
+        for term in stems:
+            sl = s._term_slice(term)
+            if sl is None:
+                continue
+            for i in range(sl[0], sl[1]):
+                arrays.append(s._decode_row(term, i)[0])
+        if not arrays:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrays))
+
+    def term_contributions(self, stems: list[str]
+                           ) -> list[tuple[str, np.ndarray, np.ndarray]]:
+        """Per-term (term, doc_ids, idf·tf_factor) contribution arrays —
+        the exact per-term float64 products ``LocalSearcher.bm25``
+        accumulates (same idf: local df is global df here; same N/avgdl
+        from the index stats). Docs are unique within a term (disjoint
+        across parts), so the coordinator's fancy-indexed ``+=`` per
+        term is an exact left fold."""
+        s = self._searcher
+        out = []
+        for term in stems:
+            sl = s._term_slice(term)
+            if sl is None:
+                continue
+            idf = s.idf(term)
+            docs, contribs = [], []
+            for i in range(sl[0], sl[1]):
+                row = s._decode_row(term, i)
+                docs.append(row[0])
+                contribs.append(idf * row[3])
+            out.append((term, np.concatenate(docs),
+                        np.concatenate(contribs)))
+        return out
+
+
+class TermRoutedService:
+    """Term-partitioned search-actor pool (see module docstring for the
+    topology tradeoff vs :class:`SearchService`). Match sets and BM25
+    rankings are pytest-pinned identical to ``LocalSearcher`` —
+    bit-identical scores via the same ascending-term left fold."""
+
+    def __init__(self, index_root: str, num_actors: int = 4,
+                 pinned_doc_ids: set[int] | None = None,
+                 stemmer=None, breaker=None):
+        from .build import load_tombstones
+
+        index = BuiltIndex.load(index_root)
+        self._stats = index.stats
+        self._stemmer = stemmer
+        self._breaker = breaker
+        self._pinned = np.array(sorted(pinned_doc_ids or ()),
+                                dtype=np.int64)
+        self._tomb = load_tombstones(index_root)
+        nb = index.stats.num_term_buckets
+        self._num_actors = max(1, min(num_actors, nb))
+        actor_cls = ray.remote(_TermBucketSearcher)
+        # round-robin over ALL bucket ids so ownership is a pure
+        # function of the bucket hash: owner(b) = b % A
+        self._actors = [
+            actor_cls.remote(index_root,
+                             list(range(i, nb, self._num_actors)))
+            for i in range(self._num_actors)]
+
+    def _route(self, stems: list[str]) -> dict[int, list[str]]:
+        from ..state.postings import term_bucket
+
+        nb = self._stats.num_term_buckets
+        groups: dict[int, list[str]] = {}
+        for t in stems:  # stems arrive sorted; groups stay sorted
+            groups.setdefault(
+                term_bucket(t, nb) % self._num_actors, []).append(t)
+        return groups
+
+    def _drop_deleted(self, ids: np.ndarray) -> np.ndarray:
+        if not self._tomb.size or not ids.size:
+            return ids
+        pos = np.searchsorted(self._tomb, ids)
+        hit = ((pos < self._tomb.size)
+               & (self._tomb[np.minimum(pos, self._tomb.size - 1)] == ids))
+        return ids[~hit]
+
+    def match(self, query) -> np.ndarray:
+        """Ascending unique doc_ids containing ANY query stem — each stem
+        answered by exactly its owner actor; pinned docs added and
+        tombstones dropped once at the coordinator (LocalSearcher.match
+        semantics)."""
+        stems = query_stems(query, self._stemmer, self._breaker)
+        groups = self._route(stems)
+        parts = ray.get([self._actors[a].match_stems.remote(sub)
+                         for a, sub in groups.items()])
+        arrays = [p for p in parts if p.size]
+        out = (np.unique(np.concatenate(arrays)) if arrays
+               else np.empty(0, dtype=np.int64))
+        if self._pinned.size:
+            out = np.union1d(out, self._pinned)
+        return self._drop_deleted(out)
+
+    def bm25(self, query, k: int = 10) -> list[tuple[int, float]]:
+        """Global top-k, bit-identical scores to ``LocalSearcher.bm25``:
+        owners ship per-term contribution arrays, the coordinator folds
+        them over each doc in ascending-term order (every doc appears at
+        most once per term array, so the fancy-indexed ``+=`` sequence
+        is the exact same left fold), drops tombstoned docs, and ranks
+        (score desc, doc_id asc)."""
+        stems = query_stems(query, self._stemmer, self._breaker)
+        groups = self._route(stems)
+        results = [r for sub in ray.get(
+            [self._actors[a].term_contributions.remote(s)
+             for a, s in groups.items()]) for r in sub]
+        if not results:
+            return []
+        results.sort(key=lambda r: r[0])  # ascending-term fold order
+        uniq = np.unique(np.concatenate([d for _t, d, _c in results]))
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        for _term, docs_t, contrib_t in results:
+            sums[np.searchsorted(uniq, docs_t)] += contrib_t
+        live = self._drop_deleted(uniq)
+        if live.size != uniq.size:
+            keep = np.searchsorted(uniq, live)
+            uniq, sums = live, sums[keep]
+        if uniq.size == 0:
+            return []
+        if uniq.size > k:
+            kth = np.argpartition(-sums, k - 1)[:k]
+            thresh = sums[kth].min()
+            cand = np.flatnonzero(sums >= thresh)
+            uniq, sums = uniq[cand], sums[cand]
+        sel = np.lexsort((uniq, -sums))[:k]
+        return [(int(uniq[i]), float(sums[i])) for i in sel]
