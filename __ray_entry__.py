@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _analytics().numeric_histogram_table(sf),
         "function_score_topk":
             lambda sf: _analytics().function_score_table(sf),
+        # index verification (pipelines/fsck.py): postings recount,
+        # per-bucket df-table re-derivation, doc-id uniqueness proof,
+        # and the per-row sha256 invariant as per-partition XOR rollups
+        # — recounted statistics value-exact vs SQL token aggregates,
+        # every flag must be healthy
+        "index_fsck": lambda sf: flagship.index_fsck_table(sf),
         # term-partitioned serving topology (serve.TermRoutedService):
         # stems route to the actor owning their term bucket; match
         # unions and the coordinator-side ascending-term score fold are
@@ -1856,6 +1862,26 @@ def oracle_sql() -> dict[str, str]:
             select distinct q.query_idx, t.doc_id
             from q join toks t using (term)
             where t.doc_id not in ({deleted_ids})""",
+        "index_fsck": r"""
+            with toks as (
+              select doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+')) as term
+                from documents where trim(text) <> ''))
+            select (select count(*) from documents)::BIGINT
+                       as num_documents,
+                   (select count(distinct term) from toks)::BIGINT
+                       as num_unique_terms,
+                   (select count(*) from
+                       (select distinct doc_id, term from toks))::BIGINT
+                       as num_postings,
+                   (select count(*) from toks)::BIGINT as total_doc_len,
+                   true as stats_consistent,
+                   true as df_files_consistent,
+                   true as doc_ids_unique,
+                   0::BIGINT as sha_mismatched_parts,
+                   true as ok""",
         "boolean_match_term_routed": rf"""
             with q(query_idx, term) as (values {nostem_rows}),
             toks as (

@@ -128,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("index")
     st.add_argument("--top", type=int, default=20)
 
+    fs = sub.add_parser(
+        "fsck", help="verify index integrity (postings recount, df "
+                     "tables, doc-id uniqueness; --corpus also verifies "
+                     "the per-row sha256 invariant)")
+    fs.add_argument("index")
+    fs.add_argument("--corpus", help="parquet corpus dir to re-hash")
+
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -135,7 +142,8 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.query import LocalSearcher, highlight
     from .sources.corpus import read_corpus
 
-    if args.cmd in ("query", "stats", "search", "correct", "phrase") and \
+    if args.cmd in ("query", "stats", "search", "correct", "phrase",
+                    "fsck") and \
             not os.path.exists(os.path.join(args.index, "stats.json")):
         print(f"error: no index at {args.index!r} (missing stats.json)",
               file=sys.stderr)
@@ -210,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
               f"({load_tombstones(args.index).size} total pending purge); "
               f"run compact to reclaim")
         return 0
+
+    if args.cmd == "fsck":
+        from .pipelines.fsck import fsck_index
+        corpus = read_corpus(args.corpus) if args.corpus else None
+        report = fsck_index(args.index, corpus).to_pylist()[0]
+        for key, val in report.items():
+            print(f"{key}: {val}")
+        return 0 if report["ok"] else 1
 
     if args.cmd == "query":
         searcher = LocalSearcher(BuiltIndex.load(args.index))

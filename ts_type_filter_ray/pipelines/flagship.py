@@ -1566,6 +1566,19 @@ def stopword_match_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+def index_fsck_table(sf_dir: str) -> pa.Table:
+    """One-row fsck report over the nostem index WITH the sha256
+    re-hash leg (``pipelines/fsck.py``): the recounted statistics are
+    value-exact vs the SQL token aggregates, and every consistency flag
+    must come back true / zero on a healthy build — so the verification
+    machinery itself sits on the driver gate. Corruption-detection
+    behavior is pytest-covered (tests/test_fsck.py tampers copies)."""
+    from .fsck import fsck_index
+
+    idx = build_documents_index_nostem(sf_dir)
+    return fsck_index(idx.root, corpus_from_documents(sf_dir))
+
+
 def index_statistics_stopworded_table(sf_dir: str) -> pa.Table:
     """Distributed aggregates of the stopworded index — total_doc_len
     must exclude stopword occurrences (the doc_len side of StopFilter
