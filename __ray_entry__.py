@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # language model) — rank-only, value-exact
         "ql_topk_nostem":
             lambda sf: flagship.ql_topk_nostem_table(sf),
+        # Jelinek-Mercer query likelihood (linear interpolation) — the
+        # fourth ranked scorer, rank-only, value-exact
+        "ql_jm_topk_nostem":
+            lambda sf: flagship.ql_jm_topk_nostem_table(sf),
         # numeric field index (Lucene points/doc-values analog):
         # range atoms in the query language answered by manifest +
         # row-group-statistics pruned reads over a value-sorted layout
@@ -947,6 +951,54 @@ def oracle_sql() -> dict[str, str]:
               group by q.query_idx, t.doc_id, ql.qlen, l.dl)"""
     ql_nostem_sql = ql_nostem_sql + _ranked_select(
         "qscored", f"rank <= {BM25_NOSTEM_K}")
+
+    # Jelinek-Mercer query likelihood (LocalSearcher.query_likelihood_jm):
+    # linear interpolation instead of the Dirichlet prior. Per-doc fold of
+    # qtf·ln(1 + ((1-λ)/λ)·(tf/dl)/(ctf/C)) over matched terms ascending,
+    # plus the query-only constant Σ qtf·ln(λ·ctf/C) — itself an
+    # ascending-term list fold so the float is bit-identical on both
+    # sides.
+    from ts_type_filter_ray.pipelines.flagship import JM_LAMBDA
+    jm_nostem_sql = rf"""
+            with base as (
+              select doc_id,
+                     case when trim(text) = '' then cast([] as varchar[])
+                          else regexp_split_to_array(lower(trim(text)),'\s+')
+                     end as arr
+              from documents),
+            dl_t as (select doc_id, len(arr)::BIGINT as dl from base),
+            stats as (select coalesce(sum(dl), 0)::BIGINT as tdl from dl_t),
+            tf_t as (
+              select doc_id, term, count(*)::BIGINT as tf
+              from (select doc_id, unnest(arr) as term from base)
+              group by doc_id, term),
+            ctf_t as (select term, sum(tf)::BIGINT as ctf
+                      from tf_t group by term),
+            q(query_idx, term, qtf) as (values {ql_rows}),
+            qconst_t as (
+              select q.query_idx,
+                     list_aggregate(list(
+                       q.qtf * ln({JM_LAMBDA} * (f.ctf / s.tdl))
+                       order by q.term asc), 'sum') as qconst
+              from q join ctf_t f on f.term = q.term
+              cross join stats s
+              group by q.query_idx),
+            jscored as (
+              select q.query_idx, t.doc_id,
+                     list_aggregate(list(
+                       q.qtf * ln(1.0 + ((1.0 - {JM_LAMBDA}) / {JM_LAMBDA})
+                                  * ((t.tf / l.dl) / (f.ctf / s.tdl)))
+                       order by q.term asc), 'sum')
+                     + qc.qconst as score
+              from q
+              join tf_t t on t.term = q.term
+              join ctf_t f on f.term = q.term
+              join dl_t l on l.doc_id = t.doc_id
+              join qconst_t qc on qc.query_idx = q.query_idx
+              cross join stats s
+              group by q.query_idx, t.doc_id, qc.qconst)"""
+    jm_nostem_sql = jm_nostem_sql + _ranked_select(
+        "jscored", f"rank <= {BM25_NOSTEM_K}")
     # ---- late-r4 query surfaces ----
     from ts_type_filter_ray.pipelines.flagship import (
         BULK_QUERY_SET, COLLAPSE_K, MLT_K, MLT_SEED_DOC_IDS, MLT_TERMS,
@@ -1899,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nostem": bm25_nostem_sql,
         "bm25f_topk_nostem": bm25f_nostem_sql,
         "ql_topk_nostem": ql_nostem_sql,
+        "ql_jm_topk_nostem": jm_nostem_sql,
         "range_filter_match": range_filter_sql,
         "stopword_match": rf"""
             with toks as (

@@ -117,3 +117,65 @@ def test_ql_deleted_docs_never_rank(ray_session, tmp_path_factory):
     after = LocalSearcher(BuiltIndex.load(str(out)),
                           stemmer=identity_stemmer)
     assert 4 not in [d for d, _ in after.query_likelihood("spark", k=7)]
+
+
+# -- Jelinek-Mercer smoothing (query_likelihood_jm) ------------------------
+
+
+def _ref_jm(query, lam):
+    """Pure-Python JM QL with the engine's float64 shapes."""
+    toks = [d.lower().split() for d in DOCS]
+    coll = float(sum(len(t) for t in toks))
+    ratio = (1.0 - lam) / lam
+    pairs = query_stem_counts(query, stemmer=identity_stemmer)
+    present = []
+    qconst = 0.0
+    import math
+    for term, qtf in pairs:
+        ctf = sum(t.count(term) for t in toks)
+        if ctf == 0:
+            continue
+        present.append((term, float(qtf), float(ctf)))
+        qconst += float(qtf) * math.log(lam * (ctf / coll))
+    if not present:
+        return {}
+    scores = {}
+    for term, qtf, ctf in present:  # ascending term order
+        for d, t in enumerate(toks):
+            tf = float(t.count(term))
+            if tf == 0.0:
+                continue
+            dl = float(len(t))
+            c = qtf * float(np.log(1.0 + ratio
+                                   * ((tf / dl) / (ctf / coll))))
+            scores[d] = scores.get(d, 0.0) + c
+    return {d: sc + qconst for d, sc in scores.items()}
+
+
+def test_jm_bit_identical_to_reference(ql_index):
+    s = LocalSearcher(ql_index, stemmer=identity_stemmer)
+    for lam in (0.3, 0.7):
+        for q in QUERIES:
+            got = s.query_likelihood_jm(q, k=len(DOCS), lam=lam)
+            ref = _ref_jm(q, lam)
+            exp = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, lam)
+            for (dg, sg), (_de, se) in zip(got, exp):
+                assert sg == se, (q, lam, dg, sg, se)
+
+
+def test_jm_lambda_bounds(ql_index):
+    s = LocalSearcher(ql_index, stemmer=identity_stemmer)
+    for bad in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            s.query_likelihood_jm("spark", lam=bad)
+
+
+def test_jm_differs_from_dirichlet(ql_index):
+    """The two smoothers are genuinely different scorers: scores differ
+    even when the candidate universe agrees."""
+    s = LocalSearcher(ql_index, stemmer=identity_stemmer)
+    jm = dict(s.query_likelihood_jm("spark engine", k=7))
+    dir_ = dict(s.query_likelihood("spark engine", k=7))
+    assert set(jm) == set(dir_)
+    assert jm != dir_

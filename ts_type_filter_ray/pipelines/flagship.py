@@ -1385,6 +1385,36 @@ def ql_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
     })
 
 
+# Jelinek-Mercer interpolation weight (Zhai & Lafferty 2001 "long
+# queries" setting; shared verbatim with the DuckDB oracle)
+JM_LAMBDA = 0.7
+
+
+def ql_jm_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                            queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) Jelinek-Mercer query-likelihood top-k
+    from the identity-stemmer index — RANK-ONLY, value-exact vs a
+    DuckDB oracle computing the same linearly-interpolated language
+    model (same λ, ctf/C, qtf multiplicities, float64 expression
+    shapes, ascending-term left fold + post-fold query constant, and
+    (score desc, doc_id asc) tie-break). The fourth ranked scorer
+    (``LocalSearcher.query_likelihood_jm``)."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        ranked = searcher.query_likelihood_jm(q, k=k, lam=JM_LAMBDA)
+        for r, (doc_id, _score) in enumerate(ranked, start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
 # -- Numeric field surfaces: range filters, sort-by-field, field stats ----
 # (the Lucene points / doc-values analog — pipelines/numeric.py)
 

@@ -1056,6 +1056,103 @@ class LocalSearcher:
         return [(-nd, s) for s, nd in sorted(heap,
                                              key=lambda x: (-x[0], -x[1]))]
 
+    def query_likelihood_jm(self, query, k: int = 10, lam: float = 0.7
+                            ) -> list[tuple[int, float]]:
+        """Top-k by the Jelinek-Mercer-smoothed query-likelihood model
+        (Zhai & Lafferty 2001) — linear interpolation instead of
+        Dirichlet's dl-dependent prior:
+
+            score(d) = Σ_t qtf·ln(1 + ((1-λ)/λ)·(tf/dl)/(ctf/C))
+                       + Σ_t qtf·ln(λ·ctf/C)
+
+        i.e. ln Π_t ((1-λ)·tf/dl + λ·ctf/C)^qtf decomposed into a
+        per-doc fold over MATCHED terms plus a query-only constant
+        (both restricted to collection-present terms, the standard OOV
+        convention; candidates are docs matching ≥1 present term —
+        same rank universe as :meth:`query_likelihood`). Same exactness
+        discipline: ascending-term left fold, the constant added AFTER
+        the fold (the oracle's ``list_aggregate(...) + qconst`` shape),
+        tie-break (score desc, doc_id asc)."""
+        if not 0.0 < lam < 1.0:
+            raise ValueError("lam must be in (0, 1)")
+        stats = self._stats
+        coll = float(stats.total_doc_len)
+        ratio = (1.0 - lam) / lam
+        pairs = query_stem_counts(query, self._stemmer, self._breaker)
+        term_rows: list[tuple[str, float, float, int, int]] = []
+        qconst = 0.0
+        for term, qtf in pairs:  # ascending term order
+            sl = self._term_slice(term)
+            if sl is None:
+                continue
+            ctf = 0
+            for i in range(sl[0], sl[1]):
+                ctf += int(self._decode_row(term, i)[1].sum())
+            term_rows.append((term, float(qtf), float(ctf), sl[0], sl[1]))
+            # query-only constant, folded in the same ascending order
+            qconst += float(qtf) * math.log(lam * (ctf / coll))
+        if not term_rows:
+            return []
+        parts = sorted({int(self._part[i])
+                        for _t, _q, _c, s, e in term_rows
+                        for i in range(s, e)})
+        part_bits = stats.doc_part_bits
+        dense_ok = part_bits <= 22
+        buf = np.zeros(1 << part_bits, dtype=np.float64) if dense_ok else None
+        heap: list[tuple[float, int]] = []
+        for part in parts:
+            doc_arrays: list[np.ndarray] = []
+            contrib_arrays: list[np.ndarray] = []
+            for _term, qtf, ctf, s, e in term_rows:  # ascending terms
+                for i in range(s, e):
+                    if self._part[i] != part:
+                        continue
+                    row = self._decode_row(_term, i)
+                    doc_arrays.append(row[4] if dense_ok else row[0])
+                    # same float64 shape as the oracle:
+                    # qtf * ln(1 + ratio * ((tf/dl) / (ctf/C)))
+                    contrib_arrays.append(
+                        qtf * np.log(1.0 + ratio
+                                     * ((row[1] / row[2])
+                                        / (ctf / coll))))
+            if not doc_arrays:
+                continue
+            if dense_ok:
+                base = np.int64(part) << np.int64(part_bits)
+                touched = np.unique(np.concatenate(doc_arrays))
+                for rel_t, contrib_t in zip(doc_arrays, contrib_arrays):
+                    buf[rel_t] += contrib_t
+                uniq = touched + base
+                sums = buf[touched].copy()
+                buf[touched] = 0.0
+            else:
+                uniq = np.unique(np.concatenate(doc_arrays))
+                sums = np.zeros(uniq.size, dtype=np.float64)
+                for docs_t, contrib_t in zip(doc_arrays, contrib_arrays):
+                    sums[np.searchsorted(uniq, docs_t)] += contrib_t
+            sums = sums + qconst  # constant AFTER the fold
+            if self._tomb.size:
+                live = self._drop_deleted(uniq)
+                if live.size != uniq.size:
+                    keep = np.searchsorted(uniq, live)
+                    uniq, sums = live, sums[keep]
+                    if uniq.size == 0:
+                        continue
+            if uniq.size > k:
+                kth = np.argpartition(-sums, k - 1)[:k]
+                thresh = sums[kth].min()
+                cand = np.flatnonzero(sums >= thresh)
+                sel = np.lexsort((uniq[cand], -sums[cand]))[:k]
+                uniq, sums = uniq[cand][sel], sums[cand][sel]
+            for d, s in zip(uniq.tolist(), sums.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        return [(-nd, s) for s, nd in sorted(heap,
+                                             key=lambda x: (-x[0], -x[1]))]
+
     def explain(self, query, doc_id: int) -> dict:
         """Per-term BM25 score breakdown for one (query, doc) — the
         Lucene ``explain()`` surface. Returns ``{"doc_id", "score",
