@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_indexed":
             lambda sf: flagship.phrase_match_indexed_table(sf),
         "proximity_match": lambda sf: flagship.proximity_match_table(sf),
+        "ordered_proximity_match":
+            lambda sf: flagship.ordered_proximity_match_table(sf),
         # wildcard prefix queries: sorted-vocab range scan on the nostem
         # index, value-exact vs a SQL LIKE oracle
         "prefix_match_nostem":
@@ -721,6 +723,17 @@ def oracle_sql() -> dict[str, str]:
             f" and abs(a.pos - b.pos) <= {w}")
     proximity_sql = (pos_tok_cte + "\n" +
                      "\nunion all\n".join(prox_branches))
+    # ordered spans: b strictly AFTER a within the window (asymmetric)
+    from ts_type_filter_ray.pipelines.flagship import ORDERED_PROXIMITY_SET
+    oprox_branches = []
+    for i, (ta, tb, w) in enumerate(ORDERED_PROXIMITY_SET):
+        oprox_branches.append(
+            f"select distinct cast({i} as bigint) as query_idx, a.doc_id"
+            f" from tok a join tok b on b.doc_id = a.doc_id"
+            f" where a.term = '{ta}' and b.term = '{tb}'"
+            f" and b.pos - a.pos between 1 and {w}")
+    ordered_proximity_sql = (pos_tok_cte + "\n" +
+                             "\nunion all\n".join(oprox_branches))
 
     # BM25 rank-only oracle over the identity-stemmer index (VERDICT r3
     # #2): same Robertson formula, same (N, df, avgdl, k1=1.2, b=0.75),
@@ -2011,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
                    (select count(*) from toks)::BIGINT as total_doc_len""",
         "phrase_match_indexed": phrase_indexed_sql,
         "proximity_match": proximity_sql,
+        "ordered_proximity_match": ordered_proximity_sql,
         "prefix_match_nostem": prefix_sql,
         "conjunctive_match": conjunctive_sql,
         "andnot_match": andnot_sql,

@@ -419,3 +419,38 @@ def test_best_windows_golden(pos_index):
         "order fast", 2, [1, 4])
     assert s.best_windows("", 3, all_ids) == []
     assert s.best_windows("order", 3, []) == []
+
+
+# -- ordered spans (ordered_proximity) --------------------------------------
+
+
+def _oracle_oprox(a, b, w):
+    out = []
+    for d, text in enumerate(DOCS):
+        t = _toks(text)
+        pa_ = [i for i, x in enumerate(t) if x == a]
+        pb = [i for i, x in enumerate(t) if x == b]
+        if any(1 <= j - i <= w for i in pa_ for j in pb):
+            out.append(d)
+    return out
+
+
+def test_ordered_proximity_golden(pos_index):
+    s = PositionalSearcher(pos_index)
+    vocab = sorted({t for d in DOCS for t in _toks(d)})
+    pairs = [(a, b, w) for a in vocab[:6] for b in vocab[:6]
+             for w in (1, 2, 4)]
+    for a, b, w in pairs:
+        assert (s.ordered_proximity(a, b, w).tolist()
+                == _oracle_oprox(a, b, w)), (a, b, w)
+    # window=0 matches nothing; order matters
+    assert s.ordered_proximity("order", "fast", 0).tolist() == []
+
+
+def test_ordered_proximity_window1_is_bigram_phrase(pos_index):
+    s = PositionalSearcher(pos_index)
+    vocab = sorted({t for d in DOCS for t in _toks(d)})
+    for a in vocab[:5]:
+        for b in vocab[:5]:
+            assert (s.ordered_proximity(a, b, 1).tolist()
+                    == s.phrase(f"{a} {b}").tolist()), (a, b)

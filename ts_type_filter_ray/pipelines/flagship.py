@@ -541,6 +541,34 @@ def proximity_match_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+# Ordered spans: both orders of one pair (asymmetry), a window-1 pair
+# (≡ two-token phrase), a same-term repeat, and a miss
+ORDERED_PROXIMITY_SET: list[tuple[str, str, int]] = [
+    ("hash", "join", 2),
+    ("join", "hash", 2),
+    ("spark", "window", 1),
+    ("batch", "batch", 3),
+    ("zz", "qq", 4),
+]
+
+
+def ordered_proximity_match_table(sf_dir: str,
+                                  pairs: list | None = None) -> pa.Table:
+    """(query_idx, doc_id) ordered-span matches (term_b after term_a,
+    1 ≤ Δpos ≤ window) from the positional index — asymmetric, unlike
+    ``proximity_match``; value-exact vs a positional SQL oracle with
+    ``b.pos - a.pos between 1 and w``."""
+    from .positional import PositionalSearcher
+    searcher = PositionalSearcher(phrase_index_for(sf_dir))
+    qi, di = [], []
+    for i, (a, b, w) in enumerate(pairs or ORDERED_PROXIMITY_SET):
+        for doc_id in searcher.ordered_proximity(a, b, w).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
 # Wildcard-prefix query set over the nostem index: hot prefixes, a
 # single-letter range, an exact-term-length prefix, and a miss.
 PREFIX_QUERY_SET: list[str] = ["sp", "ba", "w", "merge", "zzz_nope"]

@@ -778,6 +778,39 @@ class PositionalSearcher:
             out.append((int(docs[s]), best[2], -best[0], -best[1]))
         return out
 
+    def ordered_proximity(self, term_a: str, term_b: str,
+                          window: int) -> np.ndarray:
+        """doc_ids where *term_b* occurs AFTER *term_a* within *window*
+        positions (1 ≤ pos_b − pos_a ≤ window) — the ordered span
+        (Lucene ``SpanNearQuery(inOrder=true)`` for two terms;
+        asymmetric: ``ordered_proximity(a, b, w)`` ≠
+        ``ordered_proximity(b, a, w)``). Same key algebra as
+        :meth:`proximity` restricted to positive shifts of the first
+        term; ``window=1`` degenerates to the two-token phrase. For
+        ``term_a == term_b`` the strict ordering already enforces two
+        distinct positions."""
+        if window < 1:
+            return np.empty(0, dtype=np.int64)
+        a = self._stem(term_a.lower())
+        b = self._stem(term_b.lower())
+        keys = self._term_keys([a, b])
+        ka, kb = keys[a], keys[b]
+        if ka.size == 0 or kb.size == 0:
+            return np.empty(0, dtype=np.int64)
+        docs: list[np.ndarray] = []
+        mask = np.int64(_MAX_DOC_LEN)
+        for off in range(1, window + 1):
+            o = np.int64(off)
+            # a positive shift stays in-doc iff pos+off does not
+            # overflow the position field (same guard as proximity)
+            ok_a = ka[(ka & mask) <= mask - o]
+            hit = np.intersect1d(ok_a + o, kb, assume_unique=True)
+            if hit.size:
+                docs.append(hit >> POS_BITS)
+        if not docs:
+            return np.empty(0, dtype=np.int64)
+        return self._drop_deleted(np.unique(np.concatenate(docs)))
+
     def proximity(self, term_a: str, term_b: str,
                   window: int) -> np.ndarray:
         """doc_ids where the two terms co-occur within *window* token
