@@ -53,6 +53,13 @@ def _analytics():
     return analytics
 
 
+def _export_postings(sf_dir: str):
+    from ts_type_filter_ray.pipelines.build import export_postings
+    from ts_type_filter_ray.pipelines.flagship import \
+        build_documents_index_nostem
+    return export_postings(build_documents_index_nostem(sf_dir).root)
+
+
 def _packing():
     from ts_type_filter_ray.functions import packing
     return packing
@@ -93,6 +100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _analytics().numeric_histogram_table(sf),
         "function_score_topk":
             lambda sf: _analytics().function_score_table(sf),
+        # interchange dump: decode the whole index back to its logical
+        # (term, doc_id, tf) triples as one streaming distributed pass
+        # (vectorized varint column decode + offsets explode) — the
+        # decode path corpus-wide on the value-exact gate
+        "export_postings": _export_postings,
         # index verification (pipelines/fsck.py): postings recount,
         # per-bucket df-table re-derivation, doc-id uniqueness proof,
         # and the per-row sha256 invariant as per-partition XOR rollups
@@ -1927,6 +1939,13 @@ def oracle_sql() -> dict[str, str]:
             select distinct q.query_idx, t.doc_id
             from q join toks t using (term)
             where t.doc_id not in ({deleted_ids})""",
+        "export_postings": r"""
+            select term, doc_id, count(*)::BIGINT as tf
+            from (select doc_id,
+                         unnest(regexp_split_to_array(lower(trim(text)),
+                                                      '\s+')) as term
+                  from documents where trim(text) <> '')
+            group by doc_id, term""",
         "index_fsck": r"""
             with toks as (
               select doc_id, term from (

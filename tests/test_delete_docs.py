@@ -220,3 +220,25 @@ def test_upsert_docs_lifecycle(ray_session, tmp_path_factory):
     for q in ("alpha", "gamma", "omega", "updated", "epsilon", "beta"):
         assert s2.match(q).tolist() == oracle.match(q), q
         assert s2.bm25(q, k=5) == oracle.bm25(q, k=5), q
+
+
+def test_export_postings_honors_tombstones(deleted_index):
+    """The interchange dump equals the index's query-visible contents:
+    tombstoned docs never appear, every surviving (doc, term) does,
+    with the exact per-doc tf."""
+    from collections import Counter
+
+    from ts_type_filter_ray.pipelines.build import export_postings
+    from ts_type_filter_ray.text.porter2 import stem
+
+    idx, contents = deleted_index
+    df = export_postings(idx.root).to_pandas()
+    assert not set(df.doc_id) & set(DELETED)
+    want = {}
+    for d, text in enumerate(contents):
+        if d in DELETED:
+            continue
+        for t, c in Counter(stem(w) for w in text.split()).items():
+            want[(t, d)] = c
+    got = {(r.term, r.doc_id): r.tf for r in df.itertuples()}
+    assert got == want

@@ -135,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("index")
     fs.add_argument("--corpus", help="parquet corpus dir to re-hash")
 
+    ex = sub.add_parser(
+        "export", help="decode the index to (term, doc_id, tf) parquet "
+                       "triples (the interchange dump)")
+    ex.add_argument("index")
+    ex.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -217,6 +223,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"tombstoned {len(set(ids))} doc ids "
               f"({load_tombstones(args.index).size} total pending purge); "
               f"run compact to reclaim")
+        return 0
+
+    if args.cmd == "export":
+        from .pipelines.build import export_postings
+        if not os.path.exists(os.path.join(args.index, "stats.json")):
+            print(f"error: no index at {args.index!r} (missing stats.json)",
+                  file=sys.stderr)
+            return 2
+        ds = export_postings(args.index)
+        ds.write_parquet(args.out)
+        print(f"exported postings triples -> {args.out}")
         return 0
 
     if args.cmd == "fsck":

@@ -1008,3 +1008,56 @@ def merge_index_roots(roots: list[str], out_dir: str) -> BuiltIndex:
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats.__dict__, f, indent=1)
     return BuiltIndex(root=out_dir, stats=stats)
+
+
+def export_postings(index_root: str):
+    """Decode the index back to its LOGICAL (term, doc_id, tf) triples
+    as a streaming ``ray.data.Dataset`` — the interchange dump (feed it
+    to another engine, diff two indexes, or re-derive any statistic in
+    SQL). One distributed pass over the bucket-sharded posting files:
+    each batch decodes its varint columns with the vectorized column
+    kernels and explodes via offsets (no per-posting Python); tombstoned
+    docs are dropped so the export equals the index's query-visible
+    contents. Output order is unspecified (it's a set of triples);
+    ``.write_parquet`` it for a resumable on-disk dump."""
+    import numpy as np
+    import ray.data as rd
+
+    index = BuiltIndex.load(index_root)
+    tomb = load_tombstones(index_root)
+
+    def explode(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+
+        from ..state import postings as plib
+        ids_flat, off = plib.decode_doc_ids_column(batch["doc_ids_enc"])
+        tfs_flat, _ = plib.decode_varints_column(batch["tfs_enc"])
+        if len(ids_flat) == 0:
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+            })
+        counts = np.diff(np.asarray(off, dtype=np.int64))
+        parent = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                           counts)
+        ids_flat = np.asarray(ids_flat, dtype=np.int64)
+        tfs_flat = np.asarray(tfs_flat, dtype=np.int64)
+        if tomb.size:
+            pos = np.searchsorted(tomb, ids_flat)
+            dead = ((pos < tomb.size)
+                    & (tomb[np.minimum(pos, tomb.size - 1)] == ids_flat))
+            if dead.any():
+                keep = ~dead
+                ids_flat, tfs_flat = ids_flat[keep], tfs_flat[keep]
+                parent = parent[keep]
+        return pa.table({
+            "term": batch["term"].take(pa.array(parent)),
+            "doc_id": pa.array(ids_flat, type=pa.int64()),
+            "tf": pa.array(tfs_flat, type=pa.int64()),
+        })
+
+    ds = rd.read_parquet(index.postings_dir,
+                         columns=["term", "doc_ids_enc", "tfs_enc"])
+    return ds.map_batches(explode, batch_format="pyarrow")
