@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fourth ranked scorer, rank-only, value-exact
         "ql_jm_topk_nostem":
             lambda sf: flagship.ql_jm_topk_nostem_table(sf),
+        # per-term query boosts (Lucene term^b) with boost-scaled
+        # block-max pruning — rank-only, value-exact
+        "boosted_bm25_nostem":
+            lambda sf: flagship.boosted_bm25_nostem_table(sf),
         # numeric field index (Lucene points/doc-values analog):
         # range atoms in the query language answered by manifest +
         # row-group-statistics pruned reads over a value-sorted layout
@@ -976,6 +980,49 @@ def oracle_sql() -> dict[str, str]:
               group by q.query_idx, t.doc_id, ql.qlen, l.dl)"""
     ql_nostem_sql = ql_nostem_sql + _ranked_select(
         "qscored", f"rank <= {BM25_NOSTEM_K}")
+
+    # Boosted BM25 (Lucene term^b): same Robertson fold with each term's
+    # contribution scaled boost * (idf * tf_factor) — boosts resolved
+    # from the SAME query set + stemmer the engine path uses
+    from ts_type_filter_ray.pipelines.flagship import BOOSTED_QUERY_SET
+    boosted_rows = ",".join(
+        f"({qi},'{t}',{b.get(t, 1.0)!r})"
+        for qi, (q, b) in enumerate(BOOSTED_QUERY_SET)
+        for t in query_stems(q, stemmer=identity_stemmer))
+    boosted_bm25_sql = rf"""
+            with base as (
+              select doc_id,
+                     case when trim(text) = '' then cast([] as varchar[])
+                          else regexp_split_to_array(lower(trim(text)),'\s+')
+                     end as arr
+              from documents),
+            dl_t as (select doc_id, len(arr)::BIGINT as dl from base),
+            stats as (select count(*)::BIGINT as n,
+                             coalesce(sum(dl), 0)::BIGINT as tdl from dl_t),
+            tf_t as (
+              select doc_id, term, count(*)::BIGINT as tf
+              from (select doc_id, unnest(arr) as term from base)
+              group by doc_id, term),
+            df_t as (select term, count(*)::BIGINT as df
+                     from tf_t group by term),
+            q(query_idx, term, boost) as (values {boosted_rows}),
+            wscored as (
+              select q.query_idx, t.doc_id,
+                     list_aggregate(list(
+                       q.boost *
+                       (ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                        * ((t.tf * ({BM25_K1} + 1.0))
+                           / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                              + {BM25_B} * l.dl / (s.tdl / s.n)))))
+                       order by q.term asc), 'sum') as score
+              from q
+              join tf_t t on t.term = q.term
+              join df_t d on d.term = q.term
+              join dl_t l on l.doc_id = t.doc_id
+              cross join stats s
+              group by q.query_idx, t.doc_id)"""
+    boosted_bm25_sql = boosted_bm25_sql + _ranked_select(
+        "wscored", f"rank <= {BM25_NOSTEM_K}")
 
     # Jelinek-Mercer query likelihood (LocalSearcher.query_likelihood_jm):
     # linear interpolation instead of the Dirichlet prior. Per-doc fold of
@@ -1984,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk_nostem": bm25f_nostem_sql,
         "ql_topk_nostem": ql_nostem_sql,
         "ql_jm_topk_nostem": jm_nostem_sql,
+        "boosted_bm25_nostem": boosted_bm25_sql,
         "range_filter_match": range_filter_sql,
         "stopword_match": rf"""
             with toks as (

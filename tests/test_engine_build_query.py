@@ -437,3 +437,29 @@ def test_tfidf_golden(sonnets_index, sonnets_corpus_dir):
         assert np.allclose([sc for _, sc in got], [sc for _, sc in want],
                            rtol=1e-12, atol=0.0), q
     assert s.tfidf("zzznohit") == []
+
+
+def test_bm25_boosts(sonnets_index):
+    """term^b semantics: empty/unit boosts are bit-identical to the
+    plain ranking; boosting reweights scores by exactly
+    boost*(idf*tf_factor); non-positive boosts are rejected."""
+    s = LocalSearcher(sonnets_index)
+    plain = s.bm25("fire heat", k=200)
+    assert s.bm25("fire heat", k=200, boosts={}) == plain
+    assert s.bm25("fire heat", k=200, boosts={"heat": 1.0}) == plain
+    boosted = s.bm25("fire heat", k=200, boosts={"heat": 4.0})
+    assert boosted != plain
+    # reference: recombine per-term contributions from explain()
+    ps = {d: sc for d, sc in plain}
+    bs = {d: sc for d, sc in boosted}
+    assert set(ps) == set(bs)
+    for d in list(ps)[:20]:
+        ex = s.explain("fire heat", d)
+        want = 0.0
+        for trm in ex["terms"]:
+            c = trm["contribution"]
+            want += (4.0 * c) if trm["term"] == "heat" else c
+        assert bs[d] == want, d
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError):
+            s.bm25("fire", boosts={"fire": bad})

@@ -1413,6 +1413,39 @@ def ql_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
     })
 
 
+# Boosted queries: (query, {token: boost}) — a down-weighted hot term,
+# an up-weighted rare term, a boost that must flip the unboosted order,
+# and a no-op boost (bit-identical to the plain ranking)
+BOOSTED_QUERY_SET: list[tuple[str, dict[str, float]]] = [
+    ("spark fast", {"spark": 2.0}),
+    ("query table row", {"table": 0.25, "row": 3.0}),
+    ("hash partition window stream", {"stream": 5.0}),
+    ("batch value", {}),
+]
+
+
+def boosted_bm25_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                              queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) RANK-ONLY boosted-BM25 top-k (Lucene
+    ``term^b``): per-term contributions scaled ``boost * (idf *
+    tf_factor)`` with block-max pruning bounds scaled alike — value
+    -exact vs a DuckDB oracle computing the identical weighted fold."""
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, (q, boosts) in enumerate(queries or BOOSTED_QUERY_SET):
+        ranked = searcher.bm25(q, k=k, boosts=boosts)
+        for r, (doc_id, _score) in enumerate(ranked, start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
 # Jelinek-Mercer interpolation weight (Zhai & Lafferty 2001 "long
 # queries" setting; shared verbatim with the DuckDB oracle)
 JM_LAMBDA = 0.7

@@ -713,7 +713,8 @@ class LocalSearcher:
 
     def bm25(self, query, k: int = 10,
              after: tuple[int, float] | None = None,
-             allowed: np.ndarray | None = None
+             allowed: np.ndarray | None = None,
+             boosts: dict[str, float] | None = None
              ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), tie-break (score desc, doc_id asc).
 
@@ -731,6 +732,12 @@ class LocalSearcher:
         scores are unchanged (the filter restricts candidates, it never
         perturbs N/df/avgdl). Composes with ``after``.
 
+        ``boosts`` maps query tokens to positive per-term weights
+        (Lucene ``term^b``): each term's contribution becomes
+        ``boost * (idf * tf_factor)`` and the block-max upper bounds
+        scale with the boost, so WAND pruning stays exact. Omitted
+        terms default to 1.0 (bit-identical to the unboosted query).
+
         Partition-level block-max pruning: for each doc-partition p the
         upper bound ub(p) = Σ_t idf(t)·max_impact(t,p) is computed from
         the stored block-max metadata; partitions are scored in
@@ -741,20 +748,30 @@ class LocalSearcher:
         stats = self._stats
         if allowed is not None and allowed.size == 0:
             return []
+        # per-term query boosts (Lucene term^b): keys are raw tokens,
+        # stemmed with this index's stemmer for lookup; must be positive
+        # (the block-max upper bound scales linearly in the boost, so
+        # pruning stays exact only for boost > 0)
+        bmap: dict[str, float] = {}
+        for tok, bv in (boosts or {}).items():
+            if not bv > 0.0:
+                raise ValueError(f"boost for {tok!r} must be > 0")
+            bmap[self._stem_token(tok.lower())] = float(bv)
         stems = query_stems(query, self._stemmer, self._breaker)
-        term_rows: list[tuple[str, float, int, int]] = []
+        term_rows: list[tuple[str, float, float, int, int]] = []
         for term in stems:
             sl = self._term_slice(term)
             if sl is not None:
-                term_rows.append((term, self.idf(term), sl[0], sl[1]))
+                term_rows.append((term, self.idf(term),
+                                  bmap.get(term, 1.0), sl[0], sl[1]))
         if not term_rows:
             return []
 
         # Upper bound per doc-partition.
         ub: dict[int, float] = defaultdict(float)
-        for _term, idf, s, e in term_rows:
+        for _term, idf, boost, s, e in term_rows:
             for i in range(s, e):
-                ub[int(self._part[i])] += idf * self._imp[i]
+                ub[int(self._part[i])] += boost * (idf * self._imp[i])
         parts_desc = sorted(ub, key=lambda p: -ub[p])
 
         # dense per-partition score buffer (2^part_bits slots), reused
@@ -775,7 +792,7 @@ class LocalSearcher:
             # scores vs the oracle.
             doc_arrays: list[np.ndarray] = []
             contrib_arrays: list[np.ndarray] = []
-            for _term, idf, s, e in term_rows:  # ascending term order
+            for _term, idf, boost, s, e in term_rows:  # ascending terms
                 for i in range(s, e):
                     if self._part[i] != part:
                         continue
@@ -798,7 +815,11 @@ class LocalSearcher:
                             self._decoded_bytes = 0
                         self._contrib[i] = contrib
                         self._decoded_bytes += contrib.nbytes
-                    contrib_arrays.append(contrib)
+                    # the cache stays boost-free (boosts vary per query);
+                    # the boosted product is the oracle's
+                    # boost * (idf * tf_factor) association
+                    contrib_arrays.append(
+                        contrib if boost == 1.0 else boost * contrib)
             if not doc_arrays:
                 continue
             # Left-fold accumulation per doc in term order: a doc appears
