@@ -250,6 +250,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sweep over the sorted vocab (RE2 both sides), postings union
         "regex_match_nostem":
             lambda sf: flagship.regex_match_nostem_table(sf),
+        # persisted trigram dictionary (pg_trgm / Cox code-search shape):
+        # infix wildcards as O(#grams) hashed probes + candidate verify,
+        # regex through required-literal-factor pruning — the documented
+        # scale paths for the two sweeps above, on the same LIKE /
+        # regexp_matches oracle shapes
+        "infix_match_trigram":
+            lambda sf: flagship.infix_match_trigram_table(sf),
+        "regex_match_trigram":
+            lambda sf: flagship.regex_match_trigram_table(sf),
         # more-like-this: seed doc's top-m tf·ln(N/df) terms → BM25 with
         # the seed excluded; rank-only vs a composed DuckDB oracle
         "mlt_topk_nostem": lambda sf: flagship.mlt_topk_nostem_table(sf),
@@ -1310,6 +1319,29 @@ def oracle_sql() -> dict[str, str]:
     infix_sql = (nostem_toks_cte + "\n" +
                  "\nunion all\n".join(infix_branches))
 
+    # trigram-indexed surfaces: same LIKE '%q%' / regexp_matches oracle
+    # shapes over their own (len ≥ 3 / literal-factor) query panels
+    from ts_type_filter_ray.pipelines.flagship import (
+        TRIGRAM_INFIX_SET, TRIGRAM_REGEX_SET)
+    trgm_infix_branches = [
+        f"select distinct cast({i} as bigint) as query_idx, doc_id"
+        f" from toks where term like '%{_like_body(s)}%' escape '\\'"
+        for i, s in enumerate(TRIGRAM_INFIX_SET)]
+    trgm_infix_sql = (nostem_toks_cte + "\n" +
+                      "\nunion all\n".join(trgm_infix_branches))
+    trgm_regex_rows = ",".join(f"({i},'{p}')"
+                               for i, p in enumerate(TRIGRAM_REGEX_SET))
+    trgm_regex_sql = rf"""
+            with pat(query_idx, pattern) as (values {trgm_regex_rows}),
+            toks as (
+              select distinct doc_id, term from (
+                select doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                       as term
+                from documents where trim(text) <> ''))
+            select distinct p.query_idx, t.doc_id
+            from pat p join toks t on regexp_matches(t.term, p.pattern)"""
+
     # (tfidf_nostem_sql derives from the shared _rank_ctes stack above —
     # same ln(N/df)·(1+ln tf) float64 shapes and ascending-term
     # left-fold; N counts ALL documents, matching IndexStats)
@@ -2111,6 +2143,8 @@ def oracle_sql() -> dict[str, str]:
         "bulk_match_nostem": bulk_match_sql,
         "bulk_bm25_topk_nostem": bm25_nostem_sql,
         "regex_match_nostem": regex_match_sql,
+        "infix_match_trigram": trgm_infix_sql,
+        "regex_match_trigram": trgm_regex_sql,
         "mlt_topk_nostem": mlt_sql,
         "collapsed_topk_nostem": collapsed_sql,
         "oov_rate": oov_sql,

@@ -1231,6 +1231,61 @@ def regex_match_nostem_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+# ---- trigram-indexed infix / regex (the persisted scale path) --------
+
+# len ≥ 3 infixes (the trigram index's domain): corpus hits + a miss
+TRIGRAM_INFIX_SET: list[str] = ["ord", "ream", "ust", "erge", "zzz"]
+
+# regex panel with required literal factors ≥ 3 (trigram-accelerated)
+# plus one factor-free pattern that exercises the sweep fallback branch
+TRIGRAM_REGEX_SET: list[str] = [
+    "^stream", "cust.*er", "merge$", "bat(ch|on)", "zzzq", "[aeiou]gg",
+]
+
+
+def infix_match_trigram_table(sf_dir: str,
+                              infixes: list[str] | None = None
+                              ) -> pa.Table:
+    """(query_idx, doc_id) '*infix*' wildcard match sets answered from
+    the persisted TRIGRAM dictionary (``trigram.match_contains_indexed``
+    — O(#grams) hashed probes + candidate verify instead of the O(V)
+    ``match_substring`` sweep), same LIKE '%infix%' oracle shape as
+    ``infix_match_nostem``: the scale path itself sits on the
+    value-exact gate."""
+    from .trigram import build_trigram_index, match_contains_indexed
+
+    idx = build_documents_index_nostem(sf_dir)
+    build_trigram_index(idx.root)
+    qi, di = [], []
+    for i, s in enumerate(infixes or TRIGRAM_INFIX_SET):
+        for doc_id in match_contains_indexed(idx, s).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
+def regex_match_trigram_table(sf_dir: str,
+                              patterns: list[str] | None = None
+                              ) -> pa.Table:
+    """(query_idx, doc_id) regex vocabulary match answered through
+    required-literal-factor trigram pruning
+    (``trigram.match_regex_indexed`` — Cox-style factor extraction →
+    candidate verify; factor-free patterns fall back to the sweep),
+    same ``regexp_matches`` oracle shape as ``regex_match_nostem``."""
+    from .trigram import build_trigram_index, match_regex_indexed
+
+    idx = build_documents_index_nostem(sf_dir)
+    build_trigram_index(idx.root)
+    qi, di = [], []
+    for i, p in enumerate(patterns or TRIGRAM_REGEX_SET):
+        for doc_id in match_regex_indexed(idx, p).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
 # ---- more-like-this --------------------------------------------------
 
 MLT_SEED_DOC_IDS: list[int] = [1, 42, 123]
