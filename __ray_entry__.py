@@ -341,6 +341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_indexed":
             lambda sf: flagship.phrase_match_indexed_table(sf),
         "proximity_match": lambda sf: flagship.proximity_match_table(sf),
+        # first-occurrence positions: the stored position VALUES
+        # themselves on the value-exact gate (min(pos) per (term, doc)),
+        # not just membership predicates over them
+        "first_positions": lambda sf: flagship.first_positions_table(sf),
         "ordered_proximity_match":
             lambda sf: flagship.ordered_proximity_match_table(sf),
         # wildcard prefix queries: sorted-vocab range scan on the nostem
@@ -739,6 +743,16 @@ def oracle_sql() -> dict[str, str]:
             f" from tok t0{joins} where {conds}")
     phrase_indexed_sql = (pos_tok_cte + "\n" +
                           "\nunion all\n".join(phrase_branches))
+    # first-occurrence positions: min(pos) per (term, doc) over the same
+    # parallel-unnest token relation
+    from ts_type_filter_ray.pipelines.flagship import FIRST_POS_TERM_SET
+    fpos_branches = [
+        f"select cast({i} as bigint) as query_idx, doc_id,"
+        f" min(pos) as first_pos from tok where term = '{t}'"
+        f" group by doc_id"
+        for i, t in enumerate(FIRST_POS_TERM_SET)]
+    first_positions_sql = (pos_tok_cte + "\n" +
+                           "\nunion all\n".join(fpos_branches))
     prox_branches = []
     for i, (ta, tb, w) in enumerate(PROXIMITY_SET):
         prox_branches.append(
@@ -2122,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
                        as num_postings,
                    (select count(*) from toks)::BIGINT as total_doc_len""",
         "phrase_match_indexed": phrase_indexed_sql,
+        "first_positions": first_positions_sql,
         "proximity_match": proximity_sql,
         "ordered_proximity_match": ordered_proximity_sql,
         "prefix_match_nostem": prefix_sql,

@@ -133,6 +133,42 @@ def test_position_limit_enforced(ray_session, tmp_path):
                                num_term_buckets=2)
 
 
+def test_first_occurrences_golden(pos_index):
+    """first_occurrences(term) ≡ min token position per containing doc."""
+    s = PositionalSearcher(pos_index)
+    for term in ("fast", "batch", "a", "order", "solo", "zz_missing"):
+        docs, pos = s.first_occurrences(term)
+        want = {d: _toks(text).index(term)
+                for d, text in enumerate(DOCS) if term in _toks(text)}
+        assert docs.tolist() == sorted(want), term
+        assert pos.tolist() == [want[d] for d in sorted(want)], term
+
+
+def test_first_occurrences_tombstones(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.build import delete_docs
+    docs = ["x order fast", "order", "fast fast order"]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "content": pa.array(docs, type=pa.string())}))
+    root = str(tmp_path_factory.mktemp("posfirst") / "idx")
+    idx = build_positional_index(corpus, root, num_term_buckets=2,
+                                 doc_part_bits=2)
+    delete_docs(root, [1])
+    s = PositionalSearcher(PositionalIndex.load(root))
+    d, p = s.first_occurrences("order")
+    assert d.tolist() == [0, 2] and p.tolist() == [1, 2]
+    # tombstoned doc is the LAST doc for this term: exercises the
+    # searchsorted end-of-array guard
+    delete_docs(root, [2])
+    s2 = PositionalSearcher(PositionalIndex.load(root))
+    d2, p2 = s2.first_occurrences("order")
+    assert d2.tolist() == [0] and p2.tolist() == [1]
+    d3, p3 = s2.first_occurrences("fast")
+    assert d3.tolist() == [0] and p3.tolist() == [2]
+
+
 def test_keys_roundtrip_positions(pos_index):
     """Decoded (doc, pos) keys for a term reproduce the raw token
     positions exactly (delta codec round-trip through the merge)."""

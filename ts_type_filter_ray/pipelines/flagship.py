@@ -541,6 +541,32 @@ def proximity_match_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+# First-occurrence probe terms: hot terms, a rarer one, and a miss.
+FIRST_POS_TERM_SET: list[str] = ["order", "spark", "batch", "window", "zz"]
+
+
+def first_positions_table(sf_dir: str,
+                          terms: list[str] | None = None) -> pa.Table:
+    """(query_idx, doc_id, first_pos) — the first 0-based token position
+    of each probe term in every doc containing it, answered from the
+    persisted positional postings (``PositionalSearcher.
+    first_occurrences``). Unlike the phrase/proximity gates, which check
+    position data only through membership predicates, this puts the
+    POSITION VALUES themselves on the value-exact gate (min(pos) per
+    (term, doc) in DuckDB)."""
+    from .positional import PositionalSearcher
+    searcher = PositionalSearcher(phrase_index_for(sf_dir))
+    qi, di, ps = [], [], []
+    for i, t in enumerate(terms or FIRST_POS_TERM_SET):
+        docs, pos = searcher.first_occurrences(t)
+        qi.extend([i] * docs.size)
+        di.extend(docs.tolist())
+        ps.extend(pos.tolist())
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64()),
+                     "first_pos": pa.array(ps, type=pa.int64())})
+
+
 # Ordered spans: both orders of one pair (asymmetry), a window-1 pair
 # (≡ two-token phrase), a same-term repeat, and a miss
 ORDERED_PROXIMITY_SET: list[tuple[str, str, int]] = [

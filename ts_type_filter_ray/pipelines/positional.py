@@ -718,6 +718,30 @@ class PositionalSearcher:
             return np.empty(0, dtype=np.int64)
         return self._drop_deleted(np.unique(cur >> POS_BITS))
 
+    def first_occurrences(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids ascending, first 0-based token position of *term* in
+        each doc) — the stored positional data surfaced DIRECTLY rather
+        than through a membership predicate, which is what lets a SQL
+        oracle check the position values themselves. Keys come back
+        sorted per term, so within each doc group the first key carries
+        the minimum position; tombstoned docs are dropped pairwise."""
+        t = self._stem(term.lower())
+        keys = self._term_keys([t])[t]
+        if keys.size == 0:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        docs = keys >> POS_BITS
+        udocs, first = np.unique(docs, return_index=True)
+        pos = keys[first] & _MAX_DOC_LEN
+        if self._tomb.size:
+            at = np.searchsorted(self._tomb, udocs)
+            dead = ((at < self._tomb.size)
+                    & (self._tomb[np.minimum(at, self._tomb.size - 1)]
+                       == udocs))
+            if dead.any():
+                udocs, pos = udocs[~dead], pos[~dead]
+        return udocs, pos
+
     def best_windows(self, query: str, window: int,
                      doc_ids) -> list[tuple[int, int, int, int]]:
         """Snippet selection: for each doc in *doc_ids*, the best
