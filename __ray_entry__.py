@@ -225,6 +225,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the searcher algebra, vs handcrafted set-op SQL mirrors
         "boolean_expr_match":
             lambda sf: flagship.boolean_expr_match_table(sf),
+        # percolation (reverse search): stored rules classified against
+        # the streaming corpus in ONE indexless pass (pipelines/
+        # percolate.py) — boolean/phrase/proximity/prefix/fuzzy/field/
+        # range leaves, pure negation legal (per-doc universe)
+        "percolate": lambda sf: flagship.percolate_documents(sf),
         # metadata field filters (lang:en, source:src1*) from the
         # facet-as-term metadata index, composed with content terms
         "field_filter_match":
@@ -773,6 +778,61 @@ def oracle_sql() -> dict[str, str]:
             f" and b.pos - a.pos between 1 and {w}")
     ordered_proximity_sql = (pos_tok_cte + "\n" +
                              "\nunion all\n".join(oprox_branches))
+
+    # percolation: one SQL branch per stored rule, mirroring the
+    # streaming evaluator's per-doc boolean semantics over the same
+    # whitespace-token relation (pure negation = anti-join against the
+    # documents universe; field/range leaves read the doc's own columns)
+    def _perc(rule_id: str, body: str) -> str:
+        return (f"select '{rule_id}' as query_id, doc_id from ({body})")
+
+    _term = ("select distinct doc_id from tok where term = '{}'").format
+    perc_branches = [
+        _perc("p_and",
+              f"{_term('order')} intersect {_term('batch')}"),
+        _perc("p_andnot",
+              f"{_term('order')} except {_term('window')}"),
+        _perc("p_or", f"{_term('spark')} union {_term('window')}"),
+        _perc("p_not",
+              "select d.doc_id from documents d where not exists "
+              "(select 1 from tok where tok.doc_id = d.doc_id "
+              "and term = 'order')"),
+        _perc("p_phrase",
+              "select distinct t0.doc_id from tok t0 join tok t1 on "
+              "t1.doc_id = t0.doc_id and t1.pos = t0.pos + 1 "
+              "where t0.term = 'order' and t1.term = 'fast' "
+              "union "
+              "select distinct t0.doc_id from tok t0 "
+              "join tok t1 on t1.doc_id = t0.doc_id and "
+              "t1.pos = t0.pos + 1 "
+              "join tok t2 on t2.doc_id = t0.doc_id and "
+              "t2.pos = t0.pos + 2 "
+              "where t0.term = 'merge' and t1.term = 'part' "
+              "and t2.term = 'window'"),
+        _perc("p_prox",
+              "select distinct a.doc_id from tok a join tok b on "
+              "b.doc_id = a.doc_id where a.term = 'spark' and "
+              "b.term = 'window' and abs(a.pos - b.pos) <= 3"),
+        _perc("p_prefix",
+              "select distinct doc_id from tok where term like 'ord%' "
+              f"intersect {_term('batch')}"),
+        _perc("p_fuzzy",
+              "select distinct doc_id from tok "
+              "where levenshtein(term, 'ordr') <= 1"),
+        _perc("p_field",
+              "select distinct t.doc_id from tok t join documents d "
+              "on d.doc_id = t.doc_id where lower(d.lang) = 'en' "
+              "and t.term = 'order'"),
+        _perc("p_range",
+              "select distinct t.doc_id from tok t join documents d "
+              "on d.doc_id = t.doc_id where d.n_chars between 200 and "
+              "400 and t.term = 'batch'"),
+        _perc("p_nested",
+              f"({_term('order')} union {_term('batch')}) "
+              f"except {_term('spark')}"),
+    ]
+    percolate_sql = (pos_tok_cte + "\n" +
+                     "\nunion all\n".join(perc_branches))
 
     # BM25 rank-only oracle over the identity-stemmer index (VERDICT r3
     # #2): same Robertson formula, same (N, df, avgdl, k1=1.2, b=0.75),
@@ -2152,6 +2212,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk_nostem": tfidf_nostem_sql,
         "faceted_match_counts": faceted_sql,
         "boolean_expr_match": expr_sql,
+        "percolate": percolate_sql,
         "field_filter_match": field_filter_sql,
         "synonym_match": synonym_sql,
         # late-r4 surfaces

@@ -541,6 +541,38 @@ def proximity_match_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+# Percolation rule set: every leaf family the streaming evaluator
+# supports — boolean, pure negation (legal in percolation: each doc is
+# its own universe), phrase, proximity, prefix, fuzzy, metadata field,
+# numeric range — over the documents table's own columns.
+PERCOLATE_RULES: list[tuple[str, str]] = [
+    ("p_and", "order AND batch"),
+    ("p_andnot", "order AND NOT window"),
+    ("p_or", "spark OR window"),
+    ("p_not", "NOT order"),
+    ("p_phrase", '"order fast" OR "merge part window"'),
+    ("p_prox", '"spark window"~3'),
+    ("p_prefix", "ord* AND batch"),
+    ("p_fuzzy", "ordr~1"),
+    ("p_field", "lang:en AND order"),
+    ("p_range", "n_chars:[200 TO 400] AND batch"),
+    ("p_nested", "(order OR batch) AND NOT spark"),
+]
+
+
+def percolate_documents(sf_dir: str, rules=None):
+    """Stored-query percolation over ``documents.parquet`` → Dataset of
+    (query_id, doc_id): one streaming pass, no index (``pipelines/
+    percolate.py``). Nostem, so every rule is SQL-oracle-able."""
+    import ray.data as rd
+
+    from .percolate import percolate
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "n_chars"])
+    return percolate(ds, rules or PERCOLATE_RULES, content_col="text",
+                     batch_size=256)
+
+
 # First-occurrence probe terms: hot terms, a rarer one, and a miss.
 FIRST_POS_TERM_SET: list[str] = ["order", "spark", "batch", "window", "zz"]
 
