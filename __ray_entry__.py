@@ -124,6 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-only top-k from the identity-stemmer index
         "bm25_topk_nostem":
             lambda sf: flagship.bm25_topk_nostem_table(sf),
+        # federated search (DFS query-then-fetch): two independently
+        # built half-indexes with a query-time global-stats merge must
+        # rank bit-identically to one whole-corpus index, so the SAME
+        # whole-corpus BM25 oracle checks the federation value-exactly
+        "federated_bm25_nostem":
+            lambda sf: flagship.federated_bm25_nostem_table(sf),
         # BM25F fielded ranking (title weighted 2x over body) from the
         # two-field identity-stemmer index — rank-only, value-exact
         "bm25f_topk_nostem":
@@ -2134,6 +2140,8 @@ def oracle_sql() -> dict[str, str]:
         "numeric_histogram": numeric_histogram_sql,
         "function_score_topk": function_score_sql,
         "bm25_topk_nostem": bm25_nostem_sql,
+        # the federation must reproduce the whole-corpus ranking exactly
+        "federated_bm25_nostem": bm25_nostem_sql,
         "bm25f_topk_nostem": bm25f_nostem_sql,
         "ql_topk_nostem": ql_nostem_sql,
         "ql_jm_topk_nostem": jm_nostem_sql,

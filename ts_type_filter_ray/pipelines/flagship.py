@@ -10,6 +10,7 @@ import os
 import tempfile
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources.corpus import corpus_from_documents
 from .build import BuiltIndex, build_index
@@ -324,6 +325,58 @@ def bm25_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
     qi, rk, di = [], [], []
     for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
         for r, (doc_id, _score) in enumerate(searcher.bm25(q, k=k), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
+
+
+def _half_documents_index_nostem(sf_dir: str, half: str) -> BuiltIndex:
+    """Identity-stemmer index over one half of the documents corpus
+    (doc_id < mid / >= mid), keeping the ORIGINAL doc_ids — the
+    federated shards."""
+    import pyarrow.parquet as pq
+
+    out = _index_cache_dir(sf_dir, variant=f"fed_{half}")
+    if os.path.exists(os.path.join(out, "stats.json")):
+        return BuiltIndex.load(out)
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    mid = n // 2
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        mask = (pc.less(ids, mid) if half == "lo"
+                else pc.greater_equal(ids, mid))
+        return batch.filter(mask)
+
+    corpus = corpus_from_documents(sf_dir).map_batches(
+        pick, batch_format="pyarrow")
+    return build_index(corpus, out, doc_part_bits=12, num_term_buckets=8,
+                       tokenize_batch_size=128, stemmer=identity_stemmer)
+
+
+def federated_bm25_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
+                                queries: list | None = None) -> pa.Table:
+    """(query_idx, rank, doc_id) BM25 top-k from a FEDERATION of two
+    independently built identity-stemmer half-indexes
+    (``pipelines/federated.py``): the DFS stats merge (global N /
+    avgdl / df) must make the federation rank bit-identically to one
+    index over the whole corpus, so the SAME DuckDB whole-corpus BM25
+    oracle as ``bm25_topk_nostem`` checks it value-exactly."""
+    from .federated import FederatedSearcher
+    fed = FederatedSearcher(
+        [_half_documents_index_nostem(sf_dir, "lo"),
+         _half_documents_index_nostem(sf_dir, "hi")],
+        stemmer=identity_stemmer)
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
+        for r, (_shard, doc_id, _score) in enumerate(
+                fed.bm25(q, k=k), start=1):
             qi.append(i)
             rk.append(r)
             di.append(doc_id)

@@ -202,12 +202,12 @@ class LocalSearcher:
                       .astype(np.int64)[perm])
         df_row = (tbl["df"].to_numpy(zero_copy_only=False)
                   .astype(np.int64)[perm])
-        # impact_correction = 1.0 on single-generation indexes; on
-        # extended indexes it re-validates block-max bounds frozen at an
-        # older avgdl (see IndexStats) — pruning stays EXACT, just looser
+        # raw stored block-max bounds; the avgdl-drift correction
+        # (impact_correction — extends AND federated global-stats
+        # overrides can both change avgdl after ingest) is applied at
+        # the pruning site so stats overrides never require re-ingest
         self._imp = (tbl["max_impact"].to_numpy(zero_copy_only=False)
-                     .astype(np.float64)[perm]
-                     * self._stats.impact_correction)
+                     .astype(np.float64)[perm])
         self._denc = tbl["doc_ids_enc"]
         self._tenc = tbl["tfs_enc"]
         self._lenc = tbl["dls_enc"]
@@ -271,6 +271,30 @@ class LocalSearcher:
         vals = df["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         self._gdf = (SortedTermMap(terms), vals)
         self._contrib.clear()
+
+    def set_global_stats(self, num_documents: int, total_doc_len: int,
+                         df: pa.Table) -> None:
+        """Federated (DFS query-then-fetch) override: score THIS index's
+        postings with CROSS-INDEX global statistics — N, total doc
+        length (⇒ avgdl), and the merged (term, df) table — so a
+        federation of independently built indexes ranks bit-identically
+        to one merged index (``pipelines/federated.py``). Block-max
+        pruning stays exact: the avgdl this index's stored bounds were
+        computed with is frozen into ``min_merge_avgdl``, and
+        ``impact_correction`` re-validates them under the global avgdl.
+        Clears the decoded cache (the cached tf-factor arrays bake
+        avgdl) and, via :meth:`set_global_df`, the contribution cache
+        (which bakes idf)."""
+        import dataclasses
+        st = self._stats
+        own = st.min_merge_avgdl if st.min_merge_avgdl is not None \
+            else st.avgdl
+        self._stats = dataclasses.replace(
+            st, num_documents=num_documents, total_doc_len=total_doc_len,
+            min_merge_avgdl=own)
+        self.set_global_df(df)
+        self._decoded.clear()
+        self._decoded_bytes = 0
 
     def _init_cache(self, warm_top_terms: int) -> None:
         # decoded-postings cache: hot terms (import/def/...) decode once
@@ -767,11 +791,16 @@ class LocalSearcher:
         if not term_rows:
             return []
 
-        # Upper bound per doc-partition.
+        # Upper bound per doc-partition. corr = 1.0 on single-generation
+        # indexes with their own stats; >1 re-validates bounds frozen at
+        # a smaller avgdl (LSM extends, federated global-stats overrides
+        # — tf_factor grows at most linearly in avgdl, see IndexStats).
+        corr = stats.impact_correction
         ub: dict[int, float] = defaultdict(float)
         for _term, idf, boost, s, e in term_rows:
             for i in range(s, e):
-                ub[int(self._part[i])] += boost * (idf * self._imp[i])
+                ub[int(self._part[i])] += boost * (idf * (self._imp[i]
+                                                          * corr))
         parts_desc = sorted(ub, key=lambda p: -ub[p])
 
         # dense per-partition score buffer (2^part_bits slots), reused
