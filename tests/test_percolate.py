@@ -224,6 +224,34 @@ def test_missing_column_is_loud(corpus):
         percolate(corpus, {"r": "nosuchfield:x AND order"})
 
 
+def test_cli_percolate(ray_session, tmp_path, capsys):
+    from ts_type_filter_ray.cli import main
+    from ts_type_filter_ray.sources.synthetic import generate_corpus
+    cdir = str(tmp_path / "corpus")
+    generate_corpus(cdir, num_docs=60, seed=5, num_files=2)
+    rules = tmp_path / "rules.tsv"
+    rules.write_text("# comment\n"
+                     "has_import\timport\n"
+                     "no_import\tNOT import\n"
+                     "both\timport AND def\n")
+    assert main(["percolate", "--corpus", cdir, "--rules", str(rules),
+                 "--counts"]) == 0
+    lines = dict(l.split("\t") for l in
+                 capsys.readouterr().out.strip().splitlines())
+    assert set(lines) == {"has_import", "no_import", "both"}
+    assert int(lines["has_import"]) + int(lines["no_import"]) == 60
+    # pair mode agrees with counts
+    assert main(["percolate", "--corpus", cdir,
+                 "--rules", str(rules)]) == 0
+    pairs = capsys.readouterr().out.strip().splitlines()
+    assert len(pairs) == sum(int(v) for v in lines.values())
+    # bad rules file is a clean exit, not a traceback
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("oops_no_tab\n")
+    assert main(["percolate", "--corpus", cdir,
+                 "--rules", str(bad)]) == 2
+
+
 def test_syntax_error_surfaces_on_driver(corpus):
     with pytest.raises(QuerySyntaxError):
         compile_rules({"r": "order AND"})

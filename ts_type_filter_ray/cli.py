@@ -124,6 +124,20 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--near", type=int, metavar="W")
     ph.add_argument("--snippet", type=int, metavar="W")
 
+    pe = sub.add_parser(
+        "percolate",
+        help="reverse search: classify every corpus doc by a file of "
+             "stored rules in ONE streaming pass, no index (boolean "
+             "expressions incl. phrases, proximity, wildcards, ~d "
+             "fuzzy, field:value and numeric ranges over the corpus's "
+             "own columns; pure NOT is legal here)")
+    pe.add_argument("--corpus", required=True)
+    pe.add_argument("--rules", required=True,
+                    help="file of 'rule_id<TAB>expression' lines "
+                         "(# comments and blank lines ignored)")
+    pe.add_argument("--counts", action="store_true",
+                    help="print per-rule match counts instead of pairs")
+
     st = sub.add_parser("stats", help="print index statistics")
     st.add_argument("index")
     st.add_argument("--top", type=int, default=20)
@@ -243,6 +257,39 @@ def main(argv: list[str] | None = None) -> int:
         for key, val in report.items():
             print(f"{key}: {val}")
         return 0 if report["ok"] else 1
+
+    if args.cmd == "percolate":
+        from .pipelines.percolate import percolate
+        from .pipelines.querylang import QuerySyntaxError
+        rules: list[tuple[str, str]] = []
+        with open(args.rules) as f:
+            for ln, line in enumerate(f, 1):
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                rid, _, expr = line.partition("\t")
+                if not expr.strip():
+                    print(f"error: {args.rules}:{ln}: expected "
+                          "'rule_id<TAB>expression'", file=sys.stderr)
+                    return 2
+                rules.append((rid.strip(), expr.strip()))
+        if not rules:
+            print("error: no rules in file", file=sys.stderr)
+            return 2
+        try:
+            out = percolate(read_corpus(args.corpus), rules).to_pandas()
+        except (QuerySyntaxError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if args.counts:
+            counts = out.groupby("query_id").size()
+            for rid, _expr in rules:
+                print(f"{rid}\t{int(counts.get(rid, 0))}")
+        else:
+            for row in out.sort_values(
+                    ["query_id", "doc_id"]).itertuples(index=False):
+                print(f"{row.query_id}\t{row.doc_id}")
+        return 0
 
     if args.cmd == "query":
         searcher = LocalSearcher(BuiltIndex.load(args.index))
