@@ -185,8 +185,7 @@ def test_guard_pruning_is_invisible(corpus):
     with_guards = percolate(corpus, RULES, batch_size=3).to_pandas()
     compiled = [CompiledRule(r.rule_id, r.ast, None)
                 for r in compile_rules(RULES)]
-    no_guards = percolate(corpus, RULES, batch_size=3)  # placeholder
-    # build the unguarded run through the same API by rewriting guards
+    # build the unguarded run by rewriting every compiled guard to None
     import ray.data as rd
     from ts_type_filter_ray.pipelines.percolate import PercolateStage
     tbl = pa.table({
@@ -217,6 +216,43 @@ def test_guard_extraction():
     assert rules["d"].guards is None          # negation not coverable
     assert rules["e"].guards == frozenset({"order", "batch"})
     assert rules["f"].guards == frozenset({"order"})
+
+
+def test_duplicate_rule_id_rejected(corpus):
+    with pytest.raises(ValueError, match="duplicate rule_id"):
+        compile_rules([("a", "import"), ("a", "def")])
+    with pytest.raises(ValueError, match="duplicate rule_id"):
+        percolate(corpus, [("r", "order"), ("r", "batch")])
+
+
+def test_federated_warming_survives_stats_override(ray_session,
+                                                   tmp_path_factory):
+    """warm_top_terms on FederatedSearcher must warm AFTER the global-
+    stats override (warming before would be cleared) and not change
+    results."""
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.build import build_index
+    from ts_type_filter_ray.pipelines.federated import FederatedSearcher
+    from ts_type_filter_ray.pipelines.flagship import identity_stemmer
+
+    root = tmp_path_factory.mktemp("fedwarm")
+    docs = ["order fast alpha", "order beta", "fast gamma order"]
+    a = build_index(rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "content": pa.array(docs[:2], type=pa.string())})),
+        str(root / "a"), num_term_buckets=2, doc_part_bits=2,
+        stemmer=identity_stemmer)
+    b = build_index(rd.from_arrow(pa.table({
+        "doc_id": pa.array([2], type=pa.int64()),
+        "content": pa.array(docs[2:], type=pa.string())})),
+        str(root / "b"), num_term_buckets=2, doc_part_bits=2,
+        stemmer=identity_stemmer)
+    cold = FederatedSearcher([a, b], stemmer=identity_stemmer)
+    warm = FederatedSearcher([a, b], stemmer=identity_stemmer,
+                             warm_top_terms=8)
+    assert all(s._decoded for s in warm.searchers)  # warmed, not cleared
+    assert warm.bm25("order fast", k=3) == cold.bm25("order fast", k=3)
 
 
 def test_missing_column_is_loud(corpus):

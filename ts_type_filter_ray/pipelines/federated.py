@@ -73,9 +73,12 @@ class FederatedSearcher:
                         else BuiltIndex.load(ix) for ix in indexes]
         if not self.indexes:
             raise ValueError("federation needs at least one index")
+        # warm AFTER the stats override: set_global_stats clears the
+        # decoded cache (tf-factors bake avgdl), so warming at
+        # construction would be thrown away
         self.searchers = [
             LocalSearcher(ix, stemmer=stemmer, breaker=breaker,
-                          warm_top_terms=warm_top_terms)
+                          warm_top_terms=0)
             for ix in self.indexes]
         # DFS phase: one stats merge for the federation's lifetime
         n = sum(ix.stats.num_documents for ix in self.indexes)
@@ -83,6 +86,8 @@ class FederatedSearcher:
         df = merged_global_df(self.indexes)
         for s in self.searchers:
             s.set_global_stats(n, total_len, df)
+            if warm_top_terms:
+                s._init_cache(warm_top_terms)
         self.num_documents = n
         self.total_doc_len = total_len
 

@@ -131,9 +131,16 @@ def compile_rules(rules, stemmer=None) -> list[CompiledRule]:
     items = rules.items() if isinstance(rules, dict) else rules
     stem = stemmer or (lambda t: t)
     out = []
+    seen: set[str] = set()
     for rid, expr in items:
+        rid = str(rid)
+        if rid in seen:
+            raise ValueError(
+                f"duplicate rule_id {rid!r} — match counts and pairs "
+                "would silently conflate the rules")
+        seen.add(rid)
         ast = parse_query(expr)
-        out.append(CompiledRule(str(rid), ast, _guard_terms(ast, stem)))
+        out.append(CompiledRule(rid, ast, _guard_terms(ast, stem)))
     return out
 
 
