@@ -104,6 +104,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # themselves on the value-exact gate (min(pos) per (term, doc)),
         # not just membership predicates over them
         "first_positions": lambda sf: flagship.first_positions_table(sf),
+        # proximity-boosted reranking: BM25 x (1 + 1/(1 + min pair
+        # distance)) — lexical relevance from the inverted index, a
+        # term-dependence feature from the positional index, rank-only
+        "proximity_boost_topk":
+            lambda sf: _analytics().proximity_boost_table(sf),
+        # Indri #odN ordered windows: k terms in order, every adjacent
+        # gap <= N (general sloppy phrase; gap=1 ≡ exact phrase)
+        "ordered_window_match":
+            lambda sf: flagship.ordered_window_table(sf),
         # search-analytics surfaces (pipelines/analytics.py), all
         # value-exact: significant-terms aggregation (fg/bg lift with
         # the float column itself on the gate), fixed-width numeric
@@ -784,6 +793,25 @@ def oracle_sql() -> dict[str, str]:
             f" and b.pos - a.pos between 1 and {w}")
     ordered_proximity_sql = (pos_tok_cte + "\n" +
                              "\nunion all\n".join(oprox_branches))
+    # Indri #odN ordered windows: a k-way self-join chain with every
+    # adjacent pair strictly increasing and within the gap — SQL's
+    # EXISTS-chain is exactly the feasible-chain the engine propagates
+    from ts_type_filter_ray.pipelines.flagship import ORDERED_WINDOW_SET
+    ow_branches = []
+    for i, (p, g) in enumerate(ORDERED_WINDOW_SET):
+        toks = p.lower().split()
+        joins = "".join(
+            f" join tok t{j} on t{j}.doc_id = t0.doc_id"
+            f" and t{j}.pos > t{j - 1}.pos"
+            f" and t{j}.pos - t{j - 1}.pos <= {g}"
+            for j in range(1, len(toks)))
+        conds = " and ".join(
+            f"t{j}.term = '{t}'" for j, t in enumerate(toks))
+        ow_branches.append(
+            f"select distinct cast({i} as bigint) as query_idx, t0.doc_id"
+            f" from tok t0{joins} where {conds}")
+    ordered_window_sql = (pos_tok_cte + "\n" +
+                          "\nunion all\n".join(ow_branches))
 
     # percolation: one SQL branch per stored rule, mirroring the
     # streaming evaluator's per-doc boolean semantics over the same
@@ -858,7 +886,10 @@ def oracle_sql() -> dict[str, str]:
     # tscored = classic tf-idf): bm25_topk / page2 / filtered / tfidf /
     # rrf all derive from it, so each scoring formula exists in exactly
     # one place (unreferenced CTEs are pruned by DuckDB's planner).
-    _rank_ctes = rf"""
+    # Parameterized on the (query_idx, term) rows so ranked surfaces
+    # with their own query sets (proximity boost) reuse the same stack.
+    def _mk_rank_ctes(bm25_rows: str) -> str:
+        return rf"""
             with base as (
               select doc_id,
                      case when trim(text) = '' then cast([] as varchar[])
@@ -900,6 +931,8 @@ def oracle_sql() -> dict[str, str]:
               cross join stats s
               group by q.query_idx, t.doc_id)"""
 
+    _rank_ctes = _mk_rank_ctes(bm25_rows)
+
     def _ranked_select(source: str, where: str) -> str:
         return rf"""
             select query_idx, rank, doc_id from (
@@ -912,6 +945,41 @@ def oracle_sql() -> dict[str, str]:
 
     bm25_nostem_sql = _rank_ctes + _ranked_select(
         "bscored", f"rank <= {BM25_NOSTEM_K}")
+
+    # proximity-boosted reranking: BM25 over docs containing BOTH pair
+    # terms, multiplied by (1 + 1/(1 + min |pos_a - pos_b|)) — the same
+    # rank CTE stack with the pair terms as its query rows, positions
+    # from a parallel-unnest over the same token arrays, identical
+    # float64 expression shapes (one int->double conversion, add,
+    # divide, add, multiply)
+    from ts_type_filter_ray.pipelines.analytics import (PROX_BOOST_K,
+                                                        PROX_BOOST_PAIRS)
+    pb_term_rows = ",".join(
+        f"({qi},'{t}')" for qi, (a, b) in enumerate(PROX_BOOST_PAIRS)
+        for t in (a, b))
+    pb_pair_rows = ",".join(
+        f"({qi},'{a}','{b}')"
+        for qi, (a, b) in enumerate(PROX_BOOST_PAIRS))
+    prox_boost_sql = (_mk_rank_ctes(pb_term_rows) + rf"""
+            , ptok as (
+              select doc_id, unnest(arr) as term,
+                     unnest(range(len(arr)))::BIGINT as pos
+              from base),
+            qp(query_idx, ta, tb) as (values {pb_pair_rows}),
+            pboost as (
+              select qp.query_idx, a.doc_id,
+                     min(abs(a.pos - b.pos))::BIGINT as mindist
+              from qp
+              join ptok a on a.term = qp.ta
+              join ptok b on b.term = qp.tb and b.doc_id = a.doc_id
+              group by qp.query_idx, a.doc_id),
+            pfinal as (
+              select s.query_idx, s.doc_id,
+                     s.score * (1.0 + 1.0 / (1.0 + pb.mindist)) as score
+              from bscored s
+              join pboost pb on pb.query_idx = s.query_idx
+                            and pb.doc_id = s.doc_id)"""
+        + _ranked_select("pfinal", f"rank <= {PROX_BOOST_K}"))
     tfidf_nostem_sql = _rank_ctes + _ranked_select(
         "tscored", f"rank <= {BM25_NOSTEM_K}")
     # page 2 of the same ranking (search-after cursor on the engine side)
@@ -2142,6 +2210,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nostem": bm25_nostem_sql,
         # the federation must reproduce the whole-corpus ranking exactly
         "federated_bm25_nostem": bm25_nostem_sql,
+        "proximity_boost_topk": prox_boost_sql,
+        "ordered_window_match": ordered_window_sql,
         "bm25f_topk_nostem": bm25f_nostem_sql,
         "ql_topk_nostem": ql_nostem_sql,
         "ql_jm_topk_nostem": jm_nostem_sql,

@@ -169,6 +169,84 @@ def test_first_occurrences_tombstones(ray_session, tmp_path_factory):
     assert d3.tolist() == [0] and p3.tolist() == [2]
 
 
+def test_min_pair_distance_golden(pos_index):
+    """min_pair_distance(a, b) ≡ brute-force min |pos_a − pos_b| per doc
+    containing both terms."""
+    s = PositionalSearcher(pos_index)
+    pairs = [("order", "fast"), ("key", "sort"), ("a", "g"),
+             ("batch", "stream"), ("solo", "fast"), ("zz", "fast")]
+    for a, b in pairs:
+        docs, mind = s.min_pair_distance(a, b)
+        want = {}
+        for d, text in enumerate(DOCS):
+            t = _toks(text)
+            ds = [abs(i - j) for i, x in enumerate(t) if x == a
+                  for j, y in enumerate(t) if y == b]
+            if ds:
+                want[d] = min(ds)
+        assert docs.tolist() == sorted(want), (a, b)
+        assert mind.tolist() == [want[d] for d in sorted(want)], (a, b)
+    with pytest.raises(ValueError, match="distinct"):
+        s.min_pair_distance("fast", "fast")
+
+
+def _oracle_ordered_window(phrase, gap, docs=None):
+    terms = _toks(phrase)
+    if not terms:
+        return []
+    out = []
+    for d, text in enumerate(docs if docs is not None else DOCS):
+        t = _toks(text)
+
+        def chain(i, prev):
+            if i == len(terms):
+                return True
+            return any(chain(i + 1, p) for p in range(prev + 1,
+                                                      prev + gap + 1)
+                       if p < len(t) and t[p] == terms[i])
+        starts = [p for p, x in enumerate(t) if x == terms[0]]
+        if any(chain(1, p) for p in starts):
+            out.append(d)
+    return out
+
+
+@pytest.mark.parametrize("phrase,gap", [
+    ("order fast", 1), ("order fast", 2), ("fast order sort", 3),
+    ("the key sort", 2), ("batch batch", 1), ("batch stream", 1),
+    ("a c e", 2), ("a d g", 3), ("g a c", 2), ("solo", 1),
+    ("missing stuff", 4), ("", 2)])
+def test_ordered_window_golden(pos_index, phrase, gap):
+    s = PositionalSearcher(pos_index)
+    assert s.ordered_window(phrase, gap).tolist() == \
+        _oracle_ordered_window(phrase, gap), (phrase, gap)
+
+
+def test_ordered_window_needs_backtracking(ray_session, tmp_path_factory):
+    """The case greedy earliest-next gets wrong: t2 ∈ {5, 9}, t3 at 12,
+    gap 5 — only the later t2 completes the chain."""
+    import ray.data as rd
+    docs = ["x x x x t1 t2 x x x t2 x x t3",   # 0: matches via t2@9
+            "x x x x t1 t2 x x x x x x t3"]    # 1: gap t2->t3 is 7 > 5
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "content": pa.array(docs, type=pa.string())}))
+    root = str(tmp_path_factory.mktemp("posow") / "idx")
+    idx = build_positional_index(corpus, root, num_term_buckets=2,
+                                 doc_part_bits=2)
+    s = PositionalSearcher(idx)
+    assert s.ordered_window("t1 t2 t3", 5).tolist() == [0]
+    assert s.ordered_window("t1 t2 t3", 7).tolist() == [0, 1]
+    assert _oracle_ordered_window("t1 t2 t3", 5, docs) == [0]
+
+
+def test_ordered_window_gap1_is_phrase(pos_index):
+    s = PositionalSearcher(pos_index)
+    for p in PHRASES:
+        if not p:
+            continue
+        assert s.ordered_window(p, 1).tolist() == s.phrase(p).tolist(), p
+
+
 def test_keys_roundtrip_positions(pos_index):
     """Decoded (doc, pos) keys for a term reproduce the raw token
     positions exactly (delta codec round-trip through the merge)."""

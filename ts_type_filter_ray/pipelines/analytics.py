@@ -255,3 +255,60 @@ def function_score_table(sf_dir: str,
         "rank": pa.array(rk, type=pa.int64()),
         "doc_id": pa.array(di, type=pa.int64()),
     })
+
+
+# Proximity-boost pairs: hot pairs with real co-occurrence spread, an
+# adjacent pair (mindist 1), and a pair that rarely co-occurs.
+PROX_BOOST_PAIRS: list[tuple[str, str]] = [
+    ("hash", "join"),
+    ("spark", "window"),
+    ("order", "fast"),
+    ("merge", "part"),
+]
+PROX_BOOST_K = 10
+
+
+def proximity_boost_table(sf_dir: str,
+                          pairs: list[tuple[str, str]] | None = None,
+                          k: int = PROX_BOOST_K) -> pa.Table:
+    """(query_idx, rank, doc_id) RANK-ONLY proximity-boosted top-k for
+    two-term queries: ``score = bm25("a b", d) * (1 + 1/(1 + mindist))``
+    where ``mindist`` is the minimum |pos_a − pos_b| in the doc — the
+    classic second-stage ranker (Lucene sloppy-phrase boost / Indri
+    term-dependence shape): lexical relevance from the inverted index,
+    a term-dependence feature from the positional index.
+
+    Exactness: candidates are the docs containing BOTH terms
+    (``PositionalSearcher.min_pair_distance``), ranked by
+    ``bm25(..., allowed=candidates, k=|candidates|)`` — bit-identical
+    full-window scores (the bm25_topk_nostem contract) — then one
+    int64→float64 conversion, one add, one division, one add, one
+    multiply: the same float64 expression shape as the SQL oracle, so
+    ranks match ties included."""
+    from .flagship import phrase_index_for
+    from .positional import PositionalSearcher
+
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    pos = PositionalSearcher(phrase_index_for(sf_dir))
+    qi, rk, di = [], [], []
+    for i, (a, b) in enumerate(pairs or PROX_BOOST_PAIRS):
+        docs, mind = pos.min_pair_distance(a, b)
+        if docs.size == 0:
+            continue
+        ranked = searcher.bm25(f"{a} {b}", k=docs.size, allowed=docs)
+        ids = np.array([d for d, _ in ranked], dtype=np.int64)
+        scores = np.array([s for _, s in ranked], dtype=np.float64)
+        # every allowed doc contains both terms, so |ranked| == |docs|
+        md = mind[np.searchsorted(docs, ids)].astype(np.float64)
+        final = scores * (1.0 + 1.0 / (1.0 + md))
+        sel = np.lexsort((ids, -final))[:k]
+        for r, j in enumerate(sel.tolist(), start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(int(ids[j]))
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })

@@ -594,6 +594,36 @@ def proximity_match_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
+# (phrase, gap) ordered-window probes: 3-term chains at varying gaps
+# (the backtracking case greedy matching would miss), a 2-term window,
+# a gap-1 trigram (≡ exact phrase), a same-term repeat, and a miss.
+ORDERED_WINDOW_SET: list[tuple[str, int]] = [
+    ("merge part window", 3),
+    ("hash join", 2),
+    ("spark window stream", 5),
+    ("order fast", 1),
+    ("batch batch", 2),
+    ("zz qq never_present", 3),
+]
+
+
+def ordered_window_table(sf_dir: str,
+                         probes: list[tuple[str, int]] | None = None
+                         ) -> pa.Table:
+    """(query_idx, doc_id) Indri-style ``#odN`` ordered-window matches
+    from the positional index (``PositionalSearcher.ordered_window``):
+    phrase terms in order, every adjacent gap ≤ N."""
+    from .positional import PositionalSearcher
+    searcher = PositionalSearcher(phrase_index_for(sf_dir))
+    qi, di = [], []
+    for i, (p, g) in enumerate(probes or ORDERED_WINDOW_SET):
+        for doc_id in searcher.ordered_window(p, g).tolist():
+            qi.append(i)
+            di.append(doc_id)
+    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
+                     "doc_id": pa.array(di, type=pa.int64())})
+
+
 # Percolation rule set: every leaf family the streaming evaluator
 # supports — boolean, pure negation (legal in percolation: each doc is
 # its own universe), phrase, proximity, prefix, fuzzy, metadata field,

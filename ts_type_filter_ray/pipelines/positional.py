@@ -742,6 +742,100 @@ class PositionalSearcher:
                 udocs, pos = udocs[~dead], pos[~dead]
         return udocs, pos
 
+    def min_pair_distance(self, a: str, b: str
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids ascending, min |pos_a − pos_b| in each doc) over the
+        docs containing BOTH terms — the proximity feature a
+        second-stage ranker boosts by (``analytics.proximity_boost``).
+        Vectorized: for every *a*-occurrence the nearest *b* position is
+        the searchsorted left/right neighbor in *b*'s sorted
+        (doc << POS_BITS | pos) keys (same-doc guarded), then a per-doc
+        ``minimum.reduceat`` over the *a*-occurrence runs. Terms must be
+        distinct (a self-pair's nearest neighbor is itself — the
+        distinct-position contract belongs to :meth:`proximity`)."""
+        ta, tb = self._stem(a.lower()), self._stem(b.lower())
+        if ta == tb:
+            raise ValueError(
+                "min_pair_distance needs two distinct terms "
+                f"(both stem to {ta!r})")
+        keys = self._term_keys([ta, tb])
+        ka, kb = keys[ta], keys[tb]
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if ka.size == 0 or kb.size == 0:
+            return empty
+        docs_a = ka >> POS_BITS
+        at = np.searchsorted(kb, ka)
+        sent = np.int64(1) << 62  # no same-doc neighbor on that side
+        right = np.full(ka.size, sent)
+        ok = (at < kb.size)
+        sel = np.minimum(at, kb.size - 1)
+        same = ok & ((kb[sel] >> POS_BITS) == docs_a)
+        right[same] = kb[sel[same]] - ka[same]  # ≥ 0, same-doc pos diff
+        left = np.full(ka.size, sent)
+        okl = at > 0
+        sell = np.maximum(at - 1, 0)
+        samel = okl & ((kb[sell] >> POS_BITS) == docs_a)
+        left[samel] = ka[samel] - kb[sell[samel]]
+        dist = np.minimum(right, left)
+        # per-doc minimum over the a-occurrence runs (docs_a ascending)
+        new_doc = np.ones(docs_a.size, dtype=bool)
+        new_doc[1:] = docs_a[1:] != docs_a[:-1]
+        starts = np.flatnonzero(new_doc)
+        udocs = docs_a[starts]
+        mind = np.minimum.reduceat(dist, starts)
+        keep = mind < sent  # docs where b co-occurs at all
+        udocs, mind = udocs[keep], mind[keep]
+        if self._tomb.size and udocs.size:
+            pos = np.searchsorted(self._tomb, udocs)
+            dead = ((pos < self._tomb.size)
+                    & (self._tomb[np.minimum(pos, self._tomb.size - 1)]
+                       == udocs))
+            if dead.any():
+                udocs, mind = udocs[~dead], mind[~dead]
+        return udocs, mind
+
+    def ordered_window(self, phrase: str, gap: int) -> np.ndarray:
+        """doc_ids (ascending) containing the phrase terms IN ORDER with
+        every adjacent pair within *gap* positions — Indri's ``#odN``
+        operator, the general k-term sloppy phrase the 2-term
+        :meth:`ordered_proximity` special-cases (``gap=1`` ≡ exact
+        phrase). Exact feasible-set propagation, not greedy: after step
+        i the frontier is EVERY position of term i reachable by some
+        valid chain (a position q of term i+1 is reachable iff its
+        nearest frontier predecessor p < q in the same doc has
+        q − p ≤ gap — any farther predecessor is also < q−gap), so a
+        doc matches iff the last frontier is non-empty. Greedy
+        earliest-next is NOT exact here: with t2 ∈ {5, 9}, t3 = 12,
+        gap 5, only the t2 = 9 chain completes. Repeated terms are fine
+        (frontier positions are term-i occurrences; a shared occurrence
+        can serve both steps only if strictly increasing, which the
+        q > p comparison enforces)."""
+        if gap < 1:
+            raise ValueError(f"gap must be >= 1, got {gap}")
+        terms = [self._stem(t) for t in phrase.lower().split()]
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        keys = self._term_keys(terms)
+        cur = keys[terms[0]]
+        for t in terms[1:]:
+            if cur.size == 0:
+                break
+            kn = keys[t]
+            if kn.size == 0:
+                cur = kn
+                break
+            # nearest frontier predecessor strictly before each q
+            at = np.searchsorted(cur, kn, side="left") - 1
+            ok = at >= 0
+            sel = np.maximum(at, 0)
+            pred = cur[sel]
+            ok &= (pred >> POS_BITS) == (kn >> POS_BITS)  # same doc
+            ok &= (kn - pred) <= gap  # and within the window
+            cur = kn[ok]
+        if cur.size == 0:
+            return np.empty(0, dtype=np.int64)
+        return self._drop_deleted(np.unique(cur >> POS_BITS))
+
     def best_windows(self, query: str, window: int,
                      doc_ids) -> list[tuple[int, int, int, int]]:
         """Snippet selection: for each doc in *doc_ids*, the best
