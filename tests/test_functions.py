@@ -436,6 +436,30 @@ def test_decontaminate_planted_overlap(ray_session):
     assert out == {1: 2, 3: 1}
 
 
+def test_distinct_shingles_batch_matches_per_row():
+    """The vectorized per-doc-distinct shingle kernel ≡ the per-row
+    reference (`_shingle_hashes` + np.unique) on mixed docs: long,
+    short-than-k, empty, whitespace-only, duplicate shingles."""
+    import numpy as np
+
+    from ts_type_filter_ray.functions.decontam import \
+        _distinct_shingles_batch
+    from ts_type_filter_ray.functions.dedup import _shingle_hashes
+    texts = ["a b c d e a b c", "tiny one", "", "   ", "x",
+             "a a a a a a", "q r s t u v w"]
+    tbl = pa.table({
+        "doc_id": pa.array([7, 3, 11, 4, 9, 2, 5], type=pa.int64()),
+        "text": texts})
+    did, sh = _distinct_shingles_batch(tbl, 3)
+    got = {}
+    for d, h in zip(did.tolist(), sh.tolist()):
+        got.setdefault(d, []).append(h)
+    want = {d: sorted(np.unique(_shingle_hashes(t, 3)).tolist())
+            for d, t in zip(tbl["doc_id"].to_pylist(), texts)
+            if _shingle_hashes(t, 3).size}
+    assert {d: sorted(v) for d, v in got.items()} == want
+
+
 def test_scrub_pii_planted(ray_session):
     from ts_type_filter_ray.functions.scrub import scrub_pii
     tbl = pa.table({

@@ -25,7 +25,7 @@ from ray.data.aggregate import Sum
 
 import ray
 
-from .dedup import _shingle_hashes
+from .dedup import _shingle_hashes_batch
 from .partitioning import auto_num_parts
 
 #: bloom parameters: 2^23 bits = 1 MiB, 4 probes — ~0.2% false-positive
@@ -57,6 +57,31 @@ def _test_bits(bitmap: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return hit.all(axis=1)
 
 
+def _distinct_shingles_batch(batch: pa.Table, shingle_k: int
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, shingles) flat pairs — per-doc DISTINCT shingle hashes
+    for a whole corpus batch in one vectorized pass (the batched kernel
+    from the dedup family + a per-doc neighbor-dedup over one lexsort;
+    ≡ per-row ``_shingle_hashes``'s ``np.unique`` sets)."""
+    hs, off = _shingle_hashes_batch(batch["text"], shingle_k)
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    counts = np.diff(off)
+    doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    order = np.lexsort((hs, doc_of))
+    d_s, h_s = doc_of[order], hs[order]
+    keep = np.ones(h_s.size, dtype=bool)
+    keep[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+    return dids[d_s[keep]], h_s[keep]
+
+
+_EMPTY_EXPLODED = pa.table({
+    "part": pa.array([], type=pa.int32()),
+    "shingle": pa.array([], type=pa.uint64()),
+    "doc_id": pa.array([], type=pa.int64()),
+    "is_bench": pa.array([], type=pa.bool_()),
+})
+
+
 def decontaminate(ds: Dataset, bench_mod: int = 50, shingle_k: int = 3,
                   num_parts: int | None = None) -> Dataset:
     """(doc_id, n_shared_shingles) for every NON-benchmark doc sharing at
@@ -73,27 +98,14 @@ def decontaminate(ds: Dataset, bench_mod: int = 50, shingle_k: int = 3,
         num_parts = auto_num_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        dids, shs, bench = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            hs = _shingle_hashes(text, shingle_k)
-            if hs.size == 0:
-                continue
-            dids.append(np.full(hs.size, did, dtype=np.int64))
-            shs.append(hs)
-            bench.append(np.full(hs.size, did % bench_mod == 0,
-                                 dtype=bool))
-        if not dids:
-            return pa.table({"part": pa.array([], type=pa.int32()),
-                             "shingle": pa.array([], type=pa.uint64()),
-                             "doc_id": pa.array([], type=pa.int64()),
-                             "is_bench": pa.array([], type=pa.bool_())})
-        flat_s = np.concatenate(shs)
+        did, sh = _distinct_shingles_batch(batch, shingle_k)
+        if did.size == 0:
+            return _EMPTY_EXPLODED
         return pa.table({
-            "part": pa.array((flat_s % num_parts).astype(np.int32)),
-            "shingle": pa.array(flat_s),
-            "doc_id": pa.array(np.concatenate(dids)),
-            "is_bench": pa.array(np.concatenate(bench)),
+            "part": pa.array((sh % num_parts).astype(np.int32)),
+            "shingle": pa.array(sh),
+            "doc_id": pa.array(did),
+            "is_bench": pa.array(did % bench_mod == 0),
         })
 
     return (ds.map_batches(explode, batch_format="pyarrow")
@@ -154,12 +166,12 @@ def decontaminate_bloom(ds: Dataset, bench_mod: int = 50,
 
     def bench_bitmap(batch: pa.Table) -> pa.Table:
         bm = np.zeros(1 << (_BLOOM_BITS_LOG2 - 6), dtype=np.uint64)
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            if did % bench_mod != 0:
-                continue
-            hs = _shingle_hashes(text, shingle_k)
-            if hs.size:
+        is_bench = (batch["doc_id"].to_numpy(zero_copy_only=False)
+                    % bench_mod == 0)
+        bench_rows = batch.filter(pa.array(is_bench))
+        if bench_rows.num_rows:
+            hs, _off = _shingle_hashes_batch(bench_rows["text"], shingle_k)
+            if hs.size:  # multiset is fine: set-bits is idempotent
                 _set_bits(bm, _bloom_probe_idx(hs))
         return pa.table({"bitmap": pa.array([bm.tobytes()],
                                             type=pa.large_binary())})
@@ -174,31 +186,21 @@ def decontaminate_bloom(ds: Dataset, bench_mod: int = 50,
 
     def explode(batch: pa.Table) -> pa.Table:
         bm = ray.get(bm_ref)
-        dids, shs, bench = [], [], []
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            hs = _shingle_hashes(text, shingle_k)
-            if hs.size == 0:
-                continue
-            is_bench = did % bench_mod == 0
-            if not is_bench:
-                hs = hs[_test_bits(bm, _bloom_probe_idx(hs))]
-                if hs.size == 0:
-                    continue
-            dids.append(np.full(hs.size, did, dtype=np.int64))
-            shs.append(hs)
-            bench.append(np.full(hs.size, is_bench, dtype=bool))
-        if not dids:
-            return pa.table({"part": pa.array([], type=pa.int32()),
-                             "shingle": pa.array([], type=pa.uint64()),
-                             "doc_id": pa.array([], type=pa.int64()),
-                             "is_bench": pa.array([], type=pa.bool_())})
-        flat_s = np.concatenate(shs)
+        did, sh = _distinct_shingles_batch(batch, shingle_k)
+        if did.size == 0:
+            return _EMPTY_EXPLODED
+        is_bench = did % bench_mod == 0
+        # benchmark rows always enter the verify shuffle; training rows
+        # only when their shingle hits the broadcast Bloom filter
+        keep = is_bench | _test_bits(bm, _bloom_probe_idx(sh))
+        did, sh, is_bench = did[keep], sh[keep], is_bench[keep]
+        if did.size == 0:
+            return _EMPTY_EXPLODED
         return pa.table({
-            "part": pa.array((flat_s % num_parts).astype(np.int32)),
-            "shingle": pa.array(flat_s),
-            "doc_id": pa.array(np.concatenate(dids)),
-            "is_bench": pa.array(np.concatenate(bench)),
+            "part": pa.array((sh % num_parts).astype(np.int32)),
+            "shingle": pa.array(sh),
+            "doc_id": pa.array(did),
+            "is_bench": pa.array(is_bench),
         })
 
     return (ds.map_batches(explode, batch_format="pyarrow")
