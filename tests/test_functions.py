@@ -442,15 +442,14 @@ def test_distinct_shingles_batch_matches_per_row():
     short-than-k, empty, whitespace-only, duplicate shingles."""
     import numpy as np
 
-    from ts_type_filter_ray.functions.decontam import \
-        _distinct_shingles_batch
-    from ts_type_filter_ray.functions.dedup import _shingle_hashes
+    from ts_type_filter_ray.functions.dedup import (_shingle_hashes,
+                                                    distinct_shingles_batch)
     texts = ["a b c d e a b c", "tiny one", "", "   ", "x",
              "a a a a a a", "q r s t u v w"]
     tbl = pa.table({
         "doc_id": pa.array([7, 3, 11, 4, 9, 2, 5], type=pa.int64()),
         "text": texts})
-    did, sh = _distinct_shingles_batch(tbl, 3)
+    did, sh = distinct_shingles_batch(tbl, 3)
     got = {}
     for d, h in zip(did.tolist(), sh.tolist()):
         got.setdefault(d, []).append(h)

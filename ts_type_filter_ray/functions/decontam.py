@@ -25,7 +25,7 @@ from ray.data.aggregate import Sum
 
 import ray
 
-from .dedup import _shingle_hashes_batch
+from .dedup import _shingle_hashes_batch, distinct_shingles_batch
 from .partitioning import auto_num_parts
 
 #: bloom parameters: 2^23 bits = 1 MiB, 4 probes — ~0.2% false-positive
@@ -57,23 +57,6 @@ def _test_bits(bitmap: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return hit.all(axis=1)
 
 
-def _distinct_shingles_batch(batch: pa.Table, shingle_k: int
-                             ) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_ids, shingles) flat pairs — per-doc DISTINCT shingle hashes
-    for a whole corpus batch in one vectorized pass (the batched kernel
-    from the dedup family + a per-doc neighbor-dedup over one lexsort;
-    ≡ per-row ``_shingle_hashes``'s ``np.unique`` sets)."""
-    hs, off = _shingle_hashes_batch(batch["text"], shingle_k)
-    dids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    counts = np.diff(off)
-    doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
-    order = np.lexsort((hs, doc_of))
-    d_s, h_s = doc_of[order], hs[order]
-    keep = np.ones(h_s.size, dtype=bool)
-    keep[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
-    return dids[d_s[keep]], h_s[keep]
-
-
 _EMPTY_EXPLODED = pa.table({
     "part": pa.array([], type=pa.int32()),
     "shingle": pa.array([], type=pa.uint64()),
@@ -98,7 +81,7 @@ def decontaminate(ds: Dataset, bench_mod: int = 50, shingle_k: int = 3,
         num_parts = auto_num_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        did, sh = _distinct_shingles_batch(batch, shingle_k)
+        did, sh = distinct_shingles_batch(batch, shingle_k)
         if did.size == 0:
             return _EMPTY_EXPLODED
         return pa.table({
@@ -186,7 +169,7 @@ def decontaminate_bloom(ds: Dataset, bench_mod: int = 50,
 
     def explode(batch: pa.Table) -> pa.Table:
         bm = ray.get(bm_ref)
-        did, sh = _distinct_shingles_batch(batch, shingle_k)
+        did, sh = distinct_shingles_batch(batch, shingle_k)
         if did.size == 0:
             return _EMPTY_EXPLODED
         is_bench = did % bench_mod == 0

@@ -178,6 +178,25 @@ def _shingle_hashes_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     return out, sh_off
 
 
+def distinct_shingles_batch(batch: pa.Table, shingle_k: int,
+                            text_col: str = "text"
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, shingles) flat pairs — per-doc DISTINCT shingle hashes
+    for a whole corpus batch in one vectorized pass (the batched kernel
+    + a per-doc neighbor-dedup over one lexsort; ≡ the per-row
+    ``_shingle_hashes``'s ``np.unique`` sets, parity-pinned). The
+    explode kernel of the decontamination / dup-fraction operators."""
+    hs, off = _shingle_hashes_batch(batch[text_col], shingle_k)
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    counts = np.diff(off)
+    doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    order = np.lexsort((hs, doc_of))
+    d_s, h_s = doc_of[order], hs[order]
+    keep = np.ones(h_s.size, dtype=bool)
+    keep[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+    return dids[d_s[keep]], h_s[keep]
+
+
 def _fold_grams(th: np.ndarray, starts: np.ndarray, w: int) -> np.ndarray:
     """Order-sensitive Mersenne fold of the *w* token hashes at each
     gram start — chunked to 64 KB temporaries so glibc serves every

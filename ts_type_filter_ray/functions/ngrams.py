@@ -124,28 +124,20 @@ def dup_ngram_fraction(ds: Dataset, shingle_k: int = 3,
     as one shingle (the dedup family's convention); blank docs have no
     shingles and are not reported (inner semantics — the SQL oracle
     filters identically)."""
-    from .dedup import _shingle_hashes
+    from .dedup import distinct_shingles_batch
     if num_parts is None:
         num_parts = auto_num_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        dids, shs = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            hs = _shingle_hashes(text, shingle_k)
-            if hs.size == 0:
-                continue
-            dids.append(np.full(hs.size, did, dtype=np.int64))
-            shs.append(hs)
-        if not dids:
+        did, sh = distinct_shingles_batch(batch, shingle_k)
+        if did.size == 0:
             return pa.table({"part": pa.array([], type=pa.int32()),
                              "shingle": pa.array([], type=pa.uint64()),
                              "doc_id": pa.array([], type=pa.int64())})
-        flat_s = np.concatenate(shs)
         return pa.table({
-            "part": pa.array((flat_s % num_parts).astype(np.int32)),
-            "shingle": pa.array(flat_s),
-            "doc_id": pa.array(np.concatenate(dids)),
+            "part": pa.array((sh % num_parts).astype(np.int32)),
+            "shingle": pa.array(sh),
+            "doc_id": pa.array(did),
         })
 
     def scan(group: pa.Table) -> pa.Table:
