@@ -113,6 +113,26 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
     p50 = statistics.median(lat)
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
 
+    # percolation leg: stored-rule classification of the same corpus in
+    # one indexless streaming pass (rules span every leaf family)
+    from ts_type_filter_ray.pipelines.percolate import percolate
+    perc_rules = [
+        ("r_term", "import"),
+        ("r_and", "import AND def"),
+        ("r_andnot", "return AND NOT class"),
+        ("r_or", "lambda OR yield OR await"),
+        ("r_not", "NOT import"),
+        ("r_phrase", '"def self"'),
+        ("r_prox", '"import def"~4'),
+        ("r_prefix", "ident_*"),
+        ("r_fuzzy", "improt~1"),
+        ("r_nested", "(import OR def) AND NOT uniq_100_0"),
+    ]
+    t0 = time.perf_counter()
+    n_perc = percolate(read_corpus(corpus_dir), perc_rules,
+                       batch_size=2048).count()
+    t_perc = time.perf_counter() - t0
+
     # high-vocab variant (realistic token entropy, VERDICT r2 #7): same
     # doc count, ~10× the distinct terms — measures the build when the
     # per-batch unique-token dedup and the stem lru cache stop helping
@@ -147,6 +167,10 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
         "query_p50_ms": round(p50 * 1e3, 3),
         "query_p99_ms": round(p99 * 1e3, 3),
         "sf_flagship_sec": round(t_sf, 3),
+        "percolate_sec": round(t_perc, 3),
+        "percolate_docs_per_sec": round(n / t_perc, 1),
+        "percolate_mb_per_sec": round(corpus_bytes / 1e6 / t_perc, 2),
+        "percolate_matches": n_perc,
         "num_docs": n,
         "num_terms": idx.stats.num_unique_terms,
         "num_postings": idx.stats.num_postings,
