@@ -288,6 +288,105 @@ def test_cli_percolate(ray_session, tmp_path, capsys):
                  "--rules", str(bad)]) == 2
 
 
+def _rand_expr(rng, vocab, depth=0):
+    """Random expression string over *vocab* covering every leaf family."""
+    r = rng.random()
+    if depth >= 3 or r < 0.45:
+        kind = rng.randrange(7)
+        w = rng.choice(vocab)
+        if kind == 0:
+            return w
+        if kind == 1:
+            return f"{w[:rng.randint(1, len(w))]}*"
+        if kind == 2:
+            return f"*{w[-rng.randint(1, len(w)):]}"
+        if kind == 3:
+            return f"*{w[1:-1]}*" if len(w) > 2 else w
+        if kind == 4:
+            return f"{w}~{rng.randint(1, 2)}"
+        if kind == 5:
+            return '"' + " ".join(rng.choice(vocab) for _ in
+                                  range(rng.randint(1, 3))) + '"'
+        return (f'"{rng.choice(vocab)} {rng.choice(vocab)}"'
+                f"~{rng.randint(1, 4)}")
+    if r < 0.60:
+        return f"NOT ({_rand_expr(rng, vocab, depth + 1)})"
+    op = " AND " if r < 0.8 else " OR "
+    n = rng.randint(2, 3)
+    return "(" + op.join(_rand_expr(rng, vocab, depth + 1)
+                         for _ in range(n)) + ")"
+
+
+def _ref_eval(node, toks):
+    """Independent per-doc reference evaluator over a token list."""
+    from ts_type_filter_ray.pipelines import querylang as ql
+    ts = set(toks)
+    if isinstance(node, ql.Term):
+        return node.text.lower() in ts
+    if isinstance(node, ql.Prefix):
+        return any(t.startswith(node.text.lower()) for t in ts)
+    if isinstance(node, ql.Suffix):
+        return any(t.endswith(node.text.lower()) for t in ts)
+    if isinstance(node, ql.Contains):
+        return any(node.text.lower() in t for t in ts)
+    if isinstance(node, ql.Fuzzy):
+        return any(_lev(node.text.lower(), t) <= node.max_dist for t in ts)
+    if isinstance(node, ql.Phrase):
+        p = node.text.lower().split()
+        return any(toks[i:i + len(p)] == p
+                   for i in range(len(toks) - len(p) + 1))
+    if isinstance(node, ql.Proximity):
+        a, b = node.text.lower().split()
+        ia = [i for i, x in enumerate(toks) if x == a]
+        ib = [i for i, x in enumerate(toks) if x == b]
+        return any(abs(i - j) <= node.slop and i != j
+                   for i in ia for j in ib)
+    if isinstance(node, ql.Not):
+        return not _ref_eval(node.child, toks)
+    if isinstance(node, ql.And):
+        return all(_ref_eval(c, toks) for c in node.children)
+    if isinstance(node, ql.Or):
+        return any(_ref_eval(c, toks) for c in node.children)
+    raise TypeError(node)
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_percolate_random_differential(ray_session, seed):
+    """Fuzz: ~50 random expressions over a random corpus, ALL percolated
+    in one pass, each compared to an independent per-doc reference
+    evaluator (parser shared — it has its own round-trip fuzz suite)."""
+    import random
+
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.querylang import parse_query
+    rng = random.Random(seed)
+    vocab = ["run", "running", "fast", "order", "batch", "ba", "bat",
+             "xyz", "ordr"] + [f"w{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(0, 25)))
+            for _ in range(80)]
+    rules = {}
+    while len(rules) < 50:
+        e = _rand_expr(rng, vocab)
+        try:
+            parse_query(e)
+        except Exception:
+            continue
+        rules[f"r{len(rules)}"] = e
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "content": pa.array(docs, type=pa.string())})).repartition(4)
+    out = percolate(corpus, rules, batch_size=16).to_pandas()
+    got = {(r.query_id, int(r.doc_id)) for r in out.itertuples()}
+    for rid, expr in rules.items():
+        ast = parse_query(expr)
+        want = {d for d, text in enumerate(docs)
+                if _ref_eval(ast, text.lower().split())}
+        have = {d for q, d in got if q == rid}
+        assert have == want, (rid, expr)
+
+
 def test_syntax_error_surfaces_on_driver(corpus):
     with pytest.raises(QuerySyntaxError):
         compile_rules({"r": "order AND"})

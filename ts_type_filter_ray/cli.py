@@ -29,15 +29,18 @@ def _ensure_ray(num_cpus: int | None) -> None:
 def df_table(index, limit: int | None = None) -> list[tuple[str, int]]:
     """Global (term, df) sorted (df desc, term asc) — the reference's
     word-frequency table (``inverted_index.py:148-153``) with the
-    deterministic tie-break."""
-    import pyarrow.dataset as pads
-    meta = pads.dataset(index.postings_dir, partitioning="hive").to_table(
-        columns=["term", "df"])
-    acc: dict[str, int] = {}
-    for t, d in zip(meta["term"].to_pylist(), meta["df"].to_pylist()):
-        acc[t] = acc.get(t, 0) + d
-    out = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-    return out[:limit] if limit else out
+    deterministic tie-break. Reads the persisted column-pruned per-bucket
+    ``_df.parquet`` tables and sorts in Arrow — only the printed rows
+    ever become Python objects (no vocab-sized dicts on the driver)."""
+    import pyarrow.compute as pc
+    from .pipelines.serve import load_global_df
+    tbl = load_global_df(index)
+    order = pc.sort_indices(tbl, sort_keys=[("df", "descending"),
+                                            ("term", "ascending")])
+    if limit:
+        order = order[:limit]
+    out = tbl.take(order)
+    return list(zip(out["term"].to_pylist(), out["df"].to_pylist()))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -122,6 +125,9 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("index")
     ph.add_argument("phrase")
     ph.add_argument("--near", type=int, metavar="W")
+    ph.add_argument("--window", type=int, metavar="N",
+                    help="ordered window (#odN): all terms in order, "
+                         "every adjacent gap <= N (1 = exact phrase)")
     ph.add_argument("--snippet", type=int, metavar="W")
 
     pe = sub.add_parser(
@@ -330,6 +336,10 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.positional import (PositionalIndex,
                                            PositionalSearcher)
         s = PositionalSearcher(PositionalIndex.load(args.index))
+        if args.near is not None and args.window is not None:
+            print("error: --near and --window are exclusive",
+                  file=sys.stderr)
+            return 2
         if args.near is not None:
             terms = args.phrase.split()
             if len(terms) != 2:
@@ -337,6 +347,8 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             ids = s.proximity(terms[0], terms[1], args.near)
+        elif args.window is not None:
+            ids = s.ordered_window(args.phrase, args.window)
         else:
             ids = s.phrase(args.phrase)
         print(f"Found {ids.size} matches.")
