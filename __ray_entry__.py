@@ -65,6 +65,27 @@ def _packing():
     return packing
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+PAGERANK_KNN_K = 5
+
+
+def _pagerank_knn(sf_dir: str):
+    """PageRank over the exact kNN cosine graph (the knn_join edge set):
+    authority ranking in the similarity graph — representative-document
+    selection for curation. The float rank column itself crosses the
+    value-exact gate (identical float64 expression shapes + ordered
+    per-dst folds on both sides)."""
+    from ts_type_filter_ray.functions import ann
+    from ts_type_filter_ray.functions.graph import pagerank
+    emb = _emb(sf_dir)
+    n = emb.count()
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    return pagerank(edges, n, iters=PAGERANK_ITERS,
+                    damping=PAGERANK_DAMPING,
+                    src_col="vec_id", dst_col="neighbor_id")
+
+
 def entry() -> Any:
     """Flagship: build the distributed inverted index over the sf0.001
     documents corpus and answer the fixed BM25 query set."""
@@ -113,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gap <= N (general sloppy phrase; gap=1 ≡ exact phrase)
         "ordered_window_match":
             lambda sf: flagship.ordered_window_table(sf),
+        # PageRank over the exact kNN cosine graph (graph analytics
+        # beyond connected components): per-iteration broadcast ranks +
+        # coarse-partition ordered folds; the float rank column itself
+        # is on the value-exact gate
+        "pagerank_knn": _pagerank_knn,
         # search-analytics surfaces (pipelines/analytics.py), all
         # value-exact: significant-terms aggregation (fg/bg lift with
         # the float column itself on the gate), fixed-width numeric
@@ -2533,6 +2559,44 @@ def oracle_sql() -> dict[str, str]:
                                         order by sim desc, vec_id asc) as rank
               from sims)
             select query_id, rank, vec_id from ranked where rank <= {ANN_K}""",
+        "pagerank_knn": (f"""
+            with nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select a.vec_id as src, b.vec_id as dst,
+                     ({dot.format(a='a', b='b')}) / (a.nv * b.nv) as sim
+              from nrm a, nrm b where a.vec_id <> b.vec_id),
+            eranked as (
+              select src, dst,
+                     row_number() over (partition by src
+                                        order by sim desc, dst asc) as rank
+              from sims),
+            edges as (select src, dst from eranked
+                      where rank <= {PAGERANK_KNN_K}),
+            n_t as (select count(*)::BIGINT as n from embeddings),
+            od as (select src, count(*)::BIGINT as deg
+                   from edges group by src),
+            r0 as (select vec_id as node, 1.0::DOUBLE / n.n as r
+                   from embeddings cross join n_t n)""" + "".join(f""",
+            r{i} as (
+              select e0.vec_id as node,
+                     (1.0::DOUBLE - {PAGERANK_DAMPING}::DOUBLE) / n.n
+                     + {PAGERANK_DAMPING}::DOUBLE
+                       * coalesce(agg.s, 0.0::DOUBLE) as r
+              from embeddings e0 cross join n_t n
+              left join (
+                select e.dst as node,
+                       list_aggregate(list(rp.r / od.deg
+                                           order by e.src asc),
+                                      'sum') as s
+                from edges e
+                join r{i - 1} rp on rp.node = e.src
+                join od on od.src = e.src
+                group by e.dst) agg on agg.node = e0.vec_id)"""
+            for i in range(1, PAGERANK_ITERS + 1)) + f"""
+            select node, r as pagerank from r{PAGERANK_ITERS}"""),
         "knn_join": f"""
             with nrm as (
               select vec_id, embedding,

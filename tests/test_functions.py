@@ -459,6 +459,33 @@ def test_distinct_shingles_batch_matches_per_row():
     assert {d: sorted(v) for d, v in got.items()} == want
 
 
+def test_pagerank_golden(ray_session):
+    """Distributed PageRank ≡ a pure-Python power iteration on a small
+    directed graph with skewed in-degrees, dangling nodes (no
+    out-edges), and an unreferenced node — bit-identical floats."""
+    from ts_type_filter_ray.functions.graph import pagerank
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 2), (4, 0),
+             (5, 2)]  # node 6: no edges at all; node 3,5: no in-edges
+    n, d, iters = 7, 0.85, 4
+    tbl = pa.table({"src": pa.array([a for a, _ in edges],
+                                    type=pa.int64()),
+                    "dst": pa.array([b for _, b in edges],
+                                    type=pa.int64())})
+    got = pagerank(rd.from_arrow(tbl).repartition(3), n, iters=iters,
+                   damping=d).to_pandas()
+    # reference: sequential fold in ascending-src order per dst
+    import collections
+    out = collections.Counter(a for a, _ in edges)
+    r = [1.0 / n] * n
+    for _ in range(iters):
+        s = [0.0] * n
+        for a, b in sorted(edges):  # (src, dst) ascending → src order
+            s[b] += r[a] / out[a]
+        r = [(1.0 - d) / n + d * s[v] for v in range(n)]
+    assert got["node"].tolist() == list(range(n))
+    assert got["pagerank"].tolist() == r  # exact float equality
+
+
 def test_scrub_pii_planted(ray_session):
     from ts_type_filter_ray.functions.scrub import scrub_pii
     tbl = pa.table({
