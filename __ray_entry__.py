@@ -139,6 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coarse-partition ordered folds; the float rank column itself
         # is on the value-exact gate
         "pagerank_knn": _pagerank_knn,
+        # Efraimidis–Spirakis weighted sampling without replacement:
+        # deterministic ln(u)/w keys from the id hash, exact top-k —
+        # quality-weighted subset selection
+        "weighted_sample_k": lambda sf: _weighted_sample_k(sf),
         # search-analytics surfaces (pipelines/analytics.py), all
         # value-exact: significant-terms aggregation (fg/bg lift with
         # the float column itself on the gate), fixed-width numeric
@@ -589,6 +593,12 @@ def _cooccurrence_counts(sf_dir: str):
 def _sample_exact_k(sf_dir: str):
     from ts_type_filter_ray.functions.sampling import sample_exact_k
     return sample_exact_k(_docs(sf_dir), k=SAMPLE_K)
+
+
+def _weighted_sample_k(sf_dir: str):
+    from ts_type_filter_ray.functions.sampling import weighted_sample_k
+    return weighted_sample_k(_docs(sf_dir), k=SAMPLE_K,
+                             weight_col="n_chars")
 
 
 def _dedup_clusters(sf_dir: str):
@@ -2009,6 +2019,18 @@ def oracle_sql() -> dict[str, str]:
                    as "rank", doc_id
             from documents
             order by md5_number_lower(doc_id::VARCHAR), doc_id
+            limit {SAMPLE_K}""",
+        "weighted_sample_k": rf"""
+            with keyed as (
+              select doc_id,
+                     ln((md5_number_lower(doc_id::VARCHAR)::DOUBLE
+                         + 0.5::DOUBLE) * pow(2.0::DOUBLE, -64.0::DOUBLE))
+                     / n_chars::DOUBLE as k
+              from documents where n_chars > 0)
+            select row_number() over (order by k desc, doc_id asc)
+                   as "rank", doc_id
+            from keyed
+            order by k desc, doc_id asc
             limit {SAMPLE_K}""",
         "training_prep": r"""
             with tc as (

@@ -459,6 +459,39 @@ def test_distinct_shingles_batch_matches_per_row():
     assert {d: sorted(v) for d, v in got.items()} == want
 
 
+def test_weighted_sample_k(ray_session):
+    """A-ES weighted sampling: deterministic, exact-k, excludes
+    non-positive weights, matches a local reference computation, and
+    favors heavy rows (every huge-weight row selected)."""
+    import numpy as np
+
+    from ts_type_filter_ray.functions.sampling import (_md5_key64,
+                                                       weighted_sample_k)
+    n = 400
+    w = np.ones(n, dtype=np.int64)
+    heavy = [7, 99, 250, 333]
+    w[heavy] = 100_000
+    w[5] = 0          # excluded: no mass
+    w[6] = -3         # excluded
+    tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                    "n_chars": pa.array(w)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = weighted_sample_k(ds, k=20)
+    ids = out["doc_id"].to_pylist()
+    assert out["rank"].to_pylist() == list(range(1, 21))
+    assert len(ids) == 20 and 5 not in ids and 6 not in ids
+    assert set(heavy) <= set(ids)  # P(miss) ~ (1e-5)^... negligible
+    # reference: exact key order
+    u = (_md5_key64(np.arange(n)).astype(np.float64) + 0.5) * 2.0 ** -64
+    key = np.log(u) / w.astype(np.float64)
+    key[w <= 0] = -np.inf
+    order = np.lexsort((np.arange(n), -key))[:20]
+    assert ids == order.tolist()
+    # deterministic across reruns
+    again = weighted_sample_k(ds, k=20)
+    assert again["doc_id"].to_pylist() == ids
+
+
 def test_pagerank_golden(ray_session):
     """Distributed PageRank ≡ a pure-Python power iteration on a small
     directed graph with skewed in-degrees, dangling nodes (no

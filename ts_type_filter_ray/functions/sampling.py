@@ -249,3 +249,51 @@ def stratified_sample(ds: Dataset, rates: dict[str, float],
 
     return ds.select_columns([id_col, strata_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def weighted_sample_k(ds: Dataset, k: int = 100,
+                      weight_col: str = "n_chars",
+                      id_col: str = "doc_id") -> "pa.Table":
+    """(rank, id) — an EXACT-size deterministic WEIGHTED sample without
+    replacement: Efraimidis–Spirakis A-ES keys ``ln(u)/w`` with
+    ``u = (md5_number_lower(id) + 0.5)·2⁻⁶⁴`` (deterministic uniform
+    from the id hash, never 0), top-k by key DESC (dividing the
+    negative ``ln(u)`` by a larger weight pulls it toward 0) — each doc
+    selected with probability proportional to its weight, reproducible
+    across engines/partitions/reruns like :func:`sample_exact_k`. The
+    quality-weighted subset selection a curation pipeline runs ("keep
+    100k docs, favor high-quality ones").
+
+    Rows with weight ≤ 0 are excluded (they carry no sampling mass).
+    Distributed shape: per-batch partial top-k, global sort of only the
+    ~(#batches × k) survivors."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        pos = w > 0.0
+        ids, w = ids[pos], w[pos]
+        u = (_md5_key64(ids).astype(np.float64) + 0.5) * 2.0 ** -64
+        key = np.log(u) / w
+        if ids.size > k:
+            head = np.lexsort((ids, -key))[:k]
+            ids, key = ids[head], key[head]
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         "key": pa.array(key)})
+
+    cand = (ds.select_columns([id_col, weight_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .sort(["key", id_col], descending=[True, False])
+            .limit(k))
+    import ray as _ray
+    parts = [t for t in _ray.get(cand.to_arrow_refs()) if t.num_rows]
+    small = pa.concat_tables(parts) if parts else pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "key": pa.array([], type=pa.float64())})
+    small = small.sort_by([("key", "descending"), (id_col, "ascending")])
+    n = small.num_rows
+    return pa.table({
+        "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        id_col: small[id_col],
+    })
