@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic ln(u)/w keys from the id hash, exact top-k —
         # quality-weighted subset selection
         "weighted_sample_k": lambda sf: _weighted_sample_k(sf),
+        # exactly k per stratum ("k docs per language"): per-batch
+        # per-stratum heads, one small survivor groupby
+        "sample_per_stratum": lambda sf: _sample_per_stratum(sf),
         # search-analytics surfaces (pipelines/analytics.py), all
         # value-exact: significant-terms aggregation (fg/bg lift with
         # the float column itself on the gate), fixed-width numeric
@@ -564,6 +567,7 @@ def _chunk_documents(sf_dir: str):
 PHRASE_SET = ["order fast", "agg part filter", "zz qq never_present"]
 NGRAM_N = 2
 SAMPLE_K = 100
+STRATUM_K = 20
 
 
 def _ngram_counts(sf_dir: str):
@@ -599,6 +603,12 @@ def _weighted_sample_k(sf_dir: str):
     from ts_type_filter_ray.functions.sampling import weighted_sample_k
     return weighted_sample_k(_docs(sf_dir), k=SAMPLE_K,
                              weight_col="n_chars")
+
+
+def _sample_per_stratum(sf_dir: str):
+    from ts_type_filter_ray.functions.sampling import sample_per_stratum
+    return sample_per_stratum(_docs(sf_dir), k=STRATUM_K,
+                              strata_col="lang")
 
 
 def _dedup_clusters(sf_dir: str):
@@ -2020,6 +2030,15 @@ def oracle_sql() -> dict[str, str]:
             from documents
             order by md5_number_lower(doc_id::VARCHAR), doc_id
             limit {SAMPLE_K}""",
+        "sample_per_stratum": rf"""
+            select lang, "rank", doc_id from (
+              select lang, doc_id,
+                     row_number() over (
+                       partition by lang
+                       order by md5_number_lower(doc_id::VARCHAR),
+                                doc_id) as "rank"
+              from documents)
+            where "rank" <= {STRATUM_K}""",
         "weighted_sample_k": rf"""
             with keyed as (
               select doc_id,

@@ -492,6 +492,30 @@ def test_weighted_sample_k(ray_session):
     assert again["doc_id"].to_pylist() == ids
 
 
+def test_sample_per_stratum(ray_session):
+    """Exactly k per stratum, key order, small strata kept whole; the
+    per-batch head pruning must not change the global answer."""
+    import numpy as np
+
+    from ts_type_filter_ray.functions.sampling import (_md5_key64,
+                                                       sample_per_stratum)
+    n = 300
+    langs = np.array(["en", "fr", "de"])[np.arange(n) % 3]
+    langs[:2] = "tiny"  # a 2-member stratum with k=5
+    tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                    "lang": pa.array(langs.tolist())})
+    out = sample_per_stratum(rd.from_arrow(tbl).repartition(5), k=5,
+                             strata_col="lang").to_pandas()
+    key = _md5_key64(np.arange(n))
+    for lang in ("en", "fr", "de", "tiny"):
+        members = np.flatnonzero(langs == lang)
+        order = members[np.lexsort((members, key[members]))][:5]
+        sub = out[out.lang == lang].sort_values("rank")
+        assert sub.doc_id.tolist() == order.tolist(), lang
+        assert sub["rank"].tolist() == list(range(1, len(order) + 1))
+    assert len(out) == 5 * 3 + 2
+
+
 def test_pagerank_golden(ray_session):
     """Distributed PageRank ≡ a pure-Python power iteration on a small
     directed graph with skewed in-degrees, dangling nodes (no

@@ -297,3 +297,59 @@ def weighted_sample_k(ds: Dataset, k: int = 100,
         "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
         id_col: small[id_col],
     })
+
+
+def sample_per_stratum(ds: Dataset, k: int = 20,
+                       strata_col: str = "lang",
+                       id_col: str = "doc_id") -> Dataset:
+    """(stratum, rank, id) — EXACTLY k rows per stratum (fewer when the
+    stratum is smaller), deterministically: each stratum's k smallest
+    ``md5_number_lower(id)`` keys, rank 1..k in key order. The balanced
+    counterpart of :func:`stratified_sample` (rates) and
+    :func:`sample_exact_k` (global) — "k docs per language" for eval
+    sets and per-source debug slices.
+
+    Distributed shape: every batch reduces to its own per-stratum k
+    smallest keys (one lexsort per batch), then one SMALL groupby over
+    the ~(#batches × strata × k) survivors ranks each stratum — the
+    corpus never globally sorts and no stratum's full membership ever
+    co-locates."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # dictionary-encode the stratum so the lexsort runs on int codes
+        # (grouping only — code order is irrelevant)
+        enc = pc.dictionary_encode(batch[strata_col].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        key = _md5_key64(ids)
+        order = np.lexsort((ids, key, codes))  # stratum-major, key asc
+        s_s, i_s, k_s = codes[order], ids[order], key[order]
+        new_s = np.ones(s_s.size, dtype=bool)
+        new_s[1:] = s_s[1:] != s_s[:-1]
+        # rank within stratum run = position - run start
+        starts = np.flatnonzero(new_s)
+        run_start = starts[np.cumsum(new_s) - 1]
+        within = np.arange(s_s.size, dtype=np.int64) - run_start
+        keep = np.flatnonzero(within < k)
+        return pa.table({
+            strata_col: enc.dictionary.take(pa.array(s_s[keep])),
+            id_col: pa.array(i_s[keep], type=pa.int64()),
+            "key": pa.array(k_s[keep])})
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        head = np.lexsort((ids, key))[:k]
+        return pa.table({
+            strata_col: group[strata_col].take(pa.array(head)),
+            "rank": pa.array(np.arange(1, head.size + 1,
+                                       dtype=np.int64)),
+            id_col: pa.array(ids[head], type=pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, strata_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(strata_col)
+            .map_groups(rank_group, batch_format="pyarrow"))
