@@ -21,6 +21,12 @@ ANN_K = 10
 NEAR_DUP_THRESHOLD = 0.35
 NGRAM_JACCARD_T = 0.5
 TOP_TERMS_K = 25
+DUP_SPAN_K = 3
+TF_COSINE_T = 0.8
+# sf documents draw from a ~31-term vocabulary (every term is
+# stopword-like), so a binding df cap empties the result — gate the
+# uncapped exactness contract; pytest covers the cap semantics
+TF_COSINE_MAX_DF = None
 
 
 def _docs(sf_dir: str):
@@ -63,6 +69,22 @@ def _export_postings(sf_dir: str):
 def _packing():
     from ts_type_filter_ray.functions import packing
     return packing
+
+
+def _dup_token_spans(sf_dir: str):
+    from ts_type_filter_ray.functions.ngrams import dup_token_spans
+    return dup_token_spans(_docs(sf_dir), shingle_k=DUP_SPAN_K)
+
+
+def _strip_dup_spans(sf_dir: str):
+    from ts_type_filter_ray.functions.ngrams import strip_dup_spans
+    return strip_dup_spans(_docs(sf_dir), shingle_k=DUP_SPAN_K)
+
+
+def _tf_cosine_pairs(sf_dir: str):
+    from ts_type_filter_ray.functions.dedup import tf_cosine_pairs
+    return tf_cosine_pairs(_docs(sf_dir), threshold=TF_COSINE_T,
+                           max_term_df=TF_COSINE_MAX_DF)
 
 
 PAGERANK_ITERS = 3
@@ -115,6 +137,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percolate.py) — boolean/phrase/proximity/prefix/fuzzy/field/
         # range leaves, pure negation legal (per-doc universe)
         "percolate": lambda sf: flagship.percolate_documents(sf),
+        # exact-substring duplicate spans (Lee et al. 2022 ExactSubstr
+        # at token granularity): per-doc token positions covered by any
+        # k-gram occurring at >= 2 positions corpus-wide (same-doc
+        # repeats count) — detection stats and the removal transform
+        # (whitespace-normalized survivor text), both value-exact
+        "dup_token_spans": _dup_token_spans,
+        "strip_dup_spans": _strip_dup_spans,
+        # exact all-pairs sparse tf-cosine similarity (the Bayardo
+        # all-pairs baseline, bag-of-words near-dup signal): integer
+        # dot/norms through the shuffles, one final float expression
+        # on both sides (uncapped here — see TF_COSINE_MAX_DF note;
+        # the df-cap contract is pytest-pinned underestimate-only)
+        "tf_cosine_pairs": _tf_cosine_pairs,
         # federated search (DFS query-then-fetch): two independently
         # built half-indexes with a query-time global-stats merge must
         # rank bit-identically to one whole-corpus index, so the SAME
@@ -2023,6 +2058,95 @@ def oracle_sql() -> dict[str, str]:
                    n_dup::BIGINT as n_dup_shingles,
                    n_dup::DOUBLE / n_shingles as dup_fraction
             from per""",
+        "dup_token_spans": rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            sh as (
+              select doc_id, p,
+                     array_to_string(arr[p+1:p+{DUP_SPAN_K}], ' ') as g,
+                     least({DUP_SPAN_K}, len(arr))::BIGINT as w
+              from (select doc_id, arr,
+                           unnest(range(0, greatest(len(arr)-{DUP_SPAN_K}+1,
+                                                    1)))::INT as p
+                    from base)),
+            dfg as (select g, count(*) as cnt from sh group by g),
+            cov as (
+              select distinct s.doc_id, s.p + t.o as tp
+              from sh s
+              join dfg d using (g)
+              cross join range(0, {DUP_SPAN_K}) as t(o)
+              where d.cnt >= 2 and t.o < s.w),
+            per as (select doc_id, count(*)::BIGINT as n_dup_tokens
+                    from cov group by doc_id),
+            nt as (select doc_id, len(arr)::BIGINT as n_tokens from base)
+            select p.doc_id, n.n_tokens, p.n_dup_tokens,
+                   p.n_dup_tokens::DOUBLE / n.n_tokens
+                       as dup_token_fraction
+            from per p join nt n using (doc_id)""",
+        "strip_dup_spans": rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            sh as (
+              select doc_id, p,
+                     array_to_string(arr[p+1:p+{DUP_SPAN_K}], ' ') as g,
+                     least({DUP_SPAN_K}, len(arr))::BIGINT as w
+              from (select doc_id, arr,
+                           unnest(range(0, greatest(len(arr)-{DUP_SPAN_K}+1,
+                                                    1)))::INT as p
+                    from base)),
+            dfg as (select g, count(*) as cnt from sh group by g),
+            cov as (
+              select distinct s.doc_id, s.p + t.o as tp
+              from sh s
+              join dfg d using (g)
+              cross join range(0, {DUP_SPAN_K}) as t(o)
+              where d.cnt >= 2 and t.o < s.w),
+            toks as (
+              select doc_id, p, arr[p+1] as tok
+              from (select doc_id, arr,
+                           unnest(range(0, len(arr)))::INT as p
+                    from base)),
+            kept as (
+              select t.doc_id, t.p, t.tok
+              from toks t left join cov c
+                on c.doc_id = t.doc_id and c.tp = t.p
+              where c.tp is null),
+            agg as (select doc_id, string_agg(tok, ' ' order by p) as text,
+                           count(*)::BIGINT as n_kept
+                    from kept group by doc_id),
+            nt as (select doc_id, len(arr)::BIGINT as n_tokens from base)
+            select d.doc_id, coalesce(a.text, '') as text,
+                   coalesce(n.n_tokens, 0)::BIGINT as n_tokens,
+                   (coalesce(n.n_tokens, 0) - coalesce(a.n_kept, 0))::BIGINT
+                       as n_removed
+            from documents d
+            left join nt n using (doc_id)
+            left join agg a using (doc_id)""",
+        "tf_cosine_pairs": rf"""
+            with raw as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            tf as (select doc_id, term, count(*)::BIGINT as tf
+                   from raw group by 1, 2),
+            nrm as (select doc_id, sum(tf*tf)::BIGINT as sq
+                    from tf group by 1),
+            dt as (select a.doc_id as id_a, b.doc_id as id_b,
+                          sum(a.tf*b.tf)::BIGINT as dot
+                   from tf a join tf b using (term)
+                   where a.doc_id < b.doc_id
+                   group by 1, 2)
+            select id_a, id_b,
+                   dot::DOUBLE / sqrt((na.sq * nb.sq)::DOUBLE) as cosine
+            from dt
+            join nrm na on na.doc_id = id_a
+            join nrm nb on nb.doc_id = id_b
+            where dot::DOUBLE / sqrt((na.sq * nb.sq)::DOUBLE)
+                  >= {TF_COSINE_T}::DOUBLE
+            order by id_a, id_b""",
         "sample_exact_k": rf"""
             select row_number() over (
                      order by md5_number_lower(doc_id::VARCHAR), doc_id)

@@ -106,3 +106,82 @@ def test_curation_pipeline(ray_session, tmp_path):
     # resumable layout: output is a parquet dir
     out = pq.read_table(str(tmp_path / "curated"))
     assert out.num_rows == 2
+
+
+def test_tf_cosine_pairs_matches_duckdb(ray_session):
+    """Exact all-pairs tf-cosine vs a DuckDB oracle (value-level,
+    including the float cosine — all-integer dot/norms, one final
+    division on both sides)."""
+    import duckdb
+    import pyarrow as pa
+
+    from ts_type_filter_ray.functions.dedup import tf_cosine_pairs
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "THE cat sat on a mat"),
+        (2, "completely different words here"),
+        (3, "the the the cat cat mat"),
+        (4, ""),
+        (5, "the cat sat on the mat"),
+        (6, "words different completely here"),
+        (7, "   "),
+        (8, "mat the"),
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs],
+                                       type=pa.int64()),
+                    "text": pa.array([t for _, t in docs])})
+    got = tf_cosine_pairs(rd.from_arrow(tbl), threshold=0.4,
+                          num_parts=4).take_all()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(r"""
+        with raw as (
+          select doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                 as term
+          from documents where trim(text) <> ''),
+        tf as (select doc_id, term, count(*)::BIGINT as tf
+               from raw group by 1, 2),
+        nrm as (select doc_id, sum(tf*tf)::BIGINT as sq
+                from tf group by 1),
+        dt as (select a.doc_id as id_a, b.doc_id as id_b,
+                      sum(a.tf*b.tf)::BIGINT as dot
+               from tf a join tf b using (term)
+               where a.doc_id < b.doc_id group by 1, 2)
+        select id_a, id_b,
+               dot::DOUBLE / sqrt((na.sq * nb.sq)::DOUBLE) as cosine
+        from dt
+        join nrm na on na.doc_id = id_a
+        join nrm nb on nb.doc_id = id_b
+        where dot::DOUBLE / sqrt((na.sq * nb.sq)::DOUBLE)
+              >= 0.4::DOUBLE
+        order by id_a, id_b""").fetchall()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == exp
+
+
+def test_tf_cosine_max_term_df_underestimates_only(ray_session):
+    import pyarrow as pa
+
+    from ts_type_filter_ray.functions.dedup import tf_cosine_pairs
+
+    # 'common' is shared by all docs; capping it out can only LOWER
+    # reported cosines / drop pairs, never invent or inflate them
+    docs = [(i, f"common tok{i} tok{i}x") for i in range(6)]
+    docs += [(10, "common alpha beta gamma"), (11, "common alpha beta gamma")]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs],
+                                       type=pa.int64()),
+                    "text": pa.array([t for _, t in docs])})
+    full = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in tf_cosine_pairs(rd.from_arrow(tbl), threshold=0.1,
+                                     num_parts=2,
+                                     max_term_df=None).take_all()}
+    capped = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in tf_cosine_pairs(rd.from_arrow(tbl), threshold=0.1,
+                                       num_parts=2,
+                                       max_term_df=4).take_all()}
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v <= full[k] + 1e-12
+    # the 10-11 pair survives the cap through its uncapped terms
+    assert (10, 11) in capped

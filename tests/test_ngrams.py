@@ -154,3 +154,88 @@ def test_cooccurrence_max_doc_terms_cap(ray_session):
     # each doc emits at most C(5,2)=10 pairs → ≤ 40 distinct pairs here
     assert len(capped1) <= 40
     assert all(capped1[k] <= exact[k] for k in capped1)
+
+
+# ------------------------------------------------- exact-substring spans
+
+
+def _span_brute(docs, k):
+    """Brute-force ExactSubstr coverage: (doc -> (n_tokens, n_dup))."""
+    import collections
+    occ = collections.Counter()
+    for _, t in docs:
+        tk = t.split()
+        if not tk:
+            continue
+        grams = ([tuple(tk)] if len(tk) < k else
+                 [tuple(tk[p:p + k]) for p in range(len(tk) - k + 1)])
+        occ.update(grams)
+    out = {}
+    for did, t in docs:
+        tk = t.split()
+        if not tk:
+            continue
+        cov = np.zeros(len(tk), dtype=bool)
+        if len(tk) < k:
+            if occ[tuple(tk)] >= 2:
+                cov[:] = True
+        else:
+            for p in range(len(tk) - k + 1):
+                if occ[tuple(tk[p:p + k])] >= 2:
+                    cov[p:p + k] = True
+        out[did] = (len(tk), int(cov.sum()), cov)
+    return out
+
+
+SPAN_DOCS = [
+    (0, "a b c d e f g"),
+    (1, "x y z a b c d q r"),        # shares the run 'a b c d' with 0
+    (2, "unique tokens only here"),
+    (3, "a b c a b c a b c"),        # self-repeat counts (ExactSubstr)
+    (4, "tiny doc"),
+    (5, "tiny doc"),                 # short-doc whole-text duplicate
+    (6, ""),
+    (7, "p q r s t u v w"),
+    (8, "e f g x y z"),              # overlapping coverage with 0/1
+]
+
+
+def test_dup_token_spans_matches_brute_force(ray_session):
+    from ts_type_filter_ray.functions.ngrams import dup_token_spans
+    for k in (2, 3, 5):
+        exp = {d: (n, c) for d, (n, c, _) in _span_brute(SPAN_DOCS, k).items()
+               if c > 0}
+        got = {r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"])
+               for r in dup_token_spans(_docs(SPAN_DOCS), shingle_k=k,
+                                        num_parts=4).take_all()}
+        assert got == exp, k
+        for r in dup_token_spans(_docs(SPAN_DOCS), shingle_k=k,
+                                 num_parts=4).take_all():
+            assert r["dup_token_fraction"] == (
+                r["n_dup_tokens"] / r["n_tokens"])
+
+
+def test_strip_dup_spans_rebuilds_survivors(ray_session):
+    from ts_type_filter_ray.functions.ngrams import strip_dup_spans
+    k = 3
+    brute = _span_brute(SPAN_DOCS, k)
+    got = {r["doc_id"]: r
+           for r in strip_dup_spans(_docs(SPAN_DOCS), shingle_k=k,
+                                    num_parts=4).take_all()}
+    assert set(got) == {d for d, _ in SPAN_DOCS}  # every doc reported
+    for did, t in SPAN_DOCS:
+        tk = t.split()
+        if not tk:
+            assert got[did]["text"] == "" and got[did]["n_removed"] == 0
+            continue
+        _, n_dup, cov = brute[did]
+        want = " ".join(tok for tok, c in zip(tk, cov) if not c)
+        assert got[did]["text"] == want, did
+        assert got[did]["n_tokens"] == len(tk)
+        assert got[did]["n_removed"] == n_dup
+
+
+def test_dup_token_spans_whole_corpus_unique(ray_session):
+    from ts_type_filter_ray.functions.ngrams import dup_token_spans
+    ds = _docs([(0, "q w e r t y"), (1, "u i o p a s")])
+    assert dup_token_spans(ds, shingle_k=3, num_parts=2).count() == 0

@@ -329,3 +329,190 @@ def cooccurrence_counts(ds: Dataset, min_df: int = 2,
             .sort(["pair_count", "term_a", "term_b"],
                   descending=[True, False, False])
             .limit(k))
+
+
+def dup_token_spans(ds: Dataset, shingle_k: int = 5,
+                    num_parts: int | None = None) -> Dataset:
+    """(doc_id, n_tokens, n_dup_tokens, dup_token_fraction) — per
+    document, how many of its TOKEN POSITIONS are covered by at least
+    one token ``shingle_k``-gram that occurs at ≥ 2 positions
+    corpus-wide (same-document repeats count — Lee et al. 2022
+    ExactSubstr semantics at token granularity: a position is
+    "duplicated" iff some length-k window containing it appears
+    elsewhere, so maximal duplicated substrings are exactly the unions
+    reported here). Exact, SQL-oracle checkable.
+
+    Distributed shape (two linear shuffles, no pair pass): explode
+    every positional shingle occurrence (multiset, position + doc token
+    count riding along), group by a coarse partition of the shingle
+    space — every occurrence of a shingle lands in ONE partition, so a
+    vectorized segment scan marks globally-duplicated occurrences —
+    then regroup the surviving (doc, start) rows by a coarse partition
+    of the doc space and take the per-doc interval union with one
+    segmented scan (spans have constant width w = min(k, n_tokens), so
+    the union size is w + Σ min(w, Δstart) over position-sorted
+    starts). Shuffle volume: O(total tokens) then O(duplicated starts).
+
+    Inner semantics: only documents with ≥ 1 duplicated position are
+    reported (blank docs have no shingles; docs shorter than k tokens
+    participate as one whole-text shingle covering all their tokens —
+    the dedup-family convention)."""
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+    starts = _dup_span_starts(ds, shingle_k, num_parts)
+
+    def cover(group: pa.Table) -> pa.Table:
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = group["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, did))
+        did, pos, ntok = did[order], pos[order], ntok[order]
+        w = np.minimum(shingle_k, ntok)
+        first = np.ones(len(did), dtype=bool)
+        first[1:] = did[1:] != did[:-1]
+        # per-row contribution: first start covers w tokens, each later
+        # start adds the non-overlapping suffix min(w, pos_i - pos_{i-1})
+        prev = np.empty(len(pos), dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = pos[:-1]
+        contrib = np.where(first, w, np.minimum(w, pos - prev))
+        seg_id = np.cumsum(first) - 1
+        covered = np.bincount(seg_id, weights=contrib).astype(np.int64)
+        u_did = did[first]
+        u_ntok = ntok[first]
+        return pa.table({
+            "doc_id": pa.array(u_did, type=pa.int64()),
+            "n_tokens": pa.array(u_ntok, type=pa.int64()),
+            "n_dup_tokens": pa.array(covered),
+            "dup_token_fraction": pa.array(covered / u_ntok,
+                                           type=pa.float64()),
+        })
+
+    return starts.groupby("dpart").map_groups(
+        cover, batch_format="pyarrow")
+
+
+def _dup_span_starts(ds: Dataset, shingle_k: int,
+                     num_parts: int) -> Dataset:
+    """(dpart, doc_id, pos, n_tok) — the start positions of every
+    globally-duplicated ``shingle_k``-gram occurrence (total occurrence
+    count ≥ 2 corpus-wide, same-doc repeats counting), keyed by a
+    coarse doc partition for the downstream per-doc pass. The shared
+    first half of :func:`dup_token_spans` / :func:`strip_dup_spans`."""
+    from .dedup import positional_shingles_batch
+
+    def explode(batch: pa.Table) -> pa.Table:
+        did, sh, pos, ntok = positional_shingles_batch(batch, shingle_k)
+        return pa.table({
+            "part": pa.array((sh % num_parts).astype(np.int32)),
+            "shingle": pa.array(sh),
+            "doc_id": pa.array(did, type=pa.int64()),
+            "pos": pa.array(pos),
+            "n_tok": pa.array(ntok),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        sh = group["shingle"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh = sh[order]
+        n = len(sh)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = sh[1:] != sh[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        dup = (np.bincount(seg_id) >= 2)[seg_id]
+        keep = order[dup]
+        did = group["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "dpart": pa.array((did % num_parts).astype(np.int32)),
+            "doc_id": pa.array(did, type=pa.int64()),
+            "pos": group["pos"].take(pa.array(keep)),
+            "n_tok": group["n_tok"].take(pa.array(keep)),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("part").map_groups(scan, batch_format="pyarrow"))
+
+
+def strip_dup_spans(ds: Dataset, shingle_k: int = 5,
+                    num_parts: int | None = None) -> Dataset:
+    """(doc_id, text, n_tokens, n_removed) — the corpus with every
+    duplicated span REMOVED: tokens covered by any token
+    ``shingle_k``-gram occurring at ≥ 2 positions corpus-wide are
+    dropped and the survivors re-joined with single spaces (output text
+    is whitespace-normalized; every non-blank doc is reported, blank
+    docs pass through as empty strings). The transform half of
+    :func:`dup_token_spans` — ``n_removed`` there ≡ ``n_dup_tokens``
+    here, and the kept-token count is ``n_tokens - n_removed``.
+
+    Distributed shape: the shared duplicated-start pass, then ONE
+    doc-partitioned groupby where each doc's text row meets its start
+    rows (the union-shuffle zip-join pattern — no driver state); the
+    per-partition rebuild is vectorized (one Arrow tokenize, one
+    diff-array coverage cumsum over the flat token space, one
+    ``binary_join`` for the output strings)."""
+    from .dedup import _tokenize_texts_batch
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+    starts = _dup_span_starts(ds, shingle_k, num_parts).map_batches(
+        lambda b: b.append_column(
+            "text", pa.array([None] * b.num_rows, type=pa.string())),
+        batch_format="pyarrow")
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(did)
+        return pa.table({
+            "dpart": pa.array((did % num_parts).astype(np.int32)),
+            "doc_id": pa.array(did, type=pa.int64()),
+            "pos": pa.array(np.full(n, -1, dtype=np.int32)),
+            "n_tok": pa.array(np.zeros(n, dtype=np.int32)),
+            "text": batch["text"],
+        })
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        pos_all = group["pos"].to_numpy(zero_copy_only=False)
+        did_all = group["doc_id"].to_numpy(zero_copy_only=False)
+        is_doc = pos_all < 0
+        doc_order = np.argsort(did_all[is_doc], kind="stable")
+        texts = group["text"].combine_chunks().filter(
+            pa.array(is_doc)).take(pa.array(doc_order))
+        doc_ids = did_all[is_doc][doc_order]
+        flat, off = _tokenize_texts_batch(texts)
+        counts = np.diff(off)
+        # map each duplicated start to its doc's flat token range
+        s_did = did_all[~is_doc]
+        s_pos = pos_all[~is_doc].astype(np.int64)
+        s_ntok = group["n_tok"].to_numpy(
+            zero_copy_only=False)[~is_doc].astype(np.int64)
+        di = np.searchsorted(doc_ids, s_did)
+        if len(di) and not np.array_equal(doc_ids[di], s_did):
+            raise ValueError(
+                "strip_dup_spans: duplicated-start rows reference "
+                "doc_ids absent from the corpus partition")
+        w = np.minimum(shingle_k, s_ntok)
+        # interval-union via a diff array over the flat token space
+        diff = np.zeros(off[-1] + 1, dtype=np.int64)
+        np.add.at(diff, off[:-1][di] + s_pos, 1)
+        np.add.at(diff, off[:-1][di] + s_pos + w, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        kept = ~covered
+        kept_flat = flat.filter(pa.array(kept))
+        kept_counts = np.zeros(len(counts), dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if kept.any():
+            np.add.at(kept_counts, doc_of[kept], 1)
+        kept_off = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=kept_off[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(kept_off.astype(np.int32), type=pa.int32()), kept_flat)
+        joined = pc.binary_join(lst, " ")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "text": joined,
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "n_removed": pa.array(counts - kept_counts),
+        })
+
+    docs = ds.map_batches(doc_rows, batch_format="pyarrow")
+    return docs.union(starts).groupby("dpart").map_groups(
+        rebuild, batch_format="pyarrow")
