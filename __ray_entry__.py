@@ -87,6 +87,11 @@ def _tf_cosine_pairs(sf_dir: str):
                            max_term_df=TF_COSINE_MAX_DF)
 
 
+def _kll(sf_dir: str, k: int):
+    from ts_type_filter_ray.functions.sketches import kll_quantiles
+    return kll_quantiles(_events(sf_dir), k=k)
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 PAGERANK_KNN_K = 5
@@ -150,6 +155,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on both sides (uncapped here — see TF_COSINE_MAX_DF note;
         # the df-cap contract is pytest-pinned underestimate-only)
         "tf_cosine_pairs": _tf_cosine_pairs,
+        # KLL quantile sketch (Karnin-Lang-Liberty): the mergeable
+        # bounded-state scale path past exact_value_quantiles. With
+        # k >= n no compaction ever fires, so the sketch path is EXACT
+        # percentile_disc and shares float_quantiles' oracle (the
+        # exactness-configuration trick); the k=256 approximate mode is
+        # rows-only with a pytest-bounded rank error
+        "kll_quantiles_exact": lambda sf: _kll(sf, k=1 << 22),
+        "kll_quantiles": lambda sf: _kll(sf, k=256),
         # federated search (DFS query-then-fetch): two independently
         # built half-indexes with a query-time global-stats merge must
         # rank bit-identically to one whole-corpus index, so the SAME
@@ -2708,6 +2721,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _events_mod().ASOF_SQL,
         "range_join": _events_mod().RANGE_JOIN_SQL,
         "float_quantiles": _events_mod().FLOAT_QUANTILES_SQL,
+        # k >= n => the KLL path retains every element at weight 1 and
+        # percentile_disc semantics hold exactly
+        "kll_quantiles_exact": _events_mod().FLOAT_QUANTILES_SQL,
         "sessionize": SESSIONIZE_SQL.format(gap=1800),
         "ann_topk": f"""
             with nrm as (

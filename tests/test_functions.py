@@ -1087,3 +1087,62 @@ def test_pack_token_spans_invariants(ray_session):
     assert first.seq_id.min() == 0
     with __import__("pytest").raises(ValueError):
         pack_token_spans(ds, seq_len=0)
+
+
+def test_kll_exact_mode_is_percentile_disc(ray_session):
+    """k >= n => no compaction => bit-exact percentile_disc (the
+    exactness configuration the driver gate runs)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import kll_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=20_000)
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)})).repartition(7)
+    row = kll_quantiles(ds, k=50_000).take_all()[0]
+    s = np.sort(vals)
+    assert row["n_events"] == len(vals)
+    for p in (50, 90, 99):
+        rank = max(1, int(np.ceil(p / 100 * len(vals))))
+        assert row[f"p{p}"] == s[rank - 1]
+
+
+def test_kll_approx_rank_error_bounded(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import KllSketch, kll_quantiles
+
+    rng = np.random.default_rng(12)
+    vals = rng.exponential(size=80_000)
+    s = np.sort(vals)
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)})).repartition(16)
+    row = kll_quantiles(ds, k=200).take_all()[0]
+    worst = max(abs(np.searchsorted(s, row[f"p{p}"]) / len(vals) - p / 100)
+                for p in (50, 90, 99))
+    assert worst < 0.03
+    # bounded state: a k=200 sketch over 80k values retains O(k log n)
+    sk = KllSketch(k=200)
+    sk.insert_many(vals)
+    assert sum(len(a) for a in sk.levels) < 2_000
+
+
+def test_kll_deterministic_and_merge_order_free_weights(ray_session):
+    import numpy as np
+
+    from ts_type_filter_ray.functions.sketches import KllSketch
+
+    rng = np.random.default_rng(13)
+    vals = rng.normal(size=30_000)
+    a, b = KllSketch(k=64), KllSketch(k=64)
+    for arr in np.array_split(vals, 9):
+        a.insert_many(arr)
+        b.insert_many(arr)
+    assert a.n == b.n == len(vals)
+    assert all(np.array_equal(x, y) for x, y in zip(a.levels, b.levels))
+    # total retained weight always equals n
+    _, w = a.items()
+    assert int(w.sum()) == a.n

@@ -211,3 +211,206 @@ def heavy_hitters(ds: Dataset, k: int = 25,
             .groupby("term").aggregate(Sum("n", alias_name="n"))
             .repartition(1)
             .map_batches(topk, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------------ KLL
+
+
+class KllSketch:
+    """Karnin–Lang–Liberty quantile sketch (FOCS'16, public algorithm) —
+    the mergeable bounded-state scale path past
+    ``events.exact_value_quantiles`` (which range-partitions the full
+    value space): space O(k·log(n/k)), rank error O(n/k) w.h.p., and an
+    EXACT mode when ``k ≥ n`` (level 0 never overflows ⇒ no compaction
+    ⇒ every element retained at weight 1 ⇒ queries reduce to
+    ``percentile_disc`` order statistics — the exactness-configuration
+    gate trick).
+
+    Compaction coin flips are DETERMINISTIC (blake2b over the level,
+    the per-level compaction counter, and the first surviving value's
+    bits), so equal inputs in equal order produce bit-equal sketches —
+    reproducible pipelines, no ``Math.random``-style seams.
+
+    Levels hold float64 arrays; an item at level h represents 2^h
+    original elements. Level capacities follow the standard
+    ``k·(2/3)^(H-1-h)`` schedule (min 2)."""
+
+    _C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("KLL k must be >= 8")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._compactions = 0
+
+    def _cap(self, h: int) -> int:
+        height = len(self.levels)
+        return max(2, int(np.ceil(self.k * self._C ** (height - 1 - h))))
+
+    def insert_many(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        self.n += len(values)
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self._compress()
+
+    def merge(self, other: "KllSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h, arr in enumerate(other.levels):
+            self.levels[h] = np.concatenate([self.levels[h], arr])
+        self.n += other.n
+        self._compress()
+
+    def _coin(self, h: int, arr: np.ndarray) -> int:
+        import hashlib
+        payload = (h.to_bytes(4, "little")
+                   + self._compactions.to_bytes(8, "little")
+                   + arr[:1].tobytes())
+        return hashlib.blake2b(payload, digest_size=1).digest()[0]
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) <= self._cap(h):
+                h += 1
+                continue
+            arr = np.sort(self.levels[h])
+            coin = self._coin(h, arr)
+            self._compactions += 1
+            leftover = np.empty(0, dtype=np.float64)
+            if len(arr) % 2 == 1:
+                # compact an EVEN count so retained weight is conserved
+                # exactly (2m items -> m at double weight); the odd one
+                # out stays at this level, end chosen by the coin's
+                # second bit
+                if coin & 2:
+                    leftover, arr = arr[:1], arr[1:]
+                else:
+                    leftover, arr = arr[-1:], arr[:-1]
+            promoted = arr[(coin & 1)::2]
+            self.levels[h] = leftover
+            if h + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[h + 1] = np.concatenate(
+                [self.levels[h + 1], promoted])
+            # capacities shrink for low levels when height grows, so
+            # re-check from the bottom
+            h = 0
+
+    def items(self) -> tuple[np.ndarray, np.ndarray]:
+        """(values, weights) of every retained item."""
+        vals = np.concatenate(self.levels) if self.levels else (
+            np.empty(0, dtype=np.float64))
+        wts = np.concatenate(
+            [np.full(len(a), 1 << h, dtype=np.int64)
+             for h, a in enumerate(self.levels)]) if self.levels else (
+            np.empty(0, dtype=np.int64))
+        return vals, wts
+
+    def quantile(self, q: float) -> float:
+        """``percentile_disc``-style query: the retained value whose
+        cumulative weight first reaches ceil(q·n) (exact when no
+        compaction ever ran)."""
+        vals, wts = self.items()
+        if len(vals) == 0:
+            raise ValueError("empty sketch")
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        rank = max(1, int(np.ceil(q * self.n)))
+        i = int(np.searchsorted(cum, rank, side="left"))
+        return float(vals[min(i, len(vals) - 1)])
+
+    def to_rows(self) -> pa.Table:
+        vals, wts = self.items()
+        lv = np.concatenate(
+            [np.full(len(a), h, dtype=np.int32)
+             for h, a in enumerate(self.levels)]) if self.levels else (
+            np.empty(0, dtype=np.int32))
+        return pa.table({
+            "level": pa.array(lv),
+            "value": pa.array(vals, type=pa.float64()),
+            "n": pa.array(np.full(len(vals), 0, dtype=np.int64)),
+        })
+
+    @classmethod
+    def from_rows(cls, level: np.ndarray, value: np.ndarray, n: int,
+                  k: int) -> "KllSketch":
+        sk = cls(k)
+        top = int(level.max()) if len(level) else 0
+        sk.levels = [value[level == h].astype(np.float64)
+                     for h in range(top + 1)]
+        sk.n = int(n)
+        sk._compress()
+        return sk
+
+
+def kll_quantiles(ds: Dataset, col: str = "value",
+                  ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+                  k: int = 200,
+                  num_merge_parts: int = 16) -> Dataset:
+    """One row (n_events, p50, p90, p99) of KLL-approximate quantiles —
+    same output shape as :func:`events.exact_value_quantiles`, bounded
+    state everywhere: per-batch sketches (map-side), one
+    ``groupby(mpart)`` merge into ``num_merge_parts`` partial sketches,
+    and a driver fold over ≤ num_merge_parts · O(k log n) retained
+    rows. Nothing proportional to the data ever concentrates: at 100 TB
+    the shuffle volume is #batches · O(k) rows.
+
+    With ``k ≥ n`` this is EXACT (see :class:`KllSketch`) and equals
+    ``percentile_disc`` bit-for-bit — the driver gate runs that
+    configuration; approximate-mode rank error is pytest-bounded."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        sk = KllSketch(k)
+        sk.insert_many(v)
+        rows = sk.to_rows()
+        # deterministic merge-part routing: content-derived, not RNG
+        import hashlib
+        mp = hashlib.blake2b(v[:1].tobytes() + len(v).to_bytes(8, "little"),
+                             digest_size=2).digest()
+        mpart = int.from_bytes(mp, "little") % num_merge_parts
+        rows = rows.append_column(
+            "mpart", pa.array(np.full(rows.num_rows, mpart,
+                                      dtype=np.int32)))
+        # one count row per batch (level = -1) carries the exact n
+        return pa.concat_tables([rows, pa.table({
+            "level": pa.array([-1], type=pa.int32()),
+            "value": pa.array([0.0], type=pa.float64()),
+            "n": pa.array([len(v)], type=pa.int64()),
+            "mpart": pa.array([mpart], type=pa.int32()),
+        })])
+
+    def merge_part(group: pa.Table) -> pa.Table:
+        lv = group["level"].to_numpy(zero_copy_only=False)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        data = lv >= 0
+        sk = KllSketch.from_rows(lv[data], val[data],
+                                 int(n[~data].sum()), k)
+        out = sk.to_rows()
+        return pa.concat_tables([out, pa.table({
+            "level": pa.array([-1], type=pa.int32()),
+            "value": pa.array([0.0], type=pa.float64()),
+            "n": pa.array([sk.n], type=pa.int64()),
+        })])
+
+    parts = (ds.select_columns([col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("mpart")
+             .map_groups(merge_part, batch_format="pyarrow")
+             .take_all())  # ≤ num_merge_parts · O(k·log n) rows
+    lv = np.array([r["level"] for r in parts], dtype=np.int64)
+    val = np.array([r["value"] for r in parts], dtype=np.float64)
+    data = lv >= 0
+    n_tot = int(sum(r["n"] for r in parts if r["level"] == -1))
+    final = KllSketch.from_rows(lv[data], val[data], n_tot, k)
+    out = {"n_events": pa.array([n_tot], type=pa.int64())}
+    for p in ps:
+        out[f"p{int(p * 100)}"] = pa.array([final.quantile(p)],
+                                           type=pa.float64())
+    return rd.from_arrow(pa.table(out))
