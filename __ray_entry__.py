@@ -2092,11 +2092,24 @@ def oracle_sql() -> dict[str, str]:
               where d.cnt >= 2 and t.o < s.w),
             per as (select doc_id, count(*)::BIGINT as n_dup_tokens
                     from cov group by doc_id),
+            isl as (select doc_id,
+                           tp - row_number() over (partition by doc_id
+                                                   order by tp) as grp
+                    from cov),
+            spans as (select doc_id, count(*) as span_len
+                      from isl group by doc_id, grp),
+            spanagg as (select doc_id,
+                               count(*)::BIGINT as n_dup_spans,
+                               max(span_len)::BIGINT as max_dup_span
+                        from spans group by doc_id),
             nt as (select doc_id, len(arr)::BIGINT as n_tokens from base)
             select p.doc_id, n.n_tokens, p.n_dup_tokens,
                    p.n_dup_tokens::DOUBLE / n.n_tokens
-                       as dup_token_fraction
-            from per p join nt n using (doc_id)""",
+                       as dup_token_fraction,
+                   s.n_dup_spans, s.max_dup_span
+            from per p
+            join nt n using (doc_id)
+            join spanagg s using (doc_id)""",
         "strip_dup_spans": rf"""
             with base as (
               select doc_id, regexp_split_to_array(trim(text),'\s+') as arr

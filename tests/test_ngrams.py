@@ -200,17 +200,33 @@ SPAN_DOCS = [
 ]
 
 
+def _islands(cov):
+    """(n_runs, max_run_len) of a boolean coverage mask."""
+    runs, cur, best = 0, 0, 0
+    for c in cov:
+        if c:
+            cur += 1
+            if cur == 1:
+                runs += 1
+            best = max(best, cur)
+        else:
+            cur = 0
+    return runs, best
+
+
 def test_dup_token_spans_matches_brute_force(ray_session):
     from ts_type_filter_ray.functions.ngrams import dup_token_spans
     for k in (2, 3, 5):
-        exp = {d: (n, c) for d, (n, c, _) in _span_brute(SPAN_DOCS, k).items()
-               if c > 0}
-        got = {r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"])
-               for r in dup_token_spans(_docs(SPAN_DOCS), shingle_k=k,
-                                        num_parts=4).take_all()}
+        brute = _span_brute(SPAN_DOCS, k)
+        exp = {d: (n, c) + _islands(cov)
+               for d, (n, c, cov) in brute.items() if c > 0}
+        rows = dup_token_spans(_docs(SPAN_DOCS), shingle_k=k,
+                               num_parts=4).take_all()
+        got = {r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"],
+                             r["n_dup_spans"], r["max_dup_span"])
+               for r in rows}
         assert got == exp, k
-        for r in dup_token_spans(_docs(SPAN_DOCS), shingle_k=k,
-                                 num_parts=4).take_all():
+        for r in rows:
             assert r["dup_token_fraction"] == (
                 r["n_dup_tokens"] / r["n_tokens"])
 

@@ -333,14 +333,15 @@ def cooccurrence_counts(ds: Dataset, min_df: int = 2,
 
 def dup_token_spans(ds: Dataset, shingle_k: int = 5,
                     num_parts: int | None = None) -> Dataset:
-    """(doc_id, n_tokens, n_dup_tokens, dup_token_fraction) — per
-    document, how many of its TOKEN POSITIONS are covered by at least
-    one token ``shingle_k``-gram that occurs at ≥ 2 positions
-    corpus-wide (same-document repeats count — Lee et al. 2022
-    ExactSubstr semantics at token granularity: a position is
-    "duplicated" iff some length-k window containing it appears
-    elsewhere, so maximal duplicated substrings are exactly the unions
-    reported here). Exact, SQL-oracle checkable.
+    """(doc_id, n_tokens, n_dup_tokens, dup_token_fraction,
+    n_dup_spans, max_dup_span) — per document, how many of its TOKEN
+    POSITIONS are covered by at least one token ``shingle_k``-gram
+    that occurs at ≥ 2 positions corpus-wide (same-document repeats
+    count — Lee et al. 2022 ExactSubstr semantics at token
+    granularity: a position is "duplicated" iff some length-k window
+    containing it appears elsewhere), plus the island structure of
+    that coverage: the number of maximal duplicated spans and the
+    longest one's token length. Exact, SQL-oracle checkable.
 
     Distributed shape (two linear shuffles, no pair pass): explode
     every positional shingle occurrence (multiset, position + doc token
@@ -378,6 +379,17 @@ def dup_token_spans(ds: Dataset, shingle_k: int = 5,
         contrib = np.where(first, w, np.minimum(w, pos - prev))
         seg_id = np.cumsum(first) - 1
         covered = np.bincount(seg_id, weights=contrib).astype(np.int64)
+        # islands (maximal duplicated spans): starts chain while the
+        # gap <= w, so a run break is a doc break or pos jump > w; the
+        # span length at each row is pos + w - (its run's first pos),
+        # maximal at the run's last row — a per-doc max over rows
+        run_break = first | ((pos - prev) > w)
+        run_id = np.cumsum(run_break) - 1
+        run_first_pos = pos[run_break][run_id]
+        span_len_at_row = pos + w - run_first_pos
+        doc_starts = np.flatnonzero(first)
+        max_span = np.maximum.reduceat(span_len_at_row, doc_starts)
+        n_spans = np.add.reduceat(run_break.astype(np.int64), doc_starts)
         u_did = did[first]
         u_ntok = ntok[first]
         return pa.table({
@@ -386,6 +398,8 @@ def dup_token_spans(ds: Dataset, shingle_k: int = 5,
             "n_dup_tokens": pa.array(covered),
             "dup_token_fraction": pa.array(covered / u_ntok,
                                            type=pa.float64()),
+            "n_dup_spans": pa.array(n_spans),
+            "max_dup_span": pa.array(max_span, type=pa.int64()),
         })
 
     return starts.groupby("dpart").map_groups(
