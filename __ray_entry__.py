@@ -92,6 +92,21 @@ def _kll(sf_dir: str, k: int):
     return kll_quantiles(_events(sf_dir), k=k)
 
 
+FEATURE_DIM_BITS = 18
+
+
+def _hashed_features(sf_dir: str):
+    from ts_type_filter_ray.functions.textstats import hashed_features
+    return hashed_features(_docs(sf_dir), dim_bits=FEATURE_DIM_BITS)
+
+
+def _triangle_count_knn(sf_dir: str):
+    from ts_type_filter_ray.functions import ann
+    from ts_type_filter_ray.functions.graph import triangle_count
+    edges = ann.knn_join(_emb(sf_dir), k=PAGERANK_KNN_K)
+    return triangle_count(edges, src_col="vec_id", dst_col="neighbor_id")
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 PAGERANK_KNN_K = 5
@@ -163,6 +178,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only with a pytest-bounded rank error
         "kll_quantiles_exact": lambda sf: _kll(sf, k=1 << 22),
         "kll_quantiles": lambda sf: _kll(sf, k=256),
+        # the hashing trick (Weinberger et al.): fixed-dimension sparse
+        # bag-of-words features, md5 % 2^b shared with the SQL oracle —
+        # a pure per-batch map, NO shuffle, vocabulary never exists
+        "hashed_features": _hashed_features,
+        # exact triangle count of the kNN cosine similarity graph
+        # (node-iterator wedges at the minimum vertex + one
+        # co-partitioned closing-edge membership scan) — cluster
+        # density analytics beside connected components / PageRank
+        "triangle_count_knn": _triangle_count_knn,
         # federated search (DFS query-then-fetch): two independently
         # built half-indexes with a query-time global-stats merge must
         # rank bit-identically to one whole-corpus index, so the SAME
@@ -2808,6 +2832,44 @@ def oracle_sql() -> dict[str, str]:
               from sims)
             select vec_id, rank, neighbor_id from ranked
             where rank <= 5""",
+        "triangle_count_knn": f"""
+            with nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select a.vec_id as vec_id, b.vec_id as neighbor_id,
+                     ({dot.format(a='a', b='b')}) / (a.nv * b.nv) as sim
+              from nrm a, nrm b where a.vec_id <> b.vec_id),
+            ranked as (
+              select vec_id, neighbor_id,
+                     row_number() over (partition by vec_id
+                                        order by sim desc, neighbor_id asc)
+                         as rank
+              from sims),
+            ed as (
+              select distinct least(vec_id, neighbor_id) as a,
+                     greatest(vec_id, neighbor_id) as b
+              from ranked where rank <= {PAGERANK_KNN_K}),
+            tri as (
+              select count(*)::BIGINT as n_triangles
+              from ed e1
+              join ed e2 on e2.a = e1.b
+              join ed e3 on e3.a = e1.a and e3.b = e2.b)
+            select (select count(*) from ed)::BIGINT as n_edges,
+                   n_triangles
+            from tri""",
+        "hashed_features": rf"""
+            with raw as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> '')
+            select doc_id,
+                   (md5_number_lower(term) % {1 << FEATURE_DIM_BITS})::BIGINT
+                       as feature_idx,
+                   count(*)::BIGINT as tf
+            from raw group by 1, 2""",
         "embedding_near_dup": f"""
             with nrm as (
               select vec_id, embedding,

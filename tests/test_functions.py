@@ -1146,3 +1146,92 @@ def test_kll_deterministic_and_merge_order_free_weights(ray_session):
     # total retained weight always equals n
     _, w = a.items()
     assert int(w.sum()) == a.n
+
+
+def test_triangle_count_brute_force(ray_session):
+    """Random multigraph with duplicate / reversed edges and self-loops
+    vs the textbook adjacency intersection count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(5)
+    n = 60
+    edges = set()
+    for _ in range(300):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(1 for a, b in edges for c in (adj[a] & adj[b]) if c > b)
+    src, dst = [], []
+    for a, b in edges:
+        src += [a, b, a]
+        dst += [b, a, b]
+    src.append(3)
+    dst.append(3)
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+    })).repartition(5)
+    row = triangle_count(ds, num_parts=4).take_all()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+
+
+def test_triangle_count_max_degree_undercounts_only(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.graph import triangle_count
+
+    # node 0 is a hub closing many triangles; the cap drops only the
+    # wedges ANCHORED at over-degree nodes (min-vertex), never edges
+    src = [0, 0, 0, 0, 1, 2, 3] + [1]
+    dst = [1, 2, 3, 4, 2, 3, 4] + [9]
+    ds = rd.from_arrow(pa.table({"src": pa.array(src, type=pa.int64()),
+                                 "dst": pa.array(dst, type=pa.int64())}))
+    full = triangle_count(ds, num_parts=2).take_all()[0]
+    assert full["n_triangles"] == 3  # (0,1,2), (0,2,3), (0,3,4)
+    capped = triangle_count(ds, num_parts=2,
+                            max_degree=3).take_all()[0]
+    assert capped["n_edges"] == full["n_edges"]
+    assert capped["n_triangles"] <= full["n_triangles"]
+
+
+def test_hashed_features_matches_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.textstats import hashed_features
+
+    docs = [(0, "The cat the CAT tHe"), (1, ""), (2, "  x  y z x "),
+            (3, "solo"), (4, "   ")]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs],
+                                       type=pa.int64()),
+                    "text": pa.array([t for _, t in docs])})
+    got = sorted((r["doc_id"], r["feature_idx"], r["tf"])
+                 for r in hashed_features(rd.from_arrow(tbl),
+                                          dim_bits=10).take_all())
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = sorted(map(tuple, con.execute(r"""
+        with raw as (
+          select doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                 as term
+          from documents where trim(text) <> '')
+        select doc_id, (md5_number_lower(term) % 1024)::BIGINT,
+               count(*)::BIGINT
+        from raw group by 1, 2""").fetchall()))
+    assert got == exp
+    # tf mass is conserved: sum(tf) == total tokens
+    assert sum(t for _, _, t in got) == sum(len(t.split())
+                                            for _, t in docs)

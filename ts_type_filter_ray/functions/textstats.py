@@ -783,3 +783,48 @@ def oov_rate(ds: Dataset, top_v: int = 16) -> Dataset:
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hashed_features(ds: Dataset, dim_bits: int = 18) -> Dataset:
+    """(doc_id, feature_idx, tf) — sparse hashed bag-of-words features,
+    the Weinberger et al. (ICML'09) hashing trick: every lowercased
+    token maps to ``md5_64(token) mod 2^dim_bits``, colliding terms'
+    counts merge. The fixed-dimension featurizer in front of linear
+    models / embeddings-from-scratch at 100 TB: a pure per-batch
+    map (NO shuffle — each doc's features are emitted where its text
+    lives), vocabulary never materializes anywhere.
+
+    md5-based hashing is the dedup family's oracle-shared convention
+    (≡ DuckDB ``md5_number_lower % dim``), so the feature indices
+    themselves are SQL-checkable — integer-only output, value-exact
+    gate. Blank docs emit no rows (inner semantics)."""
+    from ..text.hashvec import md5_lower64_strings
+    dim = np.uint64(1 << dim_bits)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        flat = pc.utf8_lower(flat)
+        if len(flat) == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "feature_idx": z, "tf": z})
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        fidx_u = (md5_lower64_strings(enc.dictionary) % dim).astype(np.int64)
+        fidx = fidx_u[codes]
+        par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((fidx, par))
+        f_s, p_s = fidx[order], par[order]
+        new = np.ones(len(f_s), dtype=bool)
+        new[1:] = (f_s[1:] != f_s[:-1]) | (p_s[1:] != p_s[:-1])
+        seg = np.cumsum(new) - 1
+        tf = np.bincount(seg).astype(np.int64)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(dids[p_s[new]], type=pa.int64()),
+            "feature_idx": pa.array(f_s[new]),
+            "tf": pa.array(tf),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
