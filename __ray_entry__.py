@@ -107,6 +107,11 @@ def _triangle_count_knn(sf_dir: str):
     return triangle_count(edges, src_col="vec_id", dst_col="neighbor_id")
 
 
+def _distinct_terms_by_lang(sf_dir: str):
+    from ts_type_filter_ray.functions.sketches import distinct_terms_by_group
+    return distinct_terms_by_group(_docs(sf_dir), group_col="lang")
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 PAGERANK_KNN_K = 5
@@ -187,6 +192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-partitioned closing-edge membership scan) — cluster
         # density analytics beside connected components / PageRank
         "triangle_count_knn": _triangle_count_knn,
+        # exact per-slice vocabulary report: distinct terms per lang —
+        # batch-unique (group, term-hash) explode, one coarse term-
+        # partition dedup scan, tiny group sum; never a driver vocab
+        "distinct_terms_by_lang": _distinct_terms_by_lang,
         # federated search (DFS query-then-fetch): two independently
         # built half-indexes with a query-time global-stats merge must
         # rank bit-identically to one whole-corpus index, so the SAME
@@ -2870,6 +2879,14 @@ def oracle_sql() -> dict[str, str]:
                        as feature_idx,
                    count(*)::BIGINT as tf
             from raw group by 1, 2""",
+        "distinct_terms_by_lang": r"""
+            with raw as (
+              select lang,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> '')
+            select lang, count(distinct term)::BIGINT as n_distinct_terms
+            from raw group by lang order by lang""",
         "embedding_near_dup": f"""
             with nrm as (
               select vec_id, embedding,

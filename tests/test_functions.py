@@ -1235,3 +1235,34 @@ def test_hashed_features_matches_duckdb(ray_session):
     # tf mass is conserved: sum(tf) == total tokens
     assert sum(t for _, _, t in got) == sum(len(t.split())
                                             for _, t in docs)
+
+
+def test_distinct_terms_by_group_matches_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import distinct_terms_by_group
+
+    docs = [(0, "en", "The cat THE dog"), (1, "en", "cat mouse"),
+            (2, "fr", "le chat"), (3, "fr", ""),
+            (4, "de", "der DER die das"), (5, "en", "  ")]
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], type=pa.int64()),
+        "lang": pa.array([l for _, l, _ in docs]),
+        "text": pa.array([t for _, _, t in docs]),
+    })
+    got = sorted((r["lang"], r["n_distinct_terms"]) for r in
+                 distinct_terms_by_group(rd.from_arrow(tbl).repartition(3),
+                                         num_parts=4).take_all())
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = [tuple(e) for e in con.execute(r"""
+        with raw as (
+          select lang,
+                 unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                 as term
+          from documents where trim(text) <> '')
+        select lang, count(distinct term)::BIGINT
+        from raw group by lang order by lang""").fetchall()]
+    assert got == exp

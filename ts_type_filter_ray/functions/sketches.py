@@ -414,3 +414,74 @@ def kll_quantiles(ds: Dataset, col: str = "value",
         out[f"p{int(p * 100)}"] = pa.array([final.quantile(p)],
                                            type=pa.float64())
     return rd.from_arrow(pa.table(out))
+
+
+def distinct_terms_by_group(ds: Dataset,
+                            group_col: str = "lang",
+                            num_parts: int = 64) -> Dataset:
+    """EXACT distinct lowercased-term count per group — one row
+    (group, n_distinct_terms) per distinct ``group_col`` value, the
+    per-corpus-slice vocabulary report. Per-batch UNIQUE (group,
+    term-hash) pairs explode (the tokenizer trick: md5 only the
+    batch-unique tokens), every copy of a hash lands in ONE coarse term
+    partition where a segment scan dedups (group, hash) globally, and a
+    tiny ``groupby(group)`` sums the per-partition distinct counts.
+    Shuffle volume O(Σ per-batch distinct pairs) — never the token
+    stream, never a driver vocabulary. Value-exact vs
+    ``count(distinct term) group by``."""
+    from ray.data.aggregate import Sum
+
+    from ..text.hashvec import md5_lower64_strings
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({
+                "part": pa.array([], type=pa.int32()),
+                "h": pa.array([], type=pa.uint64()),
+                "grp": pa.array([], type=pa.string()),
+            })
+        low = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(low)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        hu = md5_lower64_strings(enc.dictionary)
+        h = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        grp = batch[group_col].combine_chunks() if isinstance(
+            batch[group_col], pa.ChunkedArray) else batch[group_col]
+        genc = pc.dictionary_encode(grp)
+        if isinstance(genc, pa.ChunkedArray):
+            genc = genc.combine_chunks()
+        gcodes = genc.indices.to_numpy(zero_copy_only=False)[
+            parents.to_numpy(zero_copy_only=False)]
+        order = np.lexsort((h, gcodes))
+        h_s, g_s = h[order], gcodes[order]
+        keep = np.ones(len(h_s), dtype=bool)
+        keep[1:] = (h_s[1:] != h_s[:-1]) | (g_s[1:] != g_s[:-1])
+        return pa.table({
+            "part": pa.array((h_s[keep] % num_parts).astype(np.int32)),
+            "h": pa.array(h_s[keep]),
+            "grp": genc.dictionary.take(
+                pa.array(g_s[keep], type=pa.int32())),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        genc = pc.dictionary_encode(group["grp"].combine_chunks())
+        if isinstance(genc, pa.ChunkedArray):
+            genc = genc.combine_chunks()
+        g = genc.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, g))
+        h_s, g_s = h[order], g[order]
+        keep = np.ones(len(h_s), dtype=bool)
+        keep[1:] = (h_s[1:] != h_s[:-1]) | (g_s[1:] != g_s[:-1])
+        cnt = np.bincount(g_s[keep], minlength=len(genc.dictionary))
+        return pa.table({
+            "grp": genc.dictionary,
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("part").map_groups(scan, batch_format="pyarrow")
+           .groupby("grp").aggregate(Sum("n", alias_name="n_distinct_terms")))
+    return out.rename_columns({"grp": group_col}).sort(group_col)
