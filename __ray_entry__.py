@@ -112,6 +112,52 @@ def _distinct_terms_by_lang(sf_dir: str):
     return distinct_terms_by_group(_docs(sf_dir), group_col="lang")
 
 
+def _corpus_checksum(sf_dir: str):
+    from ts_type_filter_ray.functions.snapshot import corpus_checksum
+    return corpus_checksum(_docs(sf_dir))
+
+
+def _corpus_diff(sf_dir: str):
+    """Diff documents against a deterministically derived snapshot B:
+    doc_id % 7 == 0 → text edited, % 13 == 5 → removed, % 11 == 3 →
+    a new doc added under id + 10_000_000 (the SQL oracle derives the
+    same B, so the diff itself is value-exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ts_type_filter_ray.functions.snapshot import corpus_diff
+    docs = _docs(sf_dir)
+
+    def _mod(arr, m):
+        return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+    def variant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        keep = pc.not_equal(_mod(did, 13), 5)
+        t = pc.if_else(
+            pc.equal(_mod(did, 7), 0),
+            pc.binary_join_element_wise(
+                batch["text"], pa.scalar("__r4__"), " "),
+            batch["text"])
+        out = pa.table({"doc_id": did, "text": t})
+        return out.filter(keep)
+
+    def added(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        sel = pc.equal(_mod(did, 11), 3)
+        sub = batch.filter(sel)
+        return pa.table({
+            "doc_id": pc.add(sub["doc_id"], 10_000_000),
+            "text": pc.binary_join_element_wise(
+                pa.scalar("added:"), pc.cast(sub["doc_id"], pa.string()),
+                ""),
+        })
+
+    b = (docs.map_batches(variant, batch_format="pyarrow")
+         .union(docs.map_batches(added, batch_format="pyarrow")))
+    return corpus_diff(docs, b)
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 PAGERANK_KNN_K = 5
@@ -196,6 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch-unique (group, term-hash) explode, one coarse term-
         # partition dedup scan, tiny group sum; never a driver vocab
         "distinct_terms_by_lang": _distinct_terms_by_lang,
+        # snapshot tooling: order-insensitive corpus checksum (per-row
+        # md5-64 XOR, no shuffle) and snapshot diff (added/removed/
+        # changed vs a deterministically derived variant B — the SQL
+        # oracle derives the same B, so the diff is value-exact)
+        "corpus_checksum": _corpus_checksum,
+        "corpus_diff": _corpus_diff,
         # federated search (DFS query-then-fetch): two independently
         # built half-indexes with a query-time global-stats merge must
         # rank bit-identically to one whole-corpus index, so the SAME
@@ -2887,6 +2939,30 @@ def oracle_sql() -> dict[str, str]:
               from documents where trim(text) <> '')
             select lang, count(distinct term)::BIGINT as n_distinct_terms
             from raw group by lang order by lang""",
+        "corpus_checksum": """
+            select count(*)::BIGINT as n_docs,
+                   bit_xor(md5_number_lower(doc_id::VARCHAR || ':' || text)
+                           & 9223372036854775807)::BIGINT as checksum
+            from documents""",
+        "corpus_diff": """
+            with a as (select doc_id, text from documents),
+            b as (
+              select doc_id,
+                     case when doc_id % 7 = 0 then text || ' __r4__'
+                          else text end as text
+              from documents where doc_id % 13 <> 5
+              union all
+              select doc_id + 10000000 as doc_id,
+                     'added:' || doc_id::VARCHAR as text
+              from documents where doc_id % 11 = 3)
+            select coalesce(a.doc_id, b.doc_id) as doc_id,
+                   case when a.doc_id is null then 'added'
+                        when b.doc_id is null then 'removed'
+                        else 'changed' end as status
+            from a full outer join b on a.doc_id = b.doc_id
+            where a.doc_id is null or b.doc_id is null
+                  or a.text <> b.text
+            order by 1""",
         "embedding_near_dup": f"""
             with nrm as (
               select vec_id, embedding,
