@@ -133,6 +133,23 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
                        batch_size=2048).count()
     t_perc = time.perf_counter() - t0
 
+    # ExactSubstr leg: duplicate-span detection over the same corpus —
+    # the dedup family's positional pass at bench scale (explode every
+    # token 5-gram occurrence, two linear shuffles, no pair term)
+    from ts_type_filter_ray.functions.ngrams import dup_token_spans
+
+    def _to_docs(b):
+        import pyarrow as pa
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": b["content"].cast(pa.string())})
+
+    t0 = time.perf_counter()
+    n_span_docs = dup_token_spans(
+        read_corpus(corpus_dir).map_batches(_to_docs,
+                                            batch_format="pyarrow"),
+        shingle_k=5).count()
+    t_span = time.perf_counter() - t0
+
     # high-vocab variant (realistic token entropy, VERDICT r2 #7): same
     # doc count, ~10× the distinct terms — measures the build when the
     # per-batch unique-token dedup and the stem lru cache stop helping
@@ -171,6 +188,10 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
         "percolate_docs_per_sec": round(n / t_perc, 1),
         "percolate_mb_per_sec": round(corpus_bytes / 1e6 / t_perc, 2),
         "percolate_matches": n_perc,
+        "exactsubstr_sec": round(t_span, 3),
+        "exactsubstr_docs_per_sec": round(n / t_span, 1),
+        "exactsubstr_mb_per_sec": round(corpus_bytes / 1e6 / t_span, 2),
+        "exactsubstr_flagged_docs": n_span_docs,
         "num_docs": n,
         "num_terms": idx.stats.num_unique_terms,
         "num_postings": idx.stats.num_postings,
