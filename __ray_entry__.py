@@ -117,6 +117,12 @@ def _corpus_checksum(sf_dir: str):
     return corpus_checksum(_docs(sf_dir))
 
 
+def _mmr(sf_dir: str, lam: float):
+    from ts_type_filter_ray.functions.ann import mmr_topk
+    return mmr_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K,
+                    pool=3 * ANN_K, lam=lam)
+
+
 def _corpus_diff(sf_dir: str):
     """Diff documents against a deterministically derived snapshot B:
     doc_id % 7 == 0 → text edited, % 13 == 5 → removed, % 11 == 3 →
@@ -248,6 +254,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle derives the same B, so the diff is value-exact)
         "corpus_checksum": _corpus_checksum,
         "corpus_diff": _corpus_diff,
+        # MMR diversified rerank (Carbonell & Goldstein): distributed
+        # exact candidate top-pool + driver-side greedy selection over
+        # the tiny pool. lambda=1.0 degenerates EXACTLY to cosine
+        # top-k, so that configuration shares the brute-force oracle
+        # (the exactness trick); the diversified lambda=0.7 mode is
+        # rows-only with pytest-pinned reference parity
+        "mmr_topk_lambda1": lambda sf: _mmr(sf, lam=1.0),
+        "mmr_topk": lambda sf: _mmr(sf, lam=0.7),
         # federated search (DFS query-then-fetch): two independently
         # built half-indexes with a query-time global-stats merge must
         # rank bit-identically to one whole-corpus index, so the SAME
@@ -2981,6 +2995,9 @@ def oracle_sql() -> dict[str, str]:
     # share the brute-force cosine oracle (rank-only)
     out["ann_ivf_exhaustive"] = out["ann_topk"]
     out["pq_exhaustive_refine"] = out["ann_topk"]
+    # MMR at lambda=1.0 degenerates exactly to cosine top-k (zero
+    # redundancy weight, same (sim desc, vec_id asc) selection fold)
+    out["mmr_topk_lambda1"] = out["ann_topk"]
     # probed kNN join at nprobe ≥ #cells runs every block pair → exact
     out["knn_join_probed_exhaustive"] = out["knn_join"]
     return out

@@ -1266,3 +1266,65 @@ def test_distinct_terms_by_group_matches_duckdb(ray_session):
         select lang, count(distinct term)::BIGINT
         from raw group by lang order by lang""").fetchall()]
     assert got == exp
+
+
+def _mmr_reference(rel, pair, cids, k, lam):
+    """Pure-python MMR (the published greedy), for parity pinning."""
+    selected, remaining = [], list(range(len(cids)))
+    while remaining and len(selected) < k:
+        best, best_key = None, None
+        for i in remaining:
+            red = max((pair[i][s] for s in selected), default=0.0)
+            score = lam * rel[i] - (1 - lam) * red
+            key = (-score, cids[i])
+            if best is None or key < best_key:
+                best, best_key = i, key
+        selected.append(best)
+        remaining.remove(best)
+    return [cids[s] for s in selected]
+
+
+def test_mmr_matches_reference_and_diversifies(ray_session, emb):
+    import pyarrow.parquet as pq
+
+    from ts_type_filter_ray.functions.ann import (load_query_matrix,
+                                                  mmr_topk)
+
+    # NOT lam=0.5: the query point rides in its own pool (rel == sim to
+    # the first pick), so at exactly 0.5 every step-2 score cancels to
+    # 0 and the order is floating-noise — any other lam is robust
+    qids, k, pool, lam = [0, 1], 5, 20, 0.7
+    out = mmr_topk(emb, qids, k=k, pool=pool, lam=lam).take_all()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for qid in qids:
+        got = [r["vec_id"] for r in sorted(
+            (r for r in out if r["query_id"] == qid),
+            key=lambda r: r["rank"])]
+        sims = En[np.flatnonzero(ids == qid)[0]] @ En.T
+        order = np.lexsort((ids, -sims))[:pool]
+        cids = ids[order].tolist()
+        rel = sims[order].tolist()
+        pair = (En[order] @ En[order].T).tolist()
+        exp = _mmr_reference(rel, pair, cids, k, lam)
+        assert got == exp
+        # diversity: MMR's selected-set max pairwise sim never exceeds
+        # the plain top-k's
+        plain = ids[np.lexsort((ids, -sims))[:k]]
+        def max_pair(sel):
+            pos = [np.flatnonzero(ids == v)[0] for v in sel]
+            m = En[pos] @ En[pos].T
+            np.fill_diagonal(m, -1)
+            return m.max()
+        assert max_pair(got) <= max_pair(plain) + 1e-12
+
+
+def test_mmr_lambda1_is_plain_topk(ray_session, emb):
+    from ts_type_filter_ray.functions.ann import brute_force_topk, mmr_topk
+    plain = [(r["query_id"], r["rank"], r["vec_id"]) for r in
+             brute_force_topk(emb, [0, 1, 2], k=7).take_all()]
+    got = [(r["query_id"], r["rank"], r["vec_id"]) for r in
+           mmr_topk(emb, [0, 1, 2], k=7, pool=21, lam=1.0).take_all()]
+    assert sorted(got) == sorted(plain)

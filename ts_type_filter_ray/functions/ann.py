@@ -1454,3 +1454,70 @@ def _beam_loop(q_mat, qids, gather_neighbors, score_union,
         "vec_id": pa.array(vid_col, type=pa.int64()),
         "sim": pa.array(sim_col, type=pa.float64()),
     }))
+
+
+def mmr_topk(ds: Dataset, query_ids: list[int], k: int = 10,
+             pool: int = 50, lam: float = 0.7) -> Dataset:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick argmax over the remaining pool
+    of ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — relevance
+    traded against redundancy, the standard rerank for dedup-aware
+    retrieval and kNN-prompt diversity.
+
+    Output (query_id, rank, vec_id), rank 1-based; per-step tie-break
+    (score desc, vec_id asc).
+
+    Shape: candidate generation is the EXACT distributed cosine
+    top-``pool`` (:func:`brute_force_topk`); the greedy selection runs
+    driver-side over the tiny pool — O(pool²) per query under the
+    "queries are tiny" contract, with one pruned vector gather for the
+    pool's pairwise sims (never a corpus-wide pass). ``lam=1.0``
+    degenerates to plain cosine top-k EXACTLY (the redundancy term is
+    multiplied by zero and the selection order is the same (sim desc,
+    vec_id asc) fold), so the lambda-1 configuration shares the
+    brute-force oracle on the value-exact gate.
+
+    Caveat at exactly ``lam=0.5`` with the query point in its own
+    pool: after the query is picked first, every remaining score is
+    0.5·(rel − sim-to-query) ≡ 0 up to summation order, so the
+    selection degenerates to the vec_id tie-break over floating
+    noise — prefer any other lambda (or pre-filter the query id) when
+    the ordering itself matters downstream."""
+    import ray.data as rd
+    if pool < k:
+        raise ValueError("mmr_topk: pool must be >= k")
+    cand = brute_force_topk(ds, query_ids, k=pool).take_all()
+    by_q: dict[int, list] = {}
+    for r in cand:
+        by_q.setdefault(r["query_id"], []).append(r)
+    all_ids = sorted({r["vec_id"] for r in cand})
+    mat, ids = load_query_matrix(ds, all_ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    out_q: list[int] = []
+    out_rank: list[int] = []
+    out_vid: list[int] = []
+    for qid in sorted(by_q):
+        rows = sorted(by_q[qid], key=lambda r: r["rank"])
+        cids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        rel = np.array([r["sim"] for r in rows], dtype=np.float64)
+        v = mat[[idx[c] for c in cids]]
+        pair = v @ v.T
+        remaining = np.arange(len(cids))
+        selected: list[int] = []
+        while len(remaining) and len(selected) < k:
+            score = lam * rel[remaining]
+            if selected:
+                score = score - (1.0 - lam) * pair[
+                    np.ix_(remaining, selected)].max(axis=1)
+            order = np.lexsort((cids[remaining], -score))
+            pick = remaining[order[0]]
+            selected.append(int(pick))
+            remaining = remaining[remaining != pick]
+        out_q.extend([int(qid)] * len(selected))
+        out_rank.extend(range(1, len(selected) + 1))
+        out_vid.extend(int(cids[s]) for s in selected)
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "rank": pa.array(out_rank, type=pa.int32()),
+        "vec_id": pa.array(out_vid, type=pa.int64()),
+    }))
