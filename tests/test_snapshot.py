@@ -57,3 +57,27 @@ def test_corpus_checksum_matches_duckdb_and_order_free(ray_session):
     mod = corpus_checksum(rd.from_arrow(_tbl(
         [(0, "alpha!"), *A[1:]]))).take_all()[0]
     assert mod["checksum"] != cs["checksum"]
+
+
+def test_cli_snapshot_commands(ray_session, tmp_path, capsys):
+    from ts_type_filter_ray.cli import main
+    from ts_type_filter_ray.sources.synthetic import generate_corpus
+    cdir = str(tmp_path / "corpus")
+    generate_corpus(cdir, num_docs=40, seed=4, num_files=2)
+    assert main(["checksum", cdir]) == 0
+    out = capsys.readouterr().out
+    assert "n_docs: 40" in out and "checksum:" in out
+    assert main(["diff", cdir, cdir]) == 0
+    out = capsys.readouterr().out
+    assert "added: 0" in out and "removed: 0" in out and "changed: 0" in out
+    assert main(["dupspans", cdir, "--k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "docs with duplicated spans" in out
+    strip_dir = str(tmp_path / "stripped")
+    assert main(["dupspans", cdir, "--k", "3", "--strip",
+                 "--out", strip_dir]) == 0
+    import ray.data as rd2
+    stripped = rd2.read_parquet(strip_dir)
+    assert stripped.count() == 40
+    assert set(stripped.schema().names) == {"doc_id", "text", "n_tokens",
+                                            "n_removed"}

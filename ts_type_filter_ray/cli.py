@@ -161,6 +161,30 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("index")
     ex.add_argument("--out", required=True)
 
+    ck = sub.add_parser(
+        "checksum", help="order-insensitive corpus checksum "
+                         "(per-row md5-64 XOR; equal corpora => equal "
+                         "checksums regardless of row/partition order)")
+    ck.add_argument("corpus")
+
+    df = sub.add_parser(
+        "diff", help="snapshot diff: added/removed/changed doc ids "
+                     "between two parquet corpus dirs")
+    df.add_argument("corpus_a")
+    df.add_argument("corpus_b")
+    df.add_argument("--limit", type=int, default=20,
+                    help="changed rows to print (counts are always full)")
+
+    dsp = sub.add_parser(
+        "dupspans", help="ExactSubstr duplicate-span report (Lee et al. "
+                         "2022): per-corpus duplication summary; --strip "
+                         "writes the span-removed corpus")
+    dsp.add_argument("corpus")
+    dsp.add_argument("--k", type=int, default=5,
+                     help="token n-gram window (default 5)")
+    dsp.add_argument("--strip", action="store_true")
+    dsp.add_argument("--out", help="output parquet dir for --strip")
+
     args = ap.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -254,6 +278,61 @@ def main(argv: list[str] | None = None) -> int:
         ds = export_postings(args.index)
         ds.write_parquet(args.out)
         print(f"exported postings triples -> {args.out}")
+        return 0
+
+    if args.cmd in ("checksum", "diff", "dupspans"):
+        import pyarrow as _pa
+
+        def _docs_ds(corpus_dir):
+            def to_docs(b):
+                return _pa.table({
+                    "doc_id": b["doc_id"],
+                    "text": b["content"].cast(_pa.string()),
+                })
+            return read_corpus(corpus_dir).map_batches(
+                to_docs, batch_format="pyarrow")
+
+        if args.cmd == "checksum":
+            from .functions.snapshot import corpus_checksum
+            row = corpus_checksum(_docs_ds(args.corpus)).take_all()[0]
+            print(f"n_docs: {row['n_docs']}")
+            print(f"checksum: {row['checksum']:016x}")
+            return 0
+
+        if args.cmd == "diff":
+            from .functions.snapshot import corpus_diff
+            rows = corpus_diff(_docs_ds(args.corpus_a),
+                               _docs_ds(args.corpus_b)).take_all()
+            from collections import Counter
+            counts = Counter(r["status"] for r in rows)
+            for status in ("added", "removed", "changed"):
+                print(f"{status}: {counts.get(status, 0)}")
+            for r in rows[:args.limit]:
+                print(f"{r['status']}\t{r['doc_id']}")
+            if len(rows) > args.limit:
+                print(f"... {len(rows) - args.limit} more")
+            return 0
+
+        # dupspans
+        from .functions.ngrams import dup_token_spans, strip_dup_spans
+        if args.strip:
+            if not args.out:
+                print("error: --strip requires --out", file=sys.stderr)
+                return 2
+            out_ds = strip_dup_spans(_docs_ds(args.corpus),
+                                     shingle_k=args.k)
+            out_ds.write_parquet(args.out)
+            print(f"span-stripped corpus -> {args.out}")
+            return 0
+        rows = dup_token_spans(_docs_ds(args.corpus),
+                               shingle_k=args.k).take_all()
+        n_flag = len(rows)
+        tot_dup = sum(r["n_dup_tokens"] for r in rows)
+        tot_tok = sum(r["n_tokens"] for r in rows)
+        max_span = max((r["max_dup_span"] for r in rows), default=0)
+        print(f"docs with duplicated spans (k={args.k}): {n_flag}")
+        print(f"duplicated tokens in flagged docs: {tot_dup}/{tot_tok}")
+        print(f"longest duplicated span: {max_span} tokens")
         return 0
 
     if args.cmd == "fsck":
