@@ -123,16 +123,13 @@ def _mmr(sf_dir: str, lam: float):
                     pool=3 * ANN_K, lam=lam)
 
 
-def _corpus_diff(sf_dir: str):
-    """Diff documents against a deterministically derived snapshot B:
+def _variant_b(docs):
+    """Deterministically derived snapshot B of the documents table:
     doc_id % 7 == 0 → text edited, % 13 == 5 → removed, % 11 == 3 →
-    a new doc added under id + 10_000_000 (the SQL oracle derives the
-    same B, so the diff itself is value-exact)."""
+    a new doc added under id + 10_000_000. The SQL oracles re-derive
+    the same B, so operators probed against it stay value-exact."""
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    from ts_type_filter_ray.functions.snapshot import corpus_diff
-    docs = _docs(sf_dir)
 
     def _mod(arr, m):
         return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
@@ -159,9 +156,34 @@ def _corpus_diff(sf_dir: str):
                 ""),
         })
 
-    b = (docs.map_batches(variant, batch_format="pyarrow")
-         .union(docs.map_batches(added, batch_format="pyarrow")))
-    return corpus_diff(docs, b)
+    return (docs.map_batches(variant, batch_format="pyarrow")
+            .union(docs.map_batches(added, batch_format="pyarrow")))
+
+
+def _corpus_diff(sf_dir: str):
+    from ts_type_filter_ray.functions.snapshot import corpus_diff
+    docs = _docs(sf_dir)
+    return corpus_diff(docs, _variant_b(docs))
+
+
+def _decontam_indexed(sf_dir: str):
+    """Persisted-shingle-index decontamination: build the documents
+    table's shingle index once, probe the derived snapshot B against it
+    — the incremental-recrawl shape (reference corpus never re-read at
+    probe time)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ts_type_filter_ray.functions.shingleidx import (
+        contaminated_against_index, write_shingle_index)
+    docs = _docs(sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_shingle_idx_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_shingle_index(docs, out, shingle_k=3, num_buckets=16)
+    return contaminated_against_index(_variant_b(docs), out)
 
 
 PAGERANK_ITERS = 3
@@ -262,6 +284,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only with pytest-pinned reference parity
         "mmr_topk_lambda1": lambda sf: _mmr(sf, lam=1.0),
         "mmr_topk": lambda sf: _mmr(sf, lam=0.7),
+        # persisted shingle index (the incremental-recrawl shape):
+        # build the reference corpus's distinct-shingle artifact once,
+        # probe later batches against it without re-reading the corpus;
+        # probed here with the derived snapshot B, value-exact
+        "decontaminate_indexed": _decontam_indexed,
         # federated search (DFS query-then-fetch): two independently
         # built half-indexes with a query-time global-stats merge must
         # rank bit-identically to one whole-corpus index, so the SAME
@@ -2977,6 +3004,45 @@ def oracle_sql() -> dict[str, str]:
             where a.doc_id is null or b.doc_id is null
                   or a.text <> b.text
             order by 1""",
+        "decontaminate_indexed": r"""
+            with base as (
+              select regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            refsh as (
+              select distinct array_to_string(arr[p+1:p+3], ' ') as g
+              from (select arr,
+                           unnest(range(0, greatest(len(arr)-2, 1)))::INT
+                               as p
+                    from base)),
+            bdocs as (
+              select doc_id,
+                     case when doc_id % 7 = 0 then text || ' __r4__'
+                          else text end as text
+              from documents where doc_id % 13 <> 5
+              union all
+              select doc_id + 10000000 as doc_id,
+                     'added:' || doc_id::VARCHAR as text
+              from documents where doc_id % 11 = 3),
+            bb as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from bdocs where trim(text) <> ''),
+            bsh as (
+              select distinct doc_id,
+                     array_to_string(arr[p+1:p+3], ' ') as g
+              from (select doc_id, arr,
+                           unnest(range(0, greatest(len(arr)-2, 1)))::INT
+                               as p
+                    from bb)),
+            per as (
+              select b.doc_id, count(*) as n_shingles,
+                     sum(case when r.g is not null then 1 else 0 end)
+                         as n_hits
+              from bsh b left join refsh r using (g)
+              group by b.doc_id)
+            select doc_id, n_shingles::BIGINT as n_shingles,
+                   n_hits::BIGINT as n_hits,
+                   n_hits::DOUBLE / n_shingles as hit_fraction
+            from per where n_hits >= 1""",
         "embedding_near_dup": f"""
             with nrm as (
               select vec_id, embedding,
