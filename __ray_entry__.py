@@ -214,6 +214,50 @@ def entry() -> Any:
     return bm25_topk_table("/root/testdata/sf0.001")
 
 
+# The driver's correctness gate samples the LEADING ~50 entries of the
+# queries() dict. With 140+ entries not everything fits in one round,
+# so this list ranks one representative of every distinct machinery
+# family (new/never-sampled operators first, then near-duplicate
+# variants of already-ranked machinery — e.g. the five ranked scorers
+# share the index/decode path, the wildcard family shares the vocab
+# sweeps). Entries absent from this list keep their construction order
+# AFTER the ranked head; nothing is removed.
+_GATE_PRIORITY = [
+    "percolate", "dup_token_spans", "strip_dup_spans", "tf_cosine_pairs",
+    "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
+    "distinct_terms_by_lang", "corpus_checksum", "corpus_diff",
+    "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
+    "first_positions", "proximity_boost_topk", "ordered_window_match",
+    "pagerank_knn", "weighted_sample_k", "sample_per_stratum",
+    "significant_terms", "numeric_histogram", "function_score_topk",
+    "export_postings", "index_fsck", "boolean_match_term_routed",
+    "bm25_topk_term_routed", "bm25_topk_nostem", "bm25f_topk_nostem",
+    "ql_topk_nostem", "ql_jm_topk_nostem", "boosted_bm25_nostem",
+    "range_filter_match", "sorted_match", "field_stats_match",
+    "term_vectors", "stopword_match", "asof_join", "range_join",
+    "float_quantiles", "training_prep", "winnow_fingerprints",
+    "deleted_match_nostem", "minshould_match", "fuzzy_match_indexed",
+    "suffix_match_indexed", "infix_match_trigram", "regex_match_trigram",
+    "pack_sequences", "boolean_expr_match", "ann_ivf_exhaustive",
+    "pq_exhaustive_refine", "knn_join_probed_exhaustive",
+    "mlt_topk_nostem", "collapsed_topk_nostem", "faceted_match_counts",
+    "spell_correct", "related_terms", "synonym_match",
+    "field_filter_match", "ordered_proximity_match", "rrf_fusion_nostem",
+    "tfidf_topk_nostem", "bm25_page2_nostem", "bm25_filtered_nostem",
+    "fuzzy_match_nostem", "suffix_match_nostem", "infix_match_nostem",
+    "index_statistics_stopworded", "regex_match_nostem",
+    "bulk_match_nostem", "bulk_bm25_topk_nostem", "oov_rate",
+]
+
+
+def _prioritize(d: dict) -> dict:
+    head = {k: d[k] for k in _GATE_PRIORITY if k in d}
+    for k, v in d.items():
+        if k not in head:
+            head[k] = v
+    return head
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ts_type_filter_ray.functions import ann, dedup, textstats
     from ts_type_filter_ray.pipelines import flagship
@@ -227,7 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def near_dup(sf_dir):
         return ann.embedding_near_dup_pairs(_emb(sf_dir), NEAR_DUP_THRESHOLD)
 
-    return {
+    out = {
         # ---- never-driver-sampled entries FIRST (VERDICT r3 #1): the
         # driver checks the leading ~50 entries of this dict, so queries
         # whose oracles have no CORRECTNESS row in any round lead. ----
@@ -679,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    minhash near-dup → language), per-stage drop report --
         "curation_report": _curation_report,
     }
+    return _prioritize(out)
 
 
 def _pricing_summary(sf_dir: str):
