@@ -103,8 +103,14 @@ def _hashed_features(sf_dir: str):
 def _triangle_count_knn(sf_dir: str):
     from ts_type_filter_ray.functions import ann
     from ts_type_filter_ray.functions.graph import triangle_count
-    edges = ann.knn_join(_emb(sf_dir), k=PAGERANK_KNN_K)
-    return triangle_count(edges, src_col="vec_id", dst_col="neighbor_id")
+    from ts_type_filter_ray.functions.partitioning import auto_num_parts
+    emb = _emb(sf_dir)
+    n = emb.count()  # metadata-only (plain parquet read)
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    # pass the edge count (n·k) explicitly: auto_num_parts(edges) would
+    # .count() the derived kNN pipeline and execute the join twice
+    return triangle_count(edges, src_col="vec_id", dst_col="neighbor_id",
+                          num_parts=auto_num_parts(n * PAGERANK_KNN_K))
 
 
 def _distinct_terms_by_lang(sf_dir: str):
@@ -2337,11 +2343,13 @@ def oracle_sql() -> dict[str, str]:
                    where a.doc_id < b.doc_id
                    group by 1, 2)
             select id_a, id_b,
-                   dot::DOUBLE / sqrt((na.sq * nb.sq)::DOUBLE) as cosine
+                   dot::DOUBLE / (sqrt(na.sq::DOUBLE)
+                                  * sqrt(nb.sq::DOUBLE)) as cosine
             from dt
             join nrm na on na.doc_id = id_a
             join nrm nb on nb.doc_id = id_b
-            where dot::DOUBLE / sqrt((na.sq * nb.sq)::DOUBLE)
+            where dot::DOUBLE / (sqrt(na.sq::DOUBLE)
+                                 * sqrt(nb.sq::DOUBLE))
                   >= {TF_COSINE_T}::DOUBLE
             order by id_a, id_b""",
         "sample_exact_k": rf"""

@@ -137,17 +137,11 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
     # the dedup family's positional pass at bench scale (explode every
     # token 5-gram occurrence, two linear shuffles, no pair term)
     from ts_type_filter_ray.functions.ngrams import dup_token_spans
-
-    def _to_docs(b):
-        import pyarrow as pa
-        return pa.table({"doc_id": b["doc_id"],
-                         "text": b["content"].cast(pa.string())})
+    from ts_type_filter_ray.sources.corpus import read_corpus_docs
 
     t0 = time.perf_counter()
-    n_span_docs = dup_token_spans(
-        read_corpus(corpus_dir).map_batches(_to_docs,
-                                            batch_format="pyarrow"),
-        shingle_k=5).count()
+    n_span_docs = dup_token_spans(read_corpus_docs(corpus_dir),
+                                  shingle_k=5).count()
     t_span = time.perf_counter() - t0
 
     # high-vocab variant (realistic token entropy, VERDICT r2 #7): same

@@ -15,15 +15,9 @@ from ts_type_filter_ray.state.manifest import (build_index_checkpointed,
 
 
 def test_planted_duplicates_detected(ray_session, small_code_corpus_dir):
-    corpus = read_corpus(small_code_corpus_dir)
-
-    def to_docs(batch):
-        import pyarrow as pa
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": batch["content"].cast(pa.string())})
-
+    from ts_type_filter_ray.sources.corpus import read_corpus_docs
     groups = exact_dedup_groups(
-        corpus.map_batches(to_docs, batch_format="pyarrow")).take_all()
+        read_corpus_docs(small_code_corpus_dir)).take_all()
     dup_groups = [g for g in groups if g["n_copies"] > 1]
     assert dup_groups, "generator plants byte-identical files"
     total = sum(g["n_copies"] for g in groups)
@@ -150,11 +144,11 @@ def test_tf_cosine_pairs_matches_duckdb(ray_session):
                from tf a join tf b using (term)
                where a.doc_id < b.doc_id group by 1, 2)
         select id_a, id_b,
-               dot::DOUBLE / sqrt((na.sq * nb.sq)::DOUBLE) as cosine
+               dot::DOUBLE / (sqrt(na.sq::DOUBLE) * sqrt(nb.sq::DOUBLE)) as cosine
         from dt
         join nrm na on na.doc_id = id_a
         join nrm nb on nb.doc_id = id_b
-        where dot::DOUBLE / sqrt((na.sq * nb.sq)::DOUBLE)
+        where dot::DOUBLE / (sqrt(na.sq::DOUBLE) * sqrt(nb.sq::DOUBLE))
               >= 0.4::DOUBLE
         order by id_a, id_b""").fetchall()
     assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == exp

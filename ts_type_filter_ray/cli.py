@@ -281,16 +281,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd in ("checksum", "diff", "dupspans"):
-        import pyarrow as _pa
-
-        def _docs_ds(corpus_dir):
-            def to_docs(b):
-                return _pa.table({
-                    "doc_id": b["doc_id"],
-                    "text": b["content"].cast(_pa.string()),
-                })
-            return read_corpus(corpus_dir).map_batches(
-                to_docs, batch_format="pyarrow")
+        from .sources.corpus import read_corpus_docs as _docs_ds
 
         if args.cmd == "checksum":
             from .functions.snapshot import corpus_checksum

@@ -897,13 +897,17 @@ def ngram_jaccard_pairs(ds: Dataset, shingle_k: int = 3,
                              "na": z, "nb": z})
         ia = np.concatenate(a_i)
         ib = np.concatenate(b_i)
-        # combine within the partition before the pair shuffle
-        key = did[ia] * (1 << 32) + did[ib]  # dense doc_ids < 2^32
+        # combine within the partition before the pair shuffle; uint64
+        # packing is exact for the full dense-id < 2^32 contract (an
+        # int64 a*2^32+b pack wraps once a >= 2^31)
+        key = ((did[ia].astype(np.uint64) << np.uint64(32))
+               | did[ib].astype(np.uint64))
         uk, first, counts = np.unique(key, return_index=True,
                                       return_counts=True)
         return pa.table({
-            "id_a": pa.array(uk >> np.int64(32), type=pa.int64()),
-            "id_b": pa.array(uk & np.int64(0xFFFFFFFF), type=pa.int64()),
+            "id_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
+            "id_b": pa.array((uk & np.uint64(0xFFFFFFFF))
+                             .astype(np.int64)),
             "n": pa.array(counts, type=pa.int64()),
             "na": pa.array(nsh[ia[first]], type=pa.int64()),
             "nb": pa.array(nsh[ib[first]], type=pa.int64()),
@@ -950,7 +954,9 @@ def tf_cosine_pairs(ds: Dataset, threshold: float = 0.5,
     scan + within-partition combine), then ONE pair-keyed groupby sums
     exact dot products; the cosine needs no further join because both
     squared norms ride with every exploded row. All-integer until one
-    final ``dot / sqrt((sqa·sqb)::float64)`` expression ⇒ SQL-oracle
+    final ``dot / (sqrt(sqa)·sqrt(sqb))`` float64 expression (NOT
+    ``sqrt(sqa·sqb)``: the int64 product overflows on degenerate
+    repeated-token docs) ⇒ SQL-oracle
     checkable bit-for-bit.
 
     Tokenization is the term-statistics contract (lowercased whitespace
@@ -1026,8 +1032,11 @@ def tf_cosine_pairs(ds: Dataset, threshold: float = 0.5,
                              "sqa": z, "sqb": z})
         ia = np.concatenate(a_i)
         ib = np.concatenate(b_i)
-        # combine partial dots within the partition before the shuffle
-        key = did[ia] * (1 << 32) + did[ib]  # dense doc_ids < 2^32
+        # combine partial dots within the partition before the shuffle;
+        # uint64 bit-packing is exact for the full dense-id < 2^32
+        # contract (an int64 a*2^32+b pack wraps once a >= 2^31)
+        key = ((did[ia].astype(np.uint64) << np.uint64(32))
+               | did[ib].astype(np.uint64))
         uk, first, inv = np.unique(key, return_index=True,
                                    return_inverse=True)
         dot = np.zeros(len(uk), dtype=np.int64)
@@ -1037,16 +1046,17 @@ def tf_cosine_pairs(ds: Dataset, threshold: float = 0.5,
         # sum (Ray's named two-key Aggregate was ~100x slower here on
         # the all-pairs row volume)
         return pa.table({
-            "ppart": pa.array(((uk * 0x9E3779B97F4A7C15) % num_parts)
-                              .astype(np.int32)),
-            "key": pa.array(uk, type=pa.int64()),
+            "ppart": pa.array(((uk * np.uint64(0x9E3779B97F4A7C15))
+                               % np.uint64(num_parts)).astype(np.int32)),
+            "key": pa.array(uk.view(np.int64)),  # bit-pattern carrier
             "dot": pa.array(dot),
             "sqa": pa.array(sq[ia[first]], type=pa.int64()),
             "sqb": pa.array(sq[ib[first]], type=pa.int64()),
         })
 
     def reduce_pairs(group: pa.Table) -> pa.Table:
-        key = group["key"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(
+            zero_copy_only=False).view(np.uint64)
         dot = group["dot"].to_numpy(zero_copy_only=False)
         sqa = group["sqa"].to_numpy(zero_copy_only=False)
         sqb = group["sqb"].to_numpy(zero_copy_only=False)
@@ -1058,13 +1068,17 @@ def tf_cosine_pairs(ds: Dataset, threshold: float = 0.5,
         starts = np.flatnonzero(new)
         tot = np.add.reduceat(dot, starts) if len(dot) else dot
         uk = key[starts]
-        cos = tot / np.sqrt((sqa[starts] * sqb[starts])
-                            .astype(np.float64))
+        # sqrt(a)*sqrt(b), NOT sqrt(a*b): the int64 product overflows
+        # once both squared norms exceed ~3e9 (one token repeated ~55k
+        # times); the SQL oracle uses the identical expression shape
+        cos = tot / (np.sqrt(sqa[starts].astype(np.float64))
+                     * np.sqrt(sqb[starts].astype(np.float64)))
         keep = cos >= threshold
         uk, cos = uk[keep], cos[keep]
         return pa.table({
-            "id_a": pa.array(uk >> np.int64(32), type=pa.int64()),
-            "id_b": pa.array(uk & np.int64(0xFFFFFFFF), type=pa.int64()),
+            "id_a": pa.array((uk >> np.uint64(32)).astype(np.int64)),
+            "id_b": pa.array((uk & np.uint64(0xFFFFFFFF))
+                             .astype(np.int64)),
             "cosine": pa.array(cos, type=pa.float64()),
         })
 

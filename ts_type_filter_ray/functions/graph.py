@@ -367,22 +367,23 @@ def triangle_count(edges: Dataset, *, src_col: str = "src",
             ys.append(b[ib + s0])
         wx = np.concatenate(xs) if xs else np.empty(0, dtype=np.int64)
         wy = np.concatenate(ys) if ys else np.empty(0, dtype=np.int64)
-        # combine repeated wedge pairs within the partition
-        wkey = wx * (1 << 32) + wy
+        # combine repeated wedge pairs within the partition; uint64
+        # packing is exact for dense node ids < 2^32 (int64 wraps at
+        # 2^31 in the high half)
+        wkey = (wx.astype(np.uint64) << np.uint64(32)) | wy.astype(
+            np.uint64)
         uk, cnt = np.unique(wkey, return_counts=True)
-        ekey = a * (1 << 32) + b
-        x = np.concatenate([uk >> np.int64(32), ekey >> np.int64(32)])
-        y = np.concatenate([uk & np.int64(0xFFFFFFFF),
-                            ekey & np.int64(0xFFFFFFFF)])
+        ekey = (a.astype(np.uint64) << np.uint64(32)) | b.astype(
+            np.uint64)
+        key = np.concatenate([uk, ekey])
         cnts = np.concatenate([cnt.astype(np.int64),
                                np.zeros(len(ekey), dtype=np.int64)])
         kind = np.concatenate([np.zeros(len(uk), dtype=np.int8),
                                np.ones(len(ekey), dtype=np.int8)])
-        key = x * np.int64(1 << 32) + y  # dense node ids < 2^32
         return pa.table({
-            "wpart": pa.array(((key * 0x9E3779B97F4A7C15) % num_parts)
-                              .astype(np.int32)),
-            "key": pa.array(key),
+            "wpart": pa.array(((key * np.uint64(0x9E3779B97F4A7C15))
+                               % np.uint64(num_parts)).astype(np.int32)),
+            "key": pa.array(key.view(np.int64)),  # bit-pattern carrier
             "cnt": pa.array(cnts),
             "kind": pa.array(kind),
         })

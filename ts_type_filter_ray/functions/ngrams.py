@@ -499,7 +499,8 @@ def strip_dup_spans(ds: Dataset, shingle_k: int = 5,
         s_ntok = group["n_tok"].to_numpy(
             zero_copy_only=False)[~is_doc].astype(np.int64)
         di = np.searchsorted(doc_ids, s_did)
-        if len(di) and not np.array_equal(doc_ids[di], s_did):
+        if len(di) and (len(doc_ids) == 0 or not np.array_equal(
+                doc_ids[np.minimum(di, len(doc_ids) - 1)], s_did)):
             raise ValueError(
                 "strip_dup_spans: duplicated-start rows reference "
                 "doc_ids absent from the corpus partition")

@@ -30,7 +30,6 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from .dedup import distinct_shingles_batch
-from .partitioning import auto_num_parts
 
 
 def write_shingle_index(ds: Dataset, out_dir: str, shingle_k: int = 3,
@@ -39,7 +38,14 @@ def write_shingle_index(ds: Dataset, out_dir: str, shingle_k: int = 3,
     ``doc_id``/``text``). Returns the meta dict. Corpus-wide dedup
     happens inside each bucket group (every occurrence of a hash lands
     in one bucket), so the artifact holds each distinct shingle exactly
-    once, sorted within its bucket."""
+    once, sorted within its bucket. Refuses a non-empty ``out_dir``
+    (Ray's parquet writer APPENDS beside existing files, which would
+    silently merge stale buckets into the artifact and its meta count —
+    remove the old artifact first to rebuild)."""
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise FileExistsError(
+            f"write_shingle_index: {out_dir!r} is not empty — remove the "
+            "stale artifact before rebuilding (parquet writes append)")
 
     def explode(batch: pa.Table) -> pa.Table:
         _, sh = distinct_shingles_batch(batch, shingle_k)
@@ -74,8 +80,7 @@ def load_shingle_index_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
-def contaminated_against_index(ds: Dataset, index_dir: str,
-                               num_parts: int | None = None) -> Dataset:
+def contaminated_against_index(ds: Dataset, index_dir: str) -> Dataset:
     """(doc_id, n_shingles, n_hits, hit_fraction) for every doc of *ds*
     sharing ≥ 1 distinct ``shingle_k``-gram with the persisted index
     (inner semantics — clean docs emit nothing, O(contaminated)

@@ -261,3 +261,20 @@ def read_corpus_delimited(path_or_dir: str | list[str], fmt: str,
         offsets = [i << 40 for i in range(len(files))]
     return rd.read_datasource(
         _DelimitedCorpusDatasource(files, fmt, offsets, columns))
+
+
+def read_corpus_docs(path_or_dir: str | list[str]):
+    """:func:`read_corpus` adapted to the documents-table contract
+    (``doc_id``, ``text``) the functions/ operators consume — the ONE
+    place the ``content → text`` schema mapping lives (CLI, bench, and
+    tests all route through it)."""
+    import pyarrow as pa
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": batch["content"].cast(pa.string()),
+        })
+
+    return read_corpus(path_or_dir).map_batches(
+        to_docs, batch_format="pyarrow")
