@@ -92,8 +92,9 @@ class FederatedSearcher:
         self.total_doc_len = total_len
 
     def match(self, query) -> list[tuple[int, int]]:
-        """Boolean conjunctive match across every shard →
-        (shard, doc_id) pairs, ordered (doc_id asc, shard asc)."""
+        """Boolean DISJUNCTIVE (any-term OR — ``LocalSearcher.match``
+        semantics) match across every shard → (shard, doc_id) pairs,
+        ordered (doc_id asc, shard asc)."""
         out = [(int(d), shard)
                for shard, s in enumerate(self.searchers)
                for d in s.match(query)]

@@ -134,27 +134,48 @@ def _emit_one_bucket(postings_dir: str, bucket: int, max_dist: int,
     return len(variants)
 
 
-def _merge_one_vbucket(out_dir: str, vb: int) -> int:
-    """Collapse one vbucket's per-source spill files into ONE globally
-    variant-sorted file with small row groups — a probe then opens one
-    footer per touched vbucket and reads only the row groups whose
-    [min, max] variant range intersects the query's variants. (With the
-    spill files left in place a probe paid ~250 footer reads ≈ 0.8 s;
-    merged it's ~10 ms — same consolidation the postings merge does.)"""
-    d = os.path.join(out_dir, f"vbucket={vb}")
+def merge_bucket_spills(d: str, sort_col: str) -> int:
+    """Collapse one artifact bucket's per-source spill files into ONE
+    globally *sort_col*-sorted ``merged.parquet`` with small row groups
+    — probes then open one footer per touched bucket and read only row
+    groups whose [min, max] key range intersects the query's keys.
+    (With spill files left in place a probe paid ~250 footer reads
+    ≈ 0.8 s; merged it's ~10 ms — the postings-merge consolidation.)
+
+    IDEMPOTENT under Ray task retry: a prior attempt that crashed
+    between the ``os.replace`` and the src cleanup left a
+    ``merged.parquet`` already holding every row — it re-enters the
+    merge as an input, and a full-row dedup removes the overlap. The
+    dedup is load-bearing beyond retries too: the artifacts' (key,
+    term) rows are distinct by construction and the trigram
+    intersection COUNTS rows per term, so duplicates would turn
+    ``count == len(grams)`` into false negatives.
+
+    Shared by the SymSpell deletion index (``vbucket=*``/``variant``)
+    and the trigram dictionary (``gbucket=*``/``gram``)."""
     if not os.path.isdir(d):
         return 0
     srcs = sorted(f for f in os.listdir(d) if f.startswith("src="))
     if not srcs:
         return 0
-    tbl = pads.dataset([os.path.join(d, f) for f in srcs]).to_table()
-    tbl = tbl.take(pc.sort_indices(tbl["variant"]))
+    inputs = [os.path.join(d, f) for f in srcs]
+    merged = os.path.join(d, "merged.parquet")
+    if os.path.exists(merged):
+        inputs.append(merged)
+    tbl = pads.dataset(inputs).to_table()
+    tbl = tbl.group_by(tbl.column_names).aggregate([])  # full-row dedup
+    tbl = tbl.take(pc.sort_indices(tbl[sort_col]))
     tmp = os.path.join(d, ".merged.tmp")
     pq.write_table(tbl, tmp, row_group_size=4096)
-    os.replace(tmp, os.path.join(d, "merged.parquet"))
+    os.replace(tmp, merged)
     for f in srcs:
         os.remove(os.path.join(d, f))
     return tbl.num_rows
+
+
+def _merge_one_vbucket(out_dir: str, vb: int) -> int:
+    return merge_bucket_spills(os.path.join(out_dir, f"vbucket={vb}"),
+                               "variant")
 
 
 def build_fuzzy_index(root: str, max_dist: int = 1,

@@ -125,26 +125,12 @@ def _emit_one_bucket(postings_dir: str, bucket: int, num_gbuckets: int,
 
 
 def _merge_one_gbucket(out_dir: str, gb: int) -> int:
-    """Collapse one gbucket's per-source spill files into ONE globally
-    gram-sorted file with small row groups — probes then open one
-    footer per touched gbucket and read only row groups whose
-    [min, max] gram range intersects the query's grams (the same
-    consolidation ``fuzzy._merge_one_vbucket`` measured at 2.4 s →
-    ~15 ms per probe)."""
-    d = os.path.join(out_dir, f"gbucket={gb}")
-    if not os.path.isdir(d):
-        return 0
-    srcs = sorted(f for f in os.listdir(d) if f.startswith("src="))
-    if not srcs:
-        return 0
-    tbl = pads.dataset([os.path.join(d, f) for f in srcs]).to_table()
-    tbl = tbl.take(pc.sort_indices(tbl["gram"]))
-    tmp = os.path.join(d, ".merged.tmp")
-    pq.write_table(tbl, tmp, row_group_size=4096)
-    os.replace(tmp, os.path.join(d, "merged.parquet"))
-    for f in srcs:
-        os.remove(os.path.join(d, f))
-    return tbl.num_rows
+    """One gbucket's consolidation — the shared retry-idempotent
+    merge (``fuzzy.merge_bucket_spills``): full-row dedup is
+    load-bearing here, the gram intersection counts rows per term."""
+    from .fuzzy import merge_bucket_spills
+    return merge_bucket_spills(os.path.join(out_dir, f"gbucket={gb}"),
+                               "gram")
 
 
 def build_trigram_index(root: str,
@@ -318,12 +304,21 @@ def required_literal_factor(pattern: str) -> str | None:
         if opname == "LITERAL":
             run.append(chr(arg))
         elif opname in ("MAX_REPEAT", "MIN_REPEAT"):
-            lo, _hi, body = arg
-            # x{2,}: at least `lo` copies of a single literal are
-            # required contiguously; anything more complex breaks the run
+            lo, hi, body = arg
             if (lo >= 1 and len(body) == 1
                     and str(body[0][0]) == "LITERAL"):
-                run.append(chr(body[0][1]) * lo)
+                c = chr(body[0][1])
+                if hi == lo:
+                    # exact count: contiguous with both neighbors
+                    run.append(c * lo)
+                else:
+                    # variable count (x+, x{2,5}): prefix+c*lo is a
+                    # required factor and c*lo+suffix is a required
+                    # factor, but NOT joined — 'foo+bar' requires 'foo'
+                    # and 'obar', never 'foobar' ('foooobar' matches)
+                    run.append(c * lo)
+                    flush()
+                    run.append(c * lo)
             else:
                 flush()
         elif opname == "AT":
@@ -339,6 +334,29 @@ def required_literal_factor(pattern: str) -> str | None:
     return None
 
 
+_SWEEP_SEARCHERS: dict[str, object] = {}
+
+
+def _sweep_searcher(index: BuiltIndex):
+    """Per-process cached LocalSearcher for the factor-free regex
+    fallback, built with ``warm_top_terms=0``: the vocabulary sweep
+    never scores documents, so eagerly decoding the hottest postings
+    (~100 MB on the bench index) per query was pure waste. The stemmer
+    never touches the regex path (patterns sweep the stored vocabulary
+    directly), so one default-constructed searcher answers identically
+    for stemmed and nostem indexes."""
+    key = (index.root, index.stats.num_documents,
+           index.stats.num_postings,
+           getattr(index.stats, "num_segments", 1))
+    s = _SWEEP_SEARCHERS.get(key)
+    if s is None:
+        _SWEEP_SEARCHERS.clear()  # at most one live searcher per root
+        from .query import LocalSearcher
+        s = _SWEEP_SEARCHERS[key] = LocalSearcher(index,
+                                                  warm_top_terms=0)
+    return s
+
+
 def match_regex_indexed(index: BuiltIndex, pattern: str) -> np.ndarray:
     """Regex vocabulary match answered from persisted artifacts when the
     pattern has a required literal factor of length ≥ 3: trigram-prune
@@ -350,12 +368,7 @@ def match_regex_indexed(index: BuiltIndex, pattern: str) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     factor = required_literal_factor(pattern)
     if factor is None:
-        from .query import LocalSearcher
-
-        # the stemmer never touches the regex path (patterns sweep the
-        # stored vocabulary directly), so the default-constructed
-        # searcher answers identically for stemmed and nostem indexes
-        return LocalSearcher(index).match_regex(pattern)
+        return _sweep_searcher(index).match_regex(pattern)
     cand = trigram_candidate_terms(index.root, factor)
     if not cand:
         return np.empty(0, dtype=np.int64)
