@@ -118,21 +118,11 @@ def test_required_literal_factor_variable_repeats_split_runs():
     but lacks that factor) — variable-count repeats contribute their
     guaranteed lo copies to BOTH neighbors, never joining them."""
     from ts_type_filter_ray.pipelines.trigram import required_literal_factor
-    import re
-    cases = ["foo+bar", "xa{2,3}y", "ab{1,2}cd", "lo+ng", "x{3,}tail",
-             "pre(fix)?suf"]
-    for pat in cases:
-        factor = required_literal_factor(pat)
-        if factor is None:
-            continue
-        rx = re.compile(pat)
-        # adversarial strings: inflate every variable repeat
-        for extra in range(4):
-            probe = re.sub(r"\{(\d+),(\d+)?\}|\+",
-                           lambda m: "", pat)  # noqa: unused — doc only
-        # construct matches by expanding repeats at several counts
-        # (sre-based expansion is overkill: spot-check the published bug)
-        assert factor in "foooobar" or pat != "foo+bar"
+
+    # the published counterexample: 'foooobar' matches but the old
+    # glued factor 'foobar' is absent from it
+    f = required_literal_factor("foo+bar")
+    assert f in "foooobar"
     assert required_literal_factor("foo+bar") in ("foo", "obar")
     assert required_literal_factor("xa{2,3}y") in ("xaa", "aay")
     assert required_literal_factor("ab{1,2}cd") == "bcd"
