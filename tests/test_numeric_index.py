@@ -172,3 +172,56 @@ def test_evaluate_range_composes(ray_session, tmp_path_factory, num_index):
     assert got.tolist() == [3]
     with pytest.raises(ValueError, match="numeric"):
         evaluate("n_chars:[1 TO 2]", s)
+
+
+def test_gather_accepts_duplicate_ids(ray_session, num_index):
+    """Duplicates in the gather id list must align per occurrence, not
+    raise a spurious missing-id KeyError (review finding)."""
+    import numpy as np
+    idx = num_index
+    field = idx.fields[0]
+    some = idx.range_docs(field)[:3]
+    ids = np.array([some[0], some[0], some[1], some[0]], dtype=np.int64)
+    vals = idx.gather(field, ids)
+    assert vals[0] == vals[1] == vals[3]
+    top = idx.topk_by_field(field, np.array([some[0], some[0]]), k=2)
+    assert len(top) == 2 and top[0][0] == top[1][0] == some[0]
+
+
+def test_numeric_fingerprint_staleness(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.numeric import (NumericIndex,
+                                                      build_numeric_index)
+    root = str(tmp_path / "idx")
+    ds1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "v": pa.array([10, 20, 30], type=pa.int64())}))
+    build_numeric_index(ds1, root, ["v"], fingerprint="gen1")
+    assert NumericIndex(root, expected_fingerprint="gen1") is not None
+    with pytest.raises(ValueError, match="STALE"):
+        NumericIndex(root, expected_fingerprint="gen2")
+    # a rebuild under a new fingerprint wipes and re-answers
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40], type=pa.int64())}))
+    build_numeric_index(ds2, root, ["v"], fingerprint="gen2")
+    idx = NumericIndex(root, expected_fingerprint="gen2")
+    assert idx.range_docs("v", 35, None).tolist() == [3]
+
+
+def test_numeric_rejects_beyond_2_53(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ts_type_filter_ray.pipelines.numeric import build_numeric_index
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "ts": pa.array([1 << 60], type=pa.int64())}))
+    with pytest.raises(Exception, match="2\\^53"):
+        build_numeric_index(ds, str(tmp_path / "i2"), ["ts"],
+                            fingerprint="g")

@@ -396,6 +396,19 @@ def _write_docs_table(meta_dir: str, docs_dir: str,
     return sum(r[0] for r in results), sum(r[1] for r in results)
 
 
+def sorted_member_mask(sorted_ref, ids):
+    """Boolean mask over *ids*: membership in the ASCENDING unique
+    array *sorted_ref* — the one searchsorted/minimum idiom behind
+    every tombstone check (LocalSearcher, TermRoutedService, the
+    forward index, the one-off query paths)."""
+    import numpy as np
+    if sorted_ref.size == 0 or ids.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    pos = np.searchsorted(sorted_ref, ids)
+    return ((pos < sorted_ref.size)
+            & (sorted_ref[np.minimum(pos, sorted_ref.size - 1)] == ids))
+
+
 def load_tombstones(root: str):
     """Sorted unique tombstoned doc_ids (empty array if none). Every
     tombstone generation file under ``root/tombstones/`` unions in —

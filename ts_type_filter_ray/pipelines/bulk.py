@@ -87,8 +87,10 @@ class BulkSearcher:
         })
 
 
-def _as_query_dataset(queries) -> Dataset:
-    """A list of query strings → (query_idx, query) Dataset."""
+def _as_query_dataset(queries, concurrency: int = 2) -> Dataset:
+    """A list of query strings → (query_idx, query) Dataset, split into
+    enough blocks that every actor in a pool of *concurrency* receives
+    work (a fixed small block count would idle actors above it)."""
     import ray.data
 
     tbl = pa.table({
@@ -96,10 +98,9 @@ def _as_query_dataset(queries) -> Dataset:
         "query": pa.array([q if isinstance(q, str) else " ".join(q)
                            for q in queries], type=pa.string()),
     })
-    # several blocks so a pool of actors actually shares the workload
-    # (one block would pin everything on one actor)
+    cap = max(8, 2 * max(1, concurrency))
     return ray.data.from_arrow(tbl).repartition(
-        max(2, min(8, len(queries) // 8)))
+        max(2, min(cap, len(queries) // 8)))
 
 
 def bulk_match(index_root: str, queries: Dataset | list, *,
@@ -109,7 +110,8 @@ def bulk_match(index_root: str, queries: Dataset | list, *,
     (query_idx, query) rows in → (query_idx, doc_id) match rows out,
     executed by a :class:`BulkSearcher` actor pool. Pass a ``Dataset``
     (e.g. ``read_parquet`` over a query log) or a plain list."""
-    ds = queries if isinstance(queries, Dataset) else _as_query_dataset(queries)
+    ds = (queries if isinstance(queries, Dataset)
+          else _as_query_dataset(queries, concurrency))
     return ds.map_batches(
         BulkSearcher,
         fn_constructor_kwargs={"index_root": index_root, "mode": "match",
@@ -125,7 +127,8 @@ def bulk_bm25(index_root: str, queries: Dataset | list, *, k: int = 10,
     (query_idx, rank, doc_id) rank-only rows out (scores are pure
     functions of (tf, df, N, avgdl) — identical across actors, so
     rank-only output keeps the result schema hash-stable)."""
-    ds = queries if isinstance(queries, Dataset) else _as_query_dataset(queries)
+    ds = (queries if isinstance(queries, Dataset)
+          else _as_query_dataset(queries, concurrency))
     return ds.map_batches(
         BulkSearcher,
         fn_constructor_kwargs={"index_root": index_root, "mode": "bm25",

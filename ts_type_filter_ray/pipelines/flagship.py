@@ -1683,13 +1683,23 @@ def numeric_index_for(sf_dir: str) -> "object":
     from .numeric import NumericIndex, build_numeric_index
 
     idx = build_documents_index_nostem(sf_dir)
+    fp = f"{idx.stats.num_documents}:{idx.stats.num_postings}"
     marker = os.path.join(idx.root, "_numeric", "_SUCCESS.n_chars")
     if not os.path.exists(marker):
         import ray.data as rd
         ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "n_chars"])
-        build_numeric_index(ds, idx.root, ["n_chars"])
-    return NumericIndex(idx.root)
+        build_numeric_index(ds, idx.root, ["n_chars"], fingerprint=fp)
+    # the fingerprint gate also rebuilds a sidecar left stale by an
+    # extend/compact of the host index (review finding)
+    try:
+        return NumericIndex(idx.root, expected_fingerprint=fp)
+    except ValueError:
+        import ray.data as rd
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "n_chars"])
+        build_numeric_index(ds, idx.root, ["n_chars"], fingerprint=fp)
+        return NumericIndex(idx.root, expected_fingerprint=fp)
 
 
 # Range expressions exercising inclusive / exclusive / open bounds and

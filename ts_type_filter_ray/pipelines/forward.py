@@ -135,16 +135,17 @@ class ForwardIndex:
                              "term": pa.array([], type=pa.string()),
                              "tf": pa.array([], type=pa.int64())})
         if self._tomb.size:
-            pos = np.searchsorted(self._tomb, ids)
-            dead = ((pos < self._tomb.size)
-                    & (self._tomb[np.minimum(pos, self._tomb.size - 1)]
-                       == ids))
+            from .build import sorted_member_mask
+            dead = sorted_member_mask(self._tomb, ids)
             if dead.any():
                 raise KeyError(
                     f"doc_ids are tombstoned: {ids[dead][:5].tolist()}")
+        # keys=ids: row groups must contain at least one requested id —
+        # term_vectors([0, max_id]) would otherwise read the whole
+        # forward index through the [min, max] envelope alone
         chunks = _prune_read(self._base, self._manifest, "doc_id",
                              float(ids[0]), float(ids[-1]),
-                             ["doc_id", "term", "tf"])
+                             ["doc_id", "term", "tf"], keys=ids)
         kept = []
         for t in chunks:
             d = t["doc_id"].to_numpy(zero_copy_only=False)

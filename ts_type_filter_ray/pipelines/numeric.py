@@ -73,6 +73,16 @@ class _SortedWriter:
                     f"sorted layout column {c!r} has nulls — null "
                     "semantics for range/gather queries are undefined; "
                     "filter or fill before building")
+            # manifest bounds and query bounds travel as float64, which
+            # is exact only up to 2^53 — refuse integer magnitudes that
+            # would silently misprune/corrupt (ns timestamps etc.)
+            if pa.types.is_integer(batch[c].type):
+                m = pc.max(pc.abs(batch[c])).as_py()
+                if m is not None and m > (1 << 53):
+                    raise ValueError(
+                        f"numeric index column {c!r} holds |value| > "
+                        f"2^53 ({m}) — float64 range/manifest bounds "
+                        "would be inexact; rescale the field first")
         batch = batch.select(self._cols)
         name = f"part-{uuid.uuid4().hex}.parquet"
         path = os.path.join(self._dir, name)
@@ -104,14 +114,37 @@ def _write_sorted(ds, out_dir: str, key_col: str,
 
 
 def build_numeric_index(ds, out_root: str, fields: list[str],
-                        doc_id_col: str = "doc_id") -> str:
+                        doc_id_col: str = "doc_id",
+                        fingerprint: str | None = None) -> str:
     """Build the numeric field index for *fields* of Dataset *ds* under
     ``{out_root}/_numeric`` (the ``_`` prefix keeps it invisible to any
     postings/dataset discovery over the index root, like ``_df.parquet``).
     Idempotent per field via ``_SUCCESS.<field>`` markers, so a re-run
-    after a crash skips finished fields (resumable-output contract)."""
+    after a crash skips finished fields (resumable-output contract).
+
+    *fingerprint* is the staleness contract (the fuzzy/trigram-artifact
+    pattern): pass any string identifying the source snapshot (e.g.
+    ``f"{stats.num_documents}:{stats.id_ceiling}"``). A re-build whose
+    fingerprint differs from the stored one WIPES the artifact first —
+    the ``_SUCCESS`` markers alone would otherwise no-op the rebuild
+    and leave range/gather answers silently stale after an
+    extend/delete/compact. ``NumericIndex(root,
+    expected_fingerprint=...)`` enforces the same contract at load."""
+    import shutil
+
     base = _numeric_dir(out_root)
+    meta_path = os.path.join(base, "_meta.json")
+    if os.path.isdir(base) and fingerprint is not None:
+        stored = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stored = json.load(fh).get("fingerprint")
+        if stored != fingerprint:
+            shutil.rmtree(base)
     os.makedirs(base, exist_ok=True)
+    if fingerprint is not None and not os.path.exists(meta_path):
+        with open(meta_path, "w") as fh:
+            json.dump({"fingerprint": fingerprint}, fh)
     schema = ds.schema()  # ray.data Schema: parallel .names / .types
     types = dict(zip(schema.names, schema.types))
     for f in fields:
@@ -122,7 +155,10 @@ def build_numeric_index(ds, out_root: str, fields: list[str],
         if os.path.exists(marker):
             continue
         fdir = os.path.join(base, f"field={f}")
-        two = ds.select_columns([doc_id_col, f])
+        # materialize the 16-byte/row projection ONCE: both sorted
+        # layouts consume it, and a lazy plan would re-run the source
+        # scan per sort (the packing.py precedent)
+        two = ds.select_columns([doc_id_col, f]).materialize()
         _write_sorted(two, os.path.join(fdir, "byval"), f,
                       [f, doc_id_col])
         _write_sorted(two, os.path.join(fdir, "byid"), doc_id_col,
@@ -140,9 +176,14 @@ def _load_manifest(d: str) -> list[dict]:
 
 
 def _prune_read(d: str, manifest: list[dict], key_col: str,
-                lo: float, hi: float, columns: list[str]) -> list[pa.Table]:
+                lo: float, hi: float, columns: list[str],
+                keys: np.ndarray | None = None) -> list[pa.Table]:
     """Read only the row groups whose [min, max] statistics intersect
-    [lo, hi] from the files whose manifest range intersects it."""
+    [lo, hi] from the files whose manifest range intersects it. When
+    *keys* (sorted) is given, a row group must additionally contain AT
+    LEAST ONE key — the scattered-id gather case, where the single
+    [min(ids), max(ids)] envelope would defeat pruning entirely (two
+    ids at the corpus's ends would otherwise read every group)."""
     out = []
     for row in manifest:
         if row["kmax"] < lo or row["kmin"] > hi:
@@ -153,9 +194,16 @@ def _prune_read(d: str, manifest: list[dict], key_col: str,
         rgs = []
         for i in range(md.num_row_groups):
             st = md.row_group(i).column(ci).statistics
-            if st is None or st.min is None or st.max is None or \
-                    (float(st.max) >= lo and float(st.min) <= hi):
+            if st is None or st.min is None or st.max is None:
                 rgs.append(i)
+                continue
+            if float(st.max) < lo or float(st.min) > hi:
+                continue
+            if keys is not None:
+                j = np.searchsorted(keys, st.min)
+                if j >= keys.size or keys[j] > st.max:
+                    continue
+            rgs.append(i)
         if rgs:
             out.append(pf.read_row_groups(rgs, columns=columns))
     return out
@@ -165,12 +213,23 @@ class NumericIndex:
     """Query-side handle over a built numeric index. Holds only the
     per-field manifests (O(files) driver state) — every read is pruned."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, expected_fingerprint: str | None = None):
         base = _numeric_dir(root)
         if not os.path.isdir(base):
             raise FileNotFoundError(
                 f"no numeric index under {root!r} — run "
                 "build_numeric_index first")
+        self.fingerprint: str | None = None
+        meta_path = os.path.join(base, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                self.fingerprint = json.load(fh).get("fingerprint")
+        if (expected_fingerprint is not None
+                and self.fingerprint != expected_fingerprint):
+            raise ValueError(
+                f"numeric index under {root!r} is STALE (fingerprint "
+                f"{self.fingerprint!r} != expected "
+                f"{expected_fingerprint!r}) — re-run build_numeric_index")
         self._base = base
         self._fields: dict[str, dict] = {}
         for name in sorted(os.listdir(base)):
@@ -232,38 +291,38 @@ class NumericIndex:
     # -- doc-value gathers (byid layout) --------------------------------
 
     def gather(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
-        """Values of *field* aligned to *doc_ids* (any order, unique).
-        Raises on ids absent from the index — a silent NaN would corrupt
-        sort/stats semantics. Reads only the row groups covering the
-        requested id range."""
+        """Values of *field* aligned to *doc_ids* (any order, duplicates
+        legal — each occurrence gets its value). Raises on ids absent
+        from the index — a silent NaN would corrupt sort/stats
+        semantics. Reads only row groups containing at least one
+        requested id (scattered ids stay O(k) groups; a plain
+        [min, max] envelope would read everything between them)."""
         doc_ids = np.asarray(doc_ids, dtype=np.int64)
         if doc_ids.size == 0:
             return np.empty(0, dtype=np.float64)
         info = self._field(field)
         id_col = info["meta"]["doc_id_col"]
-        lo, hi = float(doc_ids.min()), float(doc_ids.max())
+        uniq, inv = np.unique(doc_ids, return_inverse=True)
+        lo, hi = float(uniq[0]), float(uniq[-1])
         chunks = _prune_read(os.path.join(info["dir"], "byid"),
                              info["byid"], id_col, lo, hi,
-                             [id_col, field])
-        order = np.argsort(doc_ids, kind="stable")
-        sorted_ids = doc_ids[order]
-        vals = np.full(doc_ids.size, np.nan, dtype=np.float64)
-        found = np.zeros(doc_ids.size, dtype=bool)
+                             [id_col, field], keys=uniq)
+        vals_u = np.full(uniq.size, np.nan, dtype=np.float64)
+        found = np.zeros(uniq.size, dtype=bool)
         for t in chunks:
             ids_t = t[id_col].to_numpy(zero_copy_only=False)
             v_t = t[field].to_numpy(zero_copy_only=False).astype(np.float64)
-            pos = np.searchsorted(sorted_ids, ids_t)
-            ok = (pos < sorted_ids.size) & \
-                (sorted_ids[np.minimum(pos, sorted_ids.size - 1)] == ids_t)
-            tgt = order[pos[ok]]
-            vals[tgt] = v_t[ok]
-            found[tgt] = True
+            pos = np.searchsorted(uniq, ids_t)
+            ok = (pos < uniq.size) & \
+                (uniq[np.minimum(pos, uniq.size - 1)] == ids_t)
+            vals_u[pos[ok]] = v_t[ok]
+            found[pos[ok]] = True
         if not found.all():
-            missing = doc_ids[~found][:5].tolist()
+            missing = uniq[~found][:5].tolist()
             raise KeyError(
                 f"doc_ids missing from numeric index field {field!r}: "
                 f"{missing}{'...' if (~found).sum() > 5 else ''}")
-        return vals
+        return vals_u[inv]
 
     def topk_by_field(self, field: str, doc_ids: np.ndarray, k: int,
                       ascending: bool = False

@@ -241,11 +241,10 @@ class LocalSearcher:
 
     def _drop_deleted(self, ids: np.ndarray) -> np.ndarray:
         """Remove tombstoned doc_ids from an ASCENDING id array."""
+        from .build import sorted_member_mask
         if self._tomb.size == 0 or ids.size == 0:
             return ids
-        pos = np.searchsorted(self._tomb, ids)
-        dead = ((pos < self._tomb.size)
-                & (self._tomb[np.minimum(pos, self._tomb.size - 1)] == ids))
+        dead = sorted_member_mask(self._tomb, ids)
         return ids[~dead] if dead.any() else ids
 
     def _df_of(self, term: str) -> int:
@@ -1267,14 +1266,12 @@ def _load_rows_for_terms(index: BuiltIndex, stems: list[str]):
 
 def _drop_tombstoned(index: BuiltIndex, ids: np.ndarray) -> np.ndarray:
     """Tombstone filter for the one-off (serverless) query paths."""
-    from .build import load_tombstones
+    from .build import load_tombstones, sorted_member_mask
 
     tomb = load_tombstones(index.root)
     if tomb.size == 0 or ids.size == 0:
         return ids
-    pos = np.searchsorted(tomb, ids)
-    dead = ((pos < tomb.size)
-            & (tomb[np.minimum(pos, tomb.size - 1)] == ids))
+    dead = sorted_member_mask(tomb, ids)
     return ids[~dead] if dead.any() else ids
 
 

@@ -118,16 +118,17 @@ class _DocPartSearcher:
         self._fields = (self._part_searcher(metadata_root, parts)
                         if metadata_root else None)
 
-    def match(self, query) -> list[int]:
-        return self._searcher.match(query).tolist()
+    def match(self, query) -> np.ndarray:
+        # ndarray, not .tolist(): numpy serializes zero-copy through the
+        # object store; a million-id Python list is ~5x the bytes
+        return self._searcher.match(query)
 
     def bm25(self, query, k: int) -> list[tuple[int, float]]:
         return self._searcher.bm25(query, k)
 
-    def match_expr(self, expr: str) -> list[int]:
+    def match_expr(self, expr: str) -> np.ndarray:
         from .querylang import evaluate
-        return evaluate(expr, self._searcher,
-                        fields=self._fields).tolist()
+        return evaluate(expr, self._searcher, fields=self._fields)
 
     def bm25_filtered(self, query, filter_expr: str,
                       k: int) -> list[tuple[int, float]]:
@@ -335,12 +336,10 @@ class TermRoutedService:
         return groups
 
     def _drop_deleted(self, ids: np.ndarray) -> np.ndarray:
+        from .build import sorted_member_mask
         if not self._tomb.size or not ids.size:
             return ids
-        pos = np.searchsorted(self._tomb, ids)
-        hit = ((pos < self._tomb.size)
-               & (self._tomb[np.minimum(pos, self._tomb.size - 1)] == ids))
-        return ids[~hit]
+        return ids[~sorted_member_mask(self._tomb, ids)]
 
     def match(self, query) -> np.ndarray:
         """Ascending unique doc_ids containing ANY query stem — each stem
