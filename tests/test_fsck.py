@@ -99,3 +99,33 @@ def test_detects_duplicate_doc_ids(healthy, tmp_path_factory):
                                     "docs_zz_dup.parquet"))
     rep = _report(bad)
     assert not rep["doc_ids_unique"] and not rep["ok"]
+
+
+def test_detects_content_permutation_same_part(healthy, tmp_path_factory):
+    """Swapping two docs' stored sha256 values WITHIN one partition must
+    fail the rollup: the digests are bound to their doc_ids before the
+    XOR fold (an unbound XOR cancels under permutation)."""
+    root, corpus_dir = healthy
+    dst = _copy(root, tmp_path_factory, "fsck_perm")
+    f = sorted(glob.glob(os.path.join(dst, "docs", "*.parquet")))[0]
+    t = pq.read_table(f)
+    shas = t["sha256"].to_pylist()
+    assert len(shas) >= 2 and shas[0] != shas[1]
+    shas[0], shas[1] = shas[1], shas[0]  # ids 0,1 share part at bits=4
+    t = t.set_column(t.schema.get_field_index("sha256"), "sha256",
+                     pa.array(shas, type=pa.string()))
+    pq.write_table(t, f)
+    rep = _report(dst, corpus_dir)
+    assert rep["sha_mismatched_parts"] >= 1
+    assert not rep["ok"]
+
+
+def test_detects_missing_df_table(healthy, tmp_path_factory):
+    root, corpus_dir = healthy
+    dst = _copy(root, tmp_path_factory, "fsck_nodf")
+    dfs = sorted(glob.glob(os.path.join(dst, "postings", "bucket=*",
+                                        "_df.parquet")))
+    os.remove(dfs[0])
+    rep = _report(dst)
+    assert not rep["df_files_consistent"]
+    assert not rep["ok"]

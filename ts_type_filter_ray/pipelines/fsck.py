@@ -115,13 +115,20 @@ def _check_docs_file(path: str, part_bits: int) -> dict:
 
 def _xor_rollup(ids: np.ndarray, digests: list[bytes],
                 part_bits: int) -> dict[int, bytes]:
-    """Per-partition XOR of 32-byte digests — constant-size evidence
-    per part, order-independent (XOR is commutative), sensitive to any
-    single-digest change."""
+    """Per-partition XOR of 32-byte BOUND digests — constant-size
+    evidence per part, order-independent (XOR is commutative),
+    sensitive to any single-digest change. Each digest is re-hashed
+    together with its doc_id (``sha256(id_le8 || digest)``) before the
+    fold: a bare content-XOR would cancel under a content PERMUTATION
+    between docs of the same partition (swap docs 1↔2 → H(a)⊕H(b) both
+    sides), silently passing the very association the invariant
+    asserts."""
     if ids.size == 0:
         return {}
-    mat = np.frombuffer(b"".join(digests),
-                        dtype=np.uint8).reshape(len(digests), 32)
+    bound = [hashlib.sha256(int(i).to_bytes(8, "little") + d).digest()
+             for i, d in zip(ids.tolist(), digests)]
+    mat = np.frombuffer(b"".join(bound),
+                        dtype=np.uint8).reshape(len(bound), 32)
     parts = ids >> np.int64(part_bits)
     order = np.argsort(parts, kind="stable")
     parts_s = parts[order]
@@ -197,7 +204,10 @@ def fsck_index(index_root: str, corpus=None) -> pa.Table:
     buckets = ray.get(bucket_futs)
     n_terms = sum(b["n_terms"] for b in buckets)
     n_postings = sum(b["n_postings"] for b in buckets)
-    df_ok = all(b["df_ok"] for b in buckets)
+    # a non-empty bucket MISSING its _df.parquet is an integrity
+    # failure too (the build always writes it; SearchService reads it)
+    df_ok = all(b["df_ok"] and (b["has_df"] or b["n_terms"] == 0)
+                for b in buckets)
 
     docs = ray.get(docs_futs)
     n_docs = sum(d["n"] for d in docs)
