@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .partitioning import auto_num_parts
+from .partitioning import auto_num_parts, segment_upper_pairs
 
 _MERSENNE = (1 << 61) - 1
 
@@ -886,17 +886,11 @@ def ngram_jaccard_pairs(ds: Dataset, shingle_k: int = 3,
             sel = (lens > 1) & (lens <= max_shingle_df)
         else:
             sel = lens > 1
-        a_i, b_i = [], []
-        for s, L in zip(starts[sel].tolist(), lens[sel].tolist()):
-            ia, ib = np.triu_indices(L, k=1)
-            a_i.append(ia + s)
-            b_i.append(ib + s)
-        if not a_i:
+        ia, ib = segment_upper_pairs(starts[sel], lens[sel])
+        if not len(ia):
             z = pa.array([], type=pa.int64())
             return pa.table({"id_a": z, "id_b": z, "n": z,
                              "na": z, "nb": z})
-        ia = np.concatenate(a_i)
-        ib = np.concatenate(b_i)
         # combine within the partition before the pair shuffle; uint64
         # packing is exact for the full dense-id < 2^32 contract (an
         # int64 a*2^32+b pack wraps once a >= 2^31)
@@ -1021,17 +1015,11 @@ def tf_cosine_pairs(ds: Dataset, threshold: float = 0.5,
             sel = (lens > 1) & (lens <= max_term_df)
         else:
             sel = lens > 1
-        a_i, b_i = [], []
-        for s, L in zip(starts[sel].tolist(), lens[sel].tolist()):
-            ia, ib = np.triu_indices(L, k=1)
-            a_i.append(ia + s)
-            b_i.append(ib + s)
-        if not a_i:
+        ia, ib = segment_upper_pairs(starts[sel], lens[sel])
+        if not len(ia):
             z = pa.array([], type=pa.int64())
             return pa.table({"id_a": z, "id_b": z, "dot": z,
                              "sqa": z, "sqb": z})
-        ia = np.concatenate(a_i)
-        ib = np.concatenate(b_i)
         # combine partial dots within the partition before the shuffle;
         # uint64 bit-packing is exact for the full dense-id < 2^32
         # contract (an int64 a*2^32+b pack wraps once a >= 2^31)

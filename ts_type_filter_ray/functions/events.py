@@ -22,6 +22,45 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+def _cents(value_col) -> pa.Array:
+    """Exact integer cents, HALF-AWAY-FROM-ZERO (DuckDB ``round()``
+    semantics — Arrow's ``pc.round`` defaults to half-to-even, which
+    disagrees on exact .5 products like 1.125*100 and would break the
+    value-exact oracles). Guarded at |cents| < 2^32: the percentile
+    key packing reserves 33 bits for the signed cents field."""
+    v = value_col.to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+    c = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+        np.int64)
+    if c.size and int(np.abs(c).max()) >= (1 << 32):
+        raise ValueError(
+            "event value exceeds the 2^32-cent packing range "
+            "(~$42.9M) — rescale before windowing")
+    return pa.array(c, type=pa.int64())
+
+
+def _check_epoch_nonneg(ts_int64) -> None:
+    """The window/session operators divide epoch integers, and their
+    SQL oracles mix flooring (date_trunc) and truncating (//) division
+    — the two agree only for NON-NEGATIVE epochs, so pre-1970
+    timestamps are out of contract and raise rather than silently
+    diverging per operator."""
+    arr = ts_int64 if isinstance(ts_int64, np.ndarray) else (
+        ts_int64.to_numpy(zero_copy_only=False))
+    if arr.size and int(arr.min()) < 0:
+        raise ValueError(
+            "pre-epoch (negative) timestamps are outside the window "
+            "operators' division contract — shift or filter them first")
+
+
+def _fix_ts_unit(col: str):
+    """Ray's groupby normalizes timestamp keys to timestamp[s]; restore
+    µs so the schema matches the DuckDB oracle exactly."""
+    def fn(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(col)
+        return t.set_column(i, col, t[col].cast(pa.timestamp("us")))
+    return fn
+
+
 def tumbling_window_agg(ds: Dataset, window_sec: int = 3600) -> Dataset:
     """Per (user_id, tumbling window): event count, exact value-cents sum,
     min/max event ids. Window start is the epoch-truncated timestamp.
@@ -33,23 +72,15 @@ def tumbling_window_agg(ds: Dataset, window_sec: int = 3600) -> Dataset:
 
     def add_window(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64())  # µs since epoch
+        _check_epoch_nonneg(ts)
         win = pc.multiply(
             pc.divide(ts, 1_000_000 * window_sec), 1_000_000 * window_sec)
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
-                        pa.int64())
         return pa.table({
             "user_id": batch["user_id"],
             "window_start": win.cast(pa.timestamp("us")),
-            "value_cents": cents,
+            "value_cents": _cents(batch["value"]),
             "event_id": batch["event_id"],
         })
-
-    def fix_ts_unit(t: pa.Table) -> pa.Table:
-        # Ray's groupby normalizes the timestamp key to timestamp[s];
-        # restore µs so the schema matches the DuckDB oracle exactly.
-        i = t.schema.get_field_index("window_start")
-        return t.set_column(i, "window_start",
-                            t["window_start"].cast(pa.timestamp("us")))
 
     return (ds.map_batches(add_window, batch_format="pyarrow")
             .groupby(["user_id", "window_start"])
@@ -57,7 +88,8 @@ def tumbling_window_agg(ds: Dataset, window_sec: int = 3600) -> Dataset:
                        Sum("value_cents", alias_name="value_cents"),
                        Min("event_id", alias_name="first_event"),
                        Max("event_id", alias_name="last_event"))
-            .map_batches(fix_ts_unit, batch_format="pyarrow"))
+            .map_batches(_fix_ts_unit("window_start"),
+                         batch_format="pyarrow"))
 
 
 def hopping_window_agg(ds: Dataset, window_sec: int = 3600,
@@ -78,13 +110,12 @@ def hopping_window_agg(ds: Dataset, window_sec: int = 3600,
     def explode(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(
             zero_copy_only=False)  # µs
+        _check_epoch_nonneg(ts)
         hop_us = 1_000_000 * hop_sec
         base = (ts // hop_us) * hop_us  # latest hop-aligned start ≤ ts
         offs = (np.arange(k, dtype=np.int64) * hop_us)[:, None]
         win = (base[None, :] - offs).ravel()
-        n = len(ts)
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
-                        pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(batch["value"]).to_numpy(zero_copy_only=False)
         return pa.table({
             "user_id": pa.array(np.tile(
                 batch["user_id"].to_numpy(zero_copy_only=False), k)),
@@ -92,16 +123,12 @@ def hopping_window_agg(ds: Dataset, window_sec: int = 3600,
             "value_cents": pa.array(np.tile(cents, k)),
         })
 
-    def fix_ts_unit(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("window_start")
-        return t.set_column(i, "window_start",
-                            t["window_start"].cast(pa.timestamp("us")))
-
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby(["user_id", "window_start"])
             .aggregate(Count(alias_name="n_events"),
                        Sum("value_cents", alias_name="value_cents"))
-            .map_batches(fix_ts_unit, batch_format="pyarrow"))
+            .map_batches(_fix_ts_unit("window_start"),
+                         batch_format="pyarrow"))
 
 
 def sessionize(ds: Dataset, gap_sec: int = 1800,
@@ -126,13 +153,15 @@ def sessionize(ds: Dataset, gap_sec: int = 1800,
     def add_part(batch: pa.Table) -> pa.Table:
         part = pc.cast(
             pc.bit_wise_and(batch["user_id"], num_parts - 1), pa.int32())
+        ts = batch["ts"].cast(pa.int64())
+        _check_epoch_nonneg(ts)  # pc.divide truncates, oracle floors
         return pa.table({
             "part": part,
             "user_id": batch["user_id"],
             "event_id": batch["event_id"],
             # second-resolution time, identical to the oracle's
-            # floor(epoch(ts))::BIGINT
-            "t": pc.divide(batch["ts"].cast(pa.int64()), 1_000_000),
+            # floor(epoch(ts))::BIGINT for non-negative epochs
+            "t": pc.divide(ts, 1_000_000),
         })
 
     def per_part(g: pa.Table) -> pa.Table:
@@ -345,8 +374,7 @@ def event_value_percentiles(ds: Dataset,
     def partial(batch: pa.Table) -> pa.Table:
         et = np.asarray(batch["event_type"].to_pylist())
         types, codes = np.unique(et, return_inverse=True)
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
-                        pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(batch["value"]).to_numpy(zero_copy_only=False)
         key = codes.astype(np.int64) * (1 << 33) + (cents + (1 << 32))
         uk, n = np.unique(key, return_counts=True)
         return pa.table({
@@ -489,6 +517,14 @@ def exact_value_quantiles(ds: Dataset,
         sizes[r["part"]] = r["count()"]
     cum = np.cumsum(sizes)
     total = int(cum[-1])
+    if total == 0:
+        # SQL semantics on empty input: count 0, NULL percentiles (the
+        # searchsorted below would otherwise index past the last
+        # partition and die on a KeyError)
+        out0 = {"n_events": pa.array([0], type=pa.int64())}
+        for p in ps:
+            out0[f"p{int(p * 100)}"] = pa.array([None], type=pa.float64())
+        return rd.from_arrow(pa.table(out0))
     targets: dict[int, list[tuple[float, int]]] = {}
     for p in ps:
         rank = max(1, int(np.ceil(p * total)))  # percentile_disc

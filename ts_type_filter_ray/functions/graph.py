@@ -36,7 +36,15 @@ def connected_components(nodes: Dataset, edges: Dataset,
     """(node_col, component) for every node — ``component`` is the
     minimum node id of the node's connected component (isolated nodes
     map to themselves). *edges* is undirected pairs; self-loops and
-    duplicates are harmless."""
+    duplicates are harmless.
+
+    Convergence: plain min-label propagation — the minimum travels one
+    hop per round, so the round count is O(component DIAMETER) (near-dup
+    clusters are dense, diameter is tiny in practice; the
+    large-star/small-star O(log) variant is the upgrade path if chains
+    ever dominate). If ``max_iters`` rounds pass without reaching the
+    fixpoint the function RAISES rather than returning silently split
+    components."""
     if num_parts is None:
         num_parts = auto_num_parts(nodes)
 
@@ -99,6 +107,7 @@ def connected_components(nodes: Dataset, edges: Dataset,
                                               lab[new]])),
         })
 
+    converged = False
     for _ in range(max_iters):
         msgs = (labels.map_batches(tag_label, batch_format="pyarrow")
                 .union(und_edges.map_batches(tag_edge,
@@ -110,8 +119,14 @@ def connected_components(nodes: Dataset, edges: Dataset,
                   .materialize())
         s = labels.sum("label")
         if s == prev_sum:  # labels only decrease → fixpoint
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds — a component's diameter exceeds the budget; raise "
+            "max_iters (min-propagation takes one hop per round)")
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({node_col: batch["node"],
@@ -254,15 +269,21 @@ def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
     ranks = np.full(num_nodes, 1.0 / num_nodes, dtype=np.float64)
     teleport = (1.0 - damping) / num_nodes
 
+    # broadcast the O(N) out-degree vector ONCE like the rank vector —
+    # captured in the closure it would re-pickle with the UDF on every
+    # iteration's task submissions
+    outdeg_ref = ray.put(outdeg)
+
     def contribs(batch: pa.Table, *, ranks_ref) -> pa.Table:
         r = ray.get(ranks_ref)
+        od = ray.get(outdeg_ref)
         s = batch[src_col].to_numpy(zero_copy_only=False)
         d = batch[dst_col].to_numpy(zero_copy_only=False)
         return pa.table({
             "part": pa.array((d % num_parts).astype(np.int32)),
             "dst": pa.array(d.astype(np.int64)),
             "src": pa.array(s.astype(np.int64)),
-            "contrib": pa.array(r[s] / outdeg[s]),
+            "contrib": pa.array(r[s] / od[s]),
         })
 
     def fold(group: pa.Table) -> pa.Table:
@@ -360,13 +381,9 @@ def triangle_count(edges: Dataset, *, src_col: str = "src",
             sel = (lens > 1) & (lens <= max_degree)
         else:
             sel = lens > 1
-        xs, ys = [], []
-        for s0, L in zip(starts[sel].tolist(), lens[sel].tolist()):
-            ia, ib = np.triu_indices(L, k=1)
-            xs.append(b[ia + s0])
-            ys.append(b[ib + s0])
-        wx = np.concatenate(xs) if xs else np.empty(0, dtype=np.int64)
-        wy = np.concatenate(ys) if ys else np.empty(0, dtype=np.int64)
+        from .partitioning import segment_upper_pairs
+        ia, ib = segment_upper_pairs(starts[sel], lens[sel])
+        wx, wy = b[ia], b[ib]
         # combine repeated wedge pairs within the partition; uint64
         # packing is exact for dense node ids < 2^32 (int64 wraps at
         # 2^31 in the high half)

@@ -38,3 +38,33 @@ def auto_num_parts(ds_or_count, target_rows: int = DEFAULT_TARGET_ROWS,
     while parts < want:
         parts <<= 1
     return max(min_parts, min(max_parts, parts))
+
+
+def segment_upper_pairs(starts, lens):
+    """Vectorized all-pairs (i < j) GLOBAL row-index expansion for
+    contiguous row segments (``starts[s] .. starts[s]+lens[s]``) — the
+    wedge/co-occurrence emission without a per-segment Python loop +
+    per-segment ``triu_indices`` allocation (the r1 postings build
+    measured per-item Python dispatch at 13.7× the vectorized cost).
+    Total output size is ``Σ lens·(lens-1)/2`` — the caller's df/degree
+    cap is the knob that bounds it."""
+    import numpy as np
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n_rows = int(lens.sum())
+    if n_rows == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    within = (np.arange(n_rows, dtype=np.int64)
+              - np.repeat(np.cumsum(lens) - lens, lens))
+    row = np.repeat(starts, lens) + within
+    later = np.repeat(lens, lens) - 1 - within
+    total = int(later.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    ia_local = np.repeat(np.arange(n_rows, dtype=np.int64), later)
+    off = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.cumsum(later) - later, later))
+    ia = row[ia_local]
+    return ia, ia + 1 + off

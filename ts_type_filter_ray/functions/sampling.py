@@ -181,8 +181,15 @@ def upsample_by_weight(ds: Dataset, weights: dict[str, int],
     ``np.repeat`` per batch, no shuffle, no RNG — rerun-identical, and
     downstream consumers can hash ``(id, copy_id)`` for per-copy salt
     (e.g. distinct shuffle positions per epoch)."""
+    for k, v in weights.items():
+        if v != int(v):
+            raise ValueError(
+                f"weights must be non-negative integers; {k!r} has "
+                f"fractional weight {v!r} (int() would silently "
+                "truncate it)")
     w = {k: int(v) for k, v in weights.items()}
-    if any(v < 0 for v in w.values()) or default_weight < 0:
+    if any(v < 0 for v in w.values()) or default_weight < 0 \
+            or default_weight != int(default_weight):
         raise ValueError("weights must be non-negative integers")
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -369,10 +369,12 @@ def kll_quantiles(ds: Dataset, col: str = "value",
         sk = KllSketch(k)
         sk.insert_many(v)
         rows = sk.to_rows()
-        # deterministic merge-part routing: content-derived, not RNG
+        # deterministic merge-part routing: digest the batch's FULL
+        # content (first-value+length alone collapsed near-constant
+        # columns into one merge part; identical batches still collide
+        # — the remaining pathological case, documented)
         import hashlib
-        mp = hashlib.blake2b(v[:1].tobytes() + len(v).to_bytes(8, "little"),
-                             digest_size=2).digest()
+        mp = hashlib.blake2b(v.tobytes(), digest_size=2).digest()
         mpart = int.from_bytes(mp, "little") % num_merge_parts
         rows = rows.append_column(
             "mpart", pa.array(np.full(rows.num_rows, mpart,
