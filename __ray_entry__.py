@@ -2461,7 +2461,8 @@ def oracle_sql() -> dict[str, str]:
                      sum(t.tf)::BIGINT as n_tokens
               from tf t join g using (term) group by t.doc_id)
             select doc_id, sum_tfg, n_tokens,
-                   sum_tfg::DOUBLE / (n_tokens * total) as commonness
+                   sum_tfg::DOUBLE / (n_tokens::DOUBLE * total::DOUBLE)
+                       as commonness
             from agg, tot""",
         "dataset_split": """
             select doc_id,

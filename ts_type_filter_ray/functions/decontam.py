@@ -148,19 +148,25 @@ def decontaminate_bloom(ds: Dataset, bench_mod: int = 50,
         num_parts = auto_num_parts(ds)
 
     def bench_bitmap(batch: pa.Table) -> pa.Table:
-        bm = np.zeros(1 << (_BLOOM_BITS_LOG2 - 6), dtype=np.uint64)
         is_bench = (batch["doc_id"].to_numpy(zero_copy_only=False)
                     % bench_mod == 0)
         bench_rows = batch.filter(pa.array(is_bench))
-        if bench_rows.num_rows:
-            hs, _off = _shingle_hashes_batch(bench_rows["text"], shingle_k)
-            if hs.size:  # multiset is fine: set-bits is idempotent
-                _set_bits(bm, _bloom_probe_idx(hs))
+        if bench_rows.num_rows == 0:
+            # most batches of a 100-TB corpus hold no benchmark rows:
+            # emit NOTHING rather than a 1 MiB all-zeros bitmap per
+            # batch (driver traffic must scale with the benchmark, not
+            # the corpus)
+            return pa.table({"bitmap": pa.array([],
+                                                type=pa.large_binary())})
+        bm = np.zeros(1 << (_BLOOM_BITS_LOG2 - 6), dtype=np.uint64)
+        hs, _off = _shingle_hashes_batch(bench_rows["text"], shingle_k)
+        if hs.size:  # multiset is fine: set-bits is idempotent
+            _set_bits(bm, _bloom_probe_idx(hs))
         return pa.table({"bitmap": pa.array([bm.tobytes()],
                                             type=pa.large_binary())})
 
     # benchmark side is small by contract → OR the per-batch bitmaps on
-    # the driver (≤ #batches × 1 MiB) and broadcast the result once
+    # the driver (≤ #bench-bearing batches × 1 MiB) and broadcast once
     parts = ds.map_batches(bench_bitmap, batch_format="pyarrow").take_all()
     bitmap = np.zeros(1 << (_BLOOM_BITS_LOG2 - 6), dtype=np.uint64)
     for r in parts:

@@ -32,6 +32,15 @@ from ray.data.aggregate import Sum
 SHIP_CUTOFF = "1998-09-02"
 
 
+def _half_away_cents(v: np.ndarray) -> np.ndarray:
+    """round(value*100) with DuckDB's HALF-AWAY-FROM-ZERO semantics —
+    np.rint/pc.round are half-to-even and disagree on exact .5 products
+    (0.125*100), breaking the value-exact oracles."""
+    v = np.asarray(v, dtype=np.float64) * 100.0
+    return np.where(v >= 0, np.floor(v + 0.5),
+                    np.ceil(v - 0.5)).astype(np.int64)
+
+
 def pricing_summary(sf_dir: str) -> Dataset:
     """(l_returnflag, l_linestatus, n_rows, sum_qty_c, sum_price_c,
     sum_disc_c) for lineitems shipped on or before :data:`SHIP_CUTOFF`.
@@ -61,12 +70,12 @@ def pricing_summary(sf_dir: str) -> Dataset:
         status = batch["l_linestatus"].to_pylist()
         keys = np.array([f"{a}|{b}" for a, b in zip(flag, status)])
         uniq, codes = np.unique(keys, return_inverse=True)
-        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)
-                      * 100).astype(np.int64)
-        price = np.rint(batch["l_extendedprice"].to_numpy(
-            zero_copy_only=False) * 100).astype(np.int64)
-        disc = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False)
-                       * 100).astype(np.int64)
+        qty = _half_away_cents(
+            batch["l_quantity"].to_numpy(zero_copy_only=False))
+        price = _half_away_cents(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False))
+        disc = _half_away_cents(
+            batch["l_discount"].to_numpy(zero_copy_only=False))
         k = len(uniq)
         return pa.table({
             "l_returnflag": pa.array([u.split("|")[0] for u in uniq]),
@@ -165,8 +174,8 @@ def revenue_by_nation(sf_dir: str,
             pos = np.searchsorted(self._custkey, ck)
             # every order references an existing customer (FK contract)
             code = self._code[pos]
-            cents = np.rint(batch["o_totalprice"].to_numpy(
-                zero_copy_only=False) * 100).astype(np.int64)
+            cents = _half_away_cents(batch["o_totalprice"].to_numpy(
+                zero_copy_only=False))
             return pa.table({
                 "n_name": pa.array(names, type=pa.string()),
                 "n_orders": pa.array(
@@ -235,8 +244,8 @@ def _revenue_by_nation_shuffle(sf_dir: str,
 
     def order_rows(batch: pa.Table) -> pa.Table:
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        cents = np.rint(batch["o_totalprice"].to_numpy(
-            zero_copy_only=False) * 100).astype(np.int64)
+        cents = _half_away_cents(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False))
         n = len(ck)
         return pa.table({
             "key": pa.array(ck, type=pa.int64()),
@@ -379,8 +388,9 @@ def running_totals(sf_dir: str, num_parts: int | None = None) -> Dataset:
         num_parts = auto_num_parts(events)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
-                        pa.int64())
+        cents = pa.array(_half_away_cents(
+            batch["value"].to_numpy(zero_copy_only=False)),
+            type=pa.int64())
         return pa.table({
             "part": pc.cast(pc.bit_wise_and(batch["user_id"],
                                             num_parts - 1), pa.int32()),

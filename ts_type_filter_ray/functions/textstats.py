@@ -473,9 +473,16 @@ def commonness_scores(ds: Dataset,
     def score(batch: pa.Table) -> pa.Table:
         s = batch["sum_tfg"].to_numpy(zero_copy_only=False)
         n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        # float64 product, NOT int64: n*total overflows int64 once the
+        # corpus passes ~2^63 token-pairs (n ~1e6 doc tokens x total
+        # ~2e13 corpus tokens at 100 TB); for operands < 2^53 the
+        # correctly-rounded float product equals float(int product), so
+        # the oracle (same ::DOUBLE * ::DOUBLE shape) stays bit-exact.
+        # (The int64 NUMERATOR sum_tfg caps the operator at ~9e18
+        # weighted pairs — documented contract, DuckDB errors likewise.)
         return batch.append_column(
             "commonness",
-            pa.array(s / (n * total).astype(np.float64)))
+            pa.array(s / (n.astype(np.float64) * np.float64(total))))
 
     return agg.map_batches(score, batch_format="pyarrow")
 

@@ -44,10 +44,11 @@ def _row_group_tasks(files: list[str]) -> list[dict]:
     for path in files:
         md = pq.ParquetFile(path).metadata
         for rg in range(md.num_row_groups):
-            n = md.row_group(rg).num_rows
-            tasks.append({"path": path, "row_group": rg, "doc_id_offset": offset,
-                          "num_rows": n})
-            offset += n
+            g = md.row_group(rg)
+            tasks.append({"path": path, "row_group": rg,
+                          "doc_id_offset": offset, "num_rows": g.num_rows,
+                          "size_bytes": g.total_byte_size})
+            offset += g.num_rows
     return tasks
 
 
@@ -74,13 +75,19 @@ class CorpusDatasource(Datasource):
         shard's file list is a subset."""
         self._columns = columns
         self._tasks = tasks if tasks is not None else _row_group_tasks(files)
-        # footer metadata: uncompressed byte size per row group
+        # uncompressed byte size per row group: carried in the task
+        # dicts from the ONE footer pass (re-opening every footer here
+        # doubled the driver-side metadata cost); tasks from older
+        # callers without the field fall back to a footer read
         self._sizes = []
         by_path: dict[str, pq.ParquetFile] = {}
         for t in self._tasks:
-            pf = by_path.setdefault(t["path"], pq.ParquetFile(t["path"]))
-            self._sizes.append(
-                pf.metadata.row_group(t["row_group"]).total_byte_size)
+            size = t.get("size_bytes")
+            if size is None:
+                pf = by_path.setdefault(t["path"],
+                                        pq.ParquetFile(t["path"]))
+                size = pf.metadata.row_group(t["row_group"]).total_byte_size
+            self._sizes.append(size)
 
     def estimate_inmemory_data_size(self) -> int:
         return sum(self._sizes)

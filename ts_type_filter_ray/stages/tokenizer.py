@@ -191,6 +191,15 @@ class TokenizePartials:
         sid_e = uniq // n_docs
         docidx_e = uniq % n_docs
         part_e = (doc_np[docidx_e] >> self._part_bits).astype(np.int64)
+        # part rides in 32 bits (int32 column here, low half of the
+        # merge's (term_code << 32 | part) key): doc_id >= 2^(bits+31)
+        # — e.g. >= 2048 sparse-id delimited files at the 1<<40 stride —
+        # would wrap silently into wrong posting groups
+        if len(part_e) and int(part_e.max()) >= (1 << 31):
+            raise ValueError(
+                f"doc partition {int(part_e.max())} >= 2^31 overflows "
+                "the 32-bit part field — raise doc_part_bits or "
+                "densify doc_ids")
 
         # run boundaries over (sid, part): docidx ascends within sid, so
         # part is non-decreasing within each sid run

@@ -30,17 +30,7 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 
 from ..sources.corpus import _row_group_tasks, corpus_files
-from ..stages.tokenizer import DEFAULT_DOC_PART_BITS, TokenizePartials
-
-
-class TokenizeWithMeta(TokenizePartials):
-    """Single-pass stage: partial postings rows + doc-metadata rows
-    (sha256, doc_len, passthrough metadata) in one output stream — now
-    just ``TokenizePartials(emit_meta=True)`` (the unified single-pass
-    stage that also powers the non-checkpointed ``build_index``)."""
-
-    def __init__(self, doc_part_bits, num_term_buckets):
-        super().__init__(doc_part_bits, num_term_buckets, emit_meta=True)
+from ..stages.tokenizer import DEFAULT_DOC_PART_BITS
 
 
 def _shard_fingerprint(tasks: list[dict]) -> str:
@@ -101,6 +91,7 @@ def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
     manifest["params"] = params
 
     done_this_run = 0
+    fresh: set[str] = set()
     for shard_id, flist in enumerate(shard_files):
         tasks = [t for f in flist for t in by_file[f]]
         if not tasks:
@@ -116,6 +107,7 @@ def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
         fp = _shard_fingerprint(tasks)
         entry = manifest["shards"].get(str(shard_id))
         if entry and entry["status"] == "done" and entry["fingerprint"] == fp:
+            fresh.add(str(shard_id))
             continue  # checkpoint hit: zero recomputation
         if max_shards_this_run is not None and done_this_run >= max_shards_this_run:
             break
@@ -141,14 +133,20 @@ def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
         # directly, no shuffle (doc-meta rows land under bucket=-1)
         stream.write_parquet(tmp_dir, partition_cols=["bucket"])
 
-        # counters + sha rollup from the written doc-meta rows (small read)
-        meta = pads.dataset(os.path.join(tmp_dir, "bucket=-1")).to_table(
-            columns=["term", "dls"])
-        n_docs = meta.num_rows
-        total_dl = sum(x[0].as_py() for x in meta["dls"])
-        rollup = 0
-        for sha in meta["term"].to_pylist():
-            rollup ^= int(sha, 16)
+        # counters + sha rollup from the written doc-meta rows (small
+        # read). A shard whose stripe holds only ZERO-ROW files writes
+        # no partitions at all — legal, it contributes nothing.
+        meta_dir = os.path.join(tmp_dir, "bucket=-1")
+        if os.path.isdir(meta_dir):
+            meta = pads.dataset(meta_dir).to_table(columns=["term", "dls"])
+            n_docs = meta.num_rows
+            total_dl = sum(x[0].as_py() for x in meta["dls"])
+            rollup = 0
+            for sha in meta["term"].to_pylist():
+                rollup ^= int(sha, 16)
+        else:
+            os.makedirs(tmp_dir, exist_ok=True)
+            n_docs, total_dl, rollup = 0, 0, 0
         os.replace(tmp_dir, final_dir)
 
         manifest["shards"][str(shard_id)] = {
@@ -160,8 +158,9 @@ def build_partials(corpus_dir: str, out_dir: str, *, num_shards: int = 4,
             "sha256_xor_rollup": f"{rollup:064x}",
         }
         _save_manifest(out_dir, manifest)
+        fresh.add(str(shard_id))
         done_this_run += 1
-    return manifest
+    return manifest, fresh
 
 
 def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
@@ -191,7 +190,7 @@ def finalize_index(out_dir: str, *, num_term_buckets: int = 32,
 
     n_docs = sum(s["num_docs"] for s in shards)
     total_dl = sum(s["total_doc_len"] for s in shards)
-    avgdl = total_dl / n_docs
+    avgdl = (total_dl / n_docs) if n_docs else 0.0
 
     partials_dir = os.path.join(out_dir, "partials")
 
@@ -241,16 +240,17 @@ def build_index_checkpointed(corpus_dir: str, out_dir: str, *,
                              max_shards_this_run: int | None = None):
     """Sharded single-pass build with resume. Interrupt at any point and
     call again with the same arguments: completed shards are skipped."""
-    build_partials(corpus_dir, out_dir, num_shards=num_shards,
-                   doc_part_bits=doc_part_bits,
-                   num_term_buckets=num_term_buckets,
-                   max_shards_this_run=max_shards_this_run)
+    _, fresh = build_partials(corpus_dir, out_dir, num_shards=num_shards,
+                              doc_part_bits=doc_part_bits,
+                              num_term_buckets=num_term_buckets,
+                              max_shards_this_run=max_shards_this_run)
     manifest = load_manifest(out_dir)
     files = corpus_files(corpus_dir)
     expected = {str(i) for i in range(num_shards) if files[i::num_shards]}
-    done = {sid for sid, s in manifest["shards"].items()
-            if s["status"] == "done"}
-    if not expected <= done:
+    # `fresh` holds shards that are done AND fingerprint-match the
+    # CURRENT corpus — a status-only check would finalize stale
+    # partials after the corpus changed under a capped run
+    if not expected <= fresh:
         return None  # interrupted run; resume later
     return finalize_index(out_dir, num_term_buckets=num_term_buckets,
                           doc_part_bits=doc_part_bits)
