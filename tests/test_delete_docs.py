@@ -69,6 +69,10 @@ def test_deletion_beats_pinning(deleted_index):
     out = s.match("").tolist()
     assert out == [5]
     assert DELETED[0] not in s.match("same").tolist()
+    # EVERY empty-query pinned path filters tombstones (review finding:
+    # match_all / match_atleast returned the raw pinned set)
+    assert s.match_all("").tolist() == [5]
+    assert s.match_atleast("", m=1).tolist() == [5]
 
 
 def test_bm25_excludes_deleted_with_frozen_stats(deleted_index):

@@ -423,3 +423,14 @@ def test_synonym_expansion(lang_index):
     # no map → no expansion
     assert evaluate("fast", searcher, positional).tolist() == \
         sorted(docs("fast"))
+
+
+def test_slop_zero_is_exact_phrase(ray_session):
+    """'"a b"~0' must behave as the exact phrase (Lucene semantics) —
+    Proximity(0) would demand two distinct terms at one position and
+    silently match nothing (review finding)."""
+    from ts_type_filter_ray.pipelines.querylang import (Phrase,
+                                                        parse_query)
+    node = parse_query('"hash join"~0')
+    assert isinstance(node, Phrase)
+    assert node.text == "hash join"

@@ -138,20 +138,23 @@ def significant_terms_table(sf_dir: str,
         })
 
     def attach_bg(batch: pa.Table) -> pa.Table:
-        # broadcast join: bg_df via searchsorted into the term-ascending
-        # global df table (vocab-sized, one plasma copy per node)
+        # broadcast join: bg_df via Arrow index_in against the global df
+        # table (vocab-sized, ONE plasma copy per node, zero-copy here —
+        # materializing the term column to Python objects per batch
+        # cost tens of MB of allocation per worker per batch)
         bg = ray.get(df_ref)
-        terms = np.asarray(bg["term"].to_pandas(), dtype=object)
         dfs = bg["df"].to_numpy(zero_copy_only=False)
-        t = np.asarray(batch["term"].to_pandas(), dtype=object)
-        pos = np.searchsorted(terms, t)
+        pos = pc.index_in(batch["term"],
+                          value_set=bg["term"].combine_chunks()
+                          if isinstance(bg["term"], pa.ChunkedArray)
+                          else bg["term"])
         # every foreground term occurs in >=1 doc, so it MUST be in the
         # global vocabulary — a miss is an index/corpus mismatch
-        if not ((pos < terms.size) & (terms[np.minimum(
-                pos, terms.size - 1)] == t)).all():
+        if pos.null_count:
             raise KeyError("foreground term missing from index df table")
+        idx = pos.to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column(
-            "bg_df", pa.array(dfs[pos], type=pa.int64()))
+            "bg_df", pa.array(dfs[idx], type=pa.int64()))
 
     def topk(group) -> "pa.Table":
         import pandas as pd  # noqa: F401 (pandas group format)

@@ -515,11 +515,21 @@ def extend_positional_index(root: str, new_corpus: Dataset, *,
     # silently keep the old attempt's (possibly different-corpus) data
     for d in os.listdir(postings_dir):
         if d.startswith("bucket="):
+            removed = False
             for nm in (f"segment_{gen}.parquet",
                        f"_SUCCESS.segment_{gen}"):
                 p = os.path.join(postings_dir, d, nm)
                 if os.path.exists(p):
                     os.remove(p)
+                    removed = True
+            if removed:
+                # the crashed attempt's force-recount cached counts that
+                # INCLUDED the segment just deleted — a retry whose new
+                # corpus doesn't touch this bucket would read the stale
+                # cache into stats.json
+                cpath = os.path.join(postings_dir, d, "_counts.json")
+                if os.path.exists(cpath):
+                    os.remove(cpath)
     total_cpus = int(ray.cluster_resources().get("CPU", 8))
     per_task_cpus = max(1, total_cpus // 16)
     task = ray.remote(num_cpus=per_task_cpus)(_merge_one_positional_bucket)
@@ -664,11 +674,10 @@ class PositionalSearcher:
         self._tomb = load_tombstones(index.root)
 
     def _drop_deleted(self, ids: np.ndarray) -> np.ndarray:
+        from .build import sorted_member_mask
         if self._tomb.size == 0 or ids.size == 0:
             return ids
-        pos = np.searchsorted(self._tomb, ids)
-        dead = ((pos < self._tomb.size)
-                & (self._tomb[np.minimum(pos, self._tomb.size - 1)] == ids))
+        dead = sorted_member_mask(self._tomb, ids)
         return ids[~dead] if dead.any() else ids
 
     def _term_keys(self, terms: list[str]) -> dict[str, np.ndarray]:
@@ -734,10 +743,8 @@ class PositionalSearcher:
         udocs, first = np.unique(docs, return_index=True)
         pos = keys[first] & _MAX_DOC_LEN
         if self._tomb.size:
-            at = np.searchsorted(self._tomb, udocs)
-            dead = ((at < self._tomb.size)
-                    & (self._tomb[np.minimum(at, self._tomb.size - 1)]
-                       == udocs))
+            from .build import sorted_member_mask
+            dead = sorted_member_mask(self._tomb, udocs)
             if dead.any():
                 udocs, pos = udocs[~dead], pos[~dead]
         return udocs, pos
@@ -786,10 +793,8 @@ class PositionalSearcher:
         keep = mind < sent  # docs where b co-occurs at all
         udocs, mind = udocs[keep], mind[keep]
         if self._tomb.size and udocs.size:
-            pos = np.searchsorted(self._tomb, udocs)
-            dead = ((pos < self._tomb.size)
-                    & (self._tomb[np.minimum(pos, self._tomb.size - 1)]
-                       == udocs))
+            from .build import sorted_member_mask
+            dead = sorted_member_mask(self._tomb, udocs)
             if dead.any():
                 udocs, mind = udocs[~dead], mind[~dead]
         return udocs, mind

@@ -294,6 +294,7 @@ class LocalSearcher:
         self.set_global_df(df)
         self._decoded.clear()
         self._decoded_bytes = 0
+        self._global_stats_active = True
 
     def _init_cache(self, warm_top_terms: int) -> None:
         # decoded-postings cache: hot terms (import/def/...) decode once
@@ -413,7 +414,8 @@ class LocalSearcher:
         the working set shrinks as fast as possible."""
         stems = query_stems(query, self._stemmer, self._breaker)
         if not stems:
-            return self._pinned.copy()
+            # deletion beats pinning on EVERY surface (delete_docs)
+            return self._drop_deleted(self._pinned.copy())
         by_df = sorted(stems, key=self._df_of)
         cur = self._term_docs(by_df[0])
         for term in by_df[1:]:
@@ -457,7 +459,14 @@ class LocalSearcher:
             hi += 1
         if hi == lo:
             return []
-        dfs = self._df_values[lo:hi]
+        if self._gdf is not None:
+            # doc-partitioned serving: rank completions by GLOBAL df
+            # (suggest_correction already does — the two autocomplete
+            # surfaces must agree on the df source)
+            dfs = np.array([self._df_of(arr[i].as_py())
+                            for i in range(lo, hi)], dtype=np.int64)
+        else:
+            dfs = self._df_values[lo:hi]
         order = np.lexsort((np.arange(hi - lo), -dfs))[:k]
         return [(arr[lo + int(o)].as_py(), int(dfs[o])) for o in order]
 
@@ -473,7 +482,8 @@ class LocalSearcher:
             raise ValueError(f"m must be >= 1, got {m}")
         stems = query_stems(query, self._stemmer, self._breaker)
         if not stems:
-            return self._pinned.copy()
+            # deletion beats pinning on EVERY surface (delete_docs)
+            return self._drop_deleted(self._pinned.copy())
         arrays = [self._term_docs(t) for t in stems]
         arrays = [a for a in arrays if a.size]
         out = np.empty(0, dtype=np.int64)
@@ -1016,6 +1026,14 @@ class LocalSearcher:
         dl-dependent normalizer added AFTER the fold (the oracle's
         ``list_aggregate(...) + qlen·ln(μ/(dl+μ))`` shape), tie-break
         (score desc, doc_id asc)."""
+        if getattr(self, "_global_stats_active", False):
+            raise ValueError(
+                "query_likelihood under set_global_stats is unsupported: "
+                "ctf comes from THIS index's postings while C would be "
+                "the federation's global token count — the mixed "
+                "statistics match neither the local nor the merged "
+                "oracle. Run QL against the merged index, or extend "
+                "set_global_stats with a global ctf table first.")
         stats = self._stats
         coll = float(stats.total_doc_len)
         pairs = query_stem_counts(query, self._stemmer, self._breaker)
@@ -1124,6 +1142,11 @@ class LocalSearcher:
         tie-break (score desc, doc_id asc)."""
         if not 0.0 < lam < 1.0:
             raise ValueError("lam must be in (0, 1)")
+        if getattr(self, "_global_stats_active", False):
+            raise ValueError(
+                "query_likelihood_jm under set_global_stats is "
+                "unsupported: ctf is local while C would be global — "
+                "see query_likelihood's contract note.")
         stats = self._stats
         coll = float(stats.total_doc_len)
         ratio = (1.0 - lam) / lam

@@ -282,10 +282,16 @@ class _Parser:
             nxt = self.peek()
             if nxt is not None and re.fullmatch(r"~\d+", nxt):
                 self.next()
+                slop = int(nxt[1:])
+                if slop == 0:
+                    # Lucene semantics: slop 0 IS the exact phrase —
+                    # Proximity(0) would demand two distinct terms at
+                    # one position and silently match nothing
+                    return Phrase(body)
                 if len(body.split()) != 2:
                     raise QuerySyntaxError(
                         "slop (~d) is only supported on 2-term phrases")
-                return Proximity(body, int(nxt[1:]))
+                return Proximity(body, slop)
             return Phrase(body)
         return _atom_from_word(t)
 
