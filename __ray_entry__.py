@@ -93,6 +93,29 @@ def _kll(sf_dir: str, k: int):
 
 
 FEATURE_DIM_BITS = 18
+CLASSIFIER_DIM_BITS = 18
+CLASSIFIER_SCALE = 64
+
+
+def _classifier_scores(sf_dir: str):
+    from ts_type_filter_ray.functions.textstats import classifier_scores
+    return classifier_scores(_docs(sf_dir), dim_bits=CLASSIFIER_DIM_BITS,
+                             scale=CLASSIFIER_SCALE)
+
+
+def _bigram_perplexity(sf_dir: str):
+    from ts_type_filter_ray.functions.lm import bigram_logprob_scores
+    return bigram_logprob_scores(_docs(sf_dir), alpha=1)
+
+
+def _semantic_dedup_exact(sf_dir: str):
+    from ts_type_filter_ray.functions.ann import semantic_dedup
+    return semantic_dedup(_emb(sf_dir), NEAR_DUP_THRESHOLD, n_clusters=1)
+
+
+def _semantic_dedup_clustered(sf_dir: str):
+    from ts_type_filter_ray.functions.ann import semantic_dedup
+    return semantic_dedup(_emb(sf_dir), NEAR_DUP_THRESHOLD, n_clusters=8)
 
 
 def _hashed_features(sf_dir: str):
@@ -229,6 +252,7 @@ def entry() -> Any:
 # sweeps). Entries absent from this list keep their construction order
 # AFTER the ranked head; nothing is removed.
 _GATE_PRIORITY = [
+    "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "percolate", "dup_token_spans", "strip_dup_spans", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_checksum", "corpus_diff",
@@ -285,6 +309,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the streaming corpus in ONE indexless pass (pipelines/
         # percolate.py) — boolean/phrase/proximity/prefix/fuzzy/field/
         # range leaves, pure negation legal (per-doc universe)
+        # fastText-style hashed linear quality classifier (the standard
+        # model-based curation filter): integer hashed-BoW dot product +
+        # libm sigmoid, weights built once per actor — value-exact incl.
+        # the float score (textstats.classifier_scores)
+        "classifier_scores": _classifier_scores,
+        # CCNet-style LM fluency scoring: self-trained add-alpha bigram
+        # LM, two coarse count-attach exchanges + one doc fold — the
+        # float perplexity itself crosses the gate (functions/lm.py)
+        "bigram_perplexity": _bigram_perplexity,
+        # SemDeDup (Abbas et al. 2023): cluster-then-pairwise semantic
+        # dedup. n_clusters=1 is EXACTLY the global sweep -> components
+        # + keep flags value-exact vs a recursive-closure oracle; the
+        # clustered mode is approximate by design (rows-only; recall
+        # pytest-bounded on the clustered fixture)
+        "semantic_dedup_exact": _semantic_dedup_exact,
+        "semantic_dedup": _semantic_dedup_clustered,
         "percolate": lambda sf: flagship.percolate_documents(sf),
         # exact-substring duplicate spans (Lee et al. 2022 ExactSubstr
         # at token granularity): per-doc token positions covered by any
@@ -3107,6 +3147,78 @@ def oracle_sql() -> dict[str, str]:
             where ({dot.format(a='a', b='b')}) / (a.nv * b.nv)
                   >= {NEAR_DUP_THRESHOLD}""",
     }
+    out["classifier_scores"] = f"""
+        with raw as (
+          select doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)),'\\s+'))
+                 as term
+          from documents where trim(text) <> ''),
+        wtd as (
+          select doc_id,
+                 ((md5_number_lower('w1:' ||
+                     (md5_number_lower(term)
+                      % {1 << CLASSIFIER_DIM_BITS})::VARCHAR)
+                   % 17)::BIGINT - 8) as wt
+          from raw),
+        agg as (
+          select doc_id, count(*)::BIGINT as n_tokens,
+                 sum(wt)::BIGINT as dot
+          from wtd group by doc_id)
+        select doc_id, n_tokens, dot,
+               1::DOUBLE / (1::DOUBLE
+                   + exp(-(dot::DOUBLE / {CLASSIFIER_SCALE}::DOUBLE)))
+                   as score
+        from agg"""
+    out["bigram_perplexity"] = r"""
+        with base as (
+          select doc_id,
+                 regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> ''),
+        v as (select count(distinct term) as v
+              from (select unnest(arr) as term from base)),
+        bg as (
+          select doc_id, p as pos, arr[p] as w1, arr[p+1] as w2
+          from (select doc_id, arr, unnest(range(1, len(arr)))::INT as p
+                from base where len(arr) >= 2)),
+        c12 as (select w1, w2, count(*) as c from bg group by 1, 2),
+        c1 as (select w1, count(*) as c from bg group by 1),
+        lp as (
+          select b.doc_id, b.pos,
+                 ln((c12.c + 1)::DOUBLE)
+                   - ln((c1.c + (select v from v))::DOUBLE) as lp
+          from bg b join c12 on b.w1 = c12.w1 and b.w2 = c12.w2
+                    join c1 on b.w1 = c1.w1),
+        agg as (
+          select doc_id, count(*)::BIGINT as n_bigrams,
+                 -list_aggregate(list(lp order by pos), 'sum')
+                     as neg_logprob
+          from lp group by doc_id)
+        select doc_id, n_bigrams, neg_logprob,
+               exp(neg_logprob / n_bigrams::DOUBLE) as perplexity
+        from agg"""
+    # SemDeDup at n_clusters=1 is the exact global sweep, so its
+    # components are the transitive closure of the exact near-dup pair
+    # graph (the dedup_clusters oracle shape over embeddings)
+    out["semantic_dedup_exact"] = f"""
+        with recursive
+        edges(a, b) as (select id_a, id_b
+                        from ({out["embedding_near_dup"]})),
+        und(a, b) as (select a, b from edges union
+                      select b, a from edges),
+        reach(a, b) as (
+          select a, b from und
+          union
+          select r.a, u.b from reach r join und u on r.b = u.a),
+        comp as (
+          select n.vec_id,
+                 least(n.vec_id, coalesce(min(r.b), n.vec_id))
+                     as component
+          from embeddings n left join reach r on r.a = n.vec_id
+          group by n.vec_id)
+        select vec_id, component,
+               (case when vec_id = component then 1 else 0 end)::BIGINT
+                   as keep
+        from comp"""
     # the Bloom-prefiltered variant is contract-identical to the
     # exhaustive operator, so it shares the oracle verbatim
     out["decontaminate_bloom"] = out["decontaminate"]

@@ -1521,3 +1521,102 @@ def mmr_topk(ds: Dataset, query_ids: list[int], k: int = 10,
         "rank": pa.array(out_rank, type=pa.int32()),
         "vec_id": pa.array(out_vid, type=pa.int64()),
     }))
+
+
+def semantic_dedup_pairs(ds: Dataset, threshold: float,
+                         n_clusters: int = 8, iters: int = 3,
+                         chunk: int = 4096) -> Dataset:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    k-means-cluster the embeddings, then emit all (id_a < id_b) pairs
+    with cosine >= threshold WITHIN each cluster — O(N^2 / k) work
+    instead of O(N^2), at the cost of missing cross-cluster pairs
+    (the published algorithm's own approximation; recall vs the exact
+    sweep is pytest-bounded on the clustered fixture).
+
+    ``n_clusters=1`` degenerates EXACTLY to the global
+    :func:`embedding_near_dup_pairs` sweep (every pair is
+    within-cluster) — the exactness-configuration gate.
+
+    Shape: one Lloyd training pass (:func:`train_centroids`, cluster-
+    side reduce), one assignment ``map_batches`` (centroid matrix
+    broadcast once via ``ray.put``), then ``groupby(cid)`` with a
+    double-chunked upper-triangle matmul per cluster (peak memory
+    O(chunk^2) regardless of cluster size). Skew note: a hot cluster
+    still costs O(cell^2) multiplies in one task — the exact operator's
+    triangle-inequality block pruning is the remedy when clusters
+    collapse; cap cluster skew upstream if a corpus degenerates."""
+    if n_clusters == 1:
+        return embedding_near_dup_pairs(ds, threshold)
+
+    cents = train_centroids(ds, n_centroids=n_clusters, iters=iters)
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        emb = _normalize(_embedding_matrix(batch))
+        cid = np.argmax(emb @ c.T, axis=1).astype(np.int32)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "embedding": batch["embedding"],
+            "cid": pa.array(cid),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        emb = _normalize(_embedding_matrix(group))
+        order = np.argsort(ids)
+        ids, emb = ids[order], emb[order]
+        n = len(ids)
+        out_a, out_b = [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            for t in range(s, n, chunk):
+                te = min(t + chunk, n)
+                sims = emb[s:e] @ emb[t:te].T
+                ii, jj = np.nonzero(sims >= threshold)
+                gi, gj = ii + s, jj + t
+                m = gi < gj
+                if m.any():
+                    out_a.append(ids[gi[m]])
+                    out_b.append(ids[gj[m]])
+        if not out_a:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"id_a": z, "id_b": z})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cid")
+            .map_groups(pairs, batch_format="pyarrow"))
+
+
+def semantic_dedup(ds: Dataset, threshold: float, n_clusters: int = 8,
+                   iters: int = 3, chunk: int = 4096) -> Dataset:
+    """(vec_id, component, keep) — full SemDeDup: within-cluster
+    near-dup pairs -> connected components (min-id canonical, the
+    dedup_clusters convention) -> ``keep = 1`` for the canonical
+    exemplar of each duplicate group, 0 for the rest. Downstream
+    filters on ``keep = 1`` to deduplicate semantically.
+
+    ``n_clusters=1`` makes the pair set exact, so the whole output is
+    value-exact vs a near-dup-pairs + recursive-closure SQL oracle."""
+    from .graph import connected_components
+
+    edges = semantic_dedup_pairs(ds, threshold, n_clusters=n_clusters,
+                                 iters=iters, chunk=chunk)
+    comp = connected_components(ds.select_columns(["vec_id"]), edges,
+                                node_col="vec_id")
+
+    def add_keep(batch: pa.Table) -> pa.Table:
+        node = batch["vec_id"].to_numpy(zero_copy_only=False)
+        lab = batch["component"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(node, type=pa.int64()),
+            "component": pa.array(lab, type=pa.int64()),
+            "keep": pa.array((node == lab).astype(np.int64)),
+        })
+
+    return comp.map_batches(add_keep, batch_format="pyarrow")

@@ -1,0 +1,243 @@
+"""Statistical language-model scoring over the documents table.
+
+CCNet-style corpus curation (Wenzek et al., "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data", LREC 2020) filters
+web text by LM perplexity. The sandbox has no KenLM, so the model here
+is a self-trained add-alpha-smoothed **bigram LM over the corpus
+itself** — the distributed shape (count-table training pass + a
+position-stream scoring pass) is exactly the KenLM-scoring shape, and
+the arithmetic is pinned so the float scores themselves cross the
+value-exact DuckDB gate:
+
+- every log argument is an INTEGER (``c + alpha`` with integer alpha),
+  and ``math.log`` / DuckDB ``ln`` resolve to the same platform libm,
+  so each per-position log-prob term is bit-identical on both sides;
+- per-document accumulation is a strict position-ascending left fold
+  (``np.add.accumulate`` here, ``list_aggregate(list(x order by pos),
+  'sum')`` in SQL — the flagship BM25 oracles' proven idiom);
+- ``perplexity = exp(neg_logprob / n)`` — one division plus libm
+  ``exp`` on an identical double.
+
+Model definition (documented contract, mirrored by the SQL oracle):
+tokens are ``lower(trim(text)).split()``; a document with n tokens has
+bigrams (w_i, w_{i+1}) for i = 1..n-1 (docs with < 2 tokens emit no
+row); ``c12`` = corpus-wide count of the bigram, ``c1`` = corpus-wide
+count of w_1 **as a bigram history** (so sum_w2 (c12 + alpha) =
+c1 + alpha·V — proper conditional normalization), ``V`` = corpus-wide
+distinct-token count; per-position log-prob =
+``ln(c12 + alpha) − ln(c1 + alpha·V)``.
+
+Scale shape: the bigram stream (O(tokens) rows) crosses two coarse
+key-hash exchanges — one partitioned by bigram to attach ``c12``, one
+by history token to attach ``c1`` (each partition holds EVERY copy of
+its keys, so a per-partition ``bincount`` is the global count — the
+``commonness_scores`` pattern) — then one doc-hash exchange folds
+per-document. V is a separate tiny pass shuffling only per-batch
+UNIQUE token hashes (the ``distinct_terms_by_group`` pattern). Skew
+note: a hot bigram ("of the") concentrates its occurrences in one
+partition by construction; the upgrade path at extreme skew is a
+salted count-table pass plus a broadcast dictionary of the few
+hottest keys, with only cold keys shuffled (same remedy the
+commonness/doc_top_terms family documents).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from .textstats import _tokens
+
+__all__ = ["bigram_logprob_scores", "distinct_token_count"]
+
+
+def distinct_token_count(ds: Dataset, num_parts: int = 64) -> int:
+    """EXACT corpus-wide distinct lowercased-token count (the LM's V).
+
+    Per-batch unique token md5-64 hashes explode; every copy of a hash
+    lands in one coarse partition where a segment scan dedups globally;
+    a tiny Sum totals the per-partition counts. Shuffle volume is
+    per-batch-unique hashes, never the token stream. md5-64 identity
+    stands in for string identity (the `distinct_terms_by_group`
+    convention: collision odds ~ V^2 / 2^65, negligible below ~10^8
+    distinct terms; documented trade for never shipping the strings).
+    """
+    from ..text.hashvec import md5_lower64_strings
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"part": pa.array([], type=pa.int32()),
+                             "h": pa.array([], type=pa.uint64())})
+        uniq = pc.unique(pc.utf8_lower(flat))
+        h = md5_lower64_strings(uniq)
+        return pa.table({
+            "part": pa.array((h % num_parts).astype(np.int32)),
+            "h": pa.array(h),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(np.unique(h).size)],
+                                       type=pa.int64())})
+
+    counts = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(scan, batch_format="pyarrow"))
+    total = counts.aggregate(Sum("n", alias_name="v"))["v"]
+    return int(total or 0)
+
+
+def _log_int(vals: np.ndarray) -> np.ndarray:
+    """Elementwise libm ``log`` of positive int64 values, evaluated via
+    ``math.log`` on the UNIQUE values only — numpy's SIMD log is not
+    bit-identical to libm, DuckDB's ``ln`` is."""
+    uniq, inv = np.unique(vals, return_inverse=True)
+    logs = np.array([math.log(v) for v in uniq.tolist()], dtype=np.float64)
+    return logs[inv]
+
+
+def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
+                          num_parts: int | None = None) -> Dataset:
+    """(doc_id, n_bigrams, neg_logprob, perplexity) for every document
+    with >= 2 tokens, under the module-docstring bigram LM. Low
+    perplexity = fluent/boilerplate text, high = rare/garbled — the
+    CCNet quality-filter signal, value-exact end to end."""
+    from .partitioning import auto_num_parts
+    from ..text.hashvec import md5_lower64_strings
+
+    if not isinstance(alpha, int) or alpha < 1:
+        raise ValueError("alpha must be a positive int — integer log "
+                         "arguments are what make the gate value-exact")
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+    v_total = distinct_token_count(ds, num_parts=min(num_parts, 64))
+
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "pos": pa.array([], type=pa.int64()),
+        "w1": pa.array([], type=pa.string()),
+        "key": pa.array([], type=pa.string()),
+        "bpart": pa.array([], type=pa.int32()),
+    })
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        n_tok, flat, parents = _tokens(batch)
+        if len(flat) < 2:
+            return empty
+        flat = pc.utf8_lower(flat)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        par = parents.to_numpy(zero_copy_only=False)
+        same = par[1:] == par[:-1]
+        idx = np.nonzero(same)[0]
+        if idx.size == 0:
+            return empty
+        w1 = flat.take(pa.array(idx))
+        w2 = flat.take(pa.array(idx + 1))
+        # 1-based position of the bigram inside its document
+        ntk = n_tok.to_numpy(zero_copy_only=False)
+        starts = np.zeros(batch.num_rows, dtype=np.int64)
+        starts[1:] = np.cumsum(ntk[:-1])
+        owners = par[idx]
+        pos = idx - starts[owners] + 1
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)[owners]
+        # \x1f cannot appear inside a whitespace-split token's interior
+        # ambiguity-free? it CAN appear in a token; the separator only
+        # needs injectivity per (w1, w2) pair given w1 is recoverable —
+        # it is not in general, but the key is a PARTITION KEY ONLY
+        # (c12 is computed from (w1, w2) equality inside the partition),
+        # so a collision merely co-locates two bigrams.
+        key = pc.binary_join_element_wise(w1, w2, "\x1f")
+        enc = pc.dictionary_encode(key)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        hu = md5_lower64_strings(enc.dictionary) % num_parts
+        bpart = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "w1": w1,
+            "key": key,
+            "bpart": pa.array(bpart.astype(np.int32)),
+        })
+
+    def attach_c12(group: pa.Table) -> pa.Table:
+        # this partition holds every occurrence of each of its bigrams
+        enc = pc.dictionary_encode(group["key"].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        c12 = np.bincount(codes, minlength=len(enc.dictionary))
+        w1 = group["w1"].combine_chunks()
+        uenc = pc.dictionary_encode(w1)
+        if isinstance(uenc, pa.ChunkedArray):
+            uenc = uenc.combine_chunks()
+        hu = md5_lower64_strings(uenc.dictionary) % num_parts
+        upart = hu[uenc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "pos": group["pos"],
+            "w1": w1,
+            "c12": pa.array(c12[codes].astype(np.int64)),
+            "upart": pa.array(upart.astype(np.int32)),
+        })
+
+    def attach_c1(group: pa.Table) -> pa.Table:
+        # this partition holds every bigram-history occurrence of each
+        # of its w1 tokens, so the per-token row count IS the global c1
+        enc = pc.dictionary_encode(group["w1"].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        c1 = np.bincount(codes, minlength=len(enc.dictionary))
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "pos": group["pos"],
+            "c12": group["c12"],
+            "c1": pa.array(c1[codes].astype(np.int64)),
+            "dpart": pa.array((dids % num_parts).astype(np.int32)),
+        })
+
+    av = alpha * v_total
+
+    def fold_docs(group: pa.Table) -> pa.Table:
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        c12 = group["c12"].to_numpy(zero_copy_only=False)
+        c1 = group["c1"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, dids))
+        dids, c12, c1 = dids[order], c12[order], c1[order]
+        lp = _log_int(c12 + alpha) - _log_int(c1 + av)
+        bounds = np.flatnonzero(dids[1:] != dids[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(dids)]))
+        out_doc = dids[starts]
+        n = (ends - starts).astype(np.int64)
+        neg = np.empty(len(starts), dtype=np.float64)
+        ppl = np.empty(len(starts), dtype=np.float64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            # strict left fold == DuckDB list sum-in-list-order
+            total = np.add.accumulate(lp[s:e])[-1]
+            neg[i] = -total
+            ppl[i] = math.exp(neg[i] / (e - s))
+        return pa.table({
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "n_bigrams": pa.array(n),
+            "neg_logprob": pa.array(neg),
+            "perplexity": pa.array(ppl),
+        })
+
+    return (ds.map_batches(explode_bigrams, batch_format="pyarrow")
+            .groupby("bpart")
+            .map_groups(attach_c12, batch_format="pyarrow")
+            .groupby("upart")
+            .map_groups(attach_c1, batch_format="pyarrow")
+            .groupby("dpart")
+            .map_groups(fold_docs, batch_format="pyarrow"))

@@ -11,6 +11,7 @@ token-counting/df paths. Input shape: the driver's ``documents`` table
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -835,3 +836,88 @@ def hashed_features(ds: Dataset, dim_bits: int = 18) -> Dataset:
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hashed_weights(dim_bits: int, seed: str = "w1") -> np.ndarray:
+    """Deterministic integer weight vector for the linear classifier:
+    ``w_j = (md5_64(f"{seed}:{j}") % 17) - 8`` — small signed integers
+    so the per-doc dot product is ALL-INTEGER (order-free, value-exact
+    vs the same md5 formula in SQL). An honest stand-in for trained
+    fastText-style weights (no model ships in this sandbox); swapping
+    in a real weight table changes nothing about the plumbing."""
+    from ..text.hashvec import md5_lower64_strings
+    keys = [f"{seed}:{j}" for j in range(1 << dim_bits)]
+    h = md5_lower64_strings(keys)
+    return (h % np.uint64(17)).astype(np.int64) - 8
+
+
+class _ClassifierStage:
+    """Actor-pool scorer: the 2^dim_bits weight vector is built once per
+    actor in ``__init__`` (or read zero-copy from a ``ray.put`` handle),
+    batches are scored fully vectorized."""
+
+    def __init__(self, dim_bits: int, seed: str, scale: int,
+                 weights_ref=None):
+        import ray
+        self.dim = np.uint64(1 << dim_bits)
+        self.scale = float(scale)
+        self.w = (ray.get(weights_ref) if weights_ref is not None
+                  else hashed_weights(dim_bits, seed))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..text.hashvec import md5_lower64_strings
+        n_tok_arr, flat, parents = _tokens(batch)
+        n = batch.num_rows
+        n_tok = n_tok_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            tokw = np.zeros(0, dtype=np.int64)
+            par = np.zeros(0, dtype=np.int64)
+        else:
+            low = pc.utf8_lower(flat)
+            enc = pc.dictionary_encode(low)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            fidx = (md5_lower64_strings(enc.dictionary)
+                    % self.dim).astype(np.int64)
+            tokw = self.w[fidx][codes]
+            par = parents.to_numpy(zero_copy_only=False)
+        # int64 dot via float64 bincount — exact below 2^53 (same
+        # contract as commonness_scores; a doc would need ~10^15
+        # weighted tokens to break it)
+        dot = np.bincount(par, weights=tokw,
+                          minlength=n).astype(np.int64)
+        keep = n_tok > 0
+        z = dot[keep] / self.scale  # scale is a power of two: exact
+        # libm exp via math.exp (numpy's SIMD exp is NOT bit-identical
+        # to DuckDB's std::exp); O(docs) python ops, not O(tokens)
+        score = np.array([1.0 / (1.0 + math.exp(-x)) for x in z.tolist()],
+                         dtype=np.float64)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok[keep]),
+            "dot": pa.array(dot[keep]),
+            "score": pa.array(score),
+        })
+
+
+def classifier_scores(ds: Dataset, dim_bits: int = 18, seed: str = "w1",
+                      scale: int = 64, concurrency=(1, 4)) -> Dataset:
+    """(doc_id, n_tokens, dot, score) — fastText-style linear quality
+    classifier over hashed bag-of-words features (the standard
+    model-based filter of LLM curation stacks, e.g. the GPT-3/LLaMA
+    CommonCrawl quality classifiers): ``score = sigmoid((Σ_occurrences
+    w[md5_64(token) % 2^dim_bits]) / scale)``.
+
+    Weights are the deterministic :func:`hashed_weights` stand-in
+    (documented there); they are built ONCE PER ACTOR — the broadcast-
+    small-side pattern: at 2^18 dims the table is 2 MB, shipped via the
+    actor class, never per batch. Value-exact: integer dot product +
+    one exact power-of-two division + libm sigmoid, mirrored in SQL.
+    Blank docs emit no row (no features ⇒ no classification)."""
+    return ds.map_batches(
+        _ClassifierStage, batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"dim_bits": dim_bits, "seed": seed,
+                               "scale": scale})
