@@ -108,6 +108,33 @@ def _bigram_perplexity(sf_dir: str):
     return bigram_logprob_scores(_docs(sf_dir), alpha=1)
 
 
+def _lang_slice(ds, want_en: bool):
+    import pyarrow.compute as _pc
+
+    def f(batch):
+        m = _pc.equal(batch["lang"], "en")
+        return batch.filter(m if want_en else _pc.invert(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _cross_perplexity(sf_dir: str):
+    from ts_type_filter_ray.functions.lm import bigram_logprob_scores
+    docs = _docs(sf_dir)
+    return bigram_logprob_scores(_lang_slice(docs, False), alpha=1,
+                                 train=_lang_slice(docs, True))
+
+
+def _dsir_weights(sf_dir: str):
+    from ts_type_filter_ray.functions.lm import dsir_importance_weights
+    docs = _docs(sf_dir)
+    return dsir_importance_weights(docs, _lang_slice(docs, True),
+                                   dim_bits=DSIR_DIM_BITS)
+
+
+DSIR_DIM_BITS = 16
+
+
 def _semantic_dedup_exact(sf_dir: str):
     from ts_type_filter_ray.functions.ann import semantic_dedup
     return semantic_dedup(_emb(sf_dir), NEAR_DUP_THRESHOLD, n_clusters=1)
@@ -253,6 +280,7 @@ def entry() -> Any:
 # AFTER the ranked head; nothing is removed.
 _GATE_PRIORITY = [
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
+    "cross_perplexity", "dsir_weights",
     "percolate", "dup_token_spans", "strip_dup_spans", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_checksum", "corpus_diff",
@@ -318,6 +346,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM, two coarse count-attach exchanges + one doc fold — the
         # float perplexity itself crosses the gate (functions/lm.py)
         "bigram_perplexity": _bigram_perplexity,
+        # the true CCNet shape: LM trained on the trusted slice
+        # (lang='en'), the rest of the crawl scored against it —
+        # train bigrams union-tagged into the same count-attach
+        # exchanges, unseen bigrams smoothed to alpha/(alpha*V)
+        "cross_perplexity": _cross_perplexity,
+        # DSIR (Xie et al. 2023): hashed unigram+bigram importance
+        # weights target-vs-raw — two structurally bounded (2^16)
+        # count passes + one shuffle-free broadcast scoring pass;
+        # the float log-weight itself crosses the gate
+        "dsir_weights": _dsir_weights,
         # SemDeDup (Abbas et al. 2023): cluster-then-pairwise semantic
         # dedup. n_clusters=1 is EXACTLY the global sweep -> components
         # + keep flags value-exact vs a recursive-closure oracle; the
@@ -3196,6 +3234,79 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, n_bigrams, neg_logprob,
                exp(neg_logprob / n_bigrams::DOUBLE) as perplexity
         from agg"""
+    out["cross_perplexity"] = r"""
+        with tbase as (
+          select regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> '' and lang = 'en'),
+        v as (select count(distinct term) as v
+              from (select unnest(arr) as term from tbase)),
+        tbg as (
+          select arr[p] as w1, arr[p+1] as w2
+          from (select arr, unnest(range(1, len(arr)))::INT as p
+                from tbase where len(arr) >= 2)),
+        c12 as (select w1, w2, count(*) as c from tbg group by 1, 2),
+        c1 as (select w1, count(*) as c from tbg group by 1),
+        sbase as (
+          select doc_id,
+                 regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> '' and lang <> 'en'),
+        sbg as (
+          select doc_id, p as pos, arr[p] as w1, arr[p+1] as w2
+          from (select doc_id, arr, unnest(range(1, len(arr)))::INT as p
+                from sbase where len(arr) >= 2)),
+        lp as (
+          select b.doc_id, b.pos,
+                 ln((coalesce(c12.c, 0) + 1)::DOUBLE)
+                   - ln((coalesce(c1.c, 0) + (select v from v))::DOUBLE)
+                     as lp
+          from sbg b
+          left join c12 on b.w1 = c12.w1 and b.w2 = c12.w2
+          left join c1 on b.w1 = c1.w1),
+        agg as (
+          select doc_id, count(*)::BIGINT as n_bigrams,
+                 -list_aggregate(list(lp order by pos), 'sum')
+                     as neg_logprob
+          from lp group by doc_id)
+        select doc_id, n_bigrams, neg_logprob,
+               exp(neg_logprob / n_bigrams::DOUBLE) as perplexity
+        from agg"""
+    _dsir_b = 1 << DSIR_DIM_BITS
+    out["dsir_weights"] = rf"""
+        with base as (
+          select doc_id, lang,
+                 regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> ''),
+        feats as (
+          select doc_id, lang, p as ord,
+                 (md5_number_lower(arr[p]) % {_dsir_b})::BIGINT as f
+          from (select doc_id, lang, arr,
+                       unnest(range(1, len(arr)+1))::INT as p
+                from base)
+          union all
+          select doc_id, lang, len(arr) + p as ord,
+                 (md5_number_lower(arr[p] || chr(31) || arr[p+1])
+                  % {_dsir_b})::BIGINT as f
+          from (select doc_id, lang, arr,
+                       unnest(range(1, len(arr)))::INT as p
+                from base where len(arr) >= 2)),
+        tcnt as (select f, count(*) as c from feats
+                 where lang = 'en' group by f),
+        rcnt as (select f, count(*) as c from feats group by f),
+        nt as (select count(*) as n from feats where lang = 'en'),
+        nr as (select count(*) as n from feats),
+        lp as (
+          select fe.doc_id, fe.ord,
+                 ln((coalesce(t.c, 0) + 1)::DOUBLE)
+                   - ln(((select n from nt) + {_dsir_b})::DOUBLE)
+                   - ln((coalesce(r.c, 0) + 1)::DOUBLE)
+                   + ln(((select n from nr) + {_dsir_b})::DOUBLE) as lp
+          from feats fe
+          left join tcnt t on fe.f = t.f
+          left join rcnt r on fe.f = r.f)
+        select doc_id, count(*)::BIGINT as n_features,
+               list_aggregate(list(lp order by ord), 'sum')
+                   as log_weight
+        from lp group by doc_id"""
     # SemDeDup at n_clusters=1 is the exact global sweep, so its
     # components are the transitive closure of the exact near-dup pair
     # graph (the dedup_clusters oracle shape over embeddings)

@@ -165,3 +165,107 @@ def test_distinct_token_count_exact(ray_session):
     n = distinct_token_count(_docs_ds(DOCS))
     vocab = {w.lower() for _, t in DOCS for w in t.strip().split()}
     assert n == len(vocab)
+
+
+def _ref_cross_bigram(score_docs, train_docs, alpha):
+    toks = lambda t: [w.lower() for w in t.strip().split()]
+    vocab = {w for _, t in train_docs for w in toks(t)}
+    c12, c1 = {}, {}
+    for _, t in train_docs:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    av = alpha * len(vocab)
+    out = {}
+    for d, t in score_docs:
+        ws = toks(t)
+        if len(ws) < 2:
+            continue
+        total = 0.0
+        for a, b in zip(ws, ws[1:]):
+            total += (math.log(c12.get((a, b), 0) + alpha)
+                      - math.log(c1.get(a, 0) + av))
+        n = len(ws) - 1
+        out[d] = (n, -total, math.exp(-total / n))
+    return out
+
+
+def test_bigram_lm_cross_corpus(ray_session):
+    train = [(10, "the cat sat"), (11, "on the mat the cat"),
+             (12, "the dog sat on the cat")]
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(
+        _docs_ds(DOCS), alpha=2, train=_docs_ds(train)).take_all()}
+    exp = _ref_cross_bigram(DOCS, train, 2)
+    assert set(got) == set(exp)
+    for did, (n, neg, ppl) in exp.items():
+        r = got[did]
+        assert r["n_bigrams"] == n
+        assert r["neg_logprob"] == neg      # bit-identical float
+        assert r["perplexity"] == ppl
+    # train-distribution text scores more fluent than OOV text
+    assert got[1]["perplexity"] < got[5]["perplexity"]
+
+
+def test_bigram_lm_self_mode_unchanged_by_refactor(ray_session):
+    # the cross-corpus refactor must leave self-trained results
+    # bit-identical (the gate-green path)
+    got = {r["doc_id"]: (r["n_bigrams"], r["neg_logprob"])
+           for r in bigram_logprob_scores(_docs_ds(DOCS),
+                                          alpha=1).take_all()}
+    exp = {d: (n, neg) for d, (n, neg, _) in _ref_bigram(DOCS, 1).items()}
+    assert got == exp
+
+
+def _ref_dsir(score_docs, target_docs, dim_bits, alpha):
+    b = 1 << dim_bits
+
+    def feats(text):
+        ws = [w.lower() for w in text.strip().split()]
+        out = [int(h) % b for h in md5_lower64_strings(ws)] if ws else []
+        if len(ws) > 1:
+            keys = [a + "\x1f" + c for a, c in zip(ws, ws[1:])]
+            out += [int(h) % b for h in md5_lower64_strings(keys)]
+        return out
+
+    ct, cr = {}, {}
+    for _, t in target_docs:
+        for f in feats(t):
+            ct[f] = ct.get(f, 0) + 1
+    for _, t in score_docs:
+        for f in feats(t):
+            cr[f] = cr.get(f, 0) + 1
+    ln_nt = math.log(sum(ct.values()) + alpha * b)
+    ln_nr = math.log(sum(cr.values()) + alpha * b)
+    out = {}
+    for d, t in score_docs:
+        fs = feats(t)
+        if not fs:
+            continue
+        total = 0.0
+        for f in fs:
+            total += (math.log(ct.get(f, 0) + alpha) - ln_nt
+                      - math.log(cr.get(f, 0) + alpha) + ln_nr)
+        out[d] = (len(fs), total)
+    return out
+
+
+def test_dsir_matches_pure_python(ray_session):
+    from ts_type_filter_ray.functions.lm import dsir_importance_weights
+    target = [(20, "the cat sat on a mat"), (21, "the cat the mat")]
+    got = {r["doc_id"]: r for r in dsir_importance_weights(
+        _docs_ds(DOCS), _docs_ds(target), dim_bits=8).take_all()}
+    exp = _ref_dsir(DOCS, target, 8, 1)
+    assert set(got) == set(exp)             # blank doc 3 emits no row
+    for did, (n, lw) in exp.items():
+        r = got[did]
+        assert r["n_features"] == n
+        assert r["log_weight"] == lw        # bit-identical float
+    # target-like doc 1 outranks the off-distribution doc 5
+    assert got[1]["log_weight"] > got[5]["log_weight"]
+
+
+def test_dsir_alpha_contract(ray_session):
+    from ts_type_filter_ray.functions.lm import dsir_importance_weights
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_importance_weights(_docs_ds(DOCS), _docs_ds(DOCS), alpha=0)

@@ -53,7 +53,8 @@ from ray.data.aggregate import Sum
 
 from .textstats import _tokens
 
-__all__ = ["bigram_logprob_scores", "distinct_token_count"]
+__all__ = ["bigram_logprob_scores", "distinct_token_count",
+           "dsir_importance_weights"]
 
 
 def distinct_token_count(ds: Dataset, num_parts: int = 64) -> int:
@@ -103,11 +104,22 @@ def _log_int(vals: np.ndarray) -> np.ndarray:
 
 
 def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
-                          num_parts: int | None = None) -> Dataset:
+                          num_parts: int | None = None,
+                          train: Dataset | None = None) -> Dataset:
     """(doc_id, n_bigrams, neg_logprob, perplexity) for every document
     with >= 2 tokens, under the module-docstring bigram LM. Low
     perplexity = fluent/boilerplate text, high = rare/garbled — the
-    CCNet quality-filter signal, value-exact end to end."""
+    CCNet quality-filter signal, value-exact end to end.
+
+    ``train``: optional reference corpus the counts (c12, c1, V) come
+    from — the true CCNet shape (train the LM on a trusted corpus,
+    score the crawl; docs in *ds* are then scored against the TRAIN
+    distribution, with bigrams unseen in train smoothed to
+    ``alpha / (alpha·V)``). Default ``None`` self-trains on *ds*.
+    Shape: the train bigram stream is union-tagged into the same two
+    count-attach exchanges (counts from train rows, emission of score
+    rows), so cross-scoring costs one pass over each corpus and no
+    driver-side count table ever exists."""
     from .partitioning import auto_num_parts
     from ..text.hashvec import md5_lower64_strings
 
@@ -116,20 +128,25 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
                          "arguments are what make the gate value-exact")
     if num_parts is None:
         num_parts = auto_num_parts(ds)
-    v_total = distinct_token_count(ds, num_parts=min(num_parts, 64))
+    cross = train is not None
+    v_total = distinct_token_count(train if cross else ds,
+                                   num_parts=min(num_parts, 64))
+    emit_tag = 1 if cross else 0
 
-    empty = pa.table({
-        "doc_id": pa.array([], type=pa.int64()),
-        "pos": pa.array([], type=pa.int64()),
-        "w1": pa.array([], type=pa.string()),
-        "key": pa.array([], type=pa.string()),
-        "bpart": pa.array([], type=pa.int32()),
-    })
+    def _empty(src_tag: int) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "w1": pa.array([], type=pa.string()),
+            "key": pa.array([], type=pa.string()),
+            "bpart": pa.array([], type=pa.int32()),
+            "src": pa.array([], type=pa.int8()),
+        })
 
-    def explode_bigrams(batch: pa.Table) -> pa.Table:
+    def _explode(batch: pa.Table, src_tag: int) -> pa.Table:
         n_tok, flat, parents = _tokens(batch)
         if len(flat) < 2:
-            return empty
+            return _empty(src_tag)
         flat = pc.utf8_lower(flat)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
@@ -137,7 +154,7 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
         same = par[1:] == par[:-1]
         idx = np.nonzero(same)[0]
         if idx.size == 0:
-            return empty
+            return _empty(src_tag)
         w1 = flat.take(pa.array(idx))
         w2 = flat.take(pa.array(idx + 1))
         # 1-based position of the bigram inside its document
@@ -165,27 +182,39 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
             "w1": w1,
             "key": key,
             "bpart": pa.array(bpart.astype(np.int32)),
+            "src": pa.array(np.full(len(dids), src_tag, dtype=np.int8)),
         })
 
+    def explode_score(batch: pa.Table) -> pa.Table:
+        return _explode(batch, emit_tag)
+
+    def explode_train(batch: pa.Table) -> pa.Table:
+        return _explode(batch, 0)
+
     def attach_c12(group: pa.Table) -> pa.Table:
-        # this partition holds every occurrence of each of its bigrams
+        # this partition holds every TRAIN occurrence of each of its
+        # bigrams (train == score stream in self mode)
         enc = pc.dictionary_encode(group["key"].combine_chunks())
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        c12 = np.bincount(codes, minlength=len(enc.dictionary))
+        src = group["src"].to_numpy(zero_copy_only=False)
+        c12 = np.bincount(codes[src == 0], minlength=len(enc.dictionary))
         w1 = group["w1"].combine_chunks()
         uenc = pc.dictionary_encode(w1)
         if isinstance(uenc, pa.ChunkedArray):
             uenc = uenc.combine_chunks()
         hu = md5_lower64_strings(uenc.dictionary) % num_parts
         upart = hu[uenc.indices.to_numpy(zero_copy_only=False)]
+        # train rows ride along to the next exchange: c1 is counted
+        # from their w1 occurrences there
         return pa.table({
             "doc_id": group["doc_id"],
             "pos": group["pos"],
             "w1": w1,
             "c12": pa.array(c12[codes].astype(np.int64)),
             "upart": pa.array(upart.astype(np.int32)),
+            "src": group["src"],
         })
 
     def attach_c1(group: pa.Table) -> pa.Table:
@@ -195,13 +224,17 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        c1 = np.bincount(codes, minlength=len(enc.dictionary))
-        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        src = group["src"].to_numpy(zero_copy_only=False)
+        c1 = np.bincount(codes[src == 0], minlength=len(enc.dictionary))
+        # train rows end here: only scoring rows reach the doc fold
+        keep = np.flatnonzero(src == emit_tag)
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        kidx = pa.array(keep)
         return pa.table({
-            "doc_id": group["doc_id"],
-            "pos": group["pos"],
-            "c12": group["c12"],
-            "c1": pa.array(c1[codes].astype(np.int64)),
+            "doc_id": group["doc_id"].take(kidx),
+            "pos": group["pos"].take(kidx),
+            "c12": group["c12"].take(kidx),
+            "c1": pa.array(c1[codes[keep]].astype(np.int64)),
             "dpart": pa.array((dids % num_parts).astype(np.int32)),
         })
 
@@ -234,10 +267,167 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
             "perplexity": pa.array(ppl),
         })
 
-    return (ds.map_batches(explode_bigrams, batch_format="pyarrow")
+    stream = ds.map_batches(explode_score, batch_format="pyarrow")
+    if cross:
+        stream = stream.union(
+            train.map_batches(explode_train, batch_format="pyarrow"))
+    return (stream
             .groupby("bpart")
             .map_groups(attach_c12, batch_format="pyarrow")
             .groupby("upart")
             .map_groups(attach_c1, batch_format="pyarrow")
             .groupby("dpart")
             .map_groups(fold_docs, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023) — score raw docs by how target-like their hashed n-gram
+# distribution is: log w(doc) = Σ_features [ln p_target(f) − ln p_raw(f)]
+# under add-alpha-smoothed hashed bag-of-n-gram models. Features are
+# unigrams + bigrams hashed into 2^dim_bits buckets, so BOTH count
+# tables are bounded (2^16 buckets = 512 KB int64) — the broadcast-
+# small-side pattern with a hard structural bound, never a vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def _feature_stream(batch: pa.Table, dim: np.uint64):
+    """(doc_ids_per_feature, feature_buckets, n_features_per_doc) with
+    features ordered (doc, unigrams-by-pos, bigrams-by-pos) — the
+    documented fold order the SQL oracle mirrors via ord = pos for
+    unigrams, n_tokens + pos for bigrams."""
+    from ..text.hashvec import md5_lower64_strings
+
+    n_tok, flat, parents = _tokens(batch)
+    if len(flat) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(batch.num_rows, dtype=np.int64)
+    flat = pc.utf8_lower(flat)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    par = parents.to_numpy(zero_copy_only=False)
+    # unigram buckets via the hash-unique-tokens-once trick
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    hu = (md5_lower64_strings(enc.dictionary) % dim).astype(np.int64)
+    f_u = hu[enc.indices.to_numpy(zero_copy_only=False)]
+    # bigram buckets
+    same = par[1:] == par[:-1]
+    idx = np.nonzero(same)[0]
+    if idx.size:
+        key = pc.binary_join_element_wise(
+            flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)), "\x1f")
+        benc = pc.dictionary_encode(key)
+        if isinstance(benc, pa.ChunkedArray):
+            benc = benc.combine_chunks()
+        hb = (md5_lower64_strings(benc.dictionary) % dim).astype(np.int64)
+        f_b = hb[benc.indices.to_numpy(zero_copy_only=False)]
+    else:
+        f_b = np.zeros(0, dtype=np.int64)
+    owner = np.concatenate((par, par[idx]))
+    kind = np.concatenate((np.zeros(len(f_u), dtype=np.int8),
+                           np.ones(len(f_b), dtype=np.int8)))
+    pos = np.concatenate((np.arange(len(f_u)), idx))
+    feats = np.concatenate((f_u, f_b))
+    order = np.lexsort((pos, kind, owner))
+    owner, feats = owner[order], feats[order]
+    ntk = n_tok.to_numpy(zero_copy_only=False)
+    nbk = np.bincount(par[idx], minlength=batch.num_rows) \
+        if idx.size else np.zeros(batch.num_rows, dtype=np.int64)
+    n_feat = ntk + nbk
+    dids = batch["doc_id"].to_numpy(zero_copy_only=False)[owner]
+    return dids, feats, n_feat
+
+
+def _hashed_feature_counts(ds: Dataset, dim_bits: int,
+                           num_parts: int = 64) -> tuple[np.ndarray, int]:
+    """(counts[2^dim_bits], total) — exact corpus-wide hashed-feature
+    occurrence counts. Per-batch partial bincount -> nonzero (bucket,
+    count) rows -> one coarse bucket-partition segment sum -> driver
+    assembly of the STRUCTURALLY BOUNDED 2^dim_bits vector (the
+    take_all is <= 2^dim_bits rows by construction)."""
+    dim = np.uint64(1 << dim_bits)
+    b_int = 1 << dim_bits
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, feats, _ = _feature_stream(batch, dim)
+        cnt = np.bincount(feats, minlength=b_int)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "part": pa.array((nz % num_parts).astype(np.int32)),
+            "f": pa.array(nz.astype(np.int64)),
+            "c": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    def segsum(group: pa.Table) -> pa.Table:
+        f = group["f"].to_numpy(zero_copy_only=False)
+        c = group["c"].to_numpy(zero_copy_only=False)
+        uf, inv = np.unique(f, return_inverse=True)
+        tot = np.zeros(len(uf), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"f": pa.array(uf), "c": pa.array(tot)})
+
+    rows = (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(segsum, batch_format="pyarrow")).take_all()
+    counts = np.zeros(b_int, dtype=np.int64)
+    for r in rows:
+        counts[r["f"]] = r["c"]
+    return counts, int(counts.sum())
+
+
+def dsir_importance_weights(ds: Dataset, target: Dataset,
+                            dim_bits: int = 16,
+                            alpha: int = 1) -> Dataset:
+    """(doc_id, n_features, log_weight) for every non-blank doc in *ds*:
+    the DSIR log importance weight under hashed unigram+bigram bag
+    models of *target* (what we want more of) vs *ds* itself (the raw
+    pool). Select by top log_weight (or Gumbel-perturbed resampling).
+
+    Value-exact: every log argument is an integer (`c + alpha`,
+    `N + alpha·2^dim_bits`), the per-feature expression is the fixed
+    left-associative shape `ln(ct+a) − ln(Nt+aB) − ln(cr+a) + ln(Nr+aB)`
+    and per-doc accumulation is a strict (unigrams-by-pos, then
+    bigrams-by-pos) left fold — all mirrored in the SQL oracle.
+
+    Scale shape: two bounded count passes (one per corpus — partial
+    bincounts, a coarse segment-sum exchange, a ≤2^dim_bits-row
+    collect), then ONE shuffle-free scoring pass with both count
+    vectors broadcast via ``ray.put`` (512 KB each at the default
+    dim_bits=16)."""
+    import ray
+
+    if not isinstance(alpha, int) or alpha < 1:
+        raise ValueError("alpha must be a positive int — integer log "
+                         "arguments are what make the gate value-exact")
+    dim = np.uint64(1 << dim_bits)
+    b_int = 1 << dim_bits
+    ct, nt = _hashed_feature_counts(target, dim_bits)
+    cr, nr = _hashed_feature_counts(ds, dim_bits)
+    ln_nt = math.log(nt + alpha * b_int)
+    ln_nr = math.log(nr + alpha * b_int)
+    ct_ref, cr_ref = ray.put(ct), ray.put(cr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        t_cnt, r_cnt = ray.get(ct_ref), ray.get(cr_ref)
+        dids, feats, n_feat = _feature_stream(batch, dim)
+        keep = n_feat > 0
+        out_doc = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        lp = (_log_int(t_cnt[feats] + alpha) - ln_nt
+              - _log_int(r_cnt[feats] + alpha) + ln_nr)
+        starts = np.zeros(int(keep.sum()), dtype=np.int64)
+        starts[1:] = np.cumsum(n_feat[keep])[:-1]
+        ends = starts + n_feat[keep]
+        lw = np.empty(len(starts), dtype=np.float64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            # strict left fold == DuckDB list sum-in-list-order
+            lw[i] = np.add.accumulate(lp[s:e])[-1]
+        assert len(dids) == 0 or (ends[-1] == len(feats))
+        return pa.table({
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "n_features": pa.array(n_feat[keep].astype(np.int64)),
+            "log_weight": pa.array(lw),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
