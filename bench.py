@@ -144,6 +144,23 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
                                   shingle_k=5).count()
     t_span = time.perf_counter() - t0
 
+    # model-based curation legs: the hashed linear quality classifier
+    # (one shuffle-free vectorized pass, weights built once per actor)
+    # and the self-trained bigram-LM perplexity scorer (the corpus's
+    # full bigram stream through two count-attach exchanges + one doc
+    # fold — the heaviest per-byte member of the scoring family)
+    from ts_type_filter_ray.functions.textstats import classifier_scores
+    from ts_type_filter_ray.functions.lm import bigram_logprob_scores
+
+    t0 = time.perf_counter()
+    n_cls = classifier_scores(read_corpus_docs(corpus_dir),
+                              concurrency=(1, max(2, num_cpus // 2))).count()
+    t_cls = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_lm = bigram_logprob_scores(read_corpus_docs(corpus_dir)).count()
+    t_lm = time.perf_counter() - t0
+    assert n_cls >= n_lm
+
     # high-vocab variant (realistic token entropy, VERDICT r2 #7): same
     # doc count, ~10× the distinct terms — measures the build when the
     # per-batch unique-token dedup and the stem lru cache stop helping
@@ -186,6 +203,12 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
         "exactsubstr_docs_per_sec": round(n / t_span, 1),
         "exactsubstr_mb_per_sec": round(corpus_bytes / 1e6 / t_span, 2),
         "exactsubstr_flagged_docs": n_span_docs,
+        "classifier_sec": round(t_cls, 3),
+        "classifier_docs_per_sec": round(n / t_cls, 1),
+        "classifier_mb_per_sec": round(corpus_bytes / 1e6 / t_cls, 2),
+        "lm_perplexity_sec": round(t_lm, 3),
+        "lm_perplexity_docs_per_sec": round(n / t_lm, 1),
+        "lm_perplexity_mb_per_sec": round(corpus_bytes / 1e6 / t_lm, 2),
         "num_docs": n,
         "num_terms": idx.stats.num_unique_terms,
         "num_postings": idx.stats.num_postings,

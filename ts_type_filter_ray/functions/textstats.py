@@ -846,7 +846,10 @@ def hashed_weights(dim_bits: int, seed: str = "w1") -> np.ndarray:
     fastText-style weights (no model ships in this sandbox); swapping
     in a real weight table changes nothing about the plumbing."""
     from ..text.hashvec import md5_lower64_strings
-    keys = [f"{seed}:{j}" for j in range(1 << dim_bits)]
+    idx = pc.cast(pa.array(np.arange(1 << dim_bits, dtype=np.int64)),
+                  pa.string())
+    keys = pc.binary_join_element_wise(
+        pa.scalar(f"{seed}:"), idx, pa.scalar(""))
     h = md5_lower64_strings(keys)
     return (h % np.uint64(17)).astype(np.int64) - 8
 
