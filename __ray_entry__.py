@@ -120,9 +120,14 @@ def _lang_slice(ds, want_en: bool):
 
 def _cross_perplexity(sf_dir: str):
     from ts_type_filter_ray.functions.lm import bigram_logprob_scores
+    from ts_type_filter_ray.functions.partitioning import auto_num_parts
     docs = _docs(sf_dir)
+    # size partitions from the base parquet read (metadata-only count);
+    # auto-sizing from the derived filter pipeline would execute it
+    # once extra just to count
     return bigram_logprob_scores(_lang_slice(docs, False), alpha=1,
-                                 train=_lang_slice(docs, True))
+                                 train=_lang_slice(docs, True),
+                                 num_parts=auto_num_parts(docs))
 
 
 def _dsir_weights(sf_dir: str):

@@ -269,3 +269,38 @@ def test_dsir_alpha_contract(ray_session):
     from ts_type_filter_ray.functions.lm import dsir_importance_weights
     with pytest.raises(ValueError, match="alpha"):
         dsir_importance_weights(_docs_ds(DOCS), _docs_ds(DOCS), alpha=0)
+
+
+def test_classifier_extreme_dot_scores_zero_not_crash(ray_session):
+    # a spam doc whose every token hashes to a -8-weight bucket can push
+    # z past libm exp's overflow point; the engine must score 0.0 (the
+    # SQL oracle's 1/(1+inf)), never raise
+    w = hashed_weights(6, "w1")
+    neg_bucket_tok = None
+    for cand in ("tok%d" % i for i in range(100000)):
+        h = int(md5_lower64_strings([cand])[0]) % 64
+        if w[h] == -8:
+            neg_bucket_tok = cand
+            break
+    assert neg_bucket_tok is not None
+    spam = " ".join([neg_bucket_tok] * 6000)    # dot = -48000, z = -750
+    rows = classifier_scores(_docs_ds([(1, spam)]), dim_bits=6,
+                             scale=64).take_all()
+    assert rows[0]["dot"] == -48000
+    assert rows[0]["score"] == 0.0
+    # and the positive tail saturates to 1.0 symmetric-safely
+    pos_tok = None
+    for cand in ("pok%d" % i for i in range(100000)):
+        h = int(md5_lower64_strings([cand])[0]) % 64
+        if w[h] == 8:
+            pos_tok = cand
+            break
+    rows = classifier_scores(_docs_ds([(1, " ".join([pos_tok] * 6000))]),
+                             dim_bits=6, scale=64).take_all()
+    assert rows[0]["score"] == 1.0
+
+
+def test_bigram_lm_empty_train_fails_fast(ray_session):
+    with pytest.raises(ValueError, match="train corpus has no tokens"):
+        bigram_logprob_scores(_docs_ds(DOCS), alpha=1,
+                              train=_docs_ds([(9, "   ")]))

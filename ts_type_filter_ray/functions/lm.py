@@ -67,6 +67,9 @@ def distinct_token_count(ds: Dataset, num_parts: int = 64) -> int:
     stands in for string identity (the `distinct_terms_by_group`
     convention: collision odds ~ V^2 / 2^65, negligible below ~10^8
     distinct terms; documented trade for never shipping the strings).
+    The ungrouped sibling of ``sketches.distinct_terms_by_group`` —
+    same explode/partition-dedup/sum idiom, no group column and a
+    scalar result; keep the two consistent.
     """
     from ..text.hashvec import md5_lower64_strings
 
@@ -119,7 +122,12 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
     Shape: the train bigram stream is union-tagged into the same two
     count-attach exchanges (counts from train rows, emission of score
     rows), so cross-scoring costs one pass over each corpus and no
-    driver-side count table ever exists."""
+    driver-side count table ever exists.
+
+    ``num_parts``: pass explicitly when *ds* is a derived pipeline —
+    the ``auto_num_parts`` default calls ``ds.count()``, which executes
+    a derived input once just to size partitions (cheap only for plain
+    parquet reads, where count is metadata-only)."""
     from .partitioning import auto_num_parts
     from ..text.hashvec import md5_lower64_strings
 
@@ -131,6 +139,11 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
     cross = train is not None
     v_total = distinct_token_count(train if cross else ds,
                                    num_parts=min(num_parts, 64))
+    if cross and v_total == 0:
+        # fail fast: with no train tokens every smoothing denominator
+        # would be log(0) deep inside a map_groups task
+        raise ValueError("train corpus has no tokens — cannot train a "
+                         "bigram LM on it")
     emit_tag = 1 if cross else 0
 
     def _empty(src_tag: int) -> pa.Table:
@@ -164,12 +177,11 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
         owners = par[idx]
         pos = idx - starts[owners] + 1
         dids = batch["doc_id"].to_numpy(zero_copy_only=False)[owners]
-        # \x1f cannot appear inside a whitespace-split token's interior
-        # ambiguity-free? it CAN appear in a token; the separator only
-        # needs injectivity per (w1, w2) pair given w1 is recoverable —
-        # it is not in general, but the key is a PARTITION KEY ONLY
-        # (c12 is computed from (w1, w2) equality inside the partition),
-        # so a collision merely co-locates two bigrams.
+        # key equality ≡ (w1, w2) pair equality: Arrow's
+        # utf8_split_whitespace splits on \x1f (verified), so engine
+        # tokens can never contain the separator. attach_c12 counts by
+        # THIS key string, so that invariant is what keeps distinct
+        # bigrams from merging; revisit if the tokenizer ever changes.
         key = pc.binary_join_element_wise(w1, w2, "\x1f")
         enc = pc.dictionary_encode(key)
         if isinstance(enc, pa.ChunkedArray):

@@ -856,16 +856,12 @@ def hashed_weights(dim_bits: int, seed: str = "w1") -> np.ndarray:
 
 class _ClassifierStage:
     """Actor-pool scorer: the 2^dim_bits weight vector is built once per
-    actor in ``__init__`` (or read zero-copy from a ``ray.put`` handle),
-    batches are scored fully vectorized."""
+    actor in ``__init__``, batches are scored fully vectorized."""
 
-    def __init__(self, dim_bits: int, seed: str, scale: int,
-                 weights_ref=None):
-        import ray
+    def __init__(self, dim_bits: int, seed: str, scale: int):
         self.dim = np.uint64(1 << dim_bits)
         self.scale = float(scale)
-        self.w = (ray.get(weights_ref) if weights_ref is not None
-                  else hashed_weights(dim_bits, seed))
+        self.w = hashed_weights(dim_bits, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..text.hashvec import md5_lower64_strings
@@ -893,9 +889,19 @@ class _ClassifierStage:
         keep = n_tok > 0
         z = dot[keep] / self.scale  # scale is a power of two: exact
         # libm exp via math.exp (numpy's SIMD exp is NOT bit-identical
-        # to DuckDB's std::exp); O(docs) python ops, not O(tokens)
-        score = np.array([1.0 / (1.0 + math.exp(-x)) for x in z.tolist()],
-                         dtype=np.float64)
+        # to DuckDB's std::exp); O(docs) python ops, not O(tokens).
+        # math.exp raises OverflowError where C's exp returns +inf
+        # (|arg| > ~709.78) — map that back to inf so extreme negative
+        # dots score 0.0 exactly like the SQL oracle instead of
+        # crashing the actor.
+        def _sig(x: float) -> float:
+            try:
+                e = math.exp(-x)
+            except OverflowError:
+                e = math.inf
+            return 1.0 / (1.0 + e)
+
+        score = np.array([_sig(x) for x in z.tolist()], dtype=np.float64)
         dids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
         return pa.table({
             "doc_id": pa.array(dids, type=pa.int64()),
