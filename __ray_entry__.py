@@ -284,18 +284,24 @@ def entry() -> Any:
 # sweeps). Entries absent from this list keep their construction order
 # AFTER the ranked head; nothing is removed.
 _GATE_PRIORITY = [
+    # the leading ~50 entries are what the driver samples: one
+    # representative of every distinct machinery family first; entries
+    # whose machinery is exercised by a higher-ranked sibling defer
+    # (bm25_topk_term_routed ⊂ boolean_match_term_routed + the pytest-
+    # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
+    # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "cross_perplexity", "dsir_weights",
-    "percolate", "dup_token_spans", "strip_dup_spans", "tf_cosine_pairs",
+    "percolate", "strip_dup_spans", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
-    "distinct_terms_by_lang", "corpus_checksum", "corpus_diff",
+    "distinct_terms_by_lang", "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
     "first_positions", "proximity_boost_topk", "ordered_window_match",
     "pagerank_knn", "weighted_sample_k", "sample_per_stratum",
     "significant_terms", "numeric_histogram", "function_score_topk",
     "export_postings", "index_fsck", "boolean_match_term_routed",
-    "bm25_topk_term_routed", "bm25_topk_nostem", "bm25f_topk_nostem",
-    "ql_topk_nostem", "ql_jm_topk_nostem", "boosted_bm25_nostem",
+    "bm25_topk_nostem",
+    "ql_topk_nostem",
     "range_filter_match", "sorted_match", "field_stats_match",
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
@@ -303,6 +309,8 @@ _GATE_PRIORITY = [
     "suffix_match_indexed", "infix_match_trigram", "regex_match_trigram",
     "pack_sequences", "boolean_expr_match", "ann_ivf_exhaustive",
     "pq_exhaustive_refine", "knn_join_probed_exhaustive",
+    "bm25_topk_term_routed", "ql_jm_topk_nostem", "boosted_bm25_nostem",
+    "bm25f_topk_nostem", "dup_token_spans", "corpus_checksum",
     "mlt_topk_nostem", "collapsed_topk_nostem", "faceted_match_counts",
     "spell_correct", "related_terms", "synonym_match",
     "field_filter_match", "ordered_proximity_match", "rrf_fusion_nostem",
