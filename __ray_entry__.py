@@ -130,6 +130,11 @@ def _cross_perplexity(sf_dir: str):
                                  num_parts=auto_num_parts(docs))
 
 
+def _perplexity_buckets(sf_dir: str):
+    from ts_type_filter_ray.functions.lm import perplexity_buckets
+    return perplexity_buckets(_docs(sf_dir), alpha=1)
+
+
 def _dsir_weights(sf_dir: str):
     from ts_type_filter_ray.functions.lm import dsir_importance_weights
     docs = _docs(sf_dir)
@@ -291,7 +296,7 @@ _GATE_PRIORITY = [
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
-    "cross_perplexity", "dsir_weights",
+    "cross_perplexity", "dsir_weights", "perplexity_buckets",
     "percolate", "strip_dup_spans", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_diff",
@@ -302,7 +307,7 @@ _GATE_PRIORITY = [
     "export_postings", "index_fsck", "boolean_match_term_routed",
     "bm25_topk_nostem",
     "ql_topk_nostem",
-    "range_filter_match", "sorted_match", "field_stats_match",
+    "range_filter_match", "sorted_match",
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
     "deleted_match_nostem", "minshould_match", "fuzzy_match_indexed",
@@ -311,6 +316,7 @@ _GATE_PRIORITY = [
     "pq_exhaustive_refine", "knn_join_probed_exhaustive",
     "bm25_topk_term_routed", "ql_jm_topk_nostem", "boosted_bm25_nostem",
     "bm25f_topk_nostem", "dup_token_spans", "corpus_checksum",
+    "field_stats_match",
     "mlt_topk_nostem", "collapsed_topk_nostem", "faceted_match_counts",
     "spell_correct", "related_terms", "synonym_match",
     "field_filter_match", "ordered_proximity_match", "rrf_fusion_nostem",
@@ -364,6 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # train bigrams union-tagged into the same count-attach
         # exchanges, unseen bigrams smoothed to alpha/(alpha*V)
         "cross_perplexity": _cross_perplexity,
+        # CCNet's final step: head/middle/tail perplexity terciles —
+        # exact percentile_disc cutoffs (actual data elements, so the
+        # <= labeling is float-exact) over the materialized O(n_docs)
+        # score table
+        "perplexity_buckets": _perplexity_buckets,
         # DSIR (Xie et al. 2023): hashed unigram+bigram importance
         # weights target-vs-raw — two structurally bounded (2^16)
         # count passes + one shuffle-free broadcast scoring pass;
@@ -3283,6 +3294,24 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, n_bigrams, neg_logprob,
                exp(neg_logprob / n_bigrams::DOUBLE) as perplexity
         from agg"""
+    # CCNet terciles over the self-trained bigram perplexity table —
+    # identical p literals to the engine's ps=(1/3, 2/3); tercile rank
+    # semantics parity with percentile_disc is pytest-pinned for
+    # n = 1..12
+    out["perplexity_buckets"] = f"""
+        with ppl as ({out["bigram_perplexity"]}),
+        cuts as (
+          select percentile_disc({1 / 3!r}::DOUBLE)
+                     within group (order by perplexity) as c1,
+                 percentile_disc({2 / 3!r}::DOUBLE)
+                     within group (order by perplexity) as c2
+          from ppl)
+        select doc_id, perplexity,
+               case when perplexity <= (select c1 from cuts) then 'head'
+                    when perplexity <= (select c2 from cuts)
+                        then 'middle'
+                    else 'tail' end as bucket
+        from ppl"""
     _dsir_b = 1 << DSIR_DIM_BITS
     out["dsir_weights"] = rf"""
         with base as (

@@ -304,3 +304,21 @@ def test_bigram_lm_empty_train_fails_fast(ray_session):
     with pytest.raises(ValueError, match="train corpus has no tokens"):
         bigram_logprob_scores(_docs_ds(DOCS), alpha=1,
                               train=_docs_ds([(9, "   ")]))
+
+
+def test_perplexity_buckets_terciles(ray_session):
+    from ts_type_filter_ray.functions.lm import perplexity_buckets
+    # 9 scoreable docs -> exactly 3 per bucket under percentile_disc
+    docs = [(i, f"w{i} common common w{i} end") for i in range(9)]
+    # make perplexities distinct by varying doc length
+    docs = [(i, " ".join(["common"] * (i + 2)) + f" w{i}")
+            for i in range(9)]
+    rows = perplexity_buckets(_docs_ds(docs)).take_all()
+    assert len(rows) == 9
+    from collections import Counter
+    c = Counter(r["bucket"] for r in rows)
+    assert c == {"head": 3, "middle": 3, "tail": 3}
+    # bucket boundaries respect the perplexity order
+    by_ppl = sorted(rows, key=lambda r: r["perplexity"])
+    assert [r["bucket"] for r in by_ppl] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)

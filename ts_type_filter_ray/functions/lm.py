@@ -54,7 +54,7 @@ from ray.data.aggregate import Sum
 from .textstats import _tokens
 
 __all__ = ["bigram_logprob_scores", "distinct_token_count",
-           "dsir_importance_weights"]
+           "dsir_importance_weights", "perplexity_buckets"]
 
 
 def distinct_token_count(ds: Dataset, num_parts: int = 64) -> int:
@@ -443,3 +443,42 @@ def dsir_importance_weights(ds: Dataset, target: Dataset,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def perplexity_buckets(ds: Dataset, alpha: int = 1,
+                       train: Dataset | None = None,
+                       num_parts: int | None = None) -> Dataset:
+    """(doc_id, perplexity, bucket) — CCNet's final step: split the
+    corpus into 'head' / 'middle' / 'tail' thirds by LM perplexity
+    (head = most fluent; CCNet keeps head+middle for training). Buckets
+    are exact tercile order statistics (``percentile_disc`` semantics —
+    cutoffs are actual data elements, so the <= comparisons are
+    float-exact on both sides of the gate).
+
+    Shape: the scored table is materialized ONCE (O(n_docs) rows of
+    four fixed-width columns — bounded by the corpus's document count,
+    never its bytes), then :func:`exact_value_quantiles`' two pruned
+    passes locate the cutoffs and one final map labels — the expensive
+    LM pipeline never re-executes."""
+    from .events import exact_value_quantiles
+
+    ppl = bigram_logprob_scores(ds, alpha=alpha, num_parts=num_parts,
+                                train=train).materialize()
+    row = exact_value_quantiles(ppl, ps=(1 / 3, 2 / 3),
+                                col="perplexity").take_all()[0]
+    c1, c2 = row["p33"], row["p66"]
+
+    def label(batch: pa.Table) -> pa.Table:
+        if c1 is None:      # empty corpus: no rows to label
+            bucket = np.zeros(0, dtype="<U6")
+        else:
+            p = batch["perplexity"].to_numpy(zero_copy_only=False)
+            bucket = np.where(p <= c1, "head",
+                              np.where(p <= c2, "middle", "tail"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "perplexity": batch["perplexity"],
+            "bucket": pa.array(bucket, type=pa.string()),
+        })
+
+    return ppl.map_batches(label, batch_format="pyarrow")
