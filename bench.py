@@ -157,7 +157,10 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
                               concurrency=(1, max(2, num_cpus // 2))).count()
     t_cls = time.perf_counter() - t0
     t0 = time.perf_counter()
-    n_lm = bigram_logprob_scores(read_corpus_docs(corpus_dir)).count()
+    # num_parts from the doc count we already know: auto-sizing would
+    # execute the derived read->to_docs pipeline once extra to count
+    n_lm = bigram_logprob_scores(read_corpus_docs(corpus_dir),
+                                 num_parts=256).count()
     t_lm = time.perf_counter() - t0
     assert n_cls >= n_lm
 

@@ -27,18 +27,19 @@ c1 + alpha·V — proper conditional normalization), ``V`` = corpus-wide
 distinct-token count; per-position log-prob =
 ``ln(c12 + alpha) − ln(c1 + alpha·V)``.
 
-Scale shape: the bigram stream (O(tokens) rows) crosses two coarse
-key-hash exchanges — one partitioned by bigram to attach ``c12``, one
-by history token to attach ``c1`` (each partition holds EVERY copy of
-its keys, so a per-partition ``bincount`` is the global count — the
-``commonness_scores`` pattern) — then one doc-hash exchange folds
-per-document. V is a separate tiny pass shuffling only per-batch
-UNIQUE token hashes (the ``distinct_terms_by_group`` pattern). Skew
-note: a hot bigram ("of the") concentrates its occurrences in one
-partition by construction; the upgrade path at extreme skew is a
-salted count-table pass plus a broadcast dictionary of the few
-hottest keys, with only cold keys shuffled (same remedy the
-commonness/doc_top_terms family documents).
+Scale shape: the bigram stream (O(tokens) rows of fixed-width hashes,
+never strings) crosses ONE coarse history-hash exchange — a bigram
+always lands in its w1's partition, so the partition holds every copy
+of both the bigram and the history and a per-partition ``bincount``
+yields ``c12`` AND ``c1`` in one pass (the ``commonness_scores``
+pattern, doubled up) — then one doc-hash exchange folds per-document.
+V is a separate tiny pass shuffling only per-batch UNIQUE token hashes
+(the ``distinct_terms_by_group`` pattern). Skew note: a hot history
+token ("the ...") concentrates all its bigrams in one partition by
+construction; the upgrade path at extreme skew is a salted count-table
+pass plus a broadcast dictionary of the few hottest keys, with only
+cold keys shuffled (same remedy the commonness/doc_top_terms family
+documents).
 """
 
 from __future__ import annotations
@@ -99,11 +100,45 @@ def distinct_token_count(ds: Dataset, num_parts: int = 64) -> int:
 
 def _log_int(vals: np.ndarray) -> np.ndarray:
     """Elementwise libm ``log`` of positive int64 values, evaluated via
-    ``math.log`` on the UNIQUE values only — numpy's SIMD log is not
-    bit-identical to libm, DuckDB's ``ln`` is."""
+    ``math.log`` on the DISTINCT values only — numpy's SIMD log is not
+    bit-identical to libm, DuckDB's ``ln`` is.
+
+    Fast path: when the value span is modest (counts are Zipfian, so it
+    usually is), find the distinct values with a boolean mask + one
+    gather through a span-sized LUT — ~4x faster than the sort-based
+    ``np.unique`` fallback and allocation-bounded at 9 bytes/span."""
+    if vals.size == 0:
+        return np.zeros(0, dtype=np.float64)
+    mx = int(vals.max())
+    mn = int(vals.min())
+    span = mx - mn + 1
+    if span <= max(1 << 20, 4 * vals.size):
+        mask = np.zeros(span, dtype=bool)
+        mask[vals - mn] = True
+        present = np.flatnonzero(mask) + mn
+        lut = np.zeros(span, dtype=np.float64)
+        lut[present - mn] = [math.log(v) for v in present.tolist()]
+        return lut[vals - mn]
     uniq, inv = np.unique(vals, return_inverse=True)
     logs = np.array([math.log(v) for v in uniq.tolist()], dtype=np.float64)
     return logs[inv]
+
+
+_MIX_C1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _combine_hash(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combine of two md5-64 token hashes
+    (splitmix64 finalizer over ``h1 ^ (h2 * golden)``): bigram identity
+    without ever materializing joined key strings. Same collision
+    convention as the md5-64 term-identity family (~pairs^2 / 2^65)."""
+    with np.errstate(over="ignore"):
+        z = h1 ^ (h2 * _MIX_C1)
+        z = (z ^ (z >> np.uint64(30))) * _MIX_C2
+        z = (z ^ (z >> np.uint64(27))) * _MIX_C3
+        return z ^ (z >> np.uint64(31))
 
 
 def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
@@ -150,13 +185,19 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
         return pa.table({
             "doc_id": pa.array([], type=pa.int64()),
             "pos": pa.array([], type=pa.int64()),
-            "w1": pa.array([], type=pa.string()),
-            "key": pa.array([], type=pa.string()),
-            "bpart": pa.array([], type=pa.int32()),
+            "h1": pa.array([], type=pa.uint64()),
+            "h12": pa.array([], type=pa.uint64()),
+            "hpart": pa.array([], type=pa.int32()),
             "src": pa.array([], type=pa.int8()),
         })
 
     def _explode(batch: pa.Table, src_tag: int) -> pa.Table:
+        # the stream ships only fixed-width hashes — never strings:
+        # history identity is the md5-64 of the lowered token, bigram
+        # identity the order-sensitive splitmix combine of the two
+        # token hashes (the md5-64 term-identity collision convention;
+        # the SQL oracle counts by the strings themselves, so a
+        # collision is a gate failure with odds ~ pairs^2 / 2^65)
         n_tok, flat, parents = _tokens(batch)
         if len(flat) < 2:
             return _empty(src_tag)
@@ -168,8 +209,14 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
         idx = np.nonzero(same)[0]
         if idx.size == 0:
             return _empty(src_tag)
-        w1 = flat.take(pa.array(idx))
-        w2 = flat.take(pa.array(idx + 1))
+        # hash unique tokens once per batch, map through the codes
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tokh = md5_lower64_strings(enc.dictionary)
+        hpos = tokh[enc.indices.to_numpy(zero_copy_only=False)]
+        h1 = hpos[idx]
+        h12 = _combine_hash(h1, hpos[idx + 1])
         # 1-based position of the bigram inside its document
         ntk = n_tok.to_numpy(zero_copy_only=False)
         starts = np.zeros(batch.num_rows, dtype=np.int64)
@@ -177,23 +224,19 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
         owners = par[idx]
         pos = idx - starts[owners] + 1
         dids = batch["doc_id"].to_numpy(zero_copy_only=False)[owners]
-        # key equality ≡ (w1, w2) pair equality: Arrow's
-        # utf8_split_whitespace splits on \x1f (verified), so engine
-        # tokens can never contain the separator. attach_c12 counts by
-        # THIS key string, so that invariant is what keeps distinct
-        # bigrams from merging; revisit if the tokenizer ever changes.
-        key = pc.binary_join_element_wise(w1, w2, "\x1f")
-        enc = pc.dictionary_encode(key)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        hu = md5_lower64_strings(enc.dictionary) % num_parts
-        bpart = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        # partition by the HISTORY token: every occurrence of a bigram
+        # shares its w1, so one h1-partition holds all copies of both
+        # the bigram (c12) and the history (c1) — both counts come out
+        # of a single exchange. Skew note: a hot history ("the ...")
+        # concentrates all its bigrams in one partition; the salted-
+        # count + broadcast-hot-keys remedy in the module docstring is
+        # the upgrade path.
         return pa.table({
             "doc_id": pa.array(dids, type=pa.int64()),
             "pos": pa.array(pos, type=pa.int64()),
-            "w1": w1,
-            "key": key,
-            "bpart": pa.array(bpart.astype(np.int32)),
+            "h1": pa.array(h1),
+            "h12": pa.array(h12),
+            "hpart": pa.array((h1 % num_parts).astype(np.int32)),
             "src": pa.array(np.full(len(dids), src_tag, dtype=np.int8)),
         })
 
@@ -203,41 +246,19 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
     def explode_train(batch: pa.Table) -> pa.Table:
         return _explode(batch, 0)
 
-    def attach_c12(group: pa.Table) -> pa.Table:
+    def attach_counts(group: pa.Table) -> pa.Table:
         # this partition holds every TRAIN occurrence of each of its
-        # bigrams (train == score stream in self mode)
-        enc = pc.dictionary_encode(group["key"].combine_chunks())
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # history tokens — and therefore of each of their bigrams too
+        # (train == score stream in self mode), so BOTH counts fall out
+        # of this single exchange
+        h12 = group["h12"].to_numpy(zero_copy_only=False)
+        h1 = group["h1"].to_numpy(zero_copy_only=False)
         src = group["src"].to_numpy(zero_copy_only=False)
-        c12 = np.bincount(codes[src == 0], minlength=len(enc.dictionary))
-        w1 = group["w1"].combine_chunks()
-        uenc = pc.dictionary_encode(w1)
-        if isinstance(uenc, pa.ChunkedArray):
-            uenc = uenc.combine_chunks()
-        hu = md5_lower64_strings(uenc.dictionary) % num_parts
-        upart = hu[uenc.indices.to_numpy(zero_copy_only=False)]
-        # train rows ride along to the next exchange: c1 is counted
-        # from their w1 occurrences there
-        return pa.table({
-            "doc_id": group["doc_id"],
-            "pos": group["pos"],
-            "w1": w1,
-            "c12": pa.array(c12[codes].astype(np.int64)),
-            "upart": pa.array(upart.astype(np.int32)),
-            "src": group["src"],
-        })
-
-    def attach_c1(group: pa.Table) -> pa.Table:
-        # this partition holds every bigram-history occurrence of each
-        # of its w1 tokens, so the per-token row count IS the global c1
-        enc = pc.dictionary_encode(group["w1"].combine_chunks())
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        src = group["src"].to_numpy(zero_copy_only=False)
-        c1 = np.bincount(codes[src == 0], minlength=len(enc.dictionary))
+        train = src == 0
+        _, inv12 = np.unique(h12, return_inverse=True)
+        c12 = np.bincount(inv12[train], minlength=int(inv12.max()) + 1)
+        _, inv1 = np.unique(h1, return_inverse=True)
+        c1 = np.bincount(inv1[train], minlength=int(inv1.max()) + 1)
         # train rows end here: only scoring rows reach the doc fold
         keep = np.flatnonzero(src == emit_tag)
         dids = group["doc_id"].to_numpy(zero_copy_only=False)[keep]
@@ -245,8 +266,8 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
         return pa.table({
             "doc_id": group["doc_id"].take(kidx),
             "pos": group["pos"].take(kidx),
-            "c12": group["c12"].take(kidx),
-            "c1": pa.array(c1[codes[keep]].astype(np.int64)),
+            "c12": pa.array(c12[inv12[keep]].astype(np.int64)),
+            "c1": pa.array(c1[inv1[keep]].astype(np.int64)),
             "dpart": pa.array((dids % num_parts).astype(np.int32)),
         })
 
@@ -284,10 +305,8 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
         stream = stream.union(
             train.map_batches(explode_train, batch_format="pyarrow"))
     return (stream
-            .groupby("bpart")
-            .map_groups(attach_c12, batch_format="pyarrow")
-            .groupby("upart")
-            .map_groups(attach_c1, batch_format="pyarrow")
+            .groupby("hpart")
+            .map_groups(attach_counts, batch_format="pyarrow")
             .groupby("dpart")
             .map_groups(fold_docs, batch_format="pyarrow"))
 
