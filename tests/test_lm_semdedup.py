@@ -322,3 +322,20 @@ def test_perplexity_buckets_terciles(ray_session):
     by_ppl = sorted(rows, key=lambda r: r["perplexity"])
     assert [r["bucket"] for r in by_ppl] == (
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+
+
+def test_bigram_lm_hot_history_skew(ray_session):
+    # every bigram shares the history token "the": the one-exchange
+    # design routes ALL of them to a single partition — correctness
+    # must hold under that extreme skew (the documented worst case)
+    docs = [(i, "the " + " ".join(f"w{i}_{j}" for j in range(5)))
+            for i in range(40)]
+    # interleave "the" everywhere: "the w the w the w ..."
+    docs = [(i, " ".join(x for j in range(5)
+                         for x in ("the", f"w{i}_{j}")))
+            for i in range(40)]
+    got = {r["doc_id"]: (r["n_bigrams"], r["neg_logprob"])
+           for r in bigram_logprob_scores(_docs_ds(docs), alpha=1,
+                                          num_parts=16).take_all()}
+    exp = {d: (n, neg) for d, (n, neg, _) in _ref_bigram(docs, 1).items()}
+    assert got == exp
