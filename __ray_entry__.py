@@ -130,6 +130,13 @@ def _cross_perplexity(sf_dir: str):
                                  num_parts=auto_num_parts(docs))
 
 
+def _dsir_select(sf_dir: str):
+    from ts_type_filter_ray.functions.lm import dsir_select
+    docs = _docs(sf_dir)
+    return dsir_select(docs, _lang_slice(docs, True), k=SAMPLE_K,
+                       dim_bits=DSIR_DIM_BITS)
+
+
 def _perplexity_buckets(sf_dir: str):
     from ts_type_filter_ray.functions.lm import perplexity_buckets
     return perplexity_buckets(_docs(sf_dir), alpha=1)
@@ -316,7 +323,7 @@ _GATE_PRIORITY = [
     "pq_exhaustive_refine", "knn_join_probed_exhaustive",
     "bm25_topk_term_routed", "ql_jm_topk_nostem", "boosted_bm25_nostem",
     "bm25f_topk_nostem", "dup_token_spans", "corpus_checksum",
-    "field_stats_match",
+    "field_stats_match", "dsir_select",
     "mlt_topk_nostem", "collapsed_topk_nostem", "faceted_match_counts",
     "spell_correct", "related_terms", "synonym_match",
     "field_filter_match", "ordered_proximity_match", "rrf_fusion_nostem",
@@ -380,6 +387,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count passes + one shuffle-free broadcast scoring pass;
         # the float log-weight itself crosses the gate
         "dsir_weights": _dsir_weights,
+        # DSIR's selection step: Gumbel-top-k over the log weights ==
+        # sampling k docs without replacement with prob ∝ exp(weight);
+        # deterministic u from md5(doc_id) (the weighted_sample_k
+        # convention), rank-only output
+        "dsir_select": _dsir_select,
         # SemDeDup (Abbas et al. 2023): cluster-then-pairwise semantic
         # dedup. n_clusters=1 is EXACTLY the global sweep -> components
         # + keep flags value-exact vs a recursive-closure oracle; the
@@ -3349,6 +3361,22 @@ def oracle_sql() -> dict[str, str]:
                list_aggregate(list(lp order by ord), 'sum')
                    as log_weight
         from lp group by doc_id"""
+    # DSIR selection: Gumbel-top-k over the weights — the u/key
+    # expression shapes mirror weighted_sample_k's proven pair
+    out["dsir_select"] = f"""
+        with dsir as ({out["dsir_weights"]}),
+        keyed as (
+          select doc_id,
+                 log_weight
+                   - ln(-ln((md5_number_lower(doc_id::VARCHAR)::DOUBLE
+                             + 0.5::DOUBLE)
+                            * pow(2.0::DOUBLE, -64.0::DOUBLE))) as g
+          from dsir)
+        select row_number() over (order by g desc, doc_id asc)
+               as "rank", doc_id
+        from keyed
+        order by g desc, doc_id asc
+        limit {SAMPLE_K}"""
     # SemDeDup at n_clusters=1 is the exact global sweep, so its
     # components are the transitive closure of the exact near-dup pair
     # graph (the dedup_clusters oracle shape over embeddings)

@@ -339,3 +339,24 @@ def test_bigram_lm_hot_history_skew(ray_session):
                                           num_parts=16).take_all()}
     exp = {d: (n, neg) for d, (n, neg, _) in _ref_bigram(docs, 1).items()}
     assert got == exp
+
+
+def test_dsir_select_gumbel_topk(ray_session):
+    from ts_type_filter_ray.functions.lm import (dsir_importance_weights,
+                                                 dsir_select)
+    from ts_type_filter_ray.text.hashvec import md5_lower64_ints
+    target = [(20, "the cat sat on a mat")]
+    tbl = dsir_select(_docs_ds(DOCS), _docs_ds(target), k=3, dim_bits=8)
+    assert tbl.column_names == ["rank", "doc_id"]
+    assert tbl.num_rows == 3
+    # reference: g = log_weight - ln(-ln(u)) over the scored docs
+    lw = {r["doc_id"]: r["log_weight"] for r in dsir_importance_weights(
+        _docs_ds(DOCS), _docs_ds(target), dim_bits=8).take_all()}
+    g = {}
+    for d, w in lw.items():
+        u = (float(md5_lower64_ints(np.array([d]))[0]) + 0.5) * 2.0**-64
+        g[d] = w - math.log(-math.log(u))
+    want = [d for d, _ in sorted(g.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))][:3]
+    assert tbl["doc_id"].to_pylist() == want
+    assert tbl["rank"].to_pylist() == [1, 2, 3]

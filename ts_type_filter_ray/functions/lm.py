@@ -55,7 +55,8 @@ from ray.data.aggregate import Sum
 from .textstats import _tokens
 
 __all__ = ["bigram_logprob_scores", "distinct_token_count",
-           "dsir_importance_weights", "perplexity_buckets"]
+           "dsir_importance_weights", "perplexity_buckets",
+           "dsir_select"]
 
 
 def distinct_token_count(ds: Dataset, num_parts: int = 64) -> int:
@@ -154,8 +155,8 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
     score the crawl; docs in *ds* are then scored against the TRAIN
     distribution, with bigrams unseen in train smoothed to
     ``alpha / (alpha·V)``). Default ``None`` self-trains on *ds*.
-    Shape: the train bigram stream is union-tagged into the same two
-    count-attach exchanges (counts from train rows, emission of score
+    Shape: the train bigram stream is union-tagged into the same
+    count-attach exchange (counts from train rows, emission of score
     rows), so cross-scoring costs one pass over each corpus and no
     driver-side count table ever exists.
 
@@ -501,3 +502,59 @@ def perplexity_buckets(ds: Dataset, alpha: int = 1,
         })
 
     return ppl.map_batches(label, batch_format="pyarrow")
+
+
+def dsir_select(ds: Dataset, target: Dataset, k: int = 100,
+                dim_bits: int = 16, alpha: int = 1) -> pa.Table:
+    """(rank, doc_id) — DSIR's selection step: a deterministic sample of
+    k docs WITHOUT replacement with probability ∝ exp(log_weight), via
+    the Gumbel-top-k identity ``g_i = log_weight_i + Gumbel(u_i)``,
+    ``Gumbel(u) = −ln(−ln u)``, ``u = (md5_64(doc_id) + 0.5)·2⁻⁶⁴``
+    (the weighted_sample_k uniform convention — reproducible across
+    engines/partitions/reruns). Top-k of g IS importance resampling
+    from the DSIR weights.
+
+    Distributed shape: the scoring pass (see
+    :func:`dsir_importance_weights`) plus a per-batch partial top-k and
+    a global sort of only the ~(#batches × k) survivors. Gumbel terms
+    use per-element libm ``math.log`` (O(docs), mirrored by the SQL
+    oracle); u = 1.0 after uint64→double rounding (odds ~2⁻⁵⁴) maps to
+    g = +inf exactly like SQL's ``ln(0) = −inf``."""
+    from ..text.hashvec import md5_lower64_ints
+
+    scored = dsir_importance_weights(ds, target, dim_bits=dim_bits,
+                                     alpha=alpha)
+
+    def _gumbel(u: float) -> float:
+        try:
+            return math.log(-math.log(u))
+        except ValueError:
+            return -math.inf          # u == 1.0 -> -ln u == -0.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lw = batch["log_weight"].to_numpy(zero_copy_only=False)
+        u = ((md5_lower64_ints(np.asarray(ids)).astype(np.float64)
+              + 0.5) * 2.0 ** -64)
+        g = lw - np.array([_gumbel(x) for x in u.tolist()],
+                          dtype=np.float64)
+        if ids.size > k:
+            head = np.lexsort((ids, -g))[:k]
+            ids, g = ids[head], g[head]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "g": pa.array(g)})
+
+    cand = (scored.map_batches(partial, batch_format="pyarrow")
+            .sort(["g", "doc_id"], descending=[True, False])
+            .limit(k))
+    import ray as _ray
+    parts = [t for t in _ray.get(cand.to_arrow_refs()) if t.num_rows]
+    small = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "g": pa.array([], type=pa.float64())})
+    small = small.sort_by([("g", "descending"), ("doc_id", "ascending")])
+    n = small.num_rows
+    return pa.table({
+        "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        "doc_id": small["doc_id"],
+    })
