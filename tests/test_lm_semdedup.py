@@ -360,3 +360,30 @@ def test_dsir_select_gumbel_topk(ray_session):
                                  key=lambda kv: (-kv[1], kv[0]))][:3]
     assert tbl["doc_id"].to_pylist() == want
     assert tbl["rank"].to_pylist() == [1, 2, 3]
+
+
+def test_lm_family_randomized_parity(ray_session):
+    # seeded fuzz: random corpora with unicode, odd whitespace, repeats
+    # must match the pure-Python references bit-for-bit
+    rng = np.random.default_rng(1234)
+    vocab = (["the", "cat", "döner", "ĉapelo", "x" * 60, "a"]
+             + [f"t{i}" for i in range(40)])
+    ws = [" ", "  ", "\t", "\n", " \t "]
+    docs = []
+    for d in range(60):
+        n = int(rng.integers(0, 30))
+        toks = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        sep = ws[int(rng.integers(0, len(ws)))]
+        docs.append((d, sep.join(toks) + (" " if d % 3 == 0 else "")))
+    got = {r["doc_id"]: (r["n_bigrams"], r["neg_logprob"],
+                         r["perplexity"])
+           for r in bigram_logprob_scores(_docs_ds(docs), alpha=2,
+                                          num_parts=16).take_all()}
+    assert got == _ref_bigram(docs, 2)
+
+    target = docs[:10]
+    from ts_type_filter_ray.functions.lm import dsir_importance_weights
+    gotd = {r["doc_id"]: (r["n_features"], r["log_weight"])
+            for r in dsir_importance_weights(
+                _docs_ds(docs), _docs_ds(target), dim_bits=7).take_all()}
+    assert gotd == _ref_dsir(docs, target, 7, 1)
