@@ -314,7 +314,7 @@ _GATE_PRIORITY = [
     "export_postings", "index_fsck", "boolean_match_term_routed",
     "bm25_topk_nostem",
     "ql_topk_nostem",
-    "range_filter_match", "sorted_match",
+    "range_filter_match", "dsir_select",
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
     "deleted_match_nostem", "minshould_match", "fuzzy_match_indexed",
@@ -323,7 +323,7 @@ _GATE_PRIORITY = [
     "pq_exhaustive_refine", "knn_join_probed_exhaustive",
     "bm25_topk_term_routed", "ql_jm_topk_nostem", "boosted_bm25_nostem",
     "bm25f_topk_nostem", "dup_token_spans", "corpus_checksum",
-    "field_stats_match", "dsir_select",
+    "field_stats_match", "sorted_match",
     "mlt_topk_nostem", "collapsed_topk_nostem", "faceted_match_counts",
     "spell_correct", "related_terms", "synonym_match",
     "field_filter_match", "ordered_proximity_match", "rrf_fusion_nostem",
@@ -3308,8 +3308,8 @@ def oracle_sql() -> dict[str, str]:
         from agg"""
     # CCNet terciles over the self-trained bigram perplexity table —
     # identical p literals to the engine's ps=(1/3, 2/3); tercile rank
-    # semantics parity with percentile_disc is pytest-pinned for
-    # n = 1..12
+    # semantics parity with percentile_disc is pinned by
+    # tests/test_lm_semdedup.py::test_tercile_rank_rule_matches_duckdb
     out["perplexity_buckets"] = f"""
         with ppl as ({out["bigram_perplexity"]}),
         cuts as (
@@ -3368,9 +3368,11 @@ def oracle_sql() -> dict[str, str]:
         keyed as (
           select doc_id,
                  log_weight
-                   - ln(-ln((md5_number_lower(doc_id::VARCHAR)::DOUBLE
-                             + 0.5::DOUBLE)
-                            * pow(2.0::DOUBLE, -64.0::DOUBLE))) as g
+                   - ln(-ln(least(
+                         (md5_number_lower(doc_id::VARCHAR)::DOUBLE
+                          + 0.5::DOUBLE)
+                         * pow(2.0::DOUBLE, -64.0::DOUBLE),
+                         0.9999999999999999::DOUBLE))) as g
           from dsir)
         select row_number() over (order by g desc, doc_id asc)
                as "rank", doc_id

@@ -147,20 +147,23 @@ def run_bench(num_cpus: int, num_docs: int) -> dict:
     # model-based curation legs: the hashed linear quality classifier
     # (one shuffle-free vectorized pass, weights built once per actor)
     # and the self-trained bigram-LM perplexity scorer (the corpus's
-    # full bigram stream through two count-attach exchanges + one doc
+    # full bigram stream through one count-attach exchange + one doc
     # fold — the heaviest per-byte member of the scoring family)
     from ts_type_filter_ray.functions.textstats import classifier_scores
     from ts_type_filter_ray.functions.lm import bigram_logprob_scores
+    from ts_type_filter_ray.functions.partitioning import auto_num_parts
 
     t0 = time.perf_counter()
     n_cls = classifier_scores(read_corpus_docs(corpus_dir),
                               concurrency=(1, max(2, num_cpus // 2))).count()
     t_cls = time.perf_counter() - t0
     t0 = time.perf_counter()
-    # num_parts from the doc count we already know: auto-sizing would
-    # execute the derived read->to_docs pipeline once extra to count
+    # size partitions from the doc count we already know (the engine's
+    # own auto policy) — auto-sizing from the dataset would execute the
+    # derived read->to_docs pipeline once extra just to count. Measured
+    # flat in part count here: 16 vs 256 parts within run-to-run noise.
     n_lm = bigram_logprob_scores(read_corpus_docs(corpus_dir),
-                                 num_parts=256).count()
+                                 num_parts=auto_num_parts(num_docs)).count()
     t_lm = time.perf_counter() - t0
     assert n_cls >= n_lm
 

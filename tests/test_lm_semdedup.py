@@ -308,9 +308,8 @@ def test_bigram_lm_empty_train_fails_fast(ray_session):
 
 def test_perplexity_buckets_terciles(ray_session):
     from ts_type_filter_ray.functions.lm import perplexity_buckets
-    # 9 scoreable docs -> exactly 3 per bucket under percentile_disc
-    docs = [(i, f"w{i} common common w{i} end") for i in range(9)]
-    # make perplexities distinct by varying doc length
+    # 9 scoreable docs with distinct perplexities (varying length) ->
+    # exactly 3 per bucket under percentile_disc terciles
     docs = [(i, " ".join(["common"] * (i + 2)) + f" w{i}")
             for i in range(9)]
     rows = perplexity_buckets(_docs_ds(docs)).take_all()
@@ -328,8 +327,6 @@ def test_bigram_lm_hot_history_skew(ray_session):
     # every bigram shares the history token "the": the one-exchange
     # design routes ALL of them to a single partition — correctness
     # must hold under that extreme skew (the documented worst case)
-    docs = [(i, "the " + " ".join(f"w{i}_{j}" for j in range(5)))
-            for i in range(40)]
     # interleave "the" everywhere: "the w the w the w ..."
     docs = [(i, " ".join(x for j in range(5)
                          for x in ("the", f"w{i}_{j}")))
@@ -387,3 +384,28 @@ def test_lm_family_randomized_parity(ray_session):
             for r in dsir_importance_weights(
                 _docs_ds(docs), _docs_ds(target), dim_bits=7).take_all()}
     assert gotd == _ref_dsir(docs, target, 7, 1)
+
+
+def test_tercile_rank_rule_matches_duckdb():
+    # the perplexity_buckets oracle relies on percentile_disc's rank
+    # rule matching exact_value_quantiles' ceil(p*n) at every small n —
+    # pin it (this is the test the oracle comment points at)
+    import duckdb
+    import ray.data as rdl
+    rng = np.random.default_rng(3)
+    for n in range(1, 13):
+        vals = rng.normal(size=n)
+        from ts_type_filter_ray.functions.events import exact_value_quantiles
+        row = exact_value_quantiles(
+            rdl.from_arrow(pa.table({"value": pa.array(
+                vals, type=pa.float64())})),
+            ps=(1 / 3, 2 / 3)).take_all()[0]
+        con = duckdb.connect()
+        con.register("t", pa.table({"v": pa.array(vals,
+                                                  type=pa.float64())}))
+        c1, c2 = con.sql(
+            "select percentile_disc(0.3333333333333333::DOUBLE) within"
+            " group (order by v),"
+            " percentile_disc(0.6666666666666666::DOUBLE) within group"
+            " (order by v) from t").fetchone()
+        assert (row["p33"], row["p66"]) == (c1, c2), f"n={n}"

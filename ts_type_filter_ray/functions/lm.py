@@ -518,43 +518,27 @@ def dsir_select(ds: Dataset, target: Dataset, k: int = 100,
     :func:`dsir_importance_weights`) plus a per-batch partial top-k and
     a global sort of only the ~(#batches × k) survivors. Gumbel terms
     use per-element libm ``math.log`` (O(docs), mirrored by the SQL
-    oracle); u = 1.0 after uint64→double rounding (odds ~2⁻⁵⁴) maps to
-    g = +inf exactly like SQL's ``ln(0) = −inf``."""
+    oracle); u is clamped to 1 − 2⁻⁵³ on BOTH sides because a hash
+    that rounds to exactly 1.0 after uint64→double conversion (odds
+    ~2⁻⁵⁴ per doc) would make DuckDB's ``ln(0)`` RAISE, not return
+    −inf."""
+    from .sampling import partial_topk_prune, ranked_topk_table
     from ..text.hashvec import md5_lower64_ints
 
     scored = dsir_importance_weights(ds, target, dim_bits=dim_bits,
                                      alpha=alpha)
-
-    def _gumbel(u: float) -> float:
-        try:
-            return math.log(-math.log(u))
-        except ValueError:
-            return -math.inf          # u == 1.0 -> -ln u == -0.0
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         lw = batch["log_weight"].to_numpy(zero_copy_only=False)
         u = ((md5_lower64_ints(np.asarray(ids)).astype(np.float64)
               + 0.5) * 2.0 ** -64)
-        g = lw - np.array([_gumbel(x) for x in u.tolist()],
+        u = np.minimum(u, 1.0 - 2.0 ** -53)
+        g = lw - np.array([math.log(-math.log(x)) for x in u.tolist()],
                           dtype=np.float64)
-        if ids.size > k:
-            head = np.lexsort((ids, -g))[:k]
-            ids, g = ids[head], g[head]
+        ids, g = partial_topk_prune(ids, g, k)
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "g": pa.array(g)})
+                         "key": pa.array(g)})
 
-    cand = (scored.map_batches(partial, batch_format="pyarrow")
-            .sort(["g", "doc_id"], descending=[True, False])
-            .limit(k))
-    import ray as _ray
-    parts = [t for t in _ray.get(cand.to_arrow_refs()) if t.num_rows]
-    small = pa.concat_tables(parts) if parts else pa.table(
-        {"doc_id": pa.array([], type=pa.int64()),
-         "g": pa.array([], type=pa.float64())})
-    small = small.sort_by([("g", "descending"), ("doc_id", "ascending")])
-    n = small.num_rows
-    return pa.table({
-        "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
-        "doc_id": small["doc_id"],
-    })
+    cand = scored.map_batches(partial, batch_format="pyarrow")
+    return ranked_topk_table(cand, k, id_col="doc_id")

@@ -258,6 +258,38 @@ def stratified_sample(ds: Dataset, rates: dict[str, float],
         fn, batch_format="pyarrow")
 
 
+def partial_topk_prune(ids: np.ndarray, key: np.ndarray,
+                       k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch prune for a distributed top-k-by-key-DESC: keep the k
+    highest keys (ties id-ascending). Shared by every (key, id) top-k
+    sampler so the tie-break stays consistent across operators."""
+    if ids.size > k:
+        head = np.lexsort((ids, -key))[:k]
+        return ids[head], key[head]
+    return ids, key
+
+
+def ranked_topk_table(cand: Dataset, k: int, id_col: str = "doc_id",
+                      key_col: str = "key") -> "pa.Table":
+    """(rank, id) from a Dataset of per-batch (id, key) survivors: one
+    global (key desc, id asc) sort + limit, a driver concat of the ≤k
+    surviving rows, ranks 1..n. The shared tail of weighted_sample_k /
+    dsir_select — any change to the sort/tie-break applies to both."""
+    import ray as _ray
+
+    cand = cand.sort([key_col, id_col], descending=[True, False]).limit(k)
+    parts = [t for t in _ray.get(cand.to_arrow_refs()) if t.num_rows]
+    small = pa.concat_tables(parts) if parts else pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         key_col: pa.array([], type=pa.float64())})
+    small = small.sort_by([(key_col, "descending"), (id_col, "ascending")])
+    n = small.num_rows
+    return pa.table({
+        "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        id_col: small[id_col],
+    })
+
+
 def weighted_sample_k(ds: Dataset, k: int = 100,
                       weight_col: str = "n_chars",
                       id_col: str = "doc_id") -> "pa.Table":
@@ -283,27 +315,13 @@ def weighted_sample_k(ds: Dataset, k: int = 100,
         ids, w = ids[pos], w[pos]
         u = (_md5_key64(ids).astype(np.float64) + 0.5) * 2.0 ** -64
         key = np.log(u) / w
-        if ids.size > k:
-            head = np.lexsort((ids, -key))[:k]
-            ids, key = ids[head], key[head]
+        ids, key = partial_topk_prune(ids, key, k)
         return pa.table({id_col: pa.array(ids, type=pa.int64()),
                          "key": pa.array(key)})
 
     cand = (ds.select_columns([id_col, weight_col])
-            .map_batches(partial, batch_format="pyarrow")
-            .sort(["key", id_col], descending=[True, False])
-            .limit(k))
-    import ray as _ray
-    parts = [t for t in _ray.get(cand.to_arrow_refs()) if t.num_rows]
-    small = pa.concat_tables(parts) if parts else pa.table(
-        {id_col: pa.array([], type=pa.int64()),
-         "key": pa.array([], type=pa.float64())})
-    small = small.sort_by([("key", "descending"), (id_col, "ascending")])
-    n = small.num_rows
-    return pa.table({
-        "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
-        id_col: small[id_col],
-    })
+            .map_batches(partial, batch_format="pyarrow"))
+    return ranked_topk_table(cand, k, id_col=id_col)
 
 
 def sample_per_stratum(ds: Dataset, k: int = 20,
