@@ -92,6 +92,40 @@ def _kll(sf_dir: str, k: int):
     return kll_quantiles(_events(sf_dir), k=k)
 
 
+BPE_N_MERGES = 20
+
+
+def _bpe_top_pairs(sf_dir: str):
+    from ts_type_filter_ray.functions.bpe import pair_counts
+    return pair_counts(_docs(sf_dir))
+
+
+def _bpe_first_merge(sf_dir: str):
+    # one training iteration ≡ argmax of the pair table — puts the
+    # trainer's selection + tie-break on the value-exact gate
+    from ts_type_filter_ray.functions.bpe import train_bpe
+    return train_bpe(_docs(sf_dir), 1)
+
+
+def _bpe_merges(sf_dir: str):
+    from ts_type_filter_ray.functions.bpe import train_bpe
+    return train_bpe(_docs(sf_dir), BPE_N_MERGES)
+
+
+def _bpe_encode_zero(sf_dir: str):
+    # zero merges ⇒ n_bpe = Σ(len(token)+1): the whole encode path
+    # (actor pool, unique-token cache, per-doc reduction) value-exact
+    from ts_type_filter_ray.functions.bpe import encode_token_counts
+    return encode_token_counts(_docs(sf_dir), [])
+
+
+def _bpe_encode_trained(sf_dir: str):
+    from ts_type_filter_ray.functions.bpe import (encode_token_counts,
+                                                  train_bpe)
+    return encode_token_counts(_docs(sf_dir),
+                               train_bpe(_docs(sf_dir), BPE_N_MERGES))
+
+
 FEATURE_DIM_BITS = 18
 CLASSIFIER_DIM_BITS = 18
 CLASSIFIER_SCALE = 64
@@ -317,6 +351,7 @@ _GATE_PRIORITY = [
     "range_filter_match", "dsir_select",
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
+    "bpe_top_pairs", "bpe_first_merge", "bpe_encode_zero",
     "deleted_match_nostem", "minshould_match", "fuzzy_match_indexed",
     "suffix_match_indexed", "infix_match_trigram", "regex_match_trigram",
     "pack_sequences", "boolean_expr_match", "ann_ivf_exhaustive",
@@ -757,6 +792,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), k=5),
         "quality_scores": lambda sf: textstats.quality_scores(_docs(sf)),
         "bpe_token_counts": lambda sf: textstats.bpe_token_counts(_docs(sf)),
+        # -- BPE tokenizer training/encoding (functions/bpe.py) --
+        "bpe_top_pairs": _bpe_top_pairs,
+        "bpe_first_merge": _bpe_first_merge,
+        "bpe_encode_zero": _bpe_encode_zero,
+        # multi-merge training is iterative (no SQL analog) → rows-only;
+        # pytest pins the incremental trainer vs a naive reference
+        "bpe_merges": _bpe_merges,
+        "bpe_encode_trained": _bpe_encode_trained,
         "fingerprints": lambda sf: textstats.fingerprints(_docs(sf)),
         "repetition_scores": lambda sf: textstats.repetition_scores(
             _docs(sf)),
@@ -2230,6 +2273,53 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
                    as n_bpe_tokens
             from documents""",
+        "bpe_top_pairs": r"""
+            with toks as (
+              select unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            words as (select term, count(*) as n from toks group by term),
+            expanded as (
+              select term, n,
+                     unnest(generate_series(1, length(term))) as i
+              from words)
+            select substr(term, i, 1) as "left",
+                   case when i = length(term) then '</w>'
+                        else substr(term, i + 1, 1) end as "right",
+                   sum(n)::BIGINT as pair_count
+            from expanded
+            group by 1, 2""",
+        "bpe_first_merge": r"""
+            with toks as (
+              select unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            words as (select term, count(*) as n from toks group by term),
+            expanded as (
+              select term, n,
+                     unnest(generate_series(1, length(term))) as i
+              from words),
+            pairs as (
+              select substr(term, i, 1) as l,
+                     case when i = length(term) then '</w>'
+                          else substr(term, i + 1, 1) end as r,
+                     sum(n)::BIGINT as pair_count
+              from expanded group by 1, 2)
+            select 0::BIGINT as rank, l as "left", r as "right", pair_count
+            from pairs
+            order by pair_count desc, l asc, r asc
+            limit 1""",
+        "bpe_encode_zero": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            agg as (
+              select doc_id, sum(length(term) + 1)::BIGINT as n_bpe
+              from toks group by doc_id)
+            select d.doc_id, coalesce(a.n_bpe, 0)::BIGINT as n_bpe
+            from documents d left join agg a using (doc_id)""",
         "fingerprints": r"""
             select doc_id,
                    md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) as fp

@@ -1,0 +1,321 @@
+"""Distributed BPE tokenizer training + encoding.
+
+Classic byte-pair-encoding training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") is a
+word-frequency-table algorithm: the corpus-scale work is the distributed
+WORD COUNT (one term-partition exchange over the token stream); the
+merge loop itself runs over the DISTINCT-word table, which is
+vocab-bounded ≪ corpus — at 100 TB the distinct-word table is millions
+of rows while the corpus is trillions of token occurrences. Running the
+merge loop driver-side over that table is the standard (and correct)
+decomposition, the same boundedness argument as ``top_terms`` /
+``suggest_correction``.
+
+Reference capability anchor: the reference counts tokens with a trained
+BPE tokenizer (tiktoken, ``/root/reference/samples/menu/menu.py:147,
+363-373`` — env-blocked offline); ``textstats.bpe_token_counts`` is the
+pretokenizer analog, and this module supplies the TRAINING side plus a
+trained-merges encoder with the same distributed shape (actor-pool
+``map_batches``, per-unique-token work only).
+
+Word model: lowercased whitespace tokens (the engine's standard token
+stream); a word's symbol sequence is its characters followed by the
+end-of-word marker ``</w>``. Merge selection is deterministic:
+highest weighted pair count, ties broken by ``(left asc, right asc)``.
+
+Gate strategy (exactness-configuration trick, tokenizer edition):
+- ``pair_counts`` — the pre-merge symbol-pair count table is pure
+  integer aggregation ⇒ value-exact vs a DuckDB substr-explode oracle.
+- ``train_bpe(n_merges=1)`` — one iteration ≡ argmax of that pair
+  table ⇒ the trainer's selection/tie-break logic is value-exact too.
+- ``encode_token_counts`` with ZERO merges ⇒ per-doc count is
+  Σ(len(token)+1) ⇒ the whole encode path (actor pool, per-unique-token
+  cache, per-doc reduction) is value-exact.
+- Full multi-merge training/encoding is pinned by pytest against a
+  naive pure-Python reference implementation (rows-only on the gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from .textstats import _explode_term_tf, _term_part_appender, _tokens
+
+END = "</w>"
+
+
+# ------------------------------------------------------- word counts
+
+
+def word_count_table(ds: Dataset, num_parts: int | None = None) -> pa.Table:
+    """Distinct-word global counts ``(term, n)`` sorted by term asc.
+
+    Distributed: (term, doc_id, tf) explode → coarse term-hash
+    partition (every occurrence of a term lands in ONE partition, so
+    per-partition sums are globally final) → per-partition segment sum.
+    The result is materialized: it is the distinct-VOCABULARY table
+    (bounded by vocabulary size, not corpus size — the same boundedness
+    contract as ``top_terms``' driver-side sort)."""
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def part_counts(group: pa.Table) -> pa.Table:
+        terms = group["term"].combine_chunks()
+        enc = pc.dictionary_encode(terms)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        n = np.bincount(codes, weights=tf,
+                        minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"term": enc.dictionary, "n": pa.array(n)})
+
+    rows = (ds.map_batches(_explode_term_tf, batch_format="pyarrow")
+            .map_batches(_term_part_appender(num_parts),
+                         batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(part_counts, batch_format="pyarrow")
+            .take_all())  # vocab-bounded (distinct terms only)
+    if not rows:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    tbl = pa.Table.from_pylist(rows)
+    return tbl.sort_by("term")
+
+
+def _word_symbols(words: list[str]) -> list[list[str]]:
+    # vocab-bounded Python (distinct words only, same contract as the
+    # tokenizer's stem-unique-tokens-once trick)
+    return [list(w) + [END] for w in words]
+
+
+# ------------------------------------------------------- pair counts
+
+
+def pair_counts(ds: Dataset, num_parts: int | None = None) -> pa.Table:
+    """Pre-merge symbol-pair counts ``(left, right, pair_count)``,
+    sorted (pair_count desc, left asc, right asc) — iteration 0 of BPE
+    training as a standalone distributed aggregate.
+
+    Shape: the distributed word count above, then a per-partition pair
+    explode over DISTINCT words weighted by their counts, combined
+    driver-side. Pair rows are bounded by |symbol alphabet|² (× parts
+    before the combine) — tiny next to the vocabulary, let alone the
+    corpus."""
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def part_pairs(group: pa.Table) -> pa.Table:
+        terms = group["term"].combine_chunks()
+        enc = pc.dictionary_encode(terms)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        wc = np.bincount(codes, weights=tf,
+                         minlength=len(enc.dictionary)).astype(np.int64)
+        acc: dict[tuple[str, str], int] = {}
+        for w, c in zip(enc.dictionary.to_pylist(), wc.tolist()):
+            syms = list(w) + [END]
+            for a, b in zip(syms, syms[1:]):
+                acc[(a, b)] = acc.get((a, b), 0) + c
+        if not acc:
+            return _empty_pairs()
+        ls, rs = zip(*acc.keys())
+        return pa.table({"left": pa.array(ls, type=pa.string()),
+                         "right": pa.array(rs, type=pa.string()),
+                         "pair_count": pa.array(list(acc.values()),
+                                                type=pa.int64())})
+
+    rows = (ds.map_batches(_explode_term_tf, batch_format="pyarrow")
+            .map_batches(_term_part_appender(num_parts),
+                         batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(part_pairs, batch_format="pyarrow")
+            .take_all())  # ≤ parts × |alphabet|² rows
+    acc: dict[tuple[str, str], int] = {}
+    for r in rows:
+        k = (r["left"], r["right"])
+        acc[k] = acc.get(k, 0) + r["pair_count"]
+    return _pairs_table(acc)
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"left": pa.array([], type=pa.string()),
+                     "right": pa.array([], type=pa.string()),
+                     "pair_count": pa.array([], type=pa.int64())})
+
+
+def _pairs_table(acc: dict[tuple[str, str], int]) -> pa.Table:
+    if not acc:
+        return _empty_pairs()
+    items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    ls = [k[0] for k, _ in items]
+    rs = [k[1] for k, _ in items]
+    cs = [c for _, c in items]
+    return pa.table({"left": pa.array(ls, type=pa.string()),
+                     "right": pa.array(rs, type=pa.string()),
+                     "pair_count": pa.array(cs, type=pa.int64())})
+
+
+# ------------------------------------------------------------ training
+
+
+def train_bpe(ds: Dataset, n_merges: int,
+              num_parts: int | None = None) -> pa.Table:
+    """Train *n_merges* BPE merges over the corpus; returns
+    ``(rank:int64, left:string, right:string, pair_count:int64)`` in
+    merge order — ``pair_count`` is the weighted count at selection
+    time.
+
+    The distributed stage is the word count; the merge loop runs over
+    the distinct-word table with an INCREMENTAL pair index (pair →
+    affected word set): each merge touches only the words containing
+    the merged pair, the standard fast-trainer structure (a full
+    recount per iteration would be O(vocab · merges); pytest pins this
+    incremental path bit-identical to the naive reference)."""
+    words_tbl = word_count_table(ds, num_parts=num_parts)
+    words = words_tbl["term"].to_pylist()
+    counts = words_tbl["n"].to_pylist()
+    return pa.Table.from_pylist(
+        _train_merges(words, counts, n_merges),
+        schema=pa.schema([("rank", pa.int64()), ("left", pa.string()),
+                          ("right", pa.string()),
+                          ("pair_count", pa.int64())]))
+
+
+def _train_merges(words: list[str], counts: list[int],
+                  n_merges: int) -> list[dict]:
+    syms = _word_symbols(words)
+    pair_n: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, (s, c) in enumerate(zip(syms, counts)):
+        for p in zip(s, s[1:]):
+            pair_n[p] = pair_n.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        best = None
+        for p, c in pair_n.items():
+            if c <= 0:
+                continue
+            if best is None or (-c, p) < best[0]:
+                best = ((-c, p), p, c)
+        if best is None:
+            break
+        _, (l, r), c = best
+        merges.append({"rank": rank, "left": l, "right": r,
+                       "pair_count": c})
+        new_sym = l + r
+        for i in sorted(pair_words.get((l, r), ())):
+            s, c_i = syms[i], counts[i]
+            # retract the word's old pairs, apply the merge, add back
+            for p in zip(s, s[1:]):
+                pair_n[p] -= c_i
+                if pair_n[p] <= 0:
+                    pair_n.pop(p, None)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(i)
+                    if not ws:
+                        pair_words.pop(p, None)
+            s2 = _apply_merge(s, l, r, new_sym)
+            syms[i] = s2
+            for p in zip(s2, s2[1:]):
+                pair_n[p] = pair_n.get(p, 0) + c_i
+                pair_words.setdefault(p, set()).add(i)
+    return merges
+
+
+def _apply_merge(s: list[str], l: str, r: str, new_sym: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+            out.append(new_sym)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+# ------------------------------------------------------------ encoding
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE encode of one word (the classic
+    algorithm: repeatedly merge the present pair with the smallest
+    merge rank until none applies)."""
+    s = list(word) + [END]
+    while len(s) > 1:
+        best_rank = None
+        best_pair = None
+        for p in zip(s, s[1:]):
+            rk = ranks.get(p)
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_pair = rk, p
+        if best_pair is None:
+            break
+        s = _apply_merge(s, best_pair[0], best_pair[1],
+                         best_pair[0] + best_pair[1])
+    return s
+
+
+class _BpeEncodeStage:
+    """Actor-pool encoder: merge ranks loaded once per actor in
+    ``__init__``; per batch only UNIQUE lowercased tokens are encoded
+    (dictionary-encode + a persistent per-actor token→length cache —
+    the stem-unique-tokens-once trick), then per-doc totals come from
+    one weighted bincount."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self._cache: dict[str, int] = {}
+
+    def _n_syms(self, tok: str) -> int:
+        n = self._cache.get(tok)
+        if n is None:
+            n = self._cache[tok] = len(encode_word(tok, self.ranks))
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tok_arr, flat, parents = _tokens(batch)
+        n = batch.num_rows
+        if len(flat) == 0:
+            total = np.zeros(n, dtype=np.int64)
+        else:
+            low = pc.utf8_lower(flat)
+            enc = pc.dictionary_encode(low)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            lens = np.array([self._n_syms(t)
+                             for t in enc.dictionary.to_pylist()],
+                            dtype=np.int64)
+            par = parents.to_numpy(zero_copy_only=False)
+            total = np.bincount(par, weights=lens[codes],
+                                minlength=n).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe": pa.array(total)})
+
+
+def encode_token_counts(ds: Dataset, merges: pa.Table | list,
+                        concurrency=(1, 4)) -> Dataset:
+    """(doc_id, n_bpe) — per-document token counts under the trained
+    merge table (``train_bpe`` output or a ``[(left, right), ...]``
+    list). Zero merges ⇒ every word costs ``len(word) + 1`` symbols
+    (chars + ``</w>``), the value-exact gate configuration."""
+    if isinstance(merges, pa.Table):
+        merges = list(zip(merges["left"].to_pylist(),
+                          merges["right"].to_pylist()))
+    return ds.map_batches(
+        _BpeEncodeStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"merges": merges})
