@@ -126,6 +126,54 @@ def _bpe_encode_trained(sf_dir: str):
                                train_bpe(_docs(sf_dir), BPE_N_MERGES))
 
 
+LINE_TOKENS = 4
+
+
+def _docs_multiline(sf_dir: str):
+    """Derived multi-line corpus for the line-dedup gate: each
+    non-empty doc's whitespace tokens regrouped into lines of
+    ``LINE_TOKENS`` tokens joined with ``\\n`` (the sf documents are
+    single-line; the oracle re-derives the same corpus in SQL — the
+    ``corpus_diff`` variant-B precedent)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ts_type_filter_ray.functions.dedup import _tokenize_texts_batch
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        flat, off = _tokenize_texts_batch(batch["text"])
+        counts = np.diff(off)
+        keep = counts > 0
+        lc = -(-counts // LINE_TOKENS)          # lines per doc (ceil)
+        within = np.arange(lc.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(lc) - lc, lc)
+        starts = np.repeat(off[:-1], lc) + within * LINE_TOKENS
+        line_off = np.append(starts, off[-1]).astype(np.int32)
+        lines = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(line_off, type=pa.int32()),
+                                     flat), " ")
+        doc_off = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(lc, out=doc_off[1:])
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(doc_off.astype(np.int32), type=pa.int32()),
+                lines), "\n")
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks().filter(
+                pa.array(keep)),
+            "text": texts.filter(pa.array(keep)),
+        })
+
+    return _docs(sf_dir).map_batches(to_lines, batch_format="pyarrow")
+
+
+def _line_dedup(sf_dir: str):
+    from ts_type_filter_ray.functions.linededup import dedup_lines
+    return dedup_lines(_docs_multiline(sf_dir), min_chars=1,
+                       num_parts=16)
+
+
 FEATURE_DIM_BITS = 18
 CLASSIFIER_DIM_BITS = 18
 CLASSIFIER_SCALE = 64
@@ -338,7 +386,7 @@ _GATE_PRIORITY = [
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "cross_perplexity", "dsir_weights", "perplexity_buckets",
-    "percolate", "strip_dup_spans", "tf_cosine_pairs",
+    "percolate", "strip_dup_spans", "line_dedup", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
@@ -442,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (whitespace-normalized survivor text), both value-exact
         "dup_token_spans": _dup_token_spans,
         "strip_dup_spans": _strip_dup_spans,
+        # CCNet/MassiveText line dedup over the derived multi-line
+        # corpus (LINE_TOKENS tokens per line; oracle re-derives it)
+        "line_dedup": _line_dedup,
         # exact all-pairs sparse tf-cosine similarity (the Bayardo
         # all-pairs baseline, bag-of-words near-dup signal): integer
         # dot/norms through the shuffles, one final float expression
@@ -2531,6 +2582,34 @@ def oracle_sql() -> dict[str, str]:
             from documents d
             left join nt n using (doc_id)
             left join agg a using (doc_id)""",
+        "line_dedup": rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            toks as (
+              select doc_id, i, arr[i] as tok
+              from (select doc_id, arr,
+                           unnest(generate_series(1, len(arr)))::INT as i
+                    from base)),
+            mlines as (
+              select doc_id, (i-1)//{LINE_TOKENS} as li,
+                     string_agg(tok, ' ' order by i) as ln
+              from toks group by doc_id, (i-1)//{LINE_TOKENS}),
+            flagged as (
+              select doc_id, li, ln,
+                     (length(ln) < 1 or
+                      row_number() over (partition by ln
+                                         order by doc_id, li) = 1) as keep
+              from mlines),
+            agg as (
+              select doc_id,
+                     count(*)::BIGINT as n_lines,
+                     sum(case when keep then 0 else 1 end)::BIGINT
+                         as n_removed,
+                     coalesce(string_agg(ln, chr(10) order by li)
+                                  filter (where keep), '') as text
+              from flagged group by doc_id)
+            select doc_id, text, n_lines, n_removed from agg""",
         "tf_cosine_pairs": rf"""
             with raw as (
               select doc_id,
