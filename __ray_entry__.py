@@ -168,6 +168,17 @@ def _docs_multiline(sf_dir: str):
     return _docs(sf_dir).map_batches(to_lines, batch_format="pyarrow")
 
 
+CMS_DEPTH = 3
+CMS_WIDTH = 16   # far below the sf vocabulary: collisions guaranteed,
+                 # so the min-over-rows estimate logic genuinely bites
+
+
+def _cms_counts(sf_dir: str):
+    from ts_type_filter_ray.functions.sketches import cms_term_counts
+    return cms_term_counts(_docs(sf_dir), depth=CMS_DEPTH,
+                           width=CMS_WIDTH)
+
+
 def _line_dedup(sf_dir: str):
     from ts_type_filter_ray.functions.linededup import dedup_lines
     return dedup_lines(_docs_multiline(sf_dir), min_chars=1,
@@ -399,7 +410,7 @@ _GATE_PRIORITY = [
     "range_filter_match", "dsir_select",
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
-    "bpe_top_pairs", "bpe_first_merge", "bpe_encode_zero",
+    "bpe_top_pairs", "bpe_first_merge", "bpe_encode_zero", "cms_counts",
     "deleted_match_nostem", "minshould_match", "fuzzy_match_indexed",
     "suffix_match_indexed", "infix_match_trigram", "regex_match_trigram",
     "pack_sequences", "boolean_expr_match", "ann_ivf_exhaustive",
@@ -865,6 +876,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # selection is batch-boundary-dependent → rows-only; pytest pins
         # equality with exact top-k on a high-vocab corpus)
         "heavy_hitters": _heavy_hitters,
+        # Count-Min point-frequency sketch: the oracle computes the SAME
+        # sketch in SQL (integer counter sums + min over rows), so the
+        # distributed partial-merge is value-exact; width ≪ vocab makes
+        # collisions (and the min) real
+        "cms_counts": _cms_counts,
         "doc_top_terms": lambda sf: textstats.doc_top_terms(_docs(sf), k=3),
         "df_histogram": lambda sf: textstats.df_histogram(_docs(sf)),
         # -- corpus n-gram family --
@@ -2439,6 +2455,28 @@ def oracle_sql() -> dict[str, str]:
               select term, count(distinct doc_id) as df
               from toks group by term)
             select df, count(*) as n_terms from dft group by df""",
+        "cms_counts": rf"""
+            with toks as (
+              select unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            tf as (select term, count(*)::BIGINT as tf
+                   from toks group by term),
+            slots as (
+              select d,
+                     md5_number_lower(term || ':' || d) % {CMS_WIDTH}
+                         as slot,
+                     sum(tf)::BIGINT as cnt
+              from tf cross join range(0, {CMS_DEPTH}) as r(d)
+              group by 1, 2)
+            select t.term, t.tf, min(s.cnt)::BIGINT as cms_count
+            from tf t
+            cross join range(0, {CMS_DEPTH}) as r(d)
+            join slots s
+              on s.d = r.d
+             and s.slot = md5_number_lower(t.term || ':' || r.d)
+                          % {CMS_WIDTH}
+            group by t.term, t.tf""",
         "ngram_counts": rf"""
             with base as (
               select regexp_split_to_array(lower(trim(text)),'\s+') as arr

@@ -1,0 +1,81 @@
+"""Count-Min sketch: distributed build vs single-pass reference,
+overestimate invariant, collision behavior at tiny widths."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ts_type_filter_ray.functions.sketches import (
+    _cms_row_hashes, cms_estimate, cms_sketch, cms_term_counts)
+
+TEXTS = ["the cat sat on the mat", "the dog", "", "   ",
+         "Cat CAT cat", "mat mat mat mat", "a b c d e f g h"]
+
+
+def _truth():
+    acc = {}
+    for t in TEXTS:
+        for tok in t.strip().lower().split():
+            acc[tok] = acc.get(tok, 0) + 1
+    return acc
+
+
+def _ref_sketch(depth, width):
+    truth = _truth()
+    terms = sorted(truth)
+    sk = np.zeros((depth, width), dtype=np.int64)
+    if terms:
+        slots = _cms_row_hashes(terms, depth, width)
+        for d in range(depth):
+            for j, t in enumerate(terms):
+                sk[d, slots[d, j]] += truth[t]
+    return sk
+
+
+def _ds():
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+        "text": pa.array(TEXTS),
+    })).repartition(3)
+
+
+def test_distributed_sketch_matches_reference(ray_session):
+    for depth, width in ((1, 8), (3, 16), (4, 64)):
+        got = cms_sketch(_ds(), depth=depth, width=width)
+        assert np.array_equal(got, _ref_sketch(depth, width)), (depth,
+                                                                width)
+
+
+def test_estimates_overestimate_only(ray_session):
+    truth = _truth()
+    # width 4 << vocab: collisions guaranteed, min-over-rows must bite
+    tbl = cms_term_counts(_ds(), depth=3, width=4, num_parts=2)
+    got = {t: (tf, est) for t, tf, est in zip(
+        tbl["term"].to_pylist(), tbl["tf"].to_pylist(),
+        tbl["cms_count"].to_pylist())}
+    assert set(got) == set(truth)
+    total = sum(truth.values())
+    overs = 0
+    for t, (tf, est) in got.items():
+        assert tf == truth[t]
+        assert est >= tf          # the CMS guarantee
+        assert est <= total       # a slot never exceeds the stream mass
+        overs += est > tf
+    assert overs > 0              # width 4 really collided
+
+
+def test_wide_sketch_is_exact_here(ray_session):
+    # wide enough that these 13 terms happen not to collide in some row
+    tbl = cms_term_counts(_ds(), depth=4, width=4096, num_parts=2)
+    assert tbl["tf"].to_pylist() == tbl["cms_count"].to_pylist()
+
+
+def test_empty_corpus(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array([" "]),
+    }))
+    assert cms_sketch(ds, depth=2, width=8).sum() == 0
+    assert cms_estimate(np.zeros((2, 8), dtype=np.int64), []).size == 0
+    assert cms_term_counts(ds, depth=2, width=8, num_parts=1).num_rows \
+        == 0

@@ -487,3 +487,98 @@ def distinct_terms_by_group(ds: Dataset,
            .groupby("part").map_groups(scan, batch_format="pyarrow")
            .groupby("grp").aggregate(Sum("n", alias_name="n_distinct_terms")))
     return out.rename_columns({"grp": group_col}).sort(group_col)
+
+
+# ----------------------------------------------------- Count-Min sketch
+
+
+def _cms_row_hashes(terms, depth: int, width: int) -> np.ndarray:
+    """``(depth, len(terms))`` slot indices — row *d* hashes
+    ``md5_number_lower(term || ':' || d) % width``, the oracle-shared
+    md5 convention (DuckDB computes the identical slots)."""
+    from ..text.hashvec import md5_lower64_strings
+    arr = terms if isinstance(terms, pa.Array) else pa.array(
+        list(terms), type=pa.string())
+    out = np.empty((depth, len(arr)), dtype=np.int64)
+    for d in range(depth):
+        suff = pc.binary_join_element_wise(arr, str(d), ":")
+        out[d] = (md5_lower64_strings(suff)
+                  % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_sketch(ds: Dataset, depth: int = 4, width: int = 1024) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the corpus
+    TERM frequencies: a ``(depth, width)`` int64 counter array where
+    ``counts[d, h_d(t)]`` sums the tf of every term hashing there.
+
+    Distributed shape: per-batch bounded partials (≤ depth·width
+    counters regardless of batch bytes — per-unique-token hashing via
+    dictionary-encode) → one ``groupby(key).Sum`` over ≤ depth·width
+    packed keys → a driver fold over the bounded nonzero rows. Counter
+    addition commutes, so the merged sketch is bit-identical to a
+    single-pass build — the property the value-exact gate checks.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _tokens(batch)
+        if len(flat) == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"key": z, "count": z})
+        flat = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        tf_u = np.bincount(codes, minlength=len(enc.dictionary)) \
+            .astype(np.int64)
+        slots = _cms_row_hashes(enc.dictionary, depth, width)
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            np.add.at(acc[d], slots[d], tf_u)
+        rows, cols = np.nonzero(acc)
+        return pa.table({
+            "key": pa.array(rows * width + cols),
+            "count": pa.array(acc[rows, cols]),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("key").aggregate(Sum("count", alias_name="count"))
+              .take_all())  # ≤ depth·width rows, corpus-size-independent
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for r in merged:
+        sketch[r["key"] // width, r["key"] % width] = r["count"]
+    return sketch
+
+
+def cms_estimate(sketch: np.ndarray, terms) -> np.ndarray:
+    """Point estimates ``min_d sketch[d, h_d(t)]`` for *terms* —
+    overestimate-only: ``est ≥ true tf`` always (counters only ever add
+    colliding terms' mass)."""
+    depth, width = sketch.shape
+    if len(terms) == 0:
+        return np.empty(0, dtype=np.int64)
+    slots = _cms_row_hashes(terms, depth, width)
+    ests = sketch[np.arange(depth)[:, None], slots]
+    return ests.min(axis=0)
+
+
+def cms_term_counts(ds: Dataset, depth: int = 4, width: int = 1024,
+                    num_parts: int | None = None) -> pa.Table:
+    """(term, tf, cms_count) for every distinct corpus term — the exact
+    distributed word count beside the Count-Min estimate from a small
+    sketch. Two passes over the corpus (count + sketch); both driver
+    tables are vocab-bounded. With ``width`` below the vocabulary size
+    the estimates visibly overestimate (collision mass) while the min
+    over rows keeps them tight — all integer arithmetic, value-exact
+    against an oracle that computes the same sketch."""
+    from .bpe import word_count_table
+    words = word_count_table(ds, num_parts=num_parts)
+    sketch = cms_sketch(ds, depth=depth, width=width)
+    ests = cms_estimate(sketch, words["term"].combine_chunks())
+    return pa.table({
+        "term": words["term"],
+        "tf": words["n"],
+        "cms_count": pa.array(ests),
+    })
