@@ -168,6 +168,18 @@ def _docs_multiline(sf_dir: str):
     return _docs(sf_dir).map_batches(to_lines, batch_format="pyarrow")
 
 
+TEXTRANK_K = 25
+TEXTRANK_ITERS = 3
+TEXTRANK_DAMPING = 0.85
+
+
+def _textrank(sf_dir: str):
+    from ts_type_filter_ray.functions.ngrams import textrank_keywords
+    return textrank_keywords(_docs(sf_dir), k=TEXTRANK_K,
+                             iters=TEXTRANK_ITERS,
+                             damping=TEXTRANK_DAMPING, num_parts=16)
+
+
 CMS_DEPTH = 3
 CMS_WIDTH = 16   # far below the sf vocabulary: collisions guaranteed,
                  # so the min-over-rows estimate logic genuinely bites
@@ -411,6 +423,7 @@ _GATE_PRIORITY = [
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
     "bpe_top_pairs", "bpe_first_merge", "bpe_encode_zero", "cms_counts",
+    "textrank_keywords",
     "deleted_match_nostem", "minshould_match", "fuzzy_match_indexed",
     "suffix_match_indexed", "infix_match_trigram", "regex_match_trigram",
     "pack_sequences", "boolean_expr_match", "ann_ivf_exhaustive",
@@ -885,6 +898,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_histogram": lambda sf: textstats.df_histogram(_docs(sf)),
         # -- corpus n-gram family --
         "ngram_counts": _ngram_counts,
+        # TextRank corpus keywords: flat-teleport PageRank over the
+        # window-2 co-occurrence multigraph; the FLOAT scores cross the
+        # gate (unrolled-iterations oracle, ordered folds)
+        "textrank_keywords": _textrank,
         "phrase_match": _phrase_match,
         "dup_ngram_fraction": _dup_ngram_fraction,
         "cooccurrence_counts": _cooccurrence_counts,
@@ -2455,6 +2472,48 @@ def oracle_sql() -> dict[str, str]:
               select term, count(distinct doc_id) as df
               from toks group by term)
             select df, count(*) as n_terms from dft group by df""",
+        "textrank_keywords": (rf"""
+            with base as (
+              select regexp_split_to_array(lower(trim(text)),'\s+') as arr
+              from documents where trim(text) <> ''),
+            toks as (
+              select unnest(arr) as term from base),
+            vocab as (select distinct term from toks),
+            big as (
+              select arr[p] as a, arr[p+1] as b
+              from (select arr, unnest(range(1, len(arr)))::INT as p
+                    from base where len(arr) >= 2)
+              where arr[p] <> arr[p+1]),
+            edges as (
+              select a as src, b as dst from big
+              union all
+              select b as src, a as dst from big),
+            od as (select src, count(*)::BIGINT as deg
+                   from edges group by src),
+            r0 as (select term as node, 1.0::DOUBLE as r from vocab)"""
+            + "".join(f""",
+            r{i} as (
+              select v.term as node,
+                     (1.0::DOUBLE - {TEXTRANK_DAMPING}::DOUBLE)
+                     + {TEXTRANK_DAMPING}::DOUBLE
+                       * coalesce(agg.s, 0.0::DOUBLE) as r
+              from vocab v
+              left join (
+                select e.dst as node,
+                       list_aggregate(list(rp.r / od.deg
+                                           order by e.src asc),
+                                      'sum') as s
+                from edges e
+                join r{i - 1} rp on rp.node = e.src
+                join od on od.src = e.src
+                group by e.dst) agg on agg.node = v.term)"""
+            for i in range(1, TEXTRANK_ITERS + 1)) + f"""
+            select node as term, r as textrank
+            from (select node, r,
+                         row_number() over (order by r desc, node asc)
+                             as rk
+                  from r{TEXTRANK_ITERS})
+            where rk <= {TEXTRANK_K}"""),
         "cms_counts": rf"""
             with toks as (
               select unnest(regexp_split_to_array(lower(trim(text)),'\s+'))

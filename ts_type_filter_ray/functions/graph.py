@@ -223,7 +223,7 @@ def cluster_canonicals(clusters: Dataset, scores: Dataset,
 
 def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
              damping: float = 0.85, src_col: str = "src",
-             dst_col: str = "dst",
+             dst_col: str = "dst", flat_teleport: bool = False,
              num_parts: int | None = None) -> pa.Table:
     """PageRank over a directed edge Dataset with DENSE node ids
     ``0..num_nodes-1`` → (node, pagerank) Arrow table, node-ascending.
@@ -233,7 +233,10 @@ def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
     by rank instead of min-id). Power iteration with teleport:
     ``r' = (1-d)/N + d·Σ_{u→v} r(u)/outdeg(u)``; nodes with no
     out-edges contribute nothing (their mass teleports), nodes with no
-    in-edges sit at ``(1-d)/N``.
+    in-edges sit at ``(1-d)/N``. With ``flat_teleport=True`` the
+    TextRank convention (Mihalcea & Tarau 2004) applies instead:
+    initial rank 1 and teleport ``(1-d)`` — scores sit near 1 rather
+    than summing to 1.
 
     Distributed shape per iteration: the rank VECTOR (8 bytes/node) is
     broadcast via ``ray.put``; one ``map_batches`` pass over the edges
@@ -266,8 +269,10 @@ def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
     for row in deg.take_all():  # ≤ num_nodes rows (the O(N) contract)
         outdeg[row["node"]] = row["sum(n)"]
 
-    ranks = np.full(num_nodes, 1.0 / num_nodes, dtype=np.float64)
-    teleport = (1.0 - damping) / num_nodes
+    init = 1.0 if flat_teleport else 1.0 / num_nodes
+    ranks = np.full(num_nodes, init, dtype=np.float64)
+    teleport = (1.0 - damping) if flat_teleport else \
+        (1.0 - damping) / num_nodes
 
     # broadcast the O(N) out-degree vector ONCE like the rank vector —
     # captured in the closure it would re-pickle with the UDF on every

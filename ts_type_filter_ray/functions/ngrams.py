@@ -531,3 +531,78 @@ def strip_dup_spans(ds: Dataset, shingle_k: int = 5,
     docs = ds.map_batches(doc_rows, batch_format="pyarrow")
     return docs.union(starts).groupby("dpart").map_groups(
         rebuild, batch_format="pyarrow")
+
+
+def textrank_keywords(ds: Dataset, k: int = 25, iters: int = 3,
+                      damping: float = 0.85,
+                      num_parts: int | None = None) -> pa.Table:
+    """Top-*k* corpus keywords by TextRank (Mihalcea & Tarau 2004,
+    "TextRank: Bringing Order into Texts") — ``(term, textrank)``
+    ordered (score desc, term asc). The classic unsupervised keyword
+    extractor: PageRank over the word co-occurrence graph, here with
+    the window-2 convention (an edge per ADJACENT token pair, both
+    directions, self-loops dropped); multi-edges stay — an edge
+    instance per occurrence is exactly the count-weighted TextRank,
+    since ``Σ_instances r/deg ≡ r·w/wdeg`` when deg counts instances.
+
+    Distributed shape: the vocabulary (dense node ids = term-ascending
+    rank — the vocab-bounded driver contract shared with
+    :func:`~ts_type_filter_ray.functions.graph.pagerank`'s rank
+    vector) broadcasts once via ``ray.put``; one ``map_batches`` pass
+    explodes adjacent-pair edge instances (batch-unique tokens map to
+    ids through one ``searchsorted``); then the flat-teleport power
+    iteration (initial rank 1, teleport ``1-d``). Float value-exact vs
+    an unrolled-iterations SQL oracle — the ordered-fold trick."""
+    import ray
+
+    from .bpe import word_count_table
+    from .graph import pagerank
+
+    words = word_count_table(ds, num_parts=num_parts)
+    terms = words["term"].combine_chunks()
+    n_nodes = len(terms)
+    if n_nodes == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "textrank": pa.array([], type=pa.float64())})
+    vocab_ref = ray.put(np.asarray(terms.to_pylist(), dtype=object))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokenize_texts_batch
+        flat, off = _tokenize_texts_batch(batch["text"])
+        z = pa.array(np.empty(0, dtype=np.int64))
+        if len(flat) < 2:
+            return pa.table({"src": z, "dst": z})
+        flat = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = ray.get(vocab_ref)
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        uid = np.searchsorted(vocab, uniq)
+        ids = uid[enc.indices.to_numpy(zero_copy_only=False)]
+        counts = np.diff(off)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64),
+                           counts)
+        a, b = ids[:-1], ids[1:]
+        same_doc = doc_of[:-1] == doc_of[1:]
+        keep = same_doc & (a != b)
+        a, b = a[keep], b[keep]
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        })
+
+    # materialize once: pagerank re-scans the edge set every iteration
+    # (deg pass + iters contribution passes) — recomputing the explode
+    # each time would re-tokenize the corpus 1+iters times. O(2·tokens)
+    # fixed-width rows in the object store; the executor spills.
+    edges = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    pr = pagerank(edges, n_nodes, iters=iters, damping=damping,
+                  flat_teleport=True,
+                  num_parts=num_parts if num_parts is not None else 16)
+    scores = pr["pagerank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((np.arange(n_nodes), -scores))[:k]
+    return pa.table({
+        "term": terms.take(pa.array(order)),
+        "textrank": pa.array(scores[order], type=pa.float64()),
+    })
