@@ -100,50 +100,20 @@ def _word_symbols(words: list[str]) -> list[list[str]]:
 def pair_counts(ds: Dataset, num_parts: int | None = None) -> pa.Table:
     """Pre-merge symbol-pair counts ``(left, right, pair_count)``,
     sorted (pair_count desc, left asc, right asc) — iteration 0 of BPE
-    training as a standalone distributed aggregate.
+    training as a standalone aggregate.
 
-    Shape: the distributed word count above, then a per-partition pair
-    explode over DISTINCT words weighted by their counts, combined
-    driver-side. Pair rows are bounded by |symbol alphabet|² (× parts
-    before the combine) — tiny next to the vocabulary, let alone the
-    corpus."""
-    from .partitioning import auto_num_parts
-
-    if num_parts is None:
-        num_parts = auto_num_parts(ds)
-
-    def part_pairs(group: pa.Table) -> pa.Table:
-        terms = group["term"].combine_chunks()
-        enc = pc.dictionary_encode(terms)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        tf = group["tf"].to_numpy(zero_copy_only=False)
-        wc = np.bincount(codes, weights=tf,
-                         minlength=len(enc.dictionary)).astype(np.int64)
-        acc: dict[tuple[str, str], int] = {}
-        for w, c in zip(enc.dictionary.to_pylist(), wc.tolist()):
-            syms = list(w) + [END]
-            for a, b in zip(syms, syms[1:]):
-                acc[(a, b)] = acc.get((a, b), 0) + c
-        if not acc:
-            return _empty_pairs()
-        ls, rs = zip(*acc.keys())
-        return pa.table({"left": pa.array(ls, type=pa.string()),
-                         "right": pa.array(rs, type=pa.string()),
-                         "pair_count": pa.array(list(acc.values()),
-                                                type=pa.int64())})
-
-    rows = (ds.map_batches(_explode_term_tf, batch_format="pyarrow")
-            .map_batches(_term_part_appender(num_parts),
-                         batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(part_pairs, batch_format="pyarrow")
-            .take_all())  # ≤ parts × |alphabet|² rows
+    Shape: the distributed word count above, then the driver-side pair
+    fold over DISTINCT words weighted by their counts — the exact loop
+    :func:`_train_merges` seeds itself with, over the same
+    vocab-bounded table (the one distributed stage is shared, so the
+    two surfaces cannot diverge)."""
+    words_tbl = word_count_table(ds, num_parts=num_parts)
     acc: dict[tuple[str, str], int] = {}
-    for r in rows:
-        k = (r["left"], r["right"])
-        acc[k] = acc.get(k, 0) + r["pair_count"]
+    for w, c in zip(words_tbl["term"].to_pylist(),
+                    words_tbl["n"].to_pylist()):
+        syms = list(w) + [END]
+        for p in zip(syms, syms[1:]):
+            acc[p] = acc.get(p, 0) + c
     return _pairs_table(acc)
 
 

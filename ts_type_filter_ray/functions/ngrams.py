@@ -564,7 +564,7 @@ def textrank_keywords(ds: Dataset, k: int = 25, iters: int = 3,
     if n_nodes == 0:
         return pa.table({"term": pa.array([], type=pa.string()),
                          "textrank": pa.array([], type=pa.float64())})
-    vocab_ref = ray.put(np.asarray(terms.to_pylist(), dtype=object))
+    vocab_ref = ray.put(terms)   # Arrow array: zero-copy from plasma
 
     def explode(batch: pa.Table) -> pa.Table:
         from .dedup import _tokenize_texts_batch
@@ -576,9 +576,15 @@ def textrank_keywords(ds: Dataset, k: int = 25, iters: int = 3,
         enc = pc.dictionary_encode(flat)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        vocab = ray.get(vocab_ref)
-        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        uid = np.searchsorted(vocab, uniq)
+        # vocab is term-ascending, so index_in position == dense node id
+        uid_arr = pc.index_in(enc.dictionary,
+                              value_set=ray.get(vocab_ref))
+        if uid_arr.null_count:
+            raise ValueError(
+                "textrank_keywords: token absent from the vocabulary "
+                "pass — is the input Dataset nondeterministic across "
+                "re-executions?")
+        uid = uid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = uid[enc.indices.to_numpy(zero_copy_only=False)]
         counts = np.diff(off)
         doc_of = np.repeat(np.arange(len(counts), dtype=np.int64),
