@@ -422,12 +422,14 @@ _GATE_PRIORITY = [
     "range_filter_match", "dsir_select",
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
-    "bpe_top_pairs", "bpe_first_merge", "bpe_encode_zero", "cms_counts",
-    "textrank_keywords",
-    "deleted_match_nostem", "minshould_match", "fuzzy_match_indexed",
-    "suffix_match_indexed", "infix_match_trigram", "regex_match_trigram",
-    "pack_sequences", "boolean_expr_match", "ann_ivf_exhaustive",
-    "pq_exhaustive_refine", "knn_join_probed_exhaustive",
+    "bpe_top_pairs", "cms_counts", "textrank_keywords",
+    "deleted_match_nostem", "fuzzy_match_indexed", "boolean_expr_match",
+    "pack_sequences", "ann_ivf_exhaustive", "pq_exhaustive_refine",
+    "bpe_encode_zero", "minshould_match", "suffix_match_indexed",
+    "regex_match_trigram", "knn_join_probed_exhaustive",
+    # below here defers: machinery a higher-ranked sibling exercises
+    # (bpe_first_merge ⊂ bpe_top_pairs + argmax, infix ⊂ regex trigram)
+    "bpe_first_merge", "infix_match_trigram",
     "bm25_topk_term_routed", "ql_jm_topk_nostem", "boosted_bm25_nostem",
     "bm25f_topk_nostem", "dup_token_spans", "corpus_checksum",
     "field_stats_match", "sorted_match",
