@@ -419,7 +419,7 @@ _GATE_PRIORITY = [
     "export_postings", "index_fsck", "boolean_match_term_routed",
     "bm25_topk_nostem",
     "ql_topk_nostem",
-    "range_filter_match", "dsir_select",
+    "range_filter_match", "dsir_select", "top_orders_q3",
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
     "bpe_top_pairs", "cms_counts", "textrank_keywords",
@@ -950,6 +950,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": lambda sf:
             _rel_mod().customers_without_big_orders(sf),
         "running_totals": lambda sf: _rel_mod().running_totals(sf),
+        # TPC-H Q3 shape: the fact-fact inner equi-join (orders and
+        # lineitem co-partitioned by orderkey) + broadcast segment
+        # semijoin + per-partition top-k merge
+        "top_orders_q3": lambda sf: _rel_mod().top_orders_by_revenue(sf),
         # -- stream-shaped windowed operators over the events log --
         "tumbling_window": lambda sf: _events_mod().tumbling_window_agg(
             _events(sf), window_sec=3600),
@@ -3290,6 +3294,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_big_orders":
             _rel_mod().CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "running_totals": _rel_mod().RUNNING_TOTALS_SQL,
+        "top_orders_q3": _rel_mod().TOP_ORDERS_SQL,
         "tumbling_window": TUMBLING_HOUR_SQL,
         "hopping_window": HOPPING_SQL.format(k=4, hop_us=900 * 1_000_000),
         "value_percentiles": _events_mod().PERCENTILES_SQL,

@@ -430,3 +430,169 @@ RUNNING_TOTALS_SQL = """
                (partition by user_id order by ts, event_id
                 rows unbounded preceding)::BIGINT as running_cents
     from events"""
+
+
+# TPC-H Q3 shape: fact-fact join constants
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-07-01"
+Q3_TOPK = 10
+
+
+def top_orders_by_revenue(sf_dir: str, segment: str = Q3_SEGMENT,
+                          date: str = Q3_DATE, k: int = Q3_TOPK,
+                          num_parts: int | None = None) -> pa.Table:
+    """(o_orderkey, o_orderdate, revenue_c) — the TPC-H Q3 shape: top-*k*
+    unshipped-revenue orders for one market segment, revenue summed over
+    the order's still-to-ship lineitems. The one relational shape the
+    other operators don't cover: an INNER equi-join of TWO FACT tables
+    (orders ⋈ lineitem on orderkey — neither side broadcastable), plus a
+    broadcast semijoin for the customer-segment filter.
+
+    Distributed shape:
+    - customer is a dimension: the segment's custkeys come to the
+      driver once and broadcast via ``ray.put`` (the
+      :data:`MAX_BROADCAST_DIM_ROWS` contract); orders filter by date +
+      membership (one ``searchsorted`` per batch) at the read.
+    - the fact-fact join is the union-shuffle zip-join: filtered order
+      rows and filtered lineitem rows key by orderkey, hash-co-partition
+      (each orderkey's order row and all its lineitems land together),
+      and each partition joins + aggregates in one vectorized pass —
+      lineitems without a surviving order drop (inner semantics), per-
+      orderkey revenue sums are globally final (an orderkey lives in
+      exactly one partition).
+    - top-k: each partition emits only its k best candidates; the
+      driver merges ≤ parts·k rows with the (revenue desc, orderkey
+      asc) tie-break. Money rides as per-row half-away integer cents of
+      ``l_extendedprice·(1−l_discount)``, so the result is value-exact
+      vs the SQL oracle including the float product.
+    """
+    from .partitioning import auto_num_parts
+
+    cutoff = pa.scalar(np.datetime64(date + "T00:00:00.000000"),
+                       type=pa.timestamp("us"))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    n_cust = cust.count()
+    if n_cust > MAX_BROADCAST_DIM_ROWS:
+        raise ValueError(
+            f"customer dimension ({n_cust} rows) exceeds the broadcast "
+            f"contract ({MAX_BROADCAST_DIM_ROWS}); wire the union-"
+            "shuffle semijoin (the customers_without_big_orders shape) "
+            "for the segment filter first")
+    seg_keys = np.sort(np.concatenate([
+        b["c_custkey"].to_numpy(zero_copy_only=False)[
+            pc.equal(b["c_mktsegment"], segment).to_numpy(
+                zero_copy_only=False)]
+        for b in cust.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, dtype=np.int64)]))
+    seg_ref = ray.put(seg_keys)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount", "l_shipdate"])
+    if num_parts is None:
+        num_parts = auto_num_parts(orders.count() + items.count())
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        keys = ray.get(seg_ref)
+        if len(keys):
+            pos = np.searchsorted(keys, ck)
+            hit = (pos < len(keys)) & (keys[np.minimum(pos,
+                                                       len(keys) - 1)]
+                                       == ck)
+        else:
+            hit = np.zeros(len(ck), dtype=bool)
+        batch = batch.filter(pa.array(hit))
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(ok, type=pa.int64()),
+            "odate": batch["o_orderdate"],
+            "cents": pa.array(np.zeros(len(ok), dtype=np.int64)),
+            "is_order": pa.array(np.ones(len(ok), dtype=np.int8)),
+        })
+
+    def item_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = _half_away_cents(price * (1.0 - disc))
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(lk)
+        return pa.table({
+            "key": pa.array(lk, type=pa.int64()),
+            "odate": pa.nulls(n, type=pa.timestamp("us")),
+            "cents": pa.array(cents),
+            "is_order": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pc.cast(pc.bit_wise_and(batch["key"], num_parts - 1),
+                            pa.int32()))
+
+    def join_topk(group: pa.Table) -> pa.Table:
+        is_ord = group["is_order"].to_numpy(
+            zero_copy_only=False).astype(bool)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        ok = key[is_ord]
+        order = np.argsort(ok)
+        ok = ok[order]
+        odates = group["odate"].combine_chunks().filter(
+            pa.array(is_ord)).take(pa.array(order))
+        lk = key[~is_ord]
+        cents = group["cents"].to_numpy(zero_copy_only=False)[~is_ord]
+        pos = np.searchsorted(ok, lk)
+        hit = (pos < len(ok)) & (ok[np.minimum(pos, max(len(ok) - 1, 0))]
+                                 == lk) if len(ok) else \
+            np.zeros(len(lk), dtype=bool)
+        rev = np.bincount(pos[hit], weights=cents[hit],
+                          minlength=len(ok)).astype(np.int64)
+        nonzero = np.flatnonzero(np.bincount(
+            pos[hit], minlength=len(ok)))   # inner join: ≥1 lineitem
+        # per-partition top-k suffices: every orderkey is wholly inside
+        # one partition, so the global top-k ⊆ union of partition top-ks
+        top = nonzero[np.lexsort((ok[nonzero], -rev[nonzero]))[:k]]
+        return pa.table({
+            "o_orderkey": pa.array(ok[top], type=pa.int64()),
+            "o_orderdate": odates.take(pa.array(top)),
+            "revenue_c": pa.array(rev[top]),
+        })
+
+    stream = (orders.map_batches(order_rows, batch_format="pyarrow")
+              .union(items.map_batches(item_rows,
+                                       batch_format="pyarrow")))
+    cands = (stream.map_batches(add_part, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(join_topk, batch_format="pyarrow")
+             .take_all())   # ≤ num_parts · k candidate rows
+    if not cands:
+        return pa.table({
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "o_orderdate": pa.array([], type=pa.timestamp("us")),
+            "revenue_c": pa.array([], type=pa.int64())})
+    tbl = pa.Table.from_pylist(cands)
+    rev = tbl["revenue_c"].to_numpy(zero_copy_only=False)
+    okeys = tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((okeys, -rev))[:k]
+    return tbl.take(pa.array(top))
+
+
+TOP_ORDERS_SQL = f"""
+    select o.o_orderkey, o.o_orderdate,
+           sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    as bigint))::BIGINT as revenue_c
+    from customer c
+    join orders o on o.o_custkey = c.c_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    where c.c_mktsegment = '{Q3_SEGMENT}'
+      and o.o_orderdate < date '{Q3_DATE}'
+      and l.l_shipdate > date '{Q3_DATE}'
+    group by o.o_orderkey, o.o_orderdate
+    order by revenue_c desc, o.o_orderkey asc
+    limit {Q3_TOPK}"""
