@@ -497,10 +497,14 @@ def top_orders_by_revenue(sf_dir: str, segment: str = Q3_SEGMENT,
     if num_parts is None:
         num_parts = auto_num_parts(orders.count() + items.count())
 
+    _keys_cache: list = []
+
     def order_rows(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        keys = ray.get(seg_ref)
+        if not _keys_cache:   # one zero-copy fetch per worker process
+            _keys_cache.append(ray.get(seg_ref))
+        keys = _keys_cache[0]
         if len(keys):
             pos = np.searchsorted(keys, ck)
             hit = (pos < len(keys)) & (keys[np.minimum(pos,
