@@ -235,6 +235,15 @@ def _cross_perplexity(sf_dir: str):
                                  num_parts=auto_num_parts(docs))
 
 
+def _stupid_backoff(sf_dir: str):
+    from ts_type_filter_ray.functions.lm import stupid_backoff_scores
+    from ts_type_filter_ray.functions.partitioning import auto_num_parts
+    docs = _docs(sf_dir)
+    return stupid_backoff_scores(_lang_slice(docs, False), backoff=0.4,
+                                 train=_lang_slice(docs, True),
+                                 num_parts=auto_num_parts(docs))
+
+
 def _dsir_select(sf_dir: str):
     from ts_type_filter_ray.functions.lm import dsir_select
     docs = _docs(sf_dir)
@@ -408,7 +417,8 @@ _GATE_PRIORITY = [
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
-    "cross_perplexity", "dsir_weights", "perplexity_buckets",
+    "cross_perplexity", "stupid_backoff", "dsir_weights",
+    "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_diff",
@@ -486,6 +496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # train bigrams union-tagged into the same count-attach
         # exchanges, unseen bigrams smoothed to alpha/(alpha*V)
         "cross_perplexity": _cross_perplexity,
+        # Stupid Backoff (Brants 2007): the canonically distributed LM
+        # smoothing — cross mode so the backoff path genuinely fires
+        "stupid_backoff": _stupid_backoff,
         # CCNet's final step: head/middle/tail perplexity terciles —
         # exact percentile_disc cutoffs (actual data elements, so the
         # <= labeling is float-exact) over the materialized O(n_docs)
@@ -3578,6 +3591,48 @@ def oracle_sql() -> dict[str, str]:
           from lp group by doc_id)
         select doc_id, n_bigrams, neg_logprob,
                exp(neg_logprob / n_bigrams::DOUBLE) as perplexity
+        from agg"""
+    out["stupid_backoff"] = r"""
+        with tbase as (
+          select regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> '' and lang = 'en'),
+        tok as (select unnest(arr) as term from tbase),
+        v as (select count(distinct term) as v from tok),
+        nn as (select count(*) as n from tok),
+        c1u as (select term, count(*) as c from tok group by term),
+        tbg as (
+          select arr[p] as w1, arr[p+1] as w2
+          from (select arr, unnest(range(1, len(arr)))::INT as p
+                from tbase where len(arr) >= 2)),
+        c12 as (select w1, w2, count(*) as c from tbg group by 1, 2),
+        sbase as (
+          select doc_id,
+                 regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> '' and lang <> 'en'),
+        sbg as (
+          select doc_id, p as pos, arr[p] as w1, arr[p+1] as w2
+          from (select doc_id, arr, unnest(range(1, len(arr)))::INT as p
+                from sbase where len(arr) >= 2)),
+        lp as (
+          select b.doc_id, b.pos,
+                 case when c12.c is not null
+                      then ln(c12.c::DOUBLE) - ln(u1.c::DOUBLE)
+                      else ln(0.4::DOUBLE)
+                           + ln((coalesce(u2.c, 0) + 1)::DOUBLE)
+                           - ln(((select n from nn)
+                                 + (select v from v))::DOUBLE)
+                 end as lp
+          from sbg b
+          left join c12 on b.w1 = c12.w1 and b.w2 = c12.w2
+          left join c1u u1 on b.w1 = u1.term
+          left join c1u u2 on b.w2 = u2.term),
+        agg as (
+          select doc_id, count(*)::BIGINT as n_bigrams,
+                 -list_aggregate(list(lp order by pos), 'sum')
+                     as neg_logscore
+          from lp group by doc_id)
+        select doc_id, n_bigrams, neg_logscore,
+               exp(neg_logscore / n_bigrams::DOUBLE) as sb_perplexity
         from agg"""
     # CCNet terciles over the self-trained bigram perplexity table —
     # identical p literals to the engine's ps=(1/3, 2/3); tercile rank

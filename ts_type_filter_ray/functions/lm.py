@@ -56,7 +56,7 @@ from .textstats import _tokens
 
 __all__ = ["bigram_logprob_scores", "distinct_token_count",
            "dsir_importance_weights", "perplexity_buckets",
-           "dsir_select"]
+           "dsir_select", "stupid_backoff_scores"]
 
 
 def distinct_token_count(ds: Dataset, num_parts: int = 64) -> int:
@@ -542,3 +542,226 @@ def dsir_select(ds: Dataset, target: Dataset, k: int = 100,
 
     cand = scored.map_batches(partial, batch_format="pyarrow")
     return ranked_topk_table(cand, k, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff (Brants et al., EMNLP 2007, "Large Language Models in
+# Machine Translation") — the canonically DISTRIBUTED LM smoothing:
+# invented at Google precisely because properly-normalized smoothing
+# (Kneser-Ney) doesn't decompose into MapReduce count passes. Score of
+# a bigram: S(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen in
+# train, else 0.4 · base(w2) — no normalization, raw count ratios. The
+# base case here is add-one smoothed, base(w2) = (c(w2)+1)/(N+V), so an
+# out-of-train w2 stays finite (Brants assumes a closed vocabulary; the
+# +1/(N+V) guard is this module's documented deterministic OOV rule).
+# Denominator c(w1) is the UNIGRAM count (not the history count the
+# add-alpha model uses), per the paper.
+# ---------------------------------------------------------------------------
+
+
+def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
+                          num_parts: int | None = None,
+                          train: Dataset | None = None) -> Dataset:
+    """(doc_id, n_bigrams, neg_logscore, sb_perplexity) for every doc
+    with ≥ 2 tokens: negated position-ordered left-fold of
+    ``ln S(w2|w1)`` under Stupid Backoff counts from *train* (default:
+    self-trained on *ds* — then every scored bigram was seen and the
+    backoff path never fires; cross mode is where it earns its name).
+    Value-exact: integer log arguments throughout (libm ``ln``), the
+    ``backoff`` literal shared with the oracle, strict per-doc fold.
+
+    Distributed shape — three coarse exchanges, fixed-width hash rows
+    only: (1) bigrams key by the w1 token hash, train-unigram rows key
+    by their token hash, so one partition attaches both ``c12`` and the
+    unigram ``c(w1)``; (2) surviving score rows re-key by w2's hash to
+    meet a second copy of the train-unigram stream for ``c(w2)``;
+    (3) the doc-hash fold. N and V are one tiny count pass each."""
+    from .partitioning import auto_num_parts
+    from ..text.hashvec import md5_lower64_strings
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+    cross = train is not None
+    src_corpus = train if cross else ds
+    v_total = distinct_token_count(src_corpus,
+                                   num_parts=min(num_parts, 64))
+    if v_total == 0:
+        raise ValueError("train corpus has no tokens — cannot train a "
+                         "stupid-backoff LM on it")
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        n_tok, _, _ = _tokens(batch)
+        return pa.table({"n": pa.array(
+            [int(np.sum(n_tok.to_numpy(zero_copy_only=False)))],
+            type=pa.int64())})
+
+    n_total = sum(r["n"] for r in src_corpus.map_batches(
+        tok_partial, batch_format="pyarrow").take_all())
+    log_backoff = math.log(backoff)
+    log_nv = math.log(n_total + v_total)
+
+    def _empty_a() -> pa.Table:
+        z64 = pa.array([], type=pa.int64())
+        zu = pa.array([], type=pa.uint64())
+        return pa.table({"doc_id": z64, "pos": z64, "h1": zu,
+                         "h12": zu, "h2": zu,
+                         "hpart": pa.array([], type=pa.int32()),
+                         "src": pa.array([], type=pa.int8())})
+
+    def _tok_hashes(batch: pa.Table):
+        n_tok, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return None
+        flat = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tokh = md5_lower64_strings(enc.dictionary)
+        hpos = tokh[enc.indices.to_numpy(zero_copy_only=False)]
+        return n_tok, hpos, parents.to_numpy(zero_copy_only=False)
+
+    def explode_bigrams(batch: pa.Table, src_tag: int) -> pa.Table:
+        got = _tok_hashes(batch)
+        if got is None:
+            return _empty_a()
+        n_tok, hpos, par = got
+        same = par[1:] == par[:-1]
+        idx = np.nonzero(same)[0]
+        if idx.size == 0:
+            return _empty_a()
+        h1 = hpos[idx]
+        h2 = hpos[idx + 1]
+        h12 = _combine_hash(h1, h2)
+        ntk = n_tok.to_numpy(zero_copy_only=False)
+        starts = np.zeros(batch.num_rows, dtype=np.int64)
+        starts[1:] = np.cumsum(ntk[:-1])
+        owners = par[idx]
+        pos = idx - starts[owners] + 1
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)[owners]
+        return pa.table({
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "h1": pa.array(h1), "h12": pa.array(h12),
+            "h2": pa.array(h2),
+            "hpart": pa.array((h1 % num_parts).astype(np.int32)),
+            "src": pa.array(np.full(len(dids), src_tag, dtype=np.int8)),
+        })
+
+    def explode_unigrams(batch: pa.Table) -> pa.Table:
+        got = _tok_hashes(batch)
+        if got is None:
+            return _empty_a()
+        _, hpos, _ = got
+        n = len(hpos)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(z), "pos": pa.array(z),
+            "h1": pa.array(hpos),
+            "h12": pa.array(np.zeros(n, dtype=np.uint64)),
+            "h2": pa.array(np.zeros(n, dtype=np.uint64)),
+            "hpart": pa.array((hpos % num_parts).astype(np.int32)),
+            "src": pa.array(np.full(n, 2, dtype=np.int8)),
+        })
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        # src 0 = train bigram, 1 = score bigram, 2 = train unigram;
+        # this partition holds every train copy of its w1 tokens (as
+        # unigrams) and of their bigrams
+        src = group["src"].to_numpy(zero_copy_only=False)
+        h12 = group["h12"].to_numpy(zero_copy_only=False)
+        h1 = group["h1"].to_numpy(zero_copy_only=False)
+        _, inv12 = np.unique(h12, return_inverse=True)
+        c12 = np.bincount(inv12[src == 0],
+                          minlength=int(inv12.max()) + 1)
+        _, inv1 = np.unique(h1, return_inverse=True)
+        c1u = np.bincount(inv1[src == 2],
+                          minlength=int(inv1.max()) + 1)
+        keep = np.flatnonzero(src == 1)
+        h2 = group["h2"].to_numpy(zero_copy_only=False)[keep]
+        kidx = pa.array(keep)
+        return pa.table({
+            "doc_id": group["doc_id"].take(kidx),
+            "pos": group["pos"].take(kidx),
+            "h2": pa.array(h2),
+            "c12": pa.array(c12[inv12[keep]].astype(np.int64)),
+            "c1u": pa.array(c1u[inv1[keep]].astype(np.int64)),
+            "bpart": pa.array((h2 % num_parts).astype(np.int32)),
+            "src": pa.array(np.ones(len(keep), dtype=np.int8)),
+        })
+
+    def unigrams_for_b(batch: pa.Table) -> pa.Table:
+        got = _tok_hashes(batch)
+        n = 0 if got is None else len(got[1])
+        hpos = got[1] if got is not None else np.empty(0, np.uint64)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(z), "pos": pa.array(z),
+            "h2": pa.array(hpos),
+            "c12": pa.array(z), "c1u": pa.array(z),
+            "bpart": pa.array((hpos % num_parts).astype(np.int32)),
+            "src": pa.array(np.full(n, 2, dtype=np.int8)),
+        })
+
+    def attach_b(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        h2 = group["h2"].to_numpy(zero_copy_only=False)
+        _, inv2 = np.unique(h2, return_inverse=True)
+        c2u = np.bincount(inv2[src == 2],
+                          minlength=int(inv2.max()) + 1)
+        keep = np.flatnonzero(src == 1)
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        kidx = pa.array(keep)
+        return pa.table({
+            "doc_id": group["doc_id"].take(kidx),
+            "pos": group["pos"].take(kidx),
+            "c12": group["c12"].take(kidx),
+            "c1u": group["c1u"].take(kidx),
+            "c2u": pa.array(c2u[inv2[keep]].astype(np.int64)),
+            "dpart": pa.array((dids % num_parts).astype(np.int32)),
+        })
+
+    def fold_docs(group: pa.Table) -> pa.Table:
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        c12 = group["c12"].to_numpy(zero_copy_only=False)
+        c1u = group["c1u"].to_numpy(zero_copy_only=False)
+        c2u = group["c2u"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, dids))
+        dids, c12, c1u, c2u = (dids[order], c12[order], c1u[order],
+                               c2u[order])
+        seen = c12 > 0
+        lp = np.empty(len(dids), dtype=np.float64)
+        lp[seen] = _log_int(c12[seen]) - _log_int(c1u[seen])
+        lp[~seen] = (log_backoff + _log_int(c2u[~seen] + 1)) - log_nv
+        bounds = np.flatnonzero(dids[1:] != dids[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(dids)]))
+        neg = np.empty(len(starts), dtype=np.float64)
+        ppl = np.empty(len(starts), dtype=np.float64)
+        n = (ends - starts).astype(np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            neg[i] = -np.add.accumulate(lp[s:e])[-1]
+            ppl[i] = math.exp(neg[i] / (e - s))
+        return pa.table({
+            "doc_id": pa.array(dids[starts], type=pa.int64()),
+            "n_bigrams": pa.array(n),
+            "neg_logscore": pa.array(neg),
+            "sb_perplexity": pa.array(ppl),
+        })
+
+    score_stream = ds.map_batches(
+        lambda b: explode_bigrams(b, 1), batch_format="pyarrow")
+    train_bg = src_corpus.map_batches(
+        lambda b: explode_bigrams(b, 0), batch_format="pyarrow")
+    train_ug_a = src_corpus.map_batches(explode_unigrams,
+                                        batch_format="pyarrow")
+    stage_a = (score_stream.union(train_bg).union(train_ug_a)
+               .groupby("hpart")
+               .map_groups(attach_a, batch_format="pyarrow"))
+    train_ug_b = src_corpus.map_batches(unigrams_for_b,
+                                        batch_format="pyarrow")
+    return (stage_a.union(train_ug_b)
+            .groupby("bpart")
+            .map_groups(attach_b, batch_format="pyarrow")
+            .groupby("dpart")
+            .map_groups(fold_docs, batch_format="pyarrow"))
