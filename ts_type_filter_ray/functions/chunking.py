@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from .dedup import join_lists
 from .textstats import _tokens
 
 
@@ -65,7 +66,7 @@ def chunk_documents(ds: Dataset, chunk_len: int = 128) -> Dataset:
             "doc_id": pa.array(np.repeat(dids, rep), type=pa.int64()),
             "chunk_id": pa.array(j),
             "n_tokens": pa.array(chunk_end - chunk_start),
-            "chunk_text": pc.binary_join(lists, " "),
+            "chunk_text": join_lists(lists, " "),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -118,6 +118,15 @@ def _tokenize_texts_batch(texts) -> tuple[pa.Array, np.ndarray]:
     return flat, offsets
 
 
+def join_lists(lst, sep: str) -> pa.Array:
+    """``pc.binary_join`` with the separator typed to the list's VALUE
+    type — the kernel has no (list<large_string>, string) overload, so
+    an untyped separator works on the sf corpora (string) and crashes
+    on large_string ones (the bench corpus)."""
+    t = lst.type.value_type
+    return pc.binary_join(lst, pa.scalar(sep, type=t))
+
+
 def _hash_tokens_flat(flat: pa.Array) -> np.ndarray:
     """Per-token Mersenne-61 hashes for a flat token array: dictionary-
     encode, blake2b ONLY the unique tokens (cached across batches in the

@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from .dedup import join_lists
 from .partitioning import auto_num_parts
 
 
@@ -129,7 +130,7 @@ def dedup_lines(ds: Dataset, min_chars: int = 1,
                 .groupby("part").map_groups(scan, batch_format="pyarrow")
                 .map_batches(lambda b: b.append_column(
                     "text", pa.array([None] * b.num_rows,
-                                     type=pa.string())),
+                                     type=pa.large_string())),
                     batch_format="pyarrow"))
 
     def doc_rows(batch: pa.Table) -> pa.Table:
@@ -139,7 +140,7 @@ def dedup_lines(ds: Dataset, min_chars: int = 1,
             "dpart": pa.array((did % num_parts).astype(np.int32)),
             "doc_id": pa.array(did, type=pa.int64()),
             "idx": pa.array(np.full(n, -1, dtype=np.int64)),
-            "text": batch["text"],
+            "text": pc.cast(batch["text"], pa.large_string()),
         })
 
     def rebuild(group: pa.Table) -> pa.Table:
@@ -173,7 +174,7 @@ def dedup_lines(ds: Dataset, min_chars: int = 1,
             kept_flat)
         return pa.table({
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "text": pc.binary_join(lst, "\n"),
+            "text": join_lists(lst, "\n"),
             "n_lines": pa.array(counts),
             "n_removed": pa.array(removed_per_doc),
         })

@@ -469,7 +469,8 @@ def strip_dup_spans(ds: Dataset, shingle_k: int = 5,
         num_parts = auto_num_parts(ds)
     starts = _dup_span_starts(ds, shingle_k, num_parts).map_batches(
         lambda b: b.append_column(
-            "text", pa.array([None] * b.num_rows, type=pa.string())),
+            "text", pa.array([None] * b.num_rows,
+                             type=pa.large_string())),
         batch_format="pyarrow")
 
     def doc_rows(batch: pa.Table) -> pa.Table:
@@ -480,7 +481,7 @@ def strip_dup_spans(ds: Dataset, shingle_k: int = 5,
             "doc_id": pa.array(did, type=pa.int64()),
             "pos": pa.array(np.full(n, -1, dtype=np.int32)),
             "n_tok": pa.array(np.zeros(n, dtype=np.int32)),
-            "text": batch["text"],
+            "text": pc.cast(batch["text"], pa.large_string()),
         })
 
     def rebuild(group: pa.Table) -> pa.Table:
@@ -520,7 +521,8 @@ def strip_dup_spans(ds: Dataset, shingle_k: int = 5,
         np.cumsum(kept_counts, out=kept_off[1:])
         lst = pa.ListArray.from_arrays(
             pa.array(kept_off.astype(np.int32), type=pa.int32()), kept_flat)
-        joined = pc.binary_join(lst, " ")
+        from .dedup import join_lists
+        joined = join_lists(lst, " ")
         return pa.table({
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "text": joined,
