@@ -127,6 +127,28 @@ def join_lists(lst, sep: str) -> pa.Array:
     return pc.binary_join(lst, pa.scalar(sep, type=t))
 
 
+def join_elementwise(*parts) -> pa.Array:
+    """``pc.binary_join_element_wise`` with every operand (including
+    the trailing separator) promoted to one common string type — the
+    kernel refuses MIXED string/large_string inputs, so any concat that
+    touches a corpus text column must normalize first. Python ``str``
+    operands become typed scalars."""
+    big = any(getattr(p, "type", None) in (pa.large_string(),)
+              for p in parts)
+    t = pa.large_string() if big else pa.string()
+
+    def conv(p):
+        if isinstance(p, str):
+            return pa.scalar(p, type=t)
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        if isinstance(p, (pa.Array, pa.Scalar)) and p.type != t:
+            return p.cast(t)
+        return p
+
+    return pc.binary_join_element_wise(*(conv(p) for p in parts))
+
+
 def _hash_tokens_flat(flat: pa.Array) -> np.ndarray:
     """Per-token Mersenne-61 hashes for a flat token array: dictionary-
     encode, blake2b ONLY the unique tokens (cached across batches in the

@@ -348,7 +348,8 @@ def _feature_stream(batch: pa.Table, dim: np.uint64):
     same = par[1:] == par[:-1]
     idx = np.nonzero(same)[0]
     if idx.size:
-        key = pc.binary_join_element_wise(
+        from .dedup import join_elementwise
+        key = join_elementwise(
             flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)), "\x1f")
         benc = pc.dictionary_encode(key)
         if isinstance(benc, pa.ChunkedArray):

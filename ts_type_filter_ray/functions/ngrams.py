@@ -54,7 +54,8 @@ def ngram_counts(ds: Dataset, n: int = 2, k: int = 25) -> Dataset:
         if not live.any():
             return empty
         pieces = [flat.slice(j, m) for j in range(n)]
-        grams = pc.binary_join_element_wise(*pieces, " ")
+        from .dedup import join_elementwise
+        grams = join_elementwise(*pieces, " ")
         grams = grams.filter(pa.array(live))
         vc = grams.value_counts()
         return pa.table({"ngram": vc.field("values"),
@@ -83,9 +84,8 @@ def phrase_match(ds: Dataset, phrases: list[str]) -> Dataset:
         hay = pc.replace_substring_regex(
             pc.utf8_lower(pc.utf8_trim_whitespace(batch["text"])),
             pattern=r"\s+", replacement=" ")
-        hay = pc.binary_join_element_wise(
-            pa.array([" "] * batch.num_rows), hay,
-            pa.array([" "] * batch.num_rows), "")
+        from .dedup import join_elementwise
+        hay = join_elementwise(" ", hay, " ", "")
         idx_out, ids_out = [], []
         ids = batch["doc_id"]
         for i, p in enumerate(norm_phrases):

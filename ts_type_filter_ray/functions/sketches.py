@@ -501,7 +501,8 @@ def _cms_row_hashes(terms, depth: int, width: int) -> np.ndarray:
         list(terms), type=pa.string())
     out = np.empty((depth, len(arr)), dtype=np.int64)
     for d in range(depth):
-        suff = pc.binary_join_element_wise(arr, str(d), ":")
+        from .dedup import join_elementwise
+        suff = join_elementwise(arr, str(d), ":")
         out[d] = (md5_lower64_strings(suff)
                   % np.uint64(width)).astype(np.int64)
     return out

@@ -29,7 +29,8 @@ def _row_hashes(batch: pa.Table) -> np.ndarray:
     text)``."""
     from ..text.hashvec import md5_lower64_strings
     ids = pc.cast(batch["doc_id"], pa.string())
-    combined = pc.binary_join_element_wise(ids, batch["text"], ":")
+    from .dedup import join_elementwise
+    combined = join_elementwise(ids, batch["text"], ":")
     # ':' lands BETWEEN the joined strings (it is the separator); the
     # argument order above yields id:text
     return md5_lower64_strings(combined)

@@ -845,7 +845,9 @@ def metadata_index_for(sf_dir: str, force: bool = False) -> BuiltIndex:
                 raise ValueError(
                     f"metadata column {name!r} contains whitespace in "
                     "some values — facet tokens must be whitespace-free")
-        content = pc.binary_join_element_wise(
+        from ts_type_filter_ray.functions.dedup import \
+            join_elementwise
+        content = join_elementwise(
             "lang:", lang, " source:", source, "")
         return pa.table({
             "doc_id": batch["doc_id"],
