@@ -103,7 +103,9 @@ def _tokenize_texts_batch(texts) -> tuple[pa.Array, np.ndarray]:
     tokens)."""
     col = texts if isinstance(texts, pa.ChunkedArray) else (
         pa.chunked_array([texts]))
-    trimmed = pc.utf8_trim_whitespace(col)
+    # null text ≡ blank — a null list_value_length otherwise poisons
+    # the offsets with NaN-cast garbage
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
     toks = pc.utf8_split_whitespace(trimmed)
     counts = pc.list_value_length(toks).to_numpy(
         zero_copy_only=False).astype(np.int64)

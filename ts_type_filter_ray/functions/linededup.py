@@ -47,7 +47,8 @@ def _split_lines(texts) -> tuple[pa.Array, np.ndarray]:
     ``str.split('\\n')`` semantics: an empty text is one empty line."""
     col = texts if isinstance(texts, pa.ChunkedArray) else (
         pa.chunked_array([texts]))
-    lines = pc.split_pattern(col, pattern="\n")
+    # null text ≡ '' (one blank line) — null counts poison the offsets
+    lines = pc.split_pattern(pc.fill_null(col, ""), pattern="\n")
     counts = pc.list_value_length(lines).to_numpy(
         zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(lines).combine_chunks()

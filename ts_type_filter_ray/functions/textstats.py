@@ -37,7 +37,10 @@ def _tokens(batch: pa.Table):
     (``inverted_index.py:33``, ``''.strip().split() == []``) and the SQL
     oracles treat blank docs as 0 tokens, so mask those rows out here.
     """
-    trimmed = pc.utf8_trim_whitespace(batch["text"])
+    # null text ≡ blank (SQL's trim(NULL) <> '' filters it the same
+    # way); without the fill, list_value_length(null) poisons offsets
+    trimmed = pc.utf8_trim_whitespace(
+        pc.fill_null(batch["text"], ""))
     toks = pc.utf8_split_whitespace(trimmed)
     n_tok = pc.cast(pc.list_value_length(toks), pa.int64())
     flat = pc.list_flatten(toks)
