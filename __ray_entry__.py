@@ -2507,8 +2507,11 @@ def oracle_sql() -> dict[str, str]:
               select a as src, b as dst from big
               union all
               select b as src, a as dst from big),
-            od as (select src, count(*)::BIGINT as deg
-                   from edges group by src),
+            wedges as (
+              select src, dst, count(*)::BIGINT as w
+              from edges group by 1, 2),
+            od as (select src, sum(w)::BIGINT as deg
+                   from wedges group by src),
             r0 as (select term as node, 1.0::DOUBLE as r from vocab)"""
             + "".join(f""",
             r{i} as (
@@ -2519,10 +2522,10 @@ def oracle_sql() -> dict[str, str]:
               from vocab v
               left join (
                 select e.dst as node,
-                       list_aggregate(list(rp.r / od.deg
+                       list_aggregate(list((rp.r / od.deg) * e.w
                                            order by e.src asc),
                                       'sum') as s
-                from edges e
+                from wedges e
                 join r{i - 1} rp on rp.node = e.src
                 join od on od.src = e.src
                 group by e.dst) agg on agg.node = v.term)"""

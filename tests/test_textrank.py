@@ -10,33 +10,34 @@ from ts_type_filter_ray.functions.ngrams import textrank_keywords
 
 
 def ref_textrank(texts, iters=3, d=0.85):
-    """Flat-teleport TextRank with the engine's fold order: per-dst
-    contributions summed in ascending-src order."""
+    """Flat-teleport WEIGHTED TextRank with the engine's fold order:
+    one row per distinct ordered pair, contribution (r/deg)·w, per-dst
+    sums in ascending-src order."""
     toks = [t.strip().lower().split() for t in texts]
     vocab = sorted({w for ts in toks for w in ts})
     idx = {w: i for i, w in enumerate(vocab)}
-    edges = []
+    w = defaultdict(int)
     for ts in toks:
         for a, b in zip(ts, ts[1:]):
             if a != b:
-                edges.append((idx[a], idx[b]))
-                edges.append((idx[b], idx[a]))
-    deg = [0.0] * len(vocab)
-    for s, _ in edges:
-        deg[s] += 1.0
+                w[(idx[a], idx[b])] += 1
+                w[(idx[b], idx[a])] += 1
+    deg = [0] * len(vocab)
+    for (s, _), c in w.items():
+        deg[s] += c
     r = [1.0] * len(vocab)
     for _ in range(iters):
         by_dst = defaultdict(list)
-        for s, t in edges:
+        for s, t in w:
             by_dst[t].append(s)
         nxt = [0.0] * len(vocab)
         for t, srcs in by_dst.items():
             tot = 0.0
             for s in sorted(srcs):
-                tot += r[s] / deg[s]
+                tot += (r[s] / deg[s]) * w[(s, t)]
             nxt[t] = tot
         r = [(1.0 - d) + d * x for x in nxt]
-    return {w: r[i] for w, i in idx.items()}
+    return {wd: r[i] for wd, i in idx.items()}
 
 
 def _run(texts, k, **kw):

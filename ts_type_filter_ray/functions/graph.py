@@ -224,6 +224,7 @@ def cluster_canonicals(clusters: Dataset, scores: Dataset,
 def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
              damping: float = 0.85, src_col: str = "src",
              dst_col: str = "dst", flat_teleport: bool = False,
+             weight_col: str | None = None,
              num_parts: int | None = None) -> pa.Table:
     """PageRank over a directed edge Dataset with DENSE node ids
     ``0..num_nodes-1`` → (node, pagerank) Arrow table, node-ascending.
@@ -236,7 +237,10 @@ def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
     in-edges sit at ``(1-d)/N``. With ``flat_teleport=True`` the
     TextRank convention (Mihalcea & Tarau 2004) applies instead:
     initial rank 1 and teleport ``(1-d)`` — scores sit near 1 rather
-    than summing to 1.
+    than summing to 1. With ``weight_col`` the edges carry integer
+    multiplicities: out-degree becomes the weight sum and each edge
+    contributes ``(r/deg)·w`` — value-identical to repeating the edge
+    ``w`` times but scanned once (the weighted-multigraph collapse).
 
     Distributed shape per iteration: the rank VECTOR (8 bytes/node) is
     broadcast via ``ray.put``; one ``map_batches`` pass over the edges
@@ -259,7 +263,13 @@ def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
     # out-degree vector: one distributed partial-count pass
     def deg_partial(batch: pa.Table) -> pa.Table:
         s = batch[src_col].to_numpy(zero_copy_only=False)
-        u, c = np.unique(s, return_counts=True)
+        if weight_col is None:
+            u, c = np.unique(s, return_counts=True)
+        else:
+            w = batch[weight_col].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(s, return_inverse=True)
+            c = np.bincount(inv, weights=w,
+                            minlength=len(u)).astype(np.int64)
         return pa.table({"node": pa.array(u, type=pa.int64()),
                          "n": pa.array(c.astype(np.int64))})
 
@@ -284,11 +294,16 @@ def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
         od = ray.get(outdeg_ref)
         s = batch[src_col].to_numpy(zero_copy_only=False)
         d = batch[dst_col].to_numpy(zero_copy_only=False)
+        if weight_col is None:
+            c = r[s] / od[s]
+        else:
+            w = batch[weight_col].to_numpy(zero_copy_only=False)
+            c = (r[s] / od[s]) * w
         return pa.table({
             "part": pa.array((d % num_parts).astype(np.int32)),
             "dst": pa.array(d.astype(np.int64)),
             "src": pa.array(s.astype(np.int64)),
-            "contrib": pa.array(r[s] / od[s]),
+            "contrib": pa.array(c),
         })
 
     def fold(group: pa.Table) -> pa.Table:

@@ -572,11 +572,14 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
     ``backoff`` literal shared with the oracle, strict per-doc fold.
 
     Distributed shape — three coarse exchanges, fixed-width hash rows
-    only: (1) bigrams key by the w1 token hash, train-unigram rows key
-    by their token hash, so one partition attaches both ``c12`` and the
-    unigram ``c(w1)``; (2) surviving score rows re-key by w2's hash to
-    meet a second copy of the train-unigram stream for ``c(w2)``;
-    (3) the doc-hash fold. N and V are one tiny count pass each."""
+    only: (1) score bigrams key by the w1 token hash and meet the
+    train-side counts there; (2) surviving score rows re-key by w2's
+    hash for ``c(w2)``; (3) the doc-hash fold. All TRAIN-side streams
+    ship as per-batch COUNT PARTIALS (unique hash + cnt — vocabulary-
+    bounded per batch), never per-occurrence rows; in self mode the
+    score rows themselves are the bigram counts (the one-exchange
+    bigram-LM trick), so only the score stream ever crosses at
+    occurrence granularity. N and V are one tiny count pass each."""
     from .partitioning import auto_num_parts
     from ..text.hashvec import md5_lower64_strings
 
@@ -607,7 +610,8 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
         return pa.table({"doc_id": z64, "pos": z64, "h1": zu,
                          "h12": zu, "h2": zu,
                          "hpart": pa.array([], type=pa.int32()),
-                         "src": pa.array([], type=pa.int8())})
+                         "src": pa.array([], type=pa.int8()),
+                         "cnt": z64})
 
     def _tok_hashes(batch: pa.Table):
         n_tok, flat, parents = _tokens(batch)
@@ -646,37 +650,73 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
             "h2": pa.array(h2),
             "hpart": pa.array((h1 % num_parts).astype(np.int32)),
             "src": pa.array(np.full(len(dids), src_tag, dtype=np.int8)),
+            "cnt": pa.array(np.ones(len(dids), dtype=np.int64)),
+        })
+
+    def explode_train_bigrams(batch: pa.Table) -> pa.Table:
+        # per-batch COUNT partials: one row per batch-unique bigram
+        got = _tok_hashes(batch)
+        if got is None:
+            return _empty_a()
+        _, hpos, par = got
+        same = par[1:] == par[:-1]
+        idx = np.nonzero(same)[0]
+        if idx.size == 0:
+            return _empty_a()
+        h1 = hpos[idx]
+        h12 = _combine_hash(h1, hpos[idx + 1])
+        uniq12, first, cnt = np.unique(h12, return_index=True,
+                                       return_counts=True)
+        h1u = h1[first]
+        n = len(uniq12)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(z), "pos": pa.array(z),
+            "h1": pa.array(h1u), "h12": pa.array(uniq12),
+            "h2": pa.array(np.zeros(n, dtype=np.uint64)),
+            "hpart": pa.array((h1u % num_parts).astype(np.int32)),
+            "src": pa.array(np.zeros(n, dtype=np.int8)),
+            "cnt": pa.array(cnt.astype(np.int64)),
         })
 
     def explode_unigrams(batch: pa.Table) -> pa.Table:
+        # per-batch COUNT partials: one row per batch-unique token
         got = _tok_hashes(batch)
         if got is None:
             return _empty_a()
         _, hpos, _ = got
-        n = len(hpos)
+        uniq, cnt = np.unique(hpos, return_counts=True)
+        n = len(uniq)
         z = np.zeros(n, dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(z), "pos": pa.array(z),
-            "h1": pa.array(hpos),
+            "h1": pa.array(uniq),
             "h12": pa.array(np.zeros(n, dtype=np.uint64)),
             "h2": pa.array(np.zeros(n, dtype=np.uint64)),
-            "hpart": pa.array((hpos % num_parts).astype(np.int32)),
+            "hpart": pa.array((uniq % num_parts).astype(np.int32)),
             "src": pa.array(np.full(n, 2, dtype=np.int8)),
+            "cnt": pa.array(cnt.astype(np.int64)),
         })
 
+    count_src = 0 if cross else 1   # self mode: the score rows ARE
+                                    # the train bigram occurrences
+
     def attach_a(group: pa.Table) -> pa.Table:
-        # src 0 = train bigram, 1 = score bigram, 2 = train unigram;
-        # this partition holds every train copy of its w1 tokens (as
-        # unigrams) and of their bigrams
+        # src 0 = train bigram count partial, 1 = score bigram
+        # occurrence, 2 = train unigram count partial; this partition
+        # holds every train-side copy of its w1 tokens and bigrams
         src = group["src"].to_numpy(zero_copy_only=False)
         h12 = group["h12"].to_numpy(zero_copy_only=False)
         h1 = group["h1"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
         _, inv12 = np.unique(h12, return_inverse=True)
-        c12 = np.bincount(inv12[src == 0],
-                          minlength=int(inv12.max()) + 1)
+        m12 = src == count_src
+        c12 = np.bincount(inv12[m12], weights=cnt[m12],
+                          minlength=int(inv12.max()) + 1).astype(np.int64)
         _, inv1 = np.unique(h1, return_inverse=True)
-        c1u = np.bincount(inv1[src == 2],
-                          minlength=int(inv1.max()) + 1)
+        m1 = src == 2
+        c1u = np.bincount(inv1[m1], weights=cnt[m1],
+                          minlength=int(inv1.max()) + 1).astype(np.int64)
         keep = np.flatnonzero(src == 1)
         h2 = group["h2"].to_numpy(zero_copy_only=False)[keep]
         kidx = pa.array(keep)
@@ -684,22 +724,24 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
             "doc_id": group["doc_id"].take(kidx),
             "pos": group["pos"].take(kidx),
             "h2": pa.array(h2),
-            "c12": pa.array(c12[inv12[keep]].astype(np.int64)),
-            "c1u": pa.array(c1u[inv1[keep]].astype(np.int64)),
+            "c12": pa.array(c12[inv12[keep]]),
+            "c1u": pa.array(c1u[inv1[keep]]),
             "bpart": pa.array((h2 % num_parts).astype(np.int32)),
             "src": pa.array(np.ones(len(keep), dtype=np.int8)),
         })
 
     def unigrams_for_b(batch: pa.Table) -> pa.Table:
+        # second copy of the unigram count partials, keyed for stage B
         got = _tok_hashes(batch)
-        n = 0 if got is None else len(got[1])
         hpos = got[1] if got is not None else np.empty(0, np.uint64)
+        uniq, cnt = np.unique(hpos, return_counts=True)
+        n = len(uniq)
         z = np.zeros(n, dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(z), "pos": pa.array(z),
-            "h2": pa.array(hpos),
-            "c12": pa.array(z), "c1u": pa.array(z),
-            "bpart": pa.array((hpos % num_parts).astype(np.int32)),
+            "h2": pa.array(uniq),
+            "c12": pa.array(z), "c1u": pa.array(cnt.astype(np.int64)),
+            "bpart": pa.array((uniq % num_parts).astype(np.int32)),
             "src": pa.array(np.full(n, 2, dtype=np.int8)),
         })
 
@@ -707,8 +749,12 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
         src = group["src"].to_numpy(zero_copy_only=False)
         h2 = group["h2"].to_numpy(zero_copy_only=False)
         _, inv2 = np.unique(h2, return_inverse=True)
-        c2u = np.bincount(inv2[src == 2],
-                          minlength=int(inv2.max()) + 1)
+        m2 = src == 2
+        # unigram partials ride their count in the (otherwise unused
+        # for src-2 rows) c1u column
+        w2 = group["c1u"].to_numpy(zero_copy_only=False)
+        c2u = np.bincount(inv2[m2], weights=w2[m2],
+                          minlength=int(inv2.max()) + 1).astype(np.int64)
         keep = np.flatnonzero(src == 1)
         dids = group["doc_id"].to_numpy(zero_copy_only=False)[keep]
         kidx = pa.array(keep)
@@ -717,7 +763,7 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
             "pos": group["pos"].take(kidx),
             "c12": group["c12"].take(kidx),
             "c1u": group["c1u"].take(kidx),
-            "c2u": pa.array(c2u[inv2[keep]].astype(np.int64)),
+            "c2u": pa.array(c2u[inv2[keep]]),
             "dpart": pa.array((dids % num_parts).astype(np.int32)),
         })
 
@@ -752,11 +798,13 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
 
     score_stream = ds.map_batches(
         lambda b: explode_bigrams(b, 1), batch_format="pyarrow")
-    train_bg = src_corpus.map_batches(
-        lambda b: explode_bigrams(b, 0), batch_format="pyarrow")
     train_ug_a = src_corpus.map_batches(explode_unigrams,
                                         batch_format="pyarrow")
-    stage_a = (score_stream.union(train_bg).union(train_ug_a)
+    stage_a_in = score_stream.union(train_ug_a)
+    if cross:
+        stage_a_in = stage_a_in.union(src_corpus.map_batches(
+            explode_train_bigrams, batch_format="pyarrow"))
+    stage_a = (stage_a_in
                .groupby("hpart")
                .map_groups(attach_a, batch_format="pyarrow"))
     train_ug_b = src_corpus.map_batches(unigrams_for_b,

@@ -542,17 +542,21 @@ def textrank_keywords(ds: Dataset, k: int = 25, iters: int = 3,
     "TextRank: Bringing Order into Texts") — ``(term, textrank)``
     ordered (score desc, term asc). The classic unsupervised keyword
     extractor: PageRank over the word co-occurrence graph, here with
-    the window-2 convention (an edge per ADJACENT token pair, both
-    directions, self-loops dropped); multi-edges stay — an edge
-    instance per occurrence is exactly the count-weighted TextRank,
-    since ``Σ_instances r/deg ≡ r·w/wdeg`` when deg counts instances.
+    the window-2 convention (an edge per ADJACENT token pair
+    occurrence, both directions, self-loops dropped). Occurrences
+    collapse to ONE weighted row per distinct ordered pair before the
+    iteration — count-weighted TextRank, contribution ``(r/deg)·w``
+    with ``deg = Σw`` — so each power-iteration pass scans the
+    distinct-pair set, not the occurrence stream (an order of magnitude
+    smaller under Zipfian text; measured delta in BASELINE.md).
 
     Distributed shape: the vocabulary (dense node ids = term-ascending
     rank — the vocab-bounded driver contract shared with
     :func:`~ts_type_filter_ray.functions.graph.pagerank`'s rank
     vector) broadcasts once via ``ray.put``; one ``map_batches`` pass
-    explodes adjacent-pair edge instances (batch-unique tokens map to
-    ids through one ``searchsorted``); then the flat-teleport power
+    emits per-batch weighted pair partials (batch-unique tokens map to
+    ids through one ``index_in``), one coarse pair-key groupby merges
+    them to distinct weighted edges; then the flat-teleport power
     iteration (initial rank 1, teleport ``1-d``). Float value-exact vs
     an unrolled-iterations SQL oracle — the ordered-fold trick."""
     import ray
@@ -571,9 +575,10 @@ def textrank_keywords(ds: Dataset, k: int = 25, iters: int = 3,
     def explode(batch: pa.Table) -> pa.Table:
         from .dedup import _tokenize_texts_batch
         flat, off = _tokenize_texts_batch(batch["text"])
-        z = pa.array(np.empty(0, dtype=np.int64))
         if len(flat) < 2:
-            return pa.table({"src": z, "dst": z})
+            return pa.table({"epart": pa.array([], type=pa.int32()),
+                             "key": pa.array([], type=pa.uint64()),
+                             "w": pa.array([], type=pa.int64())})
         flat = pc.utf8_lower(flat)
         enc = pc.dictionary_encode(flat)
         if isinstance(enc, pa.ChunkedArray):
@@ -595,18 +600,46 @@ def textrank_keywords(ds: Dataset, k: int = 25, iters: int = 3,
         same_doc = doc_of[:-1] == doc_of[1:]
         keep = same_doc & (a != b)
         a, b = a[keep], b[keep]
+        src = np.concatenate([a, b]).astype(np.uint64)
+        dst = np.concatenate([b, a]).astype(np.uint64)
+        # per-batch weighted partials over the packed pair key
+        key = src * np.uint64(n_nodes) + dst
+        uniq, cnt = np.unique(key, return_counts=True)
         return pa.table({
-            "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
-            "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            "epart": pa.array((uniq % np.uint64(16)).astype(np.int32)),
+            "key": pa.array(uniq),
+            "w": pa.array(cnt.astype(np.int64)),
+        })
+
+    if n_nodes >= 1 << 31:
+        raise ValueError("textrank_keywords: vocabulary too large for "
+                         "the uint64 pair-key pack (n >= 2^31)")
+
+    def merge_edges(group: pa.Table) -> pa.Table:
+        # global per-pair weight: every copy of a key is in this group
+        k = group["key"].to_numpy(zero_copy_only=False)
+        w = group["w"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        tw = np.bincount(inv, weights=w,
+                         minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "src": pa.array((uniq // np.uint64(n_nodes))
+                            .astype(np.int64)),
+            "dst": pa.array((uniq % np.uint64(n_nodes))
+                            .astype(np.int64)),
+            "w": pa.array(tw),
         })
 
     # materialize once: pagerank re-scans the edge set every iteration
-    # (deg pass + iters contribution passes) — recomputing the explode
-    # each time would re-tokenize the corpus 1+iters times. O(2·tokens)
-    # fixed-width rows in the object store; the executor spills.
-    edges = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    # (deg pass + iters contribution passes). One distinct-pair row per
+    # edge (weighted), not one per occurrence — fixed-width rows in the
+    # object store; the executor spills.
+    edges = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("epart")
+             .map_groups(merge_edges, batch_format="pyarrow")
+             .materialize())
     pr = pagerank(edges, n_nodes, iters=iters, damping=damping,
-                  flat_teleport=True,
+                  flat_teleport=True, weight_col="w",
                   num_parts=num_parts if num_parts is not None else 16)
     scores = pr["pagerank"].to_numpy(zero_copy_only=False)
     order = np.lexsort((np.arange(n_nodes), -scores))[:k]
