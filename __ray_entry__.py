@@ -197,6 +197,83 @@ def _line_dedup(sf_dir: str):
                        num_parts=16)
 
 
+# Gopher-rule thresholds chosen so every SQL-expressible rule computes
+# over the sf corpora and the word-count / mean-length / stopword rules
+# genuinely split them (sf0.001: n_words 10-99, mean len 3.69-5.08,
+# 321/145/34 docs with >=2/1/0 distinct stopwords); the symbol/alpha
+# rules are inert there (no punctuation in the vocabulary) and are
+# pytest-covered on handcrafted docs.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 4.6
+GOPHER_MAX_SYMBOL = 0.1
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOP = 2
+
+
+def _gopher_rules(sf_dir: str):
+    from ts_type_filter_ray.functions.filters import gopher_rules
+    return gopher_rules(
+        _docs(sf_dir), min_words=GOPHER_MIN_WORDS,
+        max_words=GOPHER_MAX_WORDS, min_mean_len=GOPHER_MIN_MEAN_LEN,
+        max_mean_len=GOPHER_MAX_MEAN_LEN,
+        max_symbol_ratio=GOPHER_MAX_SYMBOL,
+        min_alpha_ratio=GOPHER_MIN_ALPHA,
+        min_stop_distinct=GOPHER_MIN_STOP)
+
+
+def _docs_c4(sf_dir: str):
+    """Punctuation-injected variant of the multi-line corpus for the C4
+    gate: line ``li`` of doc ``d`` gets a trailing ``'.'`` iff
+    ``(d + li) % 2 == 0`` (the sf vocabulary has no punctuation, so the
+    terminal-punctuation rule would otherwise drop everything — the
+    ``corpus_diff`` variant-B precedent; the oracle re-derives the same
+    corpus in SQL)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ts_type_filter_ray.functions.dedup import join_lists
+    from ts_type_filter_ray.functions.linededup import _split_lines
+
+    def punct(batch: pa.Table) -> pa.Table:
+        flat, off = _split_lines(batch["text"])
+        counts = np.diff(off)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(did), dtype=np.int64), counts)
+        li = np.arange(len(flat), dtype=np.int64) - off[:-1][doc_of]
+        dot = (did[doc_of] + li) % 2 == 0
+        suffix = pa.array(np.where(dot, ".", ""), type=flat.type)
+        lines = pc.binary_join_element_wise(
+            flat, suffix, pa.scalar("", type=flat.type))
+        lst = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), type=pa.int32()), lines)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": join_lists(lst, "\n")})
+
+    return _docs_multiline(sf_dir).map_batches(
+        punct, batch_format="pyarrow")
+
+
+def _c4_clean(sf_dir: str):
+    from ts_type_filter_ray.functions.filters import c4_clean
+    # default rules: terminal punct + >=3 words + no 'javascript' line,
+    # no 'lorem ipsum'/'{' doc (the bad-term rules are inert on the sf
+    # vocabulary and pytest-covered; punct + word count genuinely bite)
+    return c4_clean(_docs_c4(sf_dir))
+
+
+TEMP_ALPHA = 0.5
+TEMP_MOD = 10_000
+
+
+def _temperature_sample(sf_dir: str):
+    from ts_type_filter_ray.functions.filters import temperature_sample
+    return temperature_sample(_docs(sf_dir), alpha=TEMP_ALPHA,
+                              mod=TEMP_MOD)
+
+
 FEATURE_DIM_BITS = 18
 CLASSIFIER_DIM_BITS = 18
 CLASSIFIER_SCALE = 64
@@ -419,7 +496,8 @@ _GATE_PRIORITY = [
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "cross_perplexity", "stupid_backoff", "dsir_weights",
     "perplexity_buckets",
-    "percolate", "strip_dup_spans", "line_dedup", "tf_cosine_pairs",
+    "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
+    "gopher_rules", "temperature_sample", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
@@ -532,6 +610,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet/MassiveText line dedup over the derived multi-line
         # corpus (LINE_TOKENS tokens per line; oracle re-derives it)
         "line_dedup": _line_dedup,
+        # Gopher document-quality rules (Rae et al. 2021): word count /
+        # mean word length / symbol ratio / alpha ratio / distinct-
+        # stopword rules, one shuffle-free pass; the float ratios AND
+        # the keep verdict cross the gate (functions/filters.py)
+        "gopher_rules": _gopher_rules,
+        # C4 line cleaning (Raffel et al. 2020): terminal-punct +
+        # min-words + bad-term line rules, bad-term doc drops, text
+        # rebuilt from kept lines — value-exact incl. the rebuilt
+        # strings, over the punct-injected multi-line corpus
+        "c4_clean": _c4_clean,
+        # temperature-scaled mixture sampling (Lample & Conneau 2019):
+        # per-group keep rates (n_g/n_min)^(alpha-1) DERIVED from one
+        # bounded groupby-count, then the coordination-free md5 accept
+        "temperature_sample": _temperature_sample,
         # exact all-pairs sparse tf-cosine similarity (the Bayardo
         # all-pairs baseline, bag-of-words near-dup signal): integer
         # dot/norms through the shuffles, one final float expression
@@ -2729,6 +2821,100 @@ def oracle_sql() -> dict[str, str]:
                                   filter (where keep), '') as text
               from flagged group by doc_id)
             select doc_id, text, n_lines, n_removed from agg""",
+        "gopher_rules": rf"""
+            with t as (
+              select doc_id,
+                     unnest(regexp_split_to_array(trim(text),'\s+')) as tok
+              from documents where trim(text) <> ''),
+            agg as (
+              select doc_id,
+                     count(*)::BIGINT as n_words,
+                     sum(length(tok))::BIGINT as len_sum,
+                     sum(case when regexp_matches(tok, '[A-Za-z]')
+                              then 1 else 0 end)::BIGINT as n_alpha,
+                     sum(case when position('#' in tok) > 0
+                              or position('...' in tok) > 0
+                              or position('…' in tok) > 0
+                              then 1 else 0 end)::BIGINT as n_sym,
+                     count(distinct case when lower(tok) in {stop}
+                                    then lower(tok) end)::BIGINT as n_stop
+              from t group by doc_id),
+            per as (
+              select d.doc_id,
+                     coalesce(a.n_words, 0)::BIGINT as n_words,
+                     coalesce(a.len_sum, 0)::DOUBLE
+                       / greatest(coalesce(a.n_words, 0), 1)::DOUBLE
+                       as mean_word_len,
+                     coalesce(a.n_sym, 0)::DOUBLE
+                       / greatest(coalesce(a.n_words, 0), 1)::DOUBLE
+                       as symbol_ratio,
+                     coalesce(a.n_alpha, 0)::DOUBLE
+                       / greatest(coalesce(a.n_words, 0), 1)::DOUBLE
+                       as alpha_ratio,
+                     coalesce(a.n_stop, 0)::BIGINT as n_stop_distinct
+              from documents d left join agg a using (doc_id))
+            select doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_ratio, n_stop_distinct,
+                   (case when n_words >= {GOPHER_MIN_WORDS}
+                          and n_words <= {GOPHER_MAX_WORDS}
+                          and mean_word_len >= {GOPHER_MIN_MEAN_LEN}::DOUBLE
+                          and mean_word_len <= {GOPHER_MAX_MEAN_LEN}::DOUBLE
+                          and symbol_ratio <= {GOPHER_MAX_SYMBOL}::DOUBLE
+                          and alpha_ratio >= {GOPHER_MIN_ALPHA}::DOUBLE
+                          and n_stop_distinct >= {GOPHER_MIN_STOP}
+                     then 1 else 0 end)::BIGINT as keep
+            from per""",
+        "c4_clean": rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            toks as (
+              select doc_id, i, arr[i] as tok
+              from (select doc_id, arr,
+                           unnest(generate_series(1, len(arr)))::INT as i
+                    from base)),
+            mlines as (
+              select doc_id, (i-1)//{LINE_TOKENS} as li,
+                     string_agg(tok, ' ' order by i)
+                       || (case when (doc_id + (i-1)//{LINE_TOKENS}) % 2 = 0
+                           then '.' else '' end) as ln,
+                     count(*)::BIGINT as nw
+              from toks group by doc_id, (i-1)//{LINE_TOKENS}),
+            flagged as (
+              select doc_id, li, ln, nw,
+                     (regexp_matches(ln, '[.!?"]$') and nw >= 3
+                      and position('javascript' in lower(ln)) = 0)
+                         as keepl,
+                     (position('lorem ipsum' in lower(ln)) > 0
+                      or position(chr(123) in ln) > 0) as badl
+              from mlines),
+            agg as (
+              select doc_id,
+                     count(*)::BIGINT as n_lines,
+                     sum(case when keepl then 1 else 0 end)::BIGINT
+                         as n_kept,
+                     bool_or(badl) as bad,
+                     coalesce(string_agg(ln, chr(10) order by li)
+                                  filter (where keepl), '') as text
+              from flagged group by doc_id)
+            select doc_id, n_lines, n_kept, text
+            from agg where (not bad) and n_kept >= 1""",
+        "temperature_sample": rf"""
+            with c as (select lang, count(*)::BIGINT as n
+                       from documents group by lang),
+            m as (select min(n) as nm from c),
+            r as (select c.lang,
+                         cast(floor(pow(c.n::DOUBLE / m.nm::DOUBLE,
+                                        {TEMP_ALPHA}::DOUBLE
+                                          - 1.0::DOUBLE)
+                                    * {TEMP_MOD}) as BIGINT) as cut
+                  from c cross join m)
+            select d.doc_id, d.lang,
+                   (md5_number_lower(d.doc_id::VARCHAR)
+                    % {TEMP_MOD})::BIGINT as bucket
+            from documents d join r using (lang)
+            where md5_number_lower(d.doc_id::VARCHAR) % {TEMP_MOD}
+                  < r.cut""",
         "tf_cosine_pairs": rf"""
             with raw as (
               select doc_id,

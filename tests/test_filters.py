@@ -1,0 +1,141 @@
+"""Heuristic curation filters: Gopher rules, C4 line cleaning,
+temperature mixture sampling (functions/filters.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from ts_type_filter_ray.functions.filters import (c4_clean, gopher_rules,
+                                                  temperature_sample)
+from ts_type_filter_ray.functions.sampling import _md5_bucket
+
+
+def _docs(rows):
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array([r[2] if len(r) > 2 else "en" for r in rows],
+                         type=pa.string()),
+    })
+    return ray.data.from_arrow(t)
+
+
+def _by_id(ds):
+    return {r["doc_id"]: r for r in ds.take_all()}
+
+
+def test_gopher_rules_each_rule_bites(ray_session):
+    ds = _docs([
+        (1, "the cat sat on a mat and then it left here today"),  # passes
+        (2, "the a short"),                                # too few words
+        (3, "the a " + " ".join(["extraordinarily"] * 10)),  # mean len high
+        (4, "the a " + " ".join(["x#y"] * 10)),            # symbol ratio
+        (5, "the a " + " ".join(["123"] * 10)),            # alpha ratio low
+        (6, " ".join(["cat"] * 12)),                       # no stopwords
+        (7, ""),                                           # empty
+    ])
+    out = _by_id(gopher_rules(
+        ds, min_words=5, max_words=100, min_mean_len=2.0,
+        max_mean_len=6.0, max_symbol_ratio=0.1, min_alpha_ratio=0.8,
+        min_stop_distinct=2))
+    assert out[1]["keep"] == 1
+    assert out[1]["n_words"] == 12
+    # doc 1 distinct stopwords: the, a, and, it (4)
+    assert out[1]["n_stop_distinct"] == 4
+    for d in (2, 3, 4, 5, 6, 7):
+        assert out[d]["keep"] == 0, d
+    assert out[2]["n_words"] == 3
+    assert out[7]["n_words"] == 0
+    assert out[7]["mean_word_len"] == 0.0
+    assert out[7]["alpha_ratio"] == 0.0
+    # float shapes: sum(len)/n as float64
+    text1 = "the cat sat on a mat and then it left here today"
+    toks = text1.split()
+    assert out[1]["mean_word_len"] == pytest.approx(
+        sum(map(len, toks)) / len(toks), abs=0)
+
+
+def test_gopher_symbol_and_ellipsis(ray_session):
+    ds = _docs([(1, "the a okay words more stuff ... x…y here now")])
+    out = _by_id(gopher_rules(ds, min_words=1, min_stop_distinct=0))
+    # '...' and 'x…y' are symbol tokens out of 10
+    assert out[1]["symbol_ratio"] == pytest.approx(2 / 10, abs=0)
+
+
+def test_c4_clean_line_and_doc_rules(ray_session):
+    ds = _docs([
+        (1, "Good line with punct.\nshort.\nno punct here at all\n"
+            "bad JavaScript line here.\nAnother good line here!"),
+        (2, "This page has Lorem Ipsum inside it fine."),
+        (3, "code with a { brace inside it fine}."),
+        (4, "no surviving lines here"),
+        (5, 'They said "go home right now"'),
+    ])
+    out = _by_id(c4_clean(ds))
+    assert set(out) == {1, 5}
+    assert out[1]["n_lines"] == 5
+    assert out[1]["n_kept"] == 2
+    assert out[1]["text"] == ("Good line with punct.\n"
+                              "Another good line here!")
+    # terminal '"' counts; doc 5 survives whole
+    assert out[5]["n_kept"] == 1
+    assert out[5]["text"] == 'They said "go home right now"'
+
+
+def test_c4_clean_no_punct_requirement(ray_session):
+    ds = _docs([(4, "three plain words\ntwo words")])
+    out = _by_id(c4_clean(ds, require_terminal_punct=False))
+    assert out[4]["text"] == "three plain words"
+    assert out[4]["n_kept"] == 1
+
+
+def test_c4_empty_batch_schema(ray_session):
+    # a batch whose every doc drops must still emit the full schema
+    ds = _docs([(1, "nothing survives here")])
+    out = c4_clean(ds)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_lines", "n_kept",
+                                       "text"}
+
+
+def test_temperature_sample_rates(ray_session):
+    rows = [(i, "x", "a") for i in range(50)] + \
+           [(i, "x", "b") for i in range(50, 60)]
+    ds = _docs(rows)
+    kept = temperature_sample(ds, alpha=0.5, mod=10_000).take_all()
+    kept_ids = {r["doc_id"] for r in kept}
+    # smallest group (b, n=10) keeps everything
+    assert set(range(50, 60)) <= kept_ids
+    # group a kept iff md5 bucket < floor((50/10)**-0.5 * 10000) = 4472
+    cut = int(np.floor((50 / 10) ** (-0.5) * 10_000))
+    buckets = _md5_bucket(np.arange(50), mod=10_000)
+    expect_a = {i for i in range(50) if buckets[i] < cut}
+    assert kept_ids - set(range(50, 60)) == expect_a
+    # bucket column matches the hash
+    for r in kept:
+        if r["doc_id"] < 50:
+            assert r["bucket"] == buckets[r["doc_id"]]
+
+
+def test_temperature_alpha_one_keeps_all(ray_session):
+    rows = [(i, "x", "a") for i in range(20)] + \
+           [(i, "x", "b") for i in range(20, 25)]
+    out = temperature_sample(_docs(rows), alpha=1.0)
+    assert out.count() == 25
+
+
+def test_temperature_deterministic(ray_session):
+    rows = [(i, "x", "a") for i in range(30)] + \
+           [(i, "x", "b") for i in range(30, 40)]
+    a = sorted(r["doc_id"] for r in
+               temperature_sample(_docs(rows), alpha=0.3).take_all())
+    b = sorted(r["doc_id"] for r in
+               temperature_sample(_docs(rows), alpha=0.3).take_all())
+    assert a == b and len(a) > 10
+
+
+def test_temperature_empty_raises(ray_session):
+    ds = _docs([]).filter(lambda r: False)
+    with pytest.raises(ValueError, match="empty"):
+        temperature_sample(ds)
