@@ -267,6 +267,18 @@ def _c4_clean(sf_dir: str):
 TEMP_ALPHA = 0.5
 TEMP_MOD = 10_000
 
+# gate n-grams: bigrams for both stats — with a ~31-token vocabulary and
+# ~56-token docs, within-doc bigram repeats are common (birthday bound),
+# so both the argmax tie-break and the dup mass genuinely bite at sf;
+# distinct top_n/dup_n is pytest-covered
+GOPHER_REP_N = 2
+
+
+def _gopher_repetition(sf_dir: str):
+    from ts_type_filter_ray.functions.filters import gopher_repetition
+    return gopher_repetition(_docs(sf_dir), top_n=GOPHER_REP_N,
+                             dup_n=GOPHER_REP_N)
+
 
 def _temperature_sample(sf_dir: str):
     from ts_type_filter_ray.functions.filters import temperature_sample
@@ -497,7 +509,8 @@ _GATE_PRIORITY = [
     "cross_perplexity", "stupid_backoff", "dsir_weights",
     "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
-    "gopher_rules", "temperature_sample", "tf_cosine_pairs",
+    "gopher_rules", "gopher_repetition", "temperature_sample",
+    "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
@@ -620,6 +633,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rebuilt from kept lines — value-exact incl. the rebuilt
         # strings, over the punct-injected multi-line corpus
         "c4_clean": _c4_clean,
+        # Gopher's WITHIN-doc repetition signals (vs the corpus-wide
+        # dup_ngram_fraction): most-frequent-n-gram char fraction (the
+        # argmax gram STRING + its lexicographic tie-break cross the
+        # gate) and duplicated-n-gram char mass, one shuffle-free pass
+        "gopher_repetition": _gopher_repetition,
         # temperature-scaled mixture sampling (Lample & Conneau 2019):
         # per-group keep rates (n_g/n_min)^(alpha-1) DERIVED from one
         # bounded groupby-count, then the coordination-free md5 accept
@@ -2899,6 +2917,46 @@ def oracle_sql() -> dict[str, str]:
               from flagged group by doc_id)
             select doc_id, n_lines, n_kept, text
             from agg where (not bad) and n_kept >= 1""",
+        "gopher_repetition": rf"""
+            with base as (
+              select doc_id, regexp_split_to_array(trim(text),'\s+') as arr
+              from documents where trim(text) <> ''),
+            tot as (
+              select doc_id, len(arr)::BIGINT as nt,
+                     length(array_to_string(arr, ' '))::BIGINT as tc
+              from base),
+            grams as (
+              select doc_id,
+                     array_to_string(arr[p:p+{GOPHER_REP_N}-1], ' ') as g
+              from (select doc_id, arr,
+                           unnest(range(1, len(arr)-{GOPHER_REP_N}+2))::INT
+                               as p
+                    from base where len(arr) >= {GOPHER_REP_N})),
+            gc as (select doc_id, g, count(*)::BIGINT as cnt
+                   from grams group by 1, 2),
+            top as (select doc_id, g, cnt,
+                           row_number() over (partition by doc_id
+                                              order by cnt desc, g asc)
+                               as rn
+                    from gc),
+            dup as (select doc_id,
+                           sum(cnt * length(g))::BIGINT as dchars
+                    from gc where cnt >= 2 group by doc_id)
+            select d.doc_id,
+                   coalesce(t.nt, 0)::BIGINT as n_tokens,
+                   coalesce(tp.g, '') as top_gram,
+                   coalesce(tp.cnt, 0)::BIGINT as top_gram_count,
+                   (coalesce(tp.cnt, 0)
+                    * length(coalesce(tp.g, '')))::DOUBLE
+                     / greatest(coalesce(t.tc, 0), 1)::DOUBLE
+                     as top_gram_frac,
+                   coalesce(u.dchars, 0)::DOUBLE
+                     / greatest(coalesce(t.tc, 0), 1)::DOUBLE
+                     as dup_gram_frac
+            from documents d
+            left join tot t using (doc_id)
+            left join (select * from top where rn = 1) tp using (doc_id)
+            left join dup u using (doc_id)""",
         "temperature_sample": rf"""
             with c as (select lang, count(*)::BIGINT as n
                        from documents group by lang),

@@ -139,3 +139,38 @@ def test_temperature_empty_raises(ray_session):
     ds = _docs([]).filter(lambda r: False)
     with pytest.raises(ValueError, match="empty"):
         temperature_sample(ds)
+
+
+def test_gopher_repetition_basic(ray_session):
+    from ts_type_filter_ray.functions.filters import gopher_repetition
+    ds = _docs([
+        (1, "a b a b a b c"),
+        (2, "one"),
+        (3, ""),
+        (4, "x y x y z w z w"),
+    ])
+    out = _by_id(gopher_repetition(ds, top_n=2, dup_n=2))
+    # doc 1: bigrams 'a b'x3 'b a'x2 'b c'x1; chars = 7 + 6 = 13
+    assert out[1]["top_gram"] == "a b"
+    assert out[1]["top_gram_count"] == 3
+    assert out[1]["top_gram_frac"] == pytest.approx(9 / 13, abs=0)
+    # dup mass: 'a b'x3 + 'b a'x2 -> (3+2)*3 = 15 chars (overlap-naive)
+    assert out[1]["dup_gram_frac"] == pytest.approx(15 / 13, abs=0)
+    # doc shorter than the gram: empty stats
+    assert out[2]["top_gram"] == "" and out[2]["top_gram_count"] == 0
+    assert out[2]["top_gram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 0 and out[3]["dup_gram_frac"] == 0.0
+    # doc 4 tie at count 2: 'x y' vs 'z w' -> lexicographically smallest
+    assert out[4]["top_gram"] == "x y"
+
+
+def test_gopher_repetition_distinct_ns(ray_session):
+    from ts_type_filter_ray.functions.filters import gopher_repetition
+    # top over bigrams, dup over trigrams of a doc with a repeated
+    # trigram: 'p q r' occurs twice (positions 0 and 4)
+    ds = _docs([(1, "p q r s p q r t")])
+    out = _by_id(gopher_repetition(ds, top_n=2, dup_n=3))
+    assert out[1]["top_gram"] == "p q"
+    assert out[1]["top_gram_count"] == 2
+    # chars = 8 tokens + 7 = 15; dup trigram 'p q r' twice: 2*5 = 10
+    assert out[1]["dup_gram_frac"] == pytest.approx(10 / 15, abs=0)

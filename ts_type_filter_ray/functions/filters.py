@@ -191,6 +191,134 @@ def c4_clean(ds: Dataset,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _gram_layout(n_tok: np.ndarray, off: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(window count per doc, global window start indices) for token
+    ``k``-grams over a flat token array with per-doc ``off``sets —
+    windows never cross a document boundary."""
+    wc = np.maximum(n_tok - k + 1, 0)
+    within = np.arange(wc.sum(), dtype=np.int64) - np.repeat(
+        np.cumsum(wc) - wc, wc)
+    starts = np.repeat(off[:-1], wc) + within
+    return wc, starts
+
+
+def _doc_gram_stats(flat: pa.Array, n_tok: np.ndarray, off: np.ndarray,
+                    k: int, n_docs: int):
+    """Per-document k-gram statistics in one vectorized pass:
+    ``(top_gram strings, top_count, top_chars, dup_chars)`` arrays of
+    length ``n_docs``. ``top_*`` describe each doc's most frequent
+    k-gram (ties broken lexicographically smallest — byte order, which
+    DuckDB's binary collation mirrors); ``dup_chars`` sums
+    ``count * len(gram)`` over grams occurring >= 2 times in the doc.
+    Docs with fewer than ``k`` tokens report ('' , 0, 0, 0)."""
+    wc, starts = _gram_layout(n_tok, off, k)
+    total = int(wc.sum())
+    top_gram = np.full(n_docs, "", dtype=object)
+    top_count = np.zeros(n_docs, dtype=np.int64)
+    top_chars = np.zeros(n_docs, dtype=np.int64)
+    dup_chars = np.zeros(n_docs, dtype=np.int64)
+    if total == 0:
+        return top_gram, top_count, top_chars, dup_chars
+    idx = (starts[:, None] + np.arange(k, dtype=np.int64)).ravel()
+    vals = flat.take(pa.array(idx))
+    lst = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, total * k + 1, k, dtype=np.int64)
+                 .astype(np.int32), type=pa.int32()), vals)
+    grams = join_lists(lst, " ")
+    enc = pc.dictionary_encode(grams)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = enc.dictionary
+    v = len(dic)
+    # lexicographic rank of each dictionary entry (byte order)
+    sorted_pos = pc.sort_indices(dic).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rank = np.empty(v, dtype=np.int64)
+    rank[sorted_pos] = np.arange(v, dtype=np.int64)
+    dlen = pc.utf8_length(dic).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    len_of_rank = dlen[sorted_pos]
+    gdoc = np.repeat(np.arange(n_docs, dtype=np.int64), wc)
+    key = gdoc * v + rank[codes]
+    uniq, counts = np.unique(key, return_counts=True)
+    docidx = uniq // v
+    grank = uniq % v
+    glen = len_of_rank[grank]
+    # duplicated-gram char mass: count * len over grams with count >= 2
+    dmask = counts >= 2
+    dup_chars = np.bincount(docidx[dmask],
+                            weights=counts[dmask] * glen[dmask],
+                            minlength=n_docs).astype(np.int64)
+    # per-doc argmax(count, tie -> min rank): score is unique per row
+    seg = np.ones(len(uniq), dtype=bool)
+    seg[1:] = docidx[1:] != docidx[:-1]
+    starts_u = np.flatnonzero(seg)
+    score = counts * np.int64(v + 1) - grank
+    smax = np.maximum.reduceat(score, starts_u)
+    seg_of = np.cumsum(seg) - 1
+    pick = np.flatnonzero(score == smax[seg_of])
+    # one winner per segment by construction (scores unique within doc)
+    top_count[docidx[pick]] = counts[pick]
+    top_chars[docidx[pick]] = counts[pick] * glen[pick]
+    winners = dic.take(pa.array(sorted_pos[grank[pick]]))
+    top_gram[docidx[pick]] = np.asarray(winners.to_pylist(),
+                                        dtype=object)
+    return top_gram, top_count, top_chars, dup_chars
+
+
+def gopher_repetition(ds: Dataset, top_n: int = 2,
+                      dup_n: int = 5) -> Dataset:
+    """Gopher's WITHIN-document repetition signals (Rae et al. 2021
+    §A1.1 — distinct from the corpus-wide ``dup_ngram_fraction``):
+    ``(doc_id, n_tokens, top_gram, top_gram_count, top_gram_frac,
+    dup_gram_frac)`` where
+
+    - ``top_gram`` is the doc's most frequent token ``top_n``-gram
+      (ties: lexicographically smallest), and ``top_gram_frac`` the
+      fraction of the doc's characters its occurrences cover
+      (``count * len(gram) / total_chars``, chars of the
+      whitespace-normalized text);
+    - ``dup_gram_frac`` is the character fraction covered by ALL
+      ``dup_n``-grams occurring >= 2 times within the doc
+      (overlap-naive ``sum(count * len)``, the cheap upper-bound
+      convention).
+
+    Pure per-batch map, no shuffle; every float is one int64/int64
+    division in float64 (SQL-identical shapes)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_tok_arr, flat, parents = _tokens(batch)
+        n = batch.num_rows
+        n_tok = n_tok_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parents.to_numpy(zero_copy_only=False)
+        flat = flat.combine_chunks() if isinstance(
+            flat, pa.ChunkedArray) else flat
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=off[1:])
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        total_chars = (np.bincount(par, weights=tok_len, minlength=n)
+                       .astype(np.int64)
+                       + np.maximum(n_tok - 1, 0))
+        top_gram, top_count, top_chars, _ = _doc_gram_stats(
+            flat, n_tok, off, top_n, n)
+        _, _, _, dup_chars = _doc_gram_stats(flat, n_tok, off, dup_n, n)
+        safe = np.maximum(total_chars, 1).astype(np.float64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "top_gram": pa.array(list(top_gram), type=pa.string()),
+            "top_gram_count": pa.array(top_count),
+            "top_gram_frac": pa.array(top_chars / safe,
+                                      type=pa.float64()),
+            "dup_gram_frac": pa.array(dup_chars / safe,
+                                      type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def temperature_sample(ds: Dataset, alpha: float = 0.5,
                        group_col: str = "lang",
                        id_col: str = "doc_id",
