@@ -510,7 +510,7 @@ _GATE_PRIORITY = [
     "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
     "gopher_rules", "gopher_repetition", "temperature_sample",
-    "tf_cosine_pairs",
+    "unigram_entropy", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
@@ -1002,6 +1002,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_trained": _bpe_encode_trained,
         "fingerprints": lambda sf: textstats.fingerprints(_docs(sf)),
         "repetition_scores": lambda sf: textstats.repetition_scores(
+            _docs(sf)),
+        # Shannon unigram entropy (information-density quality signal):
+        # the float crosses the gate via the LM family's ordered-fold
+        # convention (strict left fold over terms in byte order)
+        "unigram_entropy": lambda sf: textstats.unigram_entropy(
             _docs(sf)),
         "length_quantile_filter": lambda sf:
             textstats.filter_by_token_quantile(_docs(sf), lo=0.1, hi=0.9),
@@ -2537,6 +2542,29 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) as fp
             from documents""",
+        "unigram_entropy": r"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+              from documents where trim(text) <> ''),
+            tf as (
+              select doc_id, term, count(*)::BIGINT as c
+              from toks group by doc_id, term),
+            agg as (
+              select doc_id, sum(c)::BIGINT as n_tokens,
+                     count(*)::BIGINT as n_distinct,
+                     list_aggregate(
+                       list(c::DOUBLE * ln(c::DOUBLE) order by term),
+                       'sum') as s
+              from tf group by doc_id)
+            select d.doc_id,
+                   coalesce(a.n_tokens, 0) as n_tokens,
+                   coalesce(a.n_distinct, 0) as n_distinct,
+                   coalesce(ln(a.n_tokens::DOUBLE)
+                            - a.s / a.n_tokens::DOUBLE,
+                            0.0::DOUBLE) as entropy
+            from documents d left join agg a using (doc_id)""",
         "repetition_scores": r"""
             with toks as (
               select doc_id,

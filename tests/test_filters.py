@@ -174,3 +174,24 @@ def test_gopher_repetition_distinct_ns(ray_session):
     assert out[1]["top_gram_count"] == 2
     # chars = 8 tokens + 7 = 15; dup trigram 'p q r' twice: 2*5 = 10
     assert out[1]["dup_gram_frac"] == pytest.approx(10 / 15, abs=0)
+
+
+def test_unigram_entropy(ray_session):
+    import math
+    from ts_type_filter_ray.functions.textstats import unigram_entropy
+    ds = _docs([
+        (1, "a a a b"),
+        (2, "same same same same"),
+        (3, ""),
+        (4, "w x y z"),
+    ])
+    out = _by_id(unigram_entropy(ds))
+    # H = ln(4) - (3 ln 3 + 1 ln 1)/4, exact float expression
+    assert out[1]["entropy"] == math.log(4.0) - (
+        3.0 * math.log(3.0) + 1.0 * math.log(1.0)) / 4.0
+    assert out[1]["n_distinct"] == 2
+    # all-same doc: ln(n) - n ln(n)/n (0 up to rounding)
+    assert abs(out[2]["entropy"]) < 1e-15
+    assert out[3]["entropy"] == 0.0 and out[3]["n_tokens"] == 0
+    # uniform doc: exactly the ordered fold of 4 zero contributions
+    assert out[4]["entropy"] == math.log(4.0)

@@ -517,6 +517,65 @@ def quality_scores(ds: Dataset) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def unigram_entropy(ds: Dataset) -> Dataset:
+    """(doc_id, n_tokens, n_distinct, entropy) — Shannon entropy (nats)
+    of each document's unigram distribution, the information-density
+    quality signal (degenerate/spam docs collapse toward 0):
+    ``H = ln(n) - (Σ c·ln c) / n`` over per-doc lowercased token counts.
+
+    The Σ is a strict left fold over terms in ascending term order
+    (byte order), so the float is bit-identical to the SQL oracle's
+    ``list_aggregate(list(c*ln(c) order by term), 'sum')`` — the LM
+    family's ordered-fold convention. One shuffle-free vectorized pass;
+    blank docs report 0.0."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_tok_arr, flat, parents = _tokens(batch)
+        n_docs = batch.num_rows
+        n_tok = n_tok_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        entropy = np.zeros(n_docs, dtype=np.float64)
+        if len(flat) > 0:
+            enc = pc.dictionary_encode(pc.utf8_lower(flat))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dic = enc.dictionary
+            v = len(dic)
+            sorted_pos = pc.sort_indices(dic).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            rank = np.empty(v, dtype=np.int64)
+            rank[sorted_pos] = np.arange(v, dtype=np.int64)
+            par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq, counts = np.unique(par * v + rank[codes],
+                                     return_counts=True)
+            docidx = (uniq // v).astype(np.int64)
+            n_distinct = np.bincount(docidx, minlength=n_docs) \
+                .astype(np.int64)
+            # scalar-libm logs on the distinct ints — numpy's SIMD log
+            # is not bit-identical to DuckDB's ln (the lm.py gotcha)
+            from .lm import _log_int
+            contrib = counts.astype(np.float64) * _log_int(counts)
+            log_n = _log_int(n_tok[docidx])
+            bounds = np.flatnonzero(docidx[1:] != docidx[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(docidx)]))
+            for s, e in zip(starts, ends):
+                d = docidx[s]
+                # strict left fold == DuckDB list sum-in-list-order
+                total = np.add.accumulate(contrib[s:e])[-1]
+                entropy[d] = log_n[s] - total / float(n_tok[d])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_distinct),
+            "entropy": pa.array(entropy, type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bpe_token_counts(ds: Dataset) -> Dataset:
     """(doc_id, n_bpe_tokens) under the BPE-ish regex pretokenizer — the
     M12 token-counting analog without tiktoken (unavailable offline)."""
