@@ -267,6 +267,19 @@ def _c4_clean(sf_dir: str):
 TEMP_ALPHA = 0.5
 TEMP_MOD = 10_000
 
+# per-lang character budget: selects the longest ~100 docs per lang at
+# sf0.001 and a genuine top slice at sf0.01 — both the ranking and the
+# budget boundary bite at gate scale
+SELECT_BUDGET = 30_000
+
+
+def _select_budget(sf_dir: str):
+    from ts_type_filter_ray.functions.sampling import select_until_budget
+    return select_until_budget(_docs(sf_dir), budget=SELECT_BUDGET,
+                               weight_col="n_chars", group_col="lang",
+                               part_bits=4)
+
+
 # gate n-grams: bigrams for both stats — with a ~31-token vocabulary and
 # ~56-token docs, within-doc bigram repeats are common (birthday bound),
 # so both the argmax tie-break and the dup mass genuinely bite at sf;
@@ -510,7 +523,7 @@ _GATE_PRIORITY = [
     "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
     "gopher_rules", "gopher_repetition", "temperature_sample",
-    "unigram_entropy", "tf_cosine_pairs",
+    "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "distinct_terms_by_lang", "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
@@ -633,6 +646,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rebuilt from kept lines — value-exact incl. the rebuilt
         # strings, over the punct-injected multi-line corpus
         "c4_clean": _c4_clean,
+        # token-budget data selection (the pretraining allocation step):
+        # rank (score desc, id asc) per group, keep the maximal prefix
+        # whose inclusive running weight stays <= budget — distributed
+        # exact ranking via inverted-order-key range partitioning +
+        # per-(group,part) weight sums prefixed on the driver (the
+        # deterministic_shuffle construction pointed at scores)
+        "select_until_budget": _select_budget,
         # Gopher's WITHIN-doc repetition signals (vs the corpus-wide
         # dup_ngram_fraction): most-frequent-n-gram char fraction (the
         # argmax gram STRING + its lexicographic tie-break cross the
@@ -2945,6 +2965,16 @@ def oracle_sql() -> dict[str, str]:
               from flagged group by doc_id)
             select doc_id, n_lines, n_kept, text
             from agg where (not bad) and n_kept >= 1""",
+        "select_until_budget": rf"""
+            with r as (
+              select doc_id, lang, n_chars,
+                     sum(n_chars) over (
+                       partition by lang
+                       order by n_chars desc, doc_id asc
+                       rows unbounded preceding)::BIGINT as cum_weight
+              from documents)
+            select doc_id, n_chars, lang, cum_weight from r
+            where cum_weight <= {SELECT_BUDGET}""",
         "gopher_repetition": rf"""
             with base as (
               select doc_id, regexp_split_to_array(trim(text),'\s+') as arr

@@ -195,3 +195,82 @@ def test_unigram_entropy(ray_session):
     assert out[3]["entropy"] == 0.0 and out[3]["n_tokens"] == 0
     # uniform doc: exactly the ordered fold of 4 zero contributions
     assert out[4]["entropy"] == math.log(4.0)
+
+
+def _budget_reference(rows, budget, group=True):
+    """(doc_id set) the SQL window-cumsum contract computes."""
+    import collections
+    by_g = collections.defaultdict(list)
+    for did, w, g in rows:
+        by_g[g if group else None].append((did, w))
+    keep = set()
+    for g, items in by_g.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        cum = 0
+        for did, w in items:
+            cum += w
+            if cum <= budget:
+                keep.add(did)
+    return keep
+
+
+def test_select_until_budget_grouped(ray_session):
+    from ts_type_filter_ray.functions.sampling import select_until_budget
+    rng = np.random.default_rng(7)
+    rows = [(i, int(rng.integers(1, 50)), ("a", "b", "c")[i % 3])
+            for i in range(200)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "w": pa.array([r[1] for r in rows], type=pa.int64()),
+        "lang": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = select_until_budget(ds, budget=300, weight_col="w",
+                              group_col="lang", part_bits=3).take_all()
+    assert {r["doc_id"] for r in out} == _budget_reference(rows, 300)
+    # cum_weight is the inclusive running total and never exceeds budget
+    for r in out:
+        assert r["cum_weight"] <= 300
+    # per-group max cum equals sum of selected weights
+    import collections
+    sel = collections.defaultdict(list)
+    for r in out:
+        sel[r["lang"]].append(r)
+    for g, rs in sel.items():
+        assert max(x["cum_weight"] for x in rs) == \
+            sum(x["w"] for x in rs)
+
+
+def test_select_until_budget_global_and_ties(ray_session):
+    from ts_type_filter_ray.functions.sampling import select_until_budget
+    # equal scores: id-ascending tie-break decides who fits
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 3, 2], type=pa.int64()),
+        "w": pa.array([10, 10, 10, 10], type=pa.int64()),
+    })
+    out = select_until_budget(ray.data.from_arrow(t), budget=25,
+                              weight_col="w").take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_select_until_budget_float_score(ray_session):
+    from ts_type_filter_ray.functions.sampling import select_until_budget
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "w": pa.array([5, 5, 5, 5], type=pa.int64()),
+        "score": pa.array([0.1, -2.0, 3.5, 0.9], type=pa.float64()),
+    })
+    out = select_until_budget(ray.data.from_arrow(t), budget=10,
+                              weight_col="w", score_col="score")
+    assert sorted(r["doc_id"] for r in out.take_all()) == [3, 4]
+
+
+def test_select_until_budget_negative_weight_raises(ray_session):
+    from ts_type_filter_ray.functions.sampling import select_until_budget
+    t = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "w": pa.array([-3], type=pa.int64()),
+    })
+    with pytest.raises(Exception, match="negative weights"):
+        select_until_budget(ray.data.from_arrow(t), budget=10,
+                            weight_col="w").take_all()

@@ -378,3 +378,125 @@ def sample_per_stratum(ds: Dataset, k: int = 20,
             .map_batches(partial, batch_format="pyarrow")
             .groupby(strata_col)
             .map_groups(rank_group, batch_format="pyarrow"))
+
+
+def _order_key_desc(v: np.ndarray) -> np.ndarray:
+    """uint64 key whose ASCENDING order is the DESCENDING order of the
+    score values — int64 scores map exactly (sign-bit flip), floats via
+    the IEEE total-order key (events._float_order_key), both inverted."""
+    if np.issubdtype(v.dtype, np.integer):
+        key = v.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+    else:
+        from .events import _float_order_key
+        key = _float_order_key(v)
+    return ~key
+
+
+def select_until_budget(ds: Dataset, budget: int, weight_col: str,
+                        score_col: str | None = None,
+                        group_col: str | None = None,
+                        id_col: str = "doc_id",
+                        part_bits: int = 6) -> Dataset:
+    """The pretraining data-allocation step: within each group, rank
+    rows by ``(score desc, id asc)`` and keep the maximal prefix whose
+    INCLUSIVE running ``weight_col`` total stays ``<= budget`` ("take
+    the best documents until the token budget is spent"). Returns the
+    selected rows as ``(id, group?, score?, weight, cum_weight)`` where
+    ``cum_weight`` is the inclusive running total in selection order —
+    ``row qualifies iff cum_weight <= budget``, the SQL window-cumsum
+    contract (``sum(w) over (partition by g order by score desc, id)``).
+
+    Distributed exact ranking without a global sort (the
+    ``deterministic_shuffle`` construction pointed at scores): the
+    score's order-preserving uint64 key is INVERTED so ascending key ==
+    descending score, its high ``part_bits`` bits range-partition each
+    group; per-(group, part) weight sums (a tiny bounded aggregate)
+    prefix into per-part base offsets on the driver; parts whose base
+    already exceeds the budget are dropped before the shuffle, the rest
+    sort locally and attach ``base + cumsum``. One shuffle of the
+    surviving candidate rows, O(groups · 2^part_bits) driver state.
+    Equal scores share a partition by construction, so the id tie-break
+    never crosses parts. Weights must be non-negative integers (token
+    counts); a negative weight raises."""
+    from ray.data.aggregate import Sum
+
+    if score_col is None:
+        score_col = weight_col
+    num_parts = 1 << part_bits
+    cols = [id_col, weight_col]
+    if score_col not in cols:
+        cols.append(score_col)
+    if group_col is not None and group_col not in cols:
+        cols.append(group_col)
+    src = ds.select_columns(cols)
+
+    if group_col is None:
+        gid_of = {None: 0}
+    else:
+        gvals = sorted(r[group_col] for r in
+                       src.groupby(group_col).count().take_all())
+        gid_of = {g: i for i, g in enumerate(gvals)}
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        if len(w) and w.min() < 0:
+            raise ValueError(
+                "select_until_budget: negative weights are not "
+                "budget-semantics-meaningful")
+        s = batch[score_col].to_numpy(zero_copy_only=False)
+        key = _order_key_desc(s)
+        bucket = (key >> np.uint64(64 - part_bits)).astype(np.int64)
+        if group_col is None:
+            gids = np.zeros(batch.num_rows, dtype=np.int64)
+        else:
+            enc = pc.dictionary_encode(
+                batch[group_col].combine_chunks())
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            lut = np.fromiter(
+                (gid_of[g] for g in enc.dictionary.to_pylist()),
+                dtype=np.int64, count=len(enc.dictionary))
+            gids = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        out = batch.append_column(
+            "pkey", pa.array(gids * num_parts + bucket))
+        return out.append_column("okey", pa.array(key))
+
+    keyed_ds = src.map_batches(keyed, batch_format="pyarrow")
+    # tiny bounded aggregate: one row per (group, score-range bucket)
+    sums = keyed_ds.groupby("pkey").aggregate(Sum(weight_col)).take_all()
+    n_groups = (max(gid_of.values()) + 1) if gid_of else 1
+    totals = np.zeros(n_groups * num_parts, dtype=np.int64)
+    for r in sums:
+        totals[r["pkey"]] = r[f"sum({weight_col})"]
+    # exclusive prefix within each group, bucket-ascending (score desc)
+    base = np.zeros_like(totals)
+    for g in range(n_groups):
+        seg = totals[g * num_parts:(g + 1) * num_parts]
+        base[g * num_parts:(g + 1) * num_parts] = \
+            np.cumsum(seg) - seg
+    def prune(batch: pa.Table) -> pa.Table:
+        # a part whose exclusive base exceeds the budget cannot qualify
+        # any positive-weight row — drop it before the shuffle
+        pk = batch["pkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(base[pk] <= budget))
+
+    def local(group: pa.Table) -> pa.Table:
+        pk = group["pkey"][0].as_py()
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        okey = group["okey"].to_numpy(zero_copy_only=False)
+        w = group[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((ids, okey))
+        cum = base[pk] + np.add.accumulate(w[order])
+        keep_sorted = cum <= budget
+        sel = order[keep_sorted]
+        out = group.select(
+            [c for c in group.column_names
+             if c not in ("pkey", "okey")]).take(pa.array(sel))
+        return out.append_column(
+            "cum_weight", pa.array(cum[keep_sorted], type=pa.int64()))
+
+    return (keyed_ds
+            .map_batches(prune, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(local, batch_format="pyarrow"))
