@@ -315,6 +315,11 @@ def _bigram_perplexity(sf_dir: str):
     return bigram_logprob_scores(_docs(sf_dir), alpha=1)
 
 
+def _kneser_ney(sf_dir: str):
+    from ts_type_filter_ray.functions.lm import kneser_ney_scores
+    return kneser_ney_scores(_docs(sf_dir))
+
+
 def _lang_slice(ds, want_en: bool):
     import pyarrow.compute as _pc
 
@@ -519,8 +524,8 @@ _GATE_PRIORITY = [
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
-    "cross_perplexity", "stupid_backoff", "dsir_weights",
-    "perplexity_buckets",
+    "cross_perplexity", "stupid_backoff", "kneser_ney_perplexity",
+    "dsir_weights", "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
     "gopher_rules", "gopher_repetition", "temperature_sample",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
@@ -600,6 +605,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # train bigrams union-tagged into the same count-attach
         # exchanges, unseen bigrams smoothed to alpha/(alpha*V)
         "cross_perplexity": _cross_perplexity,
+        # interpolated Kneser-Ney (the KenLM smoothing), self-trained:
+        # continuation counts N1+(w1 .) / N1+(. w2) from two coarse
+        # hash exchanges; the rational-discount (d = 3/4) decomposition
+        # keeps every log argument integer, so the float perplexity
+        # itself crosses the gate (functions/lm.py)
+        "kneser_ney_perplexity": _kneser_ney,
         # Stupid Backoff (Brants 2007): the canonically distributed LM
         # smoothing — cross mode so the backoff path genuinely fires
         "stupid_backoff": _stupid_backoff,
@@ -3860,6 +3871,40 @@ def oracle_sql() -> dict[str, str]:
           from lp group by doc_id)
         select doc_id, n_bigrams, neg_logprob,
                exp(neg_logprob / n_bigrams::DOUBLE) as perplexity
+        from agg"""
+    # interpolated Kneser-Ney, self-trained, d = 3/4: the rational-
+    # discount decomposition P = ((4*c12 - 3)*B + 3*n1h*nc2)/(4*c1*B)
+    # keeps both ln arguments integer — same libm ln on both sides
+    out["kneser_ney_perplexity"] = r"""
+        with base as (
+          select doc_id,
+                 regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> ''),
+        bg as (
+          select doc_id, p as pos, arr[p] as w1, arr[p+1] as w2
+          from (select doc_id, arr, unnest(range(1, len(arr)))::INT as p
+                from base where len(arr) >= 2)),
+        c12 as (select w1, w2, count(*) as c from bg group by 1, 2),
+        c1 as (select w1, count(*) as c from bg group by 1),
+        n1h as (select w1, count(distinct w2) as c from bg group by 1),
+        nc2 as (select w2, count(distinct w1) as c from bg group by 1),
+        bt as (select count(*) as b from c12),
+        lp as (
+          select b.doc_id, b.pos,
+                 ln(((4 * c12.c - 3) * (select b from bt)
+                     + 3 * n1h.c * nc2.c)::DOUBLE)
+                   - ln((4 * c1.c * (select b from bt))::DOUBLE) as lp
+          from bg b join c12 on b.w1 = c12.w1 and b.w2 = c12.w2
+                    join c1 on b.w1 = c1.w1
+                    join n1h on b.w1 = n1h.w1
+                    join nc2 on b.w2 = nc2.w2),
+        agg as (
+          select doc_id, count(*)::BIGINT as n_bigrams,
+                 -list_aggregate(list(lp order by pos), 'sum')
+                     as neg_logprob
+          from lp group by doc_id)
+        select doc_id, n_bigrams, neg_logprob,
+               exp(neg_logprob / n_bigrams::DOUBLE) as kn_perplexity
         from agg"""
     out["cross_perplexity"] = r"""
         with tbase as (

@@ -56,7 +56,7 @@ from .textstats import _tokens
 
 __all__ = ["bigram_logprob_scores", "distinct_token_count",
            "dsir_importance_weights", "perplexity_buckets",
-           "dsir_select", "stupid_backoff_scores"]
+           "dsir_select", "stupid_backoff_scores", "kneser_ney_scores"]
 
 
 def distinct_token_count(ds: Dataset, num_parts: int = 64) -> int:
@@ -812,5 +812,243 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
     return (stage_a.union(train_ug_b)
             .groupby("bpart")
             .map_groups(attach_b, batch_format="pyarrow")
+            .groupby("dpart")
+            .map_groups(fold_docs, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999) — the
+# smoothing KenLM itself ships. Self-trained bigram form:
+#
+#   P_KN(w2|w1) = max(c(w1 w2) - d, 0) / c(w1.)
+#                 + d * N1+(w1 .) / c(w1.) * N1+(. w2) / N1+(. .)
+#
+# where N1+(w1 .) = distinct continuations of history w1, N1+(. w2) =
+# distinct histories preceding w2 (the continuation count that makes
+# "francisco" cheap despite high raw frequency), N1+(. .) = distinct
+# bigram types B. Self-trained scoring means every scored bigram was
+# observed (c12 >= 1), so the max() never binds and the unseen-history
+# backoff-to-unigram recursion never fires — which is what keeps the
+# value-exact contract attainable (cross-corpus KN needs the full
+# recursion; use stupid_backoff_scores' cross mode for that shape).
+#
+# Value-exactness — the RATIONAL-DISCOUNT trick: with d = p/q (default
+# 3/4, the textbook absolute discount), put everything over q*c1*B:
+#
+#   P = ((q*c12 - p)*B + p*n1h*nc2) / (q*c1*B)
+#   ln P = ln((q*c12 - p)*B + p*n1h*nc2) - ln(q*c1*B)
+#
+# Both log arguments are POSITIVE INTEGERS (c12 >= 1 => q*c12 - p >=
+# q - p >= 1), so the integer-log convention of the add-alpha LM above
+# carries over unchanged: libm ln on both sides, strict position-
+# ascending per-doc folds, exp of one division. Int64 bound: the
+# numerator is <= q*c12*B + p*n1h*nc2; a conservative product-of-maxes
+# guard raises before any wrap (at gate scale the headroom is ~10^8x;
+# at 100 TB scale B caps near vocab^2 — shard the corpus or raise q's
+# scale ceiling by scoring per-shard LMs).
+# ---------------------------------------------------------------------------
+
+
+def _distinct_bigram_types(ds: Dataset, num_parts: int = 64) -> int:
+    """EXACT corpus-wide distinct-bigram-type count N1+(..) — the
+    ``distinct_token_count`` idiom pointed at the order-sensitive
+    splitmix bigram hashes: per-batch UNIQUE h12 values explode, every
+    copy of a hash lands in one coarse partition where a segment scan
+    dedups globally, a tiny Sum totals. Same md5-64/splitmix collision
+    convention as the rest of the hash-identity family."""
+    from ..text.hashvec import md5_lower64_strings
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n_tok, flat, parents = _tokens(batch)
+        empty = pa.table({"part": pa.array([], type=pa.int32()),
+                          "h": pa.array([], type=pa.uint64())})
+        if len(flat) < 2:
+            return empty
+        flat = pc.utf8_lower(flat)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        par = parents.to_numpy(zero_copy_only=False)
+        idx = np.nonzero(par[1:] == par[:-1])[0]
+        if idx.size == 0:
+            return empty
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tokh = md5_lower64_strings(enc.dictionary)
+        hpos = tokh[enc.indices.to_numpy(zero_copy_only=False)]
+        h12 = np.unique(_combine_hash(hpos[idx], hpos[idx + 1]))
+        return pa.table({
+            "part": pa.array((h12 % num_parts).astype(np.int32)),
+            "h": pa.array(h12),
+        })
+
+    def scan(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int(np.unique(h).size)],
+                                       type=pa.int64())})
+
+    counts = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(scan, batch_format="pyarrow"))
+    total = counts.aggregate(Sum("n", alias_name="b"))["b"]
+    return int(total or 0)
+
+
+def kneser_ney_scores(ds: Dataset, discount: tuple[int, int] = (3, 4),
+                      num_parts: int | None = None) -> Dataset:
+    """(doc_id, n_bigrams, neg_logprob, kn_perplexity) for every doc
+    with >= 2 tokens under the self-trained interpolated Kneser-Ney
+    bigram LM (module-section docstring above) — value-exact end to
+    end via the rational-discount integer-log decomposition.
+
+    Distributed shape — two coarse exchanges plus the doc fold, fixed-
+    width hash rows only (never strings): (1) bigram occurrences key by
+    the HISTORY hash; that partition holds every copy of each of its
+    histories and their bigrams, so c12, c1 AND the distinct-
+    continuation count N1+(w1 .) all fall out of one bincount pass;
+    (2) survivors re-key by the CONTINUATION hash, where distinct
+    (w2, w1) pairs yield N1+(. w2); (3) the doc-hash fold. B = N1+(..)
+    is one tiny separate distinct-count pass (per-batch-unique hashes
+    only). Skew: a hot history/continuation concentrates its rows by
+    construction — the salted-count + broadcast-hot-keys remedy the
+    add-alpha LM documents is the shared upgrade path."""
+    from .partitioning import auto_num_parts
+    from ..text.hashvec import md5_lower64_strings
+
+    p_d, q_d = discount
+    if (not isinstance(p_d, int) or not isinstance(q_d, int)
+            or not 0 < p_d < q_d):
+        raise ValueError("discount must be an integer ratio (p, q) with "
+                         "0 < p < q — the rational-discount form is what "
+                         "keeps the log arguments integer")
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+    b_types = _distinct_bigram_types(ds, num_parts=min(num_parts, 64))
+
+    def _empty() -> pa.Table:
+        z64 = pa.array([], type=pa.int64())
+        zu = pa.array([], type=pa.uint64())
+        return pa.table({"doc_id": z64, "pos": z64, "h1": zu,
+                         "h2": zu, "h12": zu,
+                         "hpart": pa.array([], type=pa.int32())})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n_tok, flat, parents = _tokens(batch)
+        if len(flat) < 2:
+            return _empty()
+        flat = pc.utf8_lower(flat)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        par = parents.to_numpy(zero_copy_only=False)
+        idx = np.nonzero(par[1:] == par[:-1])[0]
+        if idx.size == 0:
+            return _empty()
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tokh = md5_lower64_strings(enc.dictionary)
+        hpos = tokh[enc.indices.to_numpy(zero_copy_only=False)]
+        h1 = hpos[idx]
+        h2 = hpos[idx + 1]
+        ntk = n_tok.to_numpy(zero_copy_only=False)
+        starts = np.zeros(batch.num_rows, dtype=np.int64)
+        starts[1:] = np.cumsum(ntk[:-1])
+        owners = par[idx]
+        pos = idx - starts[owners] + 1
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)[owners]
+        return pa.table({
+            "doc_id": pa.array(dids, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "h1": pa.array(h1), "h2": pa.array(h2),
+            "h12": pa.array(_combine_hash(h1, h2)),
+            "hpart": pa.array((h1 % num_parts).astype(np.int32)),
+        })
+
+    def attach_history(group: pa.Table) -> pa.Table:
+        # all occurrences of each history token are in this partition
+        h12 = group["h12"].to_numpy(zero_copy_only=False)
+        h1 = group["h1"].to_numpy(zero_copy_only=False)
+        h2 = group["h2"].to_numpy(zero_copy_only=False)
+        u12, first12, inv12 = np.unique(h12, return_index=True,
+                                        return_inverse=True)
+        c12 = np.bincount(inv12, minlength=len(u12))
+        _, inv1 = np.unique(h1, return_inverse=True)
+        n_h1 = int(inv1.max()) + 1
+        c1 = np.bincount(inv1, minlength=n_h1)
+        # one unique bigram type == one distinct continuation of its w1
+        n1h = np.bincount(inv1[first12], minlength=n_h1)
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "pos": group["pos"],
+            "h1": group["h1"], "h2": group["h2"],
+            "c12": pa.array(c12[inv12].astype(np.int64)),
+            "c1": pa.array(c1[inv1].astype(np.int64)),
+            "n1h": pa.array(n1h[inv1].astype(np.int64)),
+            "cpart": pa.array((h2 % num_parts).astype(np.int32)),
+        })
+
+    def attach_continuation(group: pa.Table) -> pa.Table:
+        # all occurrences of each continuation token are here; distinct
+        # (w2, w1) pairs give N1+(. w2). The reversed-order splitmix
+        # combine keeps pair identity disjoint from the h12 convention.
+        h2 = group["h2"].to_numpy(zero_copy_only=False)
+        h1 = group["h1"].to_numpy(zero_copy_only=False)
+        pair = _combine_hash(h2, h1)
+        _, firstp = np.unique(pair, return_index=True)
+        _, inv2 = np.unique(h2, return_inverse=True)
+        n_h2 = int(inv2.max()) + 1
+        nc2 = np.bincount(inv2[firstp], minlength=n_h2)
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "pos": group["pos"],
+            "c12": group["c12"], "c1": group["c1"],
+            "n1h": group["n1h"],
+            "nc2": pa.array(nc2[inv2].astype(np.int64)),
+            "dpart": pa.array((dids % num_parts).astype(np.int32)),
+        })
+
+    def fold_docs(group: pa.Table) -> pa.Table:
+        dids = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        c12 = group["c12"].to_numpy(zero_copy_only=False)
+        c1 = group["c1"].to_numpy(zero_copy_only=False)
+        n1h = group["n1h"].to_numpy(zero_copy_only=False)
+        nc2 = group["nc2"].to_numpy(zero_copy_only=False)
+        # conservative product-of-maxes overflow guard (Python ints)
+        hi = ((q_d * int(c12.max()) - p_d) * b_types
+              + p_d * int(n1h.max()) * int(nc2.max()))
+        if max(hi, q_d * int(c1.max()) * b_types) >= 1 << 63:
+            raise OverflowError(
+                "kneser_ney_scores: integer log argument would exceed "
+                "int64 — shard the corpus or score per-shard LMs")
+        order = np.lexsort((pos, dids))
+        dids, c12, c1 = dids[order], c12[order], c1[order]
+        n1h, nc2 = n1h[order], nc2[order]
+        num = (q_d * c12 - p_d) * b_types + p_d * n1h * nc2
+        den = q_d * c1 * b_types
+        lp = _log_int(num) - _log_int(den)
+        bounds = np.flatnonzero(dids[1:] != dids[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(dids)]))
+        neg = np.empty(len(starts), dtype=np.float64)
+        ppl = np.empty(len(starts), dtype=np.float64)
+        n = (ends - starts).astype(np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            # strict left fold == DuckDB list sum-in-list-order
+            neg[i] = -np.add.accumulate(lp[s:e])[-1]
+            ppl[i] = math.exp(neg[i] / (e - s))
+        return pa.table({
+            "doc_id": pa.array(dids[starts], type=pa.int64()),
+            "n_bigrams": pa.array(n),
+            "neg_logprob": pa.array(neg),
+            "kn_perplexity": pa.array(ppl),
+        })
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("hpart")
+            .map_groups(attach_history, batch_format="pyarrow")
+            .groupby("cpart")
+            .map_groups(attach_continuation, batch_format="pyarrow")
             .groupby("dpart")
             .map_groups(fold_docs, batch_format="pyarrow"))
