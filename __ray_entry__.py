@@ -320,6 +320,16 @@ def _kneser_ney(sf_dir: str):
     return kneser_ney_scores(_docs(sf_dir))
 
 
+# with the sf corpora's ~31-token vocabulary most bigrams repeat, so the
+# count floor genuinely prunes at gate scale
+PMI_MIN_COUNT = 5
+
+
+def _pmi_collocations(sf_dir: str):
+    from ts_type_filter_ray.functions.ngrams import pmi_collocations
+    return pmi_collocations(_docs(sf_dir), min_count=PMI_MIN_COUNT)
+
+
 def _lang_slice(ds, want_en: bool):
     import pyarrow.compute as _pc
 
@@ -525,7 +535,7 @@ _GATE_PRIORITY = [
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "cross_perplexity", "stupid_backoff", "kneser_ney_perplexity",
-    "dsir_weights", "perplexity_buckets",
+    "pmi_collocations", "dsir_weights", "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
     "gopher_rules", "gopher_repetition", "temperature_sample",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
@@ -611,6 +621,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keeps every log argument integer, so the float perplexity
         # itself crosses the gate (functions/lm.py)
         "kneser_ney_perplexity": _kneser_ney,
+        # PMI collocations (Church & Hanks 1990): per-batch pair count
+        # partials, then three exchanges over the distinct-pair table
+        # (c1/c2 are segment sums of c12 — no second corpus pass);
+        # integer log arguments make the float pmi value-exact
+        "pmi_collocations": _pmi_collocations,
         # Stupid Backoff (Brants 2007): the canonically distributed LM
         # smoothing — cross mode so the backoff path genuinely fires
         "stupid_backoff": _stupid_backoff,
@@ -3872,6 +3887,24 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, n_bigrams, neg_logprob,
                exp(neg_logprob / n_bigrams::DOUBLE) as perplexity
         from agg"""
+    out["pmi_collocations"] = rf"""
+        with base as (
+          select regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> ''),
+        bg as (
+          select arr[p] as w1, arr[p+1] as w2
+          from (select arr, unnest(range(1, len(arr)))::INT as p
+                from base where len(arr) >= 2)),
+        c12 as (select w1, w2, count(*) as c from bg group by 1, 2),
+        c1 as (select w1, count(*) as c from bg group by 1),
+        c2 as (select w2, count(*) as c from bg group by 1),
+        t as (select count(*) as t from bg)
+        select c12.w1, c12.w2, c12.c as c12,
+               ln((c12.c * (select t from t))::DOUBLE)
+                 - ln((c1.c * c2.c)::DOUBLE) as pmi
+        from c12 join c1 on c12.w1 = c1.w1
+                 join c2 on c12.w2 = c2.w2
+        where c12.c >= {PMI_MIN_COUNT}"""
     # interpolated Kneser-Ney, self-trained, d = 3/4: the rational-
     # discount decomposition P = ((4*c12 - 3)*B + 3*n1h*nc2)/(4*c1*B)
     # keeps both ln arguments integer — same libm ln on both sides

@@ -255,3 +255,56 @@ def test_dup_token_spans_whole_corpus_unique(ray_session):
     from ts_type_filter_ray.functions.ngrams import dup_token_spans
     ds = _docs([(0, "q w e r t y"), (1, "u i o p a s")])
     assert dup_token_spans(ds, shingle_k=3, num_parts=2).count() == 0
+
+
+# ---- PMI collocations ------------------------------------------------
+
+
+def _pmi_ref(texts, min_count=1, p=None, q=None):
+    import math as _m
+    import collections as _c
+    c12 = _c.Counter()
+    for t in texts:
+        ws = t.strip().lower().split()
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    t_total = sum(c12.values())
+    c1, c2 = _c.Counter(), _c.Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        c2[b] += c
+    return {(a, b): (c, _m.log(c * t_total) - _m.log(c1[a] * c2[b]))
+            for (a, b), c in c12.items() if c >= min_count}
+
+
+def test_pmi_collocations_exact(ray_session):
+    from ts_type_filter_ray.functions.ngrams import pmi_collocations
+    texts = ["new york new york city", "the big city", "new day",
+             "york minster", "the the the", "", "one"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(3)
+    got = {(r["w1"], r["w2"]): (r["c12"], r["pmi"])
+           for r in pmi_collocations(ds, min_count=1,
+                                     num_parts=4).take_all()}
+    assert got == _pmi_ref(texts)          # exact float equality
+    # exclusive pairing out-scores one diluted by a promiscuous history
+    assert got[("big", "city")][1] > got[("the", "big")][1]
+
+
+def test_pmi_min_count_and_topk(ray_session):
+    from ts_type_filter_ray.functions.ngrams import pmi_collocations
+    texts = ["a b a b a b", "c d", "x y x y"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+    rows = pmi_collocations(ds, min_count=2, num_parts=2).take_all()
+    ref = _pmi_ref(texts, min_count=2)
+    assert {(r["w1"], r["w2"]) for r in rows} == set(ref)
+    top = pmi_collocations(ds, min_count=1, k=2,
+                           num_parts=2).take_all()
+    full = sorted(_pmi_ref(texts).items(),
+                  key=lambda kv: (-kv[1][1], kv[0]))
+    assert [(r["w1"], r["w2"]) for r in top] == [k for k, _ in full[:2]]

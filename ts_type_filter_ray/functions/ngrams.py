@@ -647,3 +647,167 @@ def textrank_keywords(ds: Dataset, k: int = 25, iters: int = 3,
         "term": terms.take(pa.array(order)),
         "textrank": pa.array(scores[order], type=pa.float64()),
     })
+
+
+def pmi_collocations(ds: Dataset, min_count: int = 5,
+                     k: int | None = None,
+                     num_parts: int | None = None) -> Dataset:
+    """Bigram collocations by pointwise mutual information (Church &
+    Hanks 1990) — ``(w1, w2, c12, pmi)`` for every adjacent lowercased
+    bigram occurring at least *min_count* times, where over the bigram
+    sample space (T = total bigram occurrences)
+
+        pmi = ln( P(w1,w2) / (P1(w1) * P2(w2)) )
+            = ln(c12 * T) - ln(c1 * c2)
+
+    with c1 = occurrences of w1 as a bigram HISTORY and c2 = of w2 as a
+    CONTINUATION (the positional marginals, so probabilities normalize
+    exactly). Both log arguments are integers — the float pmi column
+    itself crosses the value-exact gate (libm ln both sides).
+
+    Scale shape: per-batch pair COUNT PARTIALS (one row per batch-
+    unique bigram — never per occurrence), then three exchanges over
+    the DISTINCT-pair table, which is vocabulary^2-bounded and in
+    practice tiny next to the corpus: (1) pair-hash partitions sum the
+    partials into c12; (2) w1-hash partitions hold every pair of each
+    history, so c1 is a segment sum of c12 — no second corpus pass;
+    (3) w2-hash partitions the same for c2, then filter + pmi. Rows
+    are grouped by STRING inside each partition (hashes only route),
+    so md5 collisions cannot corrupt counts. T is one tiny tokenize
+    pass. ``k``: optional exact top-k by (pmi desc, w1, w2)."""
+    from .dedup import join_elementwise
+    from .partitioning import auto_num_parts
+    from ..text.hashvec import md5_lower64_strings
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        n_tok, _, _ = _tokens(batch)
+        n = n_tok.to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(
+            [int(np.maximum(n - 1, 0).sum())], type=pa.int64())})
+
+    t_total = sum(r["n"] for r in ds.map_batches(
+        tok_partial, batch_format="pyarrow").take_all())
+    if t_total >= (1 << 31):
+        # c1 * c2 <= T^2 must stay under 2^63 in the worst case
+        raise OverflowError("pmi_collocations: total bigram count too "
+                            "large for the int64 log-argument contract "
+                            "— shard the corpus")
+
+    def _empty() -> pa.Table:
+        return pa.table({
+            "w1": pa.array([], type=pa.string()),
+            "w2": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+            "ppart": pa.array([], type=pa.int32()),
+        })
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        if len(flat) < 2:
+            return _empty()
+        flat = pc.utf8_lower(flat)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        par = parents.to_numpy(zero_copy_only=False)
+        live = np.nonzero(par[1:] == par[:-1])[0]
+        if live.size == 0:
+            return _empty()
+        grams = join_elementwise(flat.slice(0, len(flat) - 1),
+                                 flat.slice(1), "\x1f")
+        grams = grams.take(pa.array(live))
+        enc = pc.dictionary_encode(grams)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # unique codes are exactly 0..D-1; first[i] = first occurrence
+        # of code i, so everything below is aligned with code order
+        first = np.unique(codes, return_index=True)[1]
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        sel = pa.array(live[first])
+        w1 = flat.take(sel)
+        w2 = flat.take(pc.add(sel, 1))
+        ph = md5_lower64_strings(enc.dictionary)
+        return pa.table({
+            "w1": w1, "w2": w2,
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "ppart": pa.array((ph % num_parts).astype(np.int32)),
+        })
+
+    def sum_pairs(group: pa.Table) -> pa.Table:
+        key = join_elementwise(group["w1"], group["w2"], "\x1f")
+        enc = pc.dictionary_encode(key)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        first = np.unique(codes, return_index=True)[1]
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        c12 = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(c12, codes, cnt)
+        # first[i] = first row of code i — c12 is already in code order
+        sel = pa.array(first)
+        w1 = group["w1"].take(sel)
+        w2 = group["w2"].take(sel)
+        h1 = md5_lower64_strings(
+            w1.combine_chunks() if isinstance(w1, pa.ChunkedArray) else w1)
+        return pa.table({
+            "w1": w1, "w2": w2,
+            "c12": pa.array(c12),
+            "hpart": pa.array((h1 % num_parts).astype(np.int32)),
+        })
+
+    def attach_c1(group: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(group["w1"].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        c12 = group["c12"].to_numpy(zero_copy_only=False)
+        c1 = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(c1, codes, c12)
+        w2 = group["w2"]
+        h2 = md5_lower64_strings(
+            w2.combine_chunks() if isinstance(w2, pa.ChunkedArray) else w2)
+        return pa.table({
+            "w1": group["w1"], "w2": group["w2"],
+            "c12": group["c12"],
+            "c1": pa.array(c1[codes]),
+            "cpart": pa.array((h2 % num_parts).astype(np.int32)),
+        })
+
+    def attach_c2_emit(group: pa.Table) -> pa.Table:
+        from .lm import _log_int
+        enc = pc.dictionary_encode(group["w2"].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        c12 = group["c12"].to_numpy(zero_copy_only=False)
+        c2 = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(c2, codes, c12)
+        c2r = c2[codes]
+        c1 = group["c1"].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(c12 >= min_count)
+        kidx = pa.array(keep)
+        pmi = (_log_int(c12[keep] * t_total)
+               - _log_int(c1[keep] * c2r[keep]))
+        return pa.table({
+            "w1": group["w1"].take(kidx),
+            "w2": group["w2"].take(kidx),
+            "c12": group["c12"].take(kidx),
+            "pmi": pa.array(pmi),
+        })
+
+    out = (ds.map_batches(pair_partials, batch_format="pyarrow")
+           .groupby("ppart")
+           .map_groups(sum_pairs, batch_format="pyarrow")
+           .groupby("hpart")
+           .map_groups(attach_c1, batch_format="pyarrow")
+           .groupby("cpart")
+           .map_groups(attach_c2_emit, batch_format="pyarrow"))
+    if k is not None:
+        out = out.sort(["pmi", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)
+    return out
