@@ -324,6 +324,24 @@ def _kneser_ney(sf_dir: str):
 # count floor genuinely prunes at gate scale
 PMI_MIN_COUNT = 5
 
+# corpus-law fits: top_n below the sf vocabulary so the rank cut bites;
+# the sf corpora draw from a ~31-term vocabulary that saturates within
+# the first few docs, so the growth checkpoints start at doc 1 (where
+# vocab genuinely rises) and extend past the last doc id (cutoffs
+# beyond the corpus are well-defined — they include every doc)
+ZIPF_TOP_N = 24
+HEAPS_CHECKPOINTS = [1, 2, 8, 50, 400]
+
+
+def _zipf_fit(sf_dir: str):
+    from ts_type_filter_ray.functions.textstats import zipf_fit
+    return zipf_fit(_docs(sf_dir), top_n=ZIPF_TOP_N)
+
+
+def _heaps_fit(sf_dir: str):
+    from ts_type_filter_ray.functions.textstats import heaps_fit
+    return heaps_fit(_docs(sf_dir), HEAPS_CHECKPOINTS)
+
 
 def _pmi_collocations(sf_dir: str):
     from ts_type_filter_ray.functions.ngrams import pmi_collocations
@@ -535,7 +553,8 @@ _GATE_PRIORITY = [
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "cross_perplexity", "stupid_backoff", "kneser_ney_perplexity",
-    "pmi_collocations", "dsir_weights", "perplexity_buckets",
+    "pmi_collocations", "zipf_fit", "heaps_fit",
+    "dsir_weights", "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
     "gopher_rules", "gopher_repetition", "temperature_sample",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
@@ -626,6 +645,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (c1/c2 are segment sums of c12 — no second corpus pass);
         # integer log arguments make the float pmi value-exact
         "pmi_collocations": _pmi_collocations,
+        # Zipf rank-frequency fit: log-log least squares over the
+        # top-n of the term_df_tf table; integer ranks/counts + the
+        # ordered-fold sum convention make the float slope/intercept
+        # value-exact (textstats.zipf_fit)
+        "zipf_fit": _zipf_fit,
+        # Heaps vocabulary-growth fit: per-term min-doc-id exchange →
+        # first-appearance histogram over the checkpoint grid → all
+        # checkpoints from ONE corpus pass; same value-exact fit
+        "heaps_fit": _heaps_fit,
         # Stupid Backoff (Brants 2007): the canonically distributed LM
         # smoothing — cross mode so the backoff path genuinely fires
         "stupid_backoff": _stupid_backoff,
@@ -3887,6 +3915,66 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, n_bigrams, neg_logprob,
                exp(neg_logprob / n_bigrams::DOUBLE) as perplexity
         from agg"""
+    # corpus-law fits: the four regression sums are ordered folds, the
+    # closing slope/intercept expressions share the engine's float64
+    # shapes exactly (n::DOUBLE * sxy - sx * sy, etc.)
+    out["zipf_fit"] = rf"""
+        with tok as (
+          select unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+          from documents where trim(text) <> ''),
+        tf as (select term, count(*) as c from tok group by 1),
+        ranked as (
+          select c, row_number() over (order by c desc, term asc) as r
+          from tf),
+        top as (select r, c from ranked where r <= {ZIPF_TOP_N}),
+        s as (select count(*)::BIGINT as n,
+          list_aggregate(list(ln(r::DOUBLE) order by r), 'sum') as sx,
+          list_aggregate(list(ln(c::DOUBLE) order by r), 'sum') as sy,
+          list_aggregate(list(ln(r::DOUBLE) * ln(r::DOUBLE)
+                              order by r), 'sum') as sxx,
+          list_aggregate(list(ln(r::DOUBLE) * ln(c::DOUBLE)
+                              order by r), 'sum') as sxy
+          from top),
+        fit as (select n,
+          (n::DOUBLE * sxy - sx * sy)
+              / (n::DOUBLE * sxx - sx * sx) as slope,
+          sx, sy from s)
+        select n as n_terms, slope,
+               (sy - slope * sx) / n::DOUBLE as intercept
+        from fit"""
+    _heaps_cp = ",".join(f"({c})" for c in HEAPS_CHECKPOINTS)
+    out["heaps_fit"] = rf"""
+        with tok as (
+          select doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+          from documents where trim(text) <> ''),
+        cp(n) as (values {_heaps_cp}),
+        growth as (
+          select cp.n as n_docs,
+                 (select count(distinct term) from tok
+                  where doc_id <= cp.n) as vocab
+          from cp),
+        pts as (select n_docs, vocab from growth
+                where vocab > 0 and n_docs >= 1),
+        s as (select count(*)::BIGINT as n,
+          list_aggregate(list(ln(n_docs::DOUBLE)
+                              order by n_docs), 'sum') as sx,
+          list_aggregate(list(ln(vocab::DOUBLE)
+                              order by n_docs), 'sum') as sy,
+          list_aggregate(list(ln(n_docs::DOUBLE) * ln(n_docs::DOUBLE)
+                              order by n_docs), 'sum') as sxx,
+          list_aggregate(list(ln(n_docs::DOUBLE) * ln(vocab::DOUBLE)
+                              order by n_docs), 'sum') as sxy
+          from pts),
+        fit as (select n,
+          (n::DOUBLE * sxy - sx * sy)
+              / (n::DOUBLE * sxx - sx * sx) as slope,
+          sx, sy from s)
+        select n as n_points, slope,
+               (sy - slope * sx) / n::DOUBLE as intercept
+        from fit"""
     out["pmi_collocations"] = rf"""
         with base as (
           select regexp_split_to_array(lower(trim(text)),'\s+') as arr

@@ -308,3 +308,69 @@ def test_pmi_min_count_and_topk(ray_session):
     full = sorted(_pmi_ref(texts).items(),
                   key=lambda kv: (-kv[1][1], kv[0]))
     assert [(r["w1"], r["w2"]) for r in top] == [k for k, _ in full[:2]]
+
+
+# ---- corpus-law fits (textstats.zipf_fit / vocab_growth / heaps_fit) --
+
+
+def _fit_ref(xs, ys):
+    import math as _m
+    x = [_m.log(v) for v in xs]
+    y = [_m.log(v) for v in ys]
+    n = len(x)
+    # strict left folds, matching the engine/oracle convention
+    sx = 0.0
+    for v in x: sx += v
+    sy = 0.0
+    for v in y: sy += v
+    sxx = 0.0
+    for v in x: sxx += v * v
+    sxy = 0.0
+    for a, b in zip(x, y): sxy += a * b
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return slope, (sy - slope * sx) / n
+
+
+def test_zipf_fit_matches_reference(ray_session):
+    from ts_type_filter_ray.functions.textstats import zipf_fit
+    import collections
+    texts = ["the the the the cat", "the cat sat sat", "a the cat b",
+             "zz", ""]
+    ds = _docs(list(enumerate(texts)))
+    out = zipf_fit(ds, top_n=4).to_pylist()[0]
+    cnt = collections.Counter(
+        w for t in texts for w in t.lower().split())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    slope, intercept = _fit_ref(range(1, 5), [c for _, c in ranked])
+    assert out["n_terms"] == 4
+    assert out["slope"] == slope and out["intercept"] == intercept
+    assert out["slope"] < 0        # frequency falls with rank
+
+
+def test_vocab_growth_exact(ray_session):
+    from ts_type_filter_ray.functions.textstats import vocab_growth
+    texts = ["a b c", "a b", "d", "", "e f a", "g"]
+    ds = _docs(list(enumerate(texts)))
+    got = vocab_growth(ds, [0, 1, 3, 5], num_parts=3).to_pylist()
+    def ref(c):
+        return len({w for d, t in enumerate(texts) if d <= c
+                    for w in t.lower().split()})
+    assert [(r["n_docs"], r["vocab"]) for r in got] == \
+        [(c, ref(c)) for c in [0, 1, 3, 5]]
+
+
+def test_heaps_fit_matches_reference(ray_session):
+    from ts_type_filter_ray.functions.textstats import heaps_fit
+    texts = ["a b c", "a b d", "e f", "g h i j", "a k"]
+    ds = _docs(list(enumerate(texts)))
+    vocab = []
+    seen = set()
+    for t in texts:
+        seen.update(t.lower().split())
+        vocab.append(len(seen))
+    # checkpoint 0 is dropped (ln needs a positive doc-id cutoff)
+    out = heaps_fit(ds, [0, 1, 2, 3, 4], num_parts=3).to_pylist()[0]
+    slope, intercept = _fit_ref([1, 2, 3, 4], vocab[1:])
+    assert out["n_points"] == 4
+    assert out["slope"] == slope and out["intercept"] == intercept
+    assert 0.0 < out["slope"] < 1.0    # sublinear growth

@@ -992,3 +992,154 @@ def classifier_scores(ds: Dataset, dim_bits: int = 18, seed: str = "w1",
         concurrency=concurrency,
         fn_constructor_kwargs={"dim_bits": dim_bits, "seed": seed,
                                "scale": scale})
+
+
+# ---------------------------------------------------------------------------
+# Corpus-law fits — Zipf (rank-frequency) and Heaps (vocabulary growth).
+# Both are least-squares lines in log-log space whose inputs are INTEGER
+# ranks/counts, so with the ordered-fold sum convention the float slope
+# and intercept themselves cross the value-exact gate: every ln argument
+# is an integer (libm both sides), the four regression sums are strict
+# ascending left folds, and the closing slope/intercept expressions use
+# identical float64 shapes to the SQL mirror.
+# ---------------------------------------------------------------------------
+
+
+def _loglog_fit(x_int: np.ndarray, y_int: np.ndarray
+                ) -> tuple[float, float]:
+    """(slope, intercept) of the least-squares line through
+    (ln x_i, ln y_i), folded in the given order. Shapes mirror the SQL:
+    sums via strict left folds, then
+    slope = (n*sxy - sx*sy) / (n*sxx - sx*sx),
+    intercept = (sy - slope*sx) / n."""
+    if len(x_int) < 2:
+        raise ValueError("log-log fit needs at least 2 points")
+    x = np.array([math.log(int(v)) for v in x_int], dtype=np.float64)
+    y = np.array([math.log(int(v)) for v in y_int], dtype=np.float64)
+    n = len(x)
+    sx = np.add.accumulate(x)[-1]
+    sy = np.add.accumulate(y)[-1]
+    sxx = np.add.accumulate(x * x)[-1]
+    sxy = np.add.accumulate(x * y)[-1]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return float(slope), float(intercept)
+
+
+def zipf_fit(ds: Dataset, top_n: int = 1000) -> pa.Table:
+    """One-row table ``(n_terms, slope, intercept)``: the log-log
+    least-squares fit of total term frequency against frequency rank
+    over the *top_n* most frequent terms — Zipf's law says slope ≈ -1;
+    a corpus whose slope drifts far from it is boilerplate-heavy (too
+    flat) or degenerate (too steep). Ranking is (tf desc, term asc),
+    rank r = 1.. — both ints, so every ln argument is an integer.
+
+    Scale: rides the :func:`term_df_tf` partial-aggregate shuffle; only
+    the sort's top_n rows (bounded by contract) reach the driver."""
+    ranked = (term_df_tf(ds)
+              .sort(["tf", "term"], descending=[True, False])
+              .limit(top_n)
+              .take_all())                       # <= top_n rows
+    tf = np.array([r["tf"] for r in ranked], dtype=np.int64)
+    ranks = np.arange(1, len(tf) + 1, dtype=np.int64)
+    slope, intercept = _loglog_fit(ranks, tf)
+    return pa.table({
+        "n_terms": pa.array([len(tf)], type=pa.int64()),
+        "slope": pa.array([slope], type=pa.float64()),
+        "intercept": pa.array([intercept], type=pa.float64()),
+    })
+
+
+def vocab_growth(ds: Dataset, checkpoints: list[int],
+                 num_parts: int = 64) -> pa.Table:
+    """``(n_docs, vocab)`` — EXACT distinct-vocabulary size among
+    documents with ``doc_id <= c`` for each checkpoint, ALL checkpoints
+    from ONE corpus pass: a term first "appears" at its minimum doc_id,
+    so per-batch (term, min doc_id) partials -> one coarse term-hash
+    exchange keeping the global min per term (grouped by STRING inside
+    the partition; hashes only route) -> a histogram of first-
+    appearance ids over the checkpoint grid -> cumulative sum. Driver
+    state is O(checkpoints); the shuffle ships batch-unique terms."""
+    cps = sorted(set(int(c) for c in checkpoints))
+    if not cps:
+        raise ValueError("need at least one checkpoint")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "first": pa.array([], type=pa.int64()),
+                             "tpart": pa.array([], type=pa.int32())})
+        flat = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        par = parents.to_numpy(zero_copy_only=False)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        first = np.full(len(enc.dictionary), np.iinfo(np.int64).max,
+                        dtype=np.int64)
+        np.minimum.at(first, codes, dids[par])
+        from ..text.hashvec import md5_lower64_strings
+        h = md5_lower64_strings(enc.dictionary)
+        return pa.table({
+            "term": enc.dictionary,
+            "first": pa.array(first),
+            "tpart": pa.array((h % num_parts).astype(np.int32)),
+        })
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(group["term"].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        first = group["first"].to_numpy(zero_copy_only=False)
+        gmin = np.full(len(enc.dictionary), np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        np.minimum.at(gmin, codes, first)
+        # histogram of first appearances over the checkpoint grid:
+        # index i counts terms first seen in (cps[i-1], cps[i]]
+        edges = np.searchsorted(np.array(cps, dtype=np.int64), gmin,
+                                side="left")
+        cnt = np.bincount(edges, minlength=len(cps) + 1)[:len(cps)]
+        return pa.table({
+            "ci": pa.array(np.arange(len(cps), dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+    rows = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("tpart")
+            .map_groups(keep_min, batch_format="pyarrow")
+            .groupby("ci")
+            .aggregate(_Sum("n", alias_name="n"))
+            .take_all())                        # <= len(cps) rows
+    per_bucket = np.zeros(len(cps), dtype=np.int64)
+    for r in rows:
+        per_bucket[r["ci"]] = r["n"]
+    vocab = np.cumsum(per_bucket)
+    return pa.table({
+        "n_docs": pa.array(cps, type=pa.int64()),
+        "vocab": pa.array(vocab, type=pa.int64()),
+    })
+
+
+def heaps_fit(ds: Dataset, checkpoints: list[int],
+              num_parts: int = 64) -> pa.Table:
+    """One-row table ``(n_points, slope, intercept)``: Heaps' law
+    V(N) ~ K * N^beta fitted log-log over :func:`vocab_growth`
+    checkpoints (slope = beta, typically 0.4-0.6 for natural text;
+    exp(intercept) = K). Same integer-log + ordered-fold contract as
+    :func:`zipf_fit` — checkpoints are doc-id cutoffs, vocab sizes are
+    exact ints, so the float fit crosses the value-exact gate."""
+    growth = vocab_growth(ds, checkpoints, num_parts=num_parts)
+    n_docs = growth["n_docs"].to_numpy(zero_copy_only=False)
+    vocab = growth["vocab"].to_numpy(zero_copy_only=False)
+    # both lns need positive integer arguments
+    keep = (vocab > 0) & (n_docs >= 1)
+    slope, intercept = _loglog_fit(n_docs[keep], vocab[keep])
+    return pa.table({
+        "n_points": pa.array([int(keep.sum())], type=pa.int64()),
+        "slope": pa.array([slope], type=pa.float64()),
+        "intercept": pa.array([intercept], type=pa.float64()),
+    })
