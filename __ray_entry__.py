@@ -552,8 +552,8 @@ _GATE_PRIORITY = [
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
-    "cross_perplexity", "stupid_backoff", "kneser_ney_perplexity",
-    "pmi_collocations", "zipf_fit", "heaps_fit",
+    "stupid_backoff", "kneser_ney_perplexity",
+    "pmi_collocations", "heaps_fit",
     "dsir_weights", "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
     "gopher_rules", "gopher_repetition", "temperature_sample",
@@ -567,9 +567,14 @@ _GATE_PRIORITY = [
     "export_postings", "index_fsck", "boolean_match_term_routed",
     "bm25_topk_nostem",
     "ql_topk_nostem",
-    "range_filter_match", "dsir_select", "top_orders_q3",
+    "range_filter_match", "top_orders_q3",
     "term_vectors", "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
+    # below here defers within the new-entry block: machinery a
+    # higher-ranked sibling exercises (cross_perplexity ⊂ the bigram
+    # count-attach exchanges, zipf_fit ⊂ heaps' ordered-fold fit +
+    # term_df_tf, dsir_select ⊂ dsir_weights + Gumbel top-k)
+    "cross_perplexity", "zipf_fit", "dsir_select",
     "bpe_top_pairs", "cms_counts", "textrank_keywords",
     "deleted_match_nostem", "fuzzy_match_indexed", "boolean_expr_match",
     "pack_sequences", "ann_ivf_exhaustive", "pq_exhaustive_refine",
