@@ -320,6 +320,32 @@ def _kneser_ney(sf_dir: str):
     return kneser_ney_scores(_docs(sf_dir))
 
 
+# noisy-channel "did you mean" phrase correction: one substitution, one
+# deletion, one insertion, an OOV that must survive verbatim, a
+# two-typo 3-token lattice, and 'sow' — within dist 1 of BOTH 'slow'
+# and 'row', so the bigram LM (not the channel) decides.  max_dist=1
+# keeps per-position candidate sets honest at the sf vocabulary;
+# pen=16 (ln 16 per edit) is well under the ~ln 950 unigram gain at
+# gate scale, so corrections genuinely fire.
+DYM_QUERY_SET = [
+    "hach join",
+    "merg sort",
+    "quary filter",
+    "zzzqqq scan",
+    "fst column",
+    "bg tble scan",
+    "sow scan",
+]
+DYM_MAX_DIST = 1
+DYM_PEN = 16
+
+
+def _did_you_mean(sf_dir: str):
+    from ts_type_filter_ray.functions.didyoumean import did_you_mean
+    return did_you_mean(_docs(sf_dir), DYM_QUERY_SET,
+                        max_dist=DYM_MAX_DIST, pen=DYM_PEN)
+
+
 # with the sf corpora's ~31-token vocabulary most bigrams repeat, so the
 # count floor genuinely prunes at gate scale
 PMI_MIN_COUNT = 5
@@ -559,7 +585,7 @@ _GATE_PRIORITY = [
     "gopher_rules", "gopher_repetition", "temperature_sample",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
-    "distinct_terms_by_lang", "corpus_diff",
+    "did_you_mean", "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
     "first_positions", "proximity_boost_topk", "ordered_window_match",
     "pagerank_knn", "weighted_sample_k", "sample_per_stratum",
@@ -573,8 +599,11 @@ _GATE_PRIORITY = [
     # below here defers within the new-entry block: machinery a
     # higher-ranked sibling exercises (cross_perplexity ⊂ the bigram
     # count-attach exchanges, zipf_fit ⊂ heaps' ordered-fold fit +
-    # term_df_tf, dsir_select ⊂ dsir_weights + Gumbel top-k)
+    # term_df_tf, dsir_select ⊂ dsir_weights + Gumbel top-k,
+    # distinct_terms_by_lang ⊂ term_df_tf + doc_stats_by_lang, both
+    # green r3 — it ceded its head slot to did_you_mean)
     "cross_perplexity", "zipf_fit", "dsir_select",
+    "distinct_terms_by_lang",
     "bpe_top_pairs", "cms_counts", "textrank_keywords",
     "deleted_match_nostem", "fuzzy_match_indexed", "boolean_expr_match",
     "pack_sequences", "ann_ivf_exhaustive", "pq_exhaustive_refine",
@@ -645,6 +674,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keeps every log argument integer, so the float perplexity
         # itself crosses the gate (functions/lm.py)
         "kneser_ney_perplexity": _kneser_ney,
+        # noisy-channel phrase correction (Kernighan/Church/Gale 1990):
+        # bigram-LM Viterbi over the per-token candidate lattice —
+        # candidates from a vectorized vocabulary sweep, lattice counts
+        # from ONE corpus pass over broadcast candidates; the ORACLE
+        # enumerates every path (cross join of candidate sets) under
+        # the same integer-log float expressions, so the winning
+        # phrase AND its float score are value-exact
+        "did_you_mean": _did_you_mean,
         # PMI collocations (Church & Hanks 1990): per-batch pair count
         # partials, then three exchanges over the distinct-pair table
         # (c1/c2 are segment sums of c12 — no second corpus pass);
@@ -4219,4 +4256,71 @@ def oracle_sql() -> dict[str, str]:
     out["mmr_topk_lambda1"] = out["ann_topk"]
     # probed kNN join at nprobe ≥ #cells runs every block pair → exact
     out["knn_join_probed_exhaustive"] = out["knn_join"]
+
+    # noisy-channel "did you mean": the oracle ENUMERATES the candidate
+    # lattice (cross join of per-position candidate sets — bounded by
+    # max_dist=1 over the sf vocabulary) and scores every path with the
+    # engine's exact float64 expression shapes (integer log arguments,
+    # left-fold accumulation), then takes the same
+    # (score desc, path asc) argmax — a Viterbi decode checked by an
+    # exhaustive oracle.
+    _dym_ctes = [
+        r"""base as (
+          select regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> '')""",
+        r"""uni as (
+          select arr[p] as term, count(*)::BIGINT as c
+          from (select arr, unnest(range(1, len(arr)+1))::INT as p
+                from base)
+          group by 1)""",
+        r"""nv as (select sum(c)::BIGINT as n, count(*)::BIGINT as v
+                   from uni)""",
+        r"""big as (
+          select arr[p] as w1, arr[p+1] as w2, count(*)::BIGINT as c12
+          from (select arr, unnest(range(1, len(arr)))::INT as p
+                from base where len(arr) >= 2)
+          group by 1, 2)""",
+        "hist as (select w1, sum(c12)::BIGINT as ch from big group by 1)",
+    ]
+    _dym_rows = []
+    for _qi, _q in enumerate(DYM_QUERY_SET):
+        _ts = _q.strip().lower().split()
+        _k = len(_ts)
+        for _j, _t in enumerate(_ts, start=1):
+            _dym_ctes.append(
+                f"c{_qi}_{_j} as ("
+                f"select term, levenshtein(term, '{_t}')::BIGINT as d"
+                f" from uni"
+                f" where levenshtein(term, '{_t}') <= {DYM_MAX_DIST}"
+                f" union all select '{_t}', 0::BIGINT"
+                f" where not exists"
+                f" (select 1 from uni where term = '{_t}'))")
+        _score = (f"((ln((coalesce(u1.c, 0) + 1)::DOUBLE)"
+                  f" - ln(((select n from nv)"
+                  f" + (select v from nv))::DOUBLE))"
+                  f" - c1.d * ln({DYM_PEN}))")
+        _joins = [f"from c{_qi}_1 c1 left join uni u1 on u1.term = c1.term"]
+        for _j in range(2, _k + 1):
+            _score += (f" + ((ln((coalesce(b{_j}.c12, 0) + 1)::DOUBLE)"
+                       f" - ln((coalesce(h{_j}.ch, 0)"
+                       f" + (select v from nv))::DOUBLE))"
+                       f" - c{_j}.d * ln({DYM_PEN}))")
+            _joins.append(
+                f"cross join c{_qi}_{_j} c{_j}"
+                f" left join big b{_j} on b{_j}.w1 = c{_j - 1}.term"
+                f" and b{_j}.w2 = c{_j}.term"
+                f" left join hist h{_j} on h{_j}.w1 = c{_j - 1}.term")
+        _sel = ", ".join(f"c{_j}.term as t{_j}" for _j in range(1, _k + 1))
+        _ord = ", ".join(f"t{_j} asc" for _j in range(1, _k + 1))
+        _dym_ctes.append(
+            f"b{_qi} as (select {_sel}, {_score} as score "
+            + " ".join(_joins)
+            + f" order by score desc, {_ord} limit 1)")
+        _dym_rows.extend(
+            f"select cast({_qi} as bigint) as query_idx,"
+            f" cast({_j} as bigint) as pos, t{_j} as term, score"
+            f" from b{_qi}"
+            for _j in range(1, _k + 1))
+    out["did_you_mean"] = ("with " + ",\n".join(_dym_ctes) + "\n"
+                           + "\nunion all\n".join(_dym_rows))
     return out
