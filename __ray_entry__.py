@@ -346,6 +346,30 @@ def _did_you_mean(sf_dir: str):
                         max_dist=DYM_MAX_DIST, pen=DYM_PEN)
 
 
+# distributed suffix array (prefix doubling): the sf corpora plant
+# near-duplicate docs sharing up to ~552-char spans, so doubling needs
+# k=1024 to separate all suffixes — max_compare=1024 is both the
+# engine's convergence budget and the oracle's suffix-truncation
+# window (sound because the engine raises if any repeat reaches it).
+# stride 8 keeps the gate output ~19k rows; min_len=40 sits between
+# the token-5-gram scale (~27 chars) and whole-doc spans, so coverage
+# fractions genuinely vary per doc.
+SA_STRIDE = 8
+SA_MAX_COMPARE = 1024
+SA_DUP_LEN = 40
+
+
+def _suffix_ranks(sf_dir: str):
+    from ts_type_filter_ray.functions.suffix import suffix_ranks
+    return suffix_ranks(_docs(sf_dir), stride=SA_STRIDE,
+                        max_compare=SA_MAX_COMPARE)
+
+
+def _sa_dup_coverage(sf_dir: str):
+    from ts_type_filter_ray.functions.suffix import sa_dup_coverage
+    return sa_dup_coverage(_docs(sf_dir), min_len=SA_DUP_LEN)
+
+
 # with the sf corpora's ~31-token vocabulary most bigrams repeat, so the
 # count floor genuinely prunes at gate scale
 PMI_MIN_COUNT = 5
@@ -585,7 +609,7 @@ _GATE_PRIORITY = [
     "gopher_rules", "gopher_repetition", "temperature_sample",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
-    "did_you_mean", "corpus_diff",
+    "did_you_mean", "suffix_ranks", "sa_dup_coverage", "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
     "first_positions", "proximity_boost_topk", "ordered_window_match",
     "pagerank_knn", "weighted_sample_k", "sample_per_stratum",
@@ -593,17 +617,20 @@ _GATE_PRIORITY = [
     "export_postings", "index_fsck", "boolean_match_term_routed",
     "bm25_topk_nostem",
     "ql_topk_nostem",
-    "range_filter_match", "top_orders_q3",
-    "term_vectors", "stopword_match", "asof_join", "range_join",
+    "top_orders_q3",
+    "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
     # below here defers within the new-entry block: machinery a
     # higher-ranked sibling exercises (cross_perplexity ⊂ the bigram
     # count-attach exchanges, zipf_fit ⊂ heaps' ordered-fold fit +
     # term_df_tf, dsir_select ⊂ dsir_weights + Gumbel top-k,
     # distinct_terms_by_lang ⊂ term_df_tf + doc_stats_by_lang, both
-    # green r3 — it ceded its head slot to did_you_mean)
+    # green r3, term_vectors ⊂ the same explode+count, and
+    # range_filter_match ⊂ numeric_histogram's doc-values index — the
+    # four ceded head slots to did_you_mean / suffix_ranks /
+    # sa_dup_coverage)
     "cross_perplexity", "zipf_fit", "dsir_select",
-    "distinct_terms_by_lang",
+    "distinct_terms_by_lang", "term_vectors", "range_filter_match",
     "bpe_top_pairs", "cms_counts", "textrank_keywords",
     "deleted_match_nostem", "fuzzy_match_indexed", "boolean_expr_match",
     "pack_sequences", "ann_ivf_exhaustive", "pq_exhaustive_refine",
@@ -682,6 +709,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same integer-log float expressions, so the winning
         # phrase AND its float score are value-exact
         "did_you_mean": _did_you_mean,
+        # distributed char-level suffix array (prefix doubling as
+        # O(log maxrepeat) linear shuffles — functions/suffix.py):
+        # every 8th position's suffix rank, value-exact vs a DuckDB
+        # truncated-suffix rank() oracle (truncation sound via the
+        # engine's convergence guard)
+        "suffix_ranks": _suffix_ranks,
+        # ExactSubstr (Lee et al. 2022) at the fixed threshold length:
+        # per-doc chars covered by a >=2-occurrence 40-char window,
+        # from the suffix-array sparse-table anchors — value-exact vs
+        # an independent L-gram + gaps-and-islands SQL formulation
+        "sa_dup_coverage": _sa_dup_coverage,
         # PMI collocations (Church & Hanks 1990): per-batch pair count
         # partials, then three exchanges over the distinct-pair table
         # (c1/c2 are segment sums of c12 — no second corpus pass);
@@ -4323,4 +4361,73 @@ def oracle_sql() -> dict[str, str]:
             for _j in range(1, _k + 1))
     out["did_you_mean"] = ("with " + ",\n".join(_dym_ctes) + "\n"
                            + "\nunion all\n".join(_dym_rows))
+
+    # distributed suffix array: the oracle materializes every suffix
+    # of the SAME corpus string G truncated to SA_MAX_COMPARE code
+    # points and ranks them — sound because the engine raises unless
+    # doubling converged within that window (no repeat reaches it, so
+    # truncated comparisons decide every pair)
+    out["suffix_ranks"] = rf"""
+        with g as (
+          select string_agg(coalesce(lower(trim(text)), '') || chr(1),
+                            '' order by doc_id) as s
+          from documents),
+        p as (select unnest(range(1,
+                     length((select s from g)) + 1)) as p),
+        sfx as (select p, substr(g.s, p::INT, {SA_MAX_COMPARE}) as suf
+                from g cross join p),
+        r as (select p, rank() over (order by suf) as rk from sfx)
+        select (p - 1)::BIGINT as pos, (rk - 1)::BIGINT as "rank"
+        from r where (p - 1) % {SA_STRIDE} = 0"""
+    # ExactSubstr coverage: the independent fixed-length formulation —
+    # L-grams of G occurring >= 2 times, starts attributed to the doc
+    # whose char range wholly contains the window, per-doc interval
+    # union via gaps-and-islands (an island's cover = last - first + L)
+    out["sa_dup_coverage"] = rf"""
+        with docs as (
+          select doc_id, coalesce(lower(trim(text)), '') as t
+          from documents),
+        offs as (
+          select doc_id, length(t) as len,
+                 coalesce(sum(length(t) + 1) over (order by doc_id
+                     rows between unbounded preceding and 1 preceding),
+                     0) as off
+          from docs),
+        g as (select string_agg(t || chr(1), '' order by doc_id) as s
+              from docs),
+        p as (select unnest(range(1,
+                     length((select s from g)) - {SA_DUP_LEN} + 2))
+                     as p),
+        grams as (select p, substr(g.s, p::INT, {SA_DUP_LEN}) as gram
+                  from g cross join p),
+        dup as (select gram from grams
+                group by gram having count(*) >= 2),
+        starts as (
+          select o.doc_id, g2.p - 1 - o.off as lp, o.len
+          from grams g2 join dup using (gram)
+          join offs o on g2.p - 1 >= o.off
+                     and g2.p - 1 + {SA_DUP_LEN} <= o.off + o.len),
+        isl as (
+          select doc_id, lp, len,
+                 case when lag(lp) over (partition by doc_id
+                          order by lp) is null
+                       or lp - lag(lp) over (partition by doc_id
+                          order by lp) > {SA_DUP_LEN}
+                      then 1 else 0 end as brk
+          from starts),
+        isl2 as (
+          select doc_id, lp, len,
+                 sum(brk) over (partition by doc_id order by lp
+                     rows between unbounded preceding and current row)
+                     as island
+          from isl),
+        cov as (
+          select doc_id, len,
+                 max(lp) - min(lp) + {SA_DUP_LEN} as c
+          from isl2 group by doc_id, len, island)
+        select doc_id, max(len)::BIGINT as n_chars,
+               sum(c)::BIGINT as n_dup_chars,
+               (sum(c)::DOUBLE / max(len)::DOUBLE)
+                   as dup_char_fraction
+        from cov group by doc_id"""
     return out
