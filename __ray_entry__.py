@@ -359,15 +359,35 @@ SA_MAX_COMPARE = 1024
 SA_DUP_LEN = 40
 
 
+# the four suffix-family queries share ONE doubling per sf_dir: the
+# SuffixArray handle retains the per-level rank tables (materialized,
+# object-store-resident) for the life of the driver process
+_SA_HANDLES: dict = {}
+
+
+def _sa_handle(sf_dir: str):
+    sa = _SA_HANDLES.get(sf_dir)
+    if sa is None:
+        from ts_type_filter_ray.functions.suffix import SuffixArray
+        sa = SuffixArray(_docs(sf_dir), max_compare=SA_MAX_COMPARE)
+        _SA_HANDLES[sf_dir] = sa
+    return sa
+
+
 def _suffix_ranks(sf_dir: str):
-    from ts_type_filter_ray.functions.suffix import suffix_ranks
-    return suffix_ranks(_docs(sf_dir), stride=SA_STRIDE,
-                        max_compare=SA_MAX_COMPARE)
+    return _sa_handle(sf_dir).suffix_ranks(stride=SA_STRIDE)
 
 
 def _sa_dup_coverage(sf_dir: str):
-    from ts_type_filter_ray.functions.suffix import sa_dup_coverage
-    return sa_dup_coverage(_docs(sf_dir), min_len=SA_DUP_LEN)
+    return _sa_handle(sf_dir).dup_coverage(SA_DUP_LEN)
+
+
+def _suffix_lcp(sf_dir: str):
+    return _sa_handle(sf_dir).lcp(stride=SA_STRIDE)
+
+
+def _longest_repeat(sf_dir: str):
+    return _sa_handle(sf_dir).longest_repeat()
 
 
 # with the sf corpora's ~31-token vocabulary most bigrams repeat, so the
@@ -609,7 +629,8 @@ _GATE_PRIORITY = [
     "gopher_rules", "gopher_repetition", "temperature_sample",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
-    "did_you_mean", "suffix_ranks", "sa_dup_coverage", "corpus_diff",
+    "did_you_mean", "suffix_ranks", "sa_dup_coverage", "suffix_lcp",
+    "corpus_diff",
     "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
     "first_positions", "proximity_boost_topk", "ordered_window_match",
     "pagerank_knn", "weighted_sample_k", "sample_per_stratum",
@@ -625,11 +646,12 @@ _GATE_PRIORITY = [
     # count-attach exchanges, zipf_fit ⊂ heaps' ordered-fold fit +
     # term_df_tf, dsir_select ⊂ dsir_weights + Gumbel top-k,
     # distinct_terms_by_lang ⊂ term_df_tf + doc_stats_by_lang, both
-    # green r3, term_vectors ⊂ the same explode+count, and
-    # range_filter_match ⊂ numeric_histogram's doc-values index — the
-    # four ceded head slots to did_you_mean / suffix_ranks /
-    # sa_dup_coverage)
-    "cross_perplexity", "zipf_fit", "dsir_select",
+    # green r3, term_vectors ⊂ the same explode+count,
+    # range_filter_match ⊂ numeric_histogram's doc-values index, and
+    # longest_repeat ⊂ suffix_lcp's descent + a class filter — ceded
+    # head slots to did_you_mean / suffix_ranks / sa_dup_coverage /
+    # suffix_lcp)
+    "cross_perplexity", "zipf_fit", "dsir_select", "longest_repeat",
     "distinct_terms_by_lang", "term_vectors", "range_filter_match",
     "bpe_top_pairs", "cms_counts", "textrank_keywords",
     "deleted_match_nostem", "fuzzy_match_indexed", "boolean_expr_match",
@@ -720,6 +742,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from the suffix-array sparse-table anchors — value-exact vs
         # an independent L-gram + gaps-and-islands SQL formulation
         "sa_dup_coverage": _sa_dup_coverage,
+        # LCP array by binary descent over the retained doubling rank
+        # tables (the sparse-table construction): every 8th position's
+        # longest common prefix with its suffix-array predecessor,
+        # value-exact vs a DuckDB oracle running the SAME descent as
+        # 10 chained window-substr CTEs
+        "suffix_lcp": _suffix_lcp,
+        # classic longest-repeated-substring: max over the LCP array,
+        # computed by filtering pairs to the last still-duplicated
+        # doubling class (K <= L < 2K) before descending the low bits
+        "longest_repeat": _longest_repeat,
         # PMI collocations (Church & Hanks 1990): per-batch pair count
         # partials, then three exchanges over the distinct-pair table
         # (c1/c2 are segment sums of c12 — no second corpus pass);
@@ -4430,4 +4462,50 @@ def oracle_sql() -> dict[str, str]:
                (sum(c)::DOUBLE / max(len)::DOUBLE)
                    as dup_char_fraction
         from cov group by doc_id"""
+
+    # LCP array / longest repeated substring: adjacent-suffix pairs in
+    # suffix-array order, then the SAME binary descent the engine runs
+    # — 10 chained CTEs each testing one power-of-two window with
+    # substr equality. Window arithmetic never crosses the truncation:
+    # before testing bit b, lo <= 1024 - 2b, so the window ends at
+    # lo + b <= 1024 - b. A partial (string-end) window can only
+    # compare equal if the two suffixes were equal outright —
+    # impossible — so every matched window contributes its full width.
+    def _lcp_stack() -> tuple[str, str]:
+        bits = []
+        b = SA_MAX_COMPARE // 2
+        while b >= 1:
+            bits.append(b)
+            b //= 2
+        ctes = [rf"""g as (
+          select string_agg(coalesce(lower(trim(text)), '') || chr(1),
+                            '' order by doc_id) as s
+          from documents),
+        p as (select unnest(range(1,
+                     length((select s from g)) + 1)) as p),
+        sfx as (select p, substr(g.s, p::INT, {SA_MAX_COMPARE}) as suf
+                from g cross join p),
+        r as (select p, suf, lag(suf) over (order by suf) as prv
+              from sfx),
+        d0 as (select p, suf, prv, 0::BIGINT as lo
+               from r where prv is not null)"""]
+        prev = "d0"
+        for i, bit in enumerate(bits, start=1):
+            ctes.append(
+                f"d{i} as (select p, suf, prv, lo + (case when "
+                f"substr(suf, (lo + 1)::INT, {bit}) = "
+                f"substr(prv, (lo + 1)::INT, {bit}) "
+                f"then {bit} else 0 end) as lo from {prev})")
+            prev = f"d{i}"
+        return "with " + ",\n        ".join(ctes), prev
+
+    _lcp_with, _lcp_last = _lcp_stack()
+    out["suffix_lcp"] = (
+        f"{_lcp_with}\n"
+        f"        select (p - 1)::BIGINT as pos, lo::BIGINT as lcp\n"
+        f"        from {_lcp_last} where (p - 1) % {SA_STRIDE} = 0")
+    out["longest_repeat"] = (
+        f"{_lcp_with}\n"
+        f"        select coalesce(max(lo), 0)::BIGINT as "
+        f"longest_repeat from {_lcp_last}")
     return out
