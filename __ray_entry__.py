@@ -393,6 +393,10 @@ def _longest_repeat(sf_dir: str):
 # with the sf corpora's ~31-token vocabulary most bigrams repeat, so the
 # count floor genuinely prunes at gate scale
 PMI_MIN_COUNT = 5
+# max_dist for the cross-lang bigram edit join: 2 keeps the result set
+# non-trivial (shared vocab ⇒ dist-0 rows, one-term edits ⇒ 1-2) without
+# the oracle's cross join exploding
+EDIT_JOIN_DIST = 2
 
 # corpus-law fits: top_n below the sf vocabulary so the rank cut bites;
 # the sf corpora draw from a ~31-term vocabulary that saturates within
@@ -416,6 +420,16 @@ def _heaps_fit(sf_dir: str):
 def _pmi_collocations(sf_dir: str):
     from ts_type_filter_ray.functions.ngrams import pmi_collocations
     return pmi_collocations(_docs(sf_dir), min_count=PMI_MIN_COUNT)
+
+
+def _edit_join(sf_dir: str):
+    from ts_type_filter_ray.functions.edjoin import (
+        distinct_token_bigrams, edit_similarity_join)
+    docs = _docs(sf_dir)
+    left = distinct_token_bigrams(_lang_slice(docs, True))
+    right = distinct_token_bigrams(_lang_slice(docs, False))
+    return edit_similarity_join(left, right, max_dist=EDIT_JOIN_DIST,
+                                q=2, num_parts=32)
 
 
 def _lang_slice(ds, want_en: bool):
@@ -621,6 +635,7 @@ _GATE_PRIORITY = [
     # (bm25_topk_term_routed ⊂ boolean_match_term_routed + the pytest-
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
+    "edit_join",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "stupid_backoff", "kneser_ney_perplexity",
     "pmi_collocations", "heaps_fit",
@@ -757,6 +772,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (c1/c2 are segment sums of c12 — no second corpus pass);
         # integer log arguments make the float pmi value-exact
         "pmi_collocations": _pmi_collocations,
+        # two-table edit-similarity join (record linkage): q-gram
+        # prefix-filter blocking (Gravano 2001 / Ed-Join) — gram-hash
+        # candidate exchange + pair-hash dedup + exact banded-DP
+        # verify; en-bigrams × non-en-bigrams at lev ≤ 2, value-exact
+        # vs DuckDB's levenshtein() (functions/edjoin.py)
+        "edit_join": _edit_join,
         # Zipf rank-frequency fit: log-log least squares over the
         # top-n of the term_df_tf table; integer ranks/counts + the
         # ordered-fold sum convention make the float slope/intercept
@@ -4087,6 +4108,21 @@ def oracle_sql() -> dict[str, str]:
         select n as n_points, slope,
                (sy - slope * sx) / n::DOUBLE as intercept
         from fit"""
+    out["edit_join"] = rf"""
+        with base as (
+          select lang,
+                 regexp_split_to_array(lower(trim(text)),'\s+') as arr
+          from documents where trim(text) <> ''),
+        bg as (
+          select lang, arr[p] || ' ' || arr[p+1] as b
+          from (select lang, arr, unnest(range(1, len(arr)))::INT as p
+                from base where len(arr) >= 2)),
+        l as (select distinct b from bg where lang = 'en'),
+        r as (select distinct b from bg where lang <> 'en')
+        select l.b as left_key, r.b as right_key,
+               levenshtein(l.b, r.b)::BIGINT as dist
+        from l cross join r
+        where levenshtein(l.b, r.b) <= {EDIT_JOIN_DIST}"""
     out["pmi_collocations"] = rf"""
         with base as (
           select regexp_split_to_array(lower(trim(text)),'\s+') as arr
