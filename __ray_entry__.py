@@ -393,6 +393,11 @@ def _longest_repeat(sf_dir: str):
 # with the sf corpora's ~31-token vocabulary most bigrams repeat, so the
 # count floor genuinely prunes at gate scale
 PMI_MIN_COUNT = 5
+# hashed-Gram power iteration: 2 all-integer iterations (the int64
+# bound guard allows exactly 2 at sf corpus magnitudes), 2^10 dims
+SPECTRAL_DIM_BITS = 10
+SPECTRAL_ITERS = 2
+SPECTRAL_TOP_K = 32
 # max_dist for the cross-lang bigram edit join: 2 keeps the result set
 # non-trivial (shared vocab ⇒ dist-0 rows, one-term edits ⇒ 1-2) without
 # the oracle's cross join exploding
@@ -420,6 +425,18 @@ def _heaps_fit(sf_dir: str):
 def _pmi_collocations(sf_dir: str):
     from ts_type_filter_ray.functions.ngrams import pmi_collocations
     return pmi_collocations(_docs(sf_dir), min_count=PMI_MIN_COUNT)
+
+
+def _spectral_doc_proj(sf_dir: str):
+    from ts_type_filter_ray.functions.spectral import doc_projections
+    return doc_projections(_docs(sf_dir), dim_bits=SPECTRAL_DIM_BITS,
+                           iters=SPECTRAL_ITERS)
+
+
+def _spectral_direction(sf_dir: str):
+    from ts_type_filter_ray.functions.spectral import dominant_direction
+    return dominant_direction(_docs(sf_dir), dim_bits=SPECTRAL_DIM_BITS,
+                              iters=SPECTRAL_ITERS, top_k=SPECTRAL_TOP_K)
 
 
 def _edit_join(sf_dir: str):
@@ -635,7 +652,7 @@ _GATE_PRIORITY = [
     # (bm25_topk_term_routed ⊂ boolean_match_term_routed + the pytest-
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
-    "edit_join",
+    "edit_join", "spectral_doc_proj",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "stupid_backoff", "kneser_ney_perplexity",
     "pmi_collocations", "heaps_fit",
@@ -666,6 +683,7 @@ _GATE_PRIORITY = [
     # longest_repeat ⊂ suffix_lcp's descent + a class filter — ceded
     # head slots to did_you_mean / suffix_ranks / sa_dup_coverage /
     # suffix_lcp)
+    "spectral_direction",
     "cross_perplexity", "zipf_fit", "dsir_select", "longest_repeat",
     "distinct_terms_by_lang", "term_vectors", "range_filter_match",
     "bpe_top_pairs", "cms_counts", "textrank_keywords",
@@ -778,6 +796,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verify; en-bigrams × non-en-bigrams at lev ≤ 2, value-exact
         # vs DuckDB's levenshtein() (functions/edjoin.py)
         "edit_join": _edit_join,
+        # LSA-style spectral topicality: distributed power iteration on
+        # the hashed-tf Gram matrix AᵀA — one feature-stream pass per
+        # iteration with the 2^10-dim direction broadcast, ≤ 2^10-key
+        # Sum reduce; all-integer iterates (v0=1) with a pre-computed
+        # int64 bound guard, so every per-doc projection is value-exact
+        # vs the unrolled join+sum SQL iterations (functions/spectral.py)
+        "spectral_doc_proj": _spectral_doc_proj,
+        # the direction vector itself (top-32 dims); its values are
+        # implied by spectral_doc_proj's projections — deferred sibling
+        "spectral_direction": _spectral_direction,
         # Zipf rank-frequency fit: log-log least squares over the
         # top-n of the term_df_tf table; integer ranks/counts + the
         # ordered-fold sum convention make the float slope/intercept
@@ -4108,6 +4136,33 @@ def oracle_sql() -> dict[str, str]:
         select n as n_points, slope,
                (sy - slope * sx) / n::DOUBLE as intercept
         from fit"""
+    _spectral_cte = rf"""
+        with raw as (
+          select doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
+                     as term
+          from documents where trim(text) <> ''),
+        feats as (
+          select doc_id,
+                 (md5_number_lower(term)
+                  % {1 << SPECTRAL_DIM_BITS})::BIGINT as f,
+                 count(*)::BIGINT as tf
+          from raw group by 1, 2),
+        u1 as (select doc_id, sum(tf)::BIGINT as u
+               from feats group by doc_id),
+        w1 as (select f, sum(feats.tf * u1.u)::BIGINT as w
+               from feats join u1 using(doc_id) group by f),
+        u2 as (select doc_id, sum(feats.tf * w1.w)::BIGINT as u
+               from feats join w1 using(f) group by doc_id),
+        w2 as (select f, sum(feats.tf * u2.u)::BIGINT as w
+               from feats join u2 using(doc_id) group by f)"""
+    out["spectral_doc_proj"] = _spectral_cte + """,
+        u3 as (select doc_id, sum(feats.tf * w2.w)::BIGINT as u
+               from feats join w2 using(f) group by doc_id)
+        select doc_id, u as proj from u3 order by doc_id"""
+    out["spectral_direction"] = _spectral_cte + f"""
+        select f as feature_idx, w as score from w2
+        order by score desc, feature_idx asc limit {SPECTRAL_TOP_K}"""
     out["edit_join"] = rf"""
         with base as (
           select lang,
