@@ -393,6 +393,10 @@ def _longest_repeat(sf_dir: str):
 # with the sf corpora's ~31-token vocabulary most bigrams repeat, so the
 # count floor genuinely prunes at gate scale
 PMI_MIN_COUNT = 5
+# sorted-neighborhood blocking: first-8-chars normalized-prefix key,
+# rank window 3
+SNB_KEY_CHARS = 8
+SNB_WINDOW = 3
 # hashed-Gram power iteration: 2 all-integer iterations (the int64
 # bound guard allows exactly 2 at sf corpus magnitudes), 2^10 dims
 SPECTRAL_DIM_BITS = 10
@@ -425,6 +429,22 @@ def _heaps_fit(sf_dir: str):
 def _pmi_collocations(sf_dir: str):
     from ts_type_filter_ray.functions.ngrams import pmi_collocations
     return pmi_collocations(_docs(sf_dir), min_count=PMI_MIN_COUNT)
+
+
+def _sorted_neighborhood(sf_dir: str):
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from ts_type_filter_ray.functions.blocking import (
+        sorted_neighborhood_pairs)
+
+    def addkey(b):
+        key = _pc.utf8_slice_codeunits(_pc.utf8_lower(
+            _pc.utf8_trim_whitespace(_pc.fill_null(b["text"], ""))),
+            0, SNB_KEY_CHARS)
+        return _pa.table({"doc_id": b["doc_id"], "bkey": key})
+
+    keyed = _docs(sf_dir).map_batches(addkey, batch_format="pyarrow")
+    return sorted_neighborhood_pairs(keyed, "bkey", window=SNB_WINDOW)
 
 
 def _spectral_doc_proj(sf_dir: str):
@@ -652,7 +672,7 @@ _GATE_PRIORITY = [
     # (bm25_topk_term_routed ⊂ boolean_match_term_routed + the pytest-
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
-    "edit_join", "spectral_doc_proj",
+    "edit_join", "spectral_doc_proj", "sorted_neighborhood",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "stupid_backoff", "kneser_ney_perplexity",
     "pmi_collocations", "heaps_fit",
@@ -803,6 +823,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int64 bound guard, so every per-doc projection is value-exact
         # vs the unrolled join+sum SQL iterations (functions/spectral.py)
         "spectral_doc_proj": _spectral_doc_proj,
+        # sorted-neighborhood blocking (Hernandez & Stolfo 1995): exact
+        # distributed global ranks (packed-prefix range partition +
+        # prefix-sum offsets) -> rank-window pairs via one halo-
+        # replicated bucket exchange, every bucket <= 2*window rows —
+        # value-exact vs a row_number self-join (functions/blocking.py)
+        "sorted_neighborhood": _sorted_neighborhood,
         # the direction vector itself (top-32 dims); its values are
         # implied by spectral_doc_proj's projections — deferred sibling
         "spectral_direction": _spectral_direction,
@@ -4136,6 +4162,18 @@ def oracle_sql() -> dict[str, str]:
         select n as n_points, slope,
                (sy - slope * sx) / n::DOUBLE as intercept
         from fit"""
+    out["sorted_neighborhood"] = rf"""
+        with r as (
+          select doc_id,
+                 row_number() over (
+                   order by substr(lower(trim(coalesce(text, ''))),
+                                   1, {SNB_KEY_CHARS}), doc_id
+                 )::BIGINT as rk
+          from documents)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               a.rk as rank_a, b.rk as rank_b
+        from r a join r b
+          on b.rk > a.rk and b.rk <= a.rk + {SNB_WINDOW}"""
     _spectral_cte = rf"""
         with raw as (
           select doc_id,
