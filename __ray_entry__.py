@@ -399,6 +399,7 @@ SNB_KEY_CHARS = 8
 SNB_WINDOW = 3
 # hashed-Gram power iteration: 2 all-integer iterations (the int64
 # bound guard allows exactly 2 at sf corpus magnitudes), 2^10 dims
+HITS_ITERS = 2
 SPECTRAL_DIM_BITS = 10
 SPECTRAL_ITERS = 2
 SPECTRAL_TOP_K = 32
@@ -634,6 +635,20 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_KNN_K = 5
 
 
+def _hits_knn(sf_dir: str):
+    """HITS over the exact kNN cosine graph — the directional
+    complement of pagerank_knn; all-integer iterates, both score
+    columns value-exact."""
+    from ts_type_filter_ray.functions import ann
+    from ts_type_filter_ray.functions.graph import hits
+    import ray.data as rd
+    emb = _emb(sf_dir)
+    n = emb.count()
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    return rd.from_arrow(hits(edges, n, iters=HITS_ITERS,
+                              src_col="vec_id", dst_col="neighbor_id"))
+
+
 def _pagerank_knn(sf_dir: str):
     """PageRank over the exact kNN cosine graph (the knn_join edge set):
     authority ranking in the similarity graph — representative-document
@@ -672,7 +687,7 @@ _GATE_PRIORITY = [
     # (bm25_topk_term_routed ⊂ boolean_match_term_routed + the pytest-
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
-    "edit_join", "spectral_doc_proj", "sorted_neighborhood",
+    "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "stupid_backoff", "kneser_ney_perplexity",
     "pmi_collocations", "heaps_fit",
@@ -973,6 +988,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coarse-partition ordered folds; the float rank column itself
         # is on the value-exact gate
         "pagerank_knn": _pagerank_knn,
+        # HITS (Kleinberg 1999) over the same kNN edge set: hubs &
+        # authorities by the unnormalized all-integer mutual recursion —
+        # int64 join+sum CTEs on the oracle side, exact degree-product
+        # overflow guard engine-side (functions/graph.py::hits)
+        "hits_knn": _hits_knn,
         # Efraimidis–Spirakis weighted sampling without replacement:
         # deterministic ln(u)/w keys from the id hash, exact top-k —
         # quality-weighted subset selection
@@ -3917,6 +3937,40 @@ def oracle_sql() -> dict[str, str]:
                 group by e.dst) agg on agg.node = e0.vec_id)"""
             for i in range(1, PAGERANK_ITERS + 1)) + f"""
             select node, r as pagerank from r{PAGERANK_ITERS}"""),
+        "hits_knn": (f"""
+            with nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select a.vec_id as src, b.vec_id as dst,
+                     ({dot.format(a='a', b='b')}) / (a.nv * b.nv) as sim
+              from nrm a, nrm b where a.vec_id <> b.vec_id),
+            eranked as (
+              select src, dst,
+                     row_number() over (partition by src
+                                        order by sim desc, dst asc) as rank
+              from sims),
+            edges as (select src, dst from eranked
+                      where rank <= {PAGERANK_KNN_K}),
+            a1 as (select dst as node, count(*)::BIGINT as s
+                   from edges group by dst),
+            h1 as (select src as node, sum(a1.s)::BIGINT as s
+                   from edges join a1 on a1.node = edges.dst
+                   group by src),
+            a2 as (select dst as node, sum(h1.s)::BIGINT as s
+                   from edges join h1 on h1.node = edges.src
+                   group by dst),
+            h2 as (select src as node, sum(a2.s)::BIGINT as s
+                   from edges join a2 on a2.node = edges.dst
+                   group by src)
+            select e0.vec_id as node,
+                   coalesce(h2.s, 0)::BIGINT as hub,
+                   coalesce(a2.s, 0)::BIGINT as authority
+            from embeddings e0
+            left join h2 on h2.node = e0.vec_id
+            left join a2 on a2.node = e0.vec_id
+            order by node"""),
         "knn_join": f"""
             with nrm as (
               select vec_id, embedding,
