@@ -390,6 +390,18 @@ def _longest_repeat(sf_dir: str):
     return _sa_handle(sf_dir).longest_repeat()
 
 
+def _cross_common(sf_dir: str):
+    """Longest common substring BETWEEN the en and non-en corpora (the
+    train/test contamination-length measure): adjacent generalized-SA
+    pairs with different corpus ownership, descended over the shared
+    full-corpus handle's retained doubling levels."""
+    from ts_type_filter_ray.functions.suffix import cross_longest_common
+    docs = _docs(sf_dir)
+    return cross_longest_common(_lang_slice(docs, True),
+                                _lang_slice(docs, False),
+                                sa=_sa_handle(sf_dir))
+
+
 # with the sf corpora's ~31-token vocabulary most bigrams repeat, so the
 # count floor genuinely prunes at gate scale
 PMI_MIN_COUNT = 5
@@ -688,6 +700,7 @@ _GATE_PRIORITY = [
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
+    "cross_common_substring",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "stupid_backoff", "kneser_ney_perplexity",
     "pmi_collocations", "heaps_fit",
@@ -816,6 +829,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-exact vs a DuckDB oracle running the SAME descent as
         # 10 chained window-substr CTEs
         "suffix_lcp": _suffix_lcp,
+        # cross-corpus longest common substring: the max adjacent-pair
+        # LCP with DIFFERENT corpus ownership over the generalized
+        # suffix array — ownership attached by pos-range union-shuffles
+        # against replicated per-doc bounds (functions/suffix.py::
+        # cross_longest_common); en vs non-en slices
+        "cross_common_substring": _cross_common,
         # classic longest-repeated-substring: max over the LCP array,
         # computed by filtering pairs to the last still-duplicated
         # doubling class (K <= L < 2K) before descending the low bits
@@ -4682,6 +4701,52 @@ def oracle_sql() -> dict[str, str]:
             prev = f"d{i}"
         return "with " + ",\n        ".join(ctes), prev
 
+    def _cross_lcp_stack() -> tuple[str, str]:
+        bits = []
+        b = SA_MAX_COMPARE // 2
+        while b >= 1:
+            bits.append(b)
+            b //= 2
+        ctes = [rf"""d0docs as (
+          select doc_id, coalesce(lower(trim(text)), '') as t,
+                 case when lang = 'en' then 0 else 1 end as tag
+          from documents),
+        lens as (select doc_id, tag, length(t) + 1 as l from d0docs),
+        offs as (select doc_id, tag, l,
+                        coalesce(sum(l) over (order by doc_id
+                                  rows between unbounded preceding
+                                  and 1 preceding), 0) as off
+                 from lens),
+        own as (select off + unnest(range(1, l))::BIGINT as p, tag
+                from offs),
+        g as (select string_agg(t || chr(1), '' order by doc_id) as s
+              from d0docs),
+        p as (select unnest(range(1,
+                     length((select s from g)) + 1)) as p),
+        sfx as (select p, substr(g.s, p::INT, {SA_MAX_COMPARE}) as suf
+                from g cross join p),
+        r as (select p, suf, lag(suf) over (order by suf) as prv,
+                     lag(p) over (order by suf) as pp
+              from sfx),
+        x0 as (select r.p, suf, prv, 0::BIGINT as lo
+               from r join own oa on oa.p = r.p
+                      join own ob on ob.p = r.pp
+               where r.prv is not null and oa.tag <> ob.tag)"""]
+        prev = "x0"
+        for i, bit in enumerate(bits, start=1):
+            ctes.append(
+                f"x{i} as (select p, suf, prv, lo + (case when "
+                f"substr(suf, (lo + 1)::INT, {bit}) = "
+                f"substr(prv, (lo + 1)::INT, {bit}) "
+                f"then {bit} else 0 end) as lo from {prev})")
+            prev = f"x{i}"
+        return "with " + ",\n        ".join(ctes), prev
+
+    _xlcp_with, _xlcp_last = _cross_lcp_stack()
+    out["cross_common_substring"] = (
+        f"{_xlcp_with}\n"
+        f"        select coalesce(max(lo), 0)::BIGINT as "
+        f"cross_common_len from {_xlcp_last}")
     _lcp_with, _lcp_last = _lcp_stack()
     out["suffix_lcp"] = (
         f"{_lcp_with}\n"

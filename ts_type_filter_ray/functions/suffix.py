@@ -1040,3 +1040,239 @@ def longest_repeat(ds: Dataset, max_compare: int = 4096,
     """Functional wrapper — see :meth:`SuffixArray.longest_repeat`."""
     return SuffixArray(ds, max_compare, num_parts).longest_repeat(
         broadcast_rows)
+
+
+def _tag_bounds(bounds: Dataset, tags: Dataset,
+                num_parts: int) -> Dataset:
+    """(off, len, tag) — the per-doc char ranges of the generalized
+    stream joined with each doc's corpus tag, via one coarse
+    doc_id-hash union-shuffle. Raises if a doc_id carries two tags
+    (the disjoint-ids contract of :func:`cross_longest_common`)."""
+
+    def b_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        return pa.table({
+            "part": pa.array((d % num_parts).astype(np.int32)),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "off": batch["off"],
+            "len": batch["len"],
+            "tag": pa.array(np.full(n, -1, dtype=np.int64)),
+        })
+
+    def t_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        z = pa.array(np.full(n, -1, dtype=np.int64))
+        return pa.table({
+            "part": pa.array((d % num_parts).astype(np.int32)),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "off": z,
+            "len": z,
+            "tag": batch["tag"].cast(pa.int64()),
+        })
+
+    def attach(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        tag = group["tag"].to_numpy(zero_copy_only=False)
+        off = group["off"].to_numpy(zero_copy_only=False)
+        ln = group["len"].to_numpy(zero_copy_only=False)
+        is_tag = off < 0
+        td = d[is_tag]
+        tt = tag[is_tag]
+        o = np.argsort(td, kind="stable")
+        td, tt = td[o], tt[o]
+        if len(td) > 1 and (td[1:] == td[:-1]).any():
+            raise ValueError(
+                "cross_longest_common: a doc_id appears in both "
+                "corpora — ids must be disjoint")
+        bd = d[~is_tag]
+        idx = np.searchsorted(td, bd)
+        idxc = np.minimum(idx, max(0, len(td) - 1))
+        ok = (len(td) > 0) & (idx < len(td))
+        hit = np.zeros(len(bd), dtype=bool)
+        if len(td):
+            hit = ok & (td[idxc] == bd)
+        if not hit.all():
+            raise ValueError(
+                "cross_longest_common: a bounds doc_id has no corpus "
+                "tag — inputs must cover the union corpus")
+        return pa.table({
+            "off": pa.array(off[~is_tag], type=pa.int64()),
+            "len": pa.array(ln[~is_tag], type=pa.int64()),
+            "tag": pa.array(tt[idxc], type=pa.int64()),
+        })
+
+    return (bounds.map_batches(b_rows, batch_format="pyarrow")
+            .union(tags.map_batches(t_rows, batch_format="pyarrow"))
+            .groupby("part").map_groups(attach, batch_format="pyarrow"))
+
+
+def _attach_owner(state: Dataset, tagged_bounds: Dataset, n: int,
+                  num_parts: int, pos_col: str,
+                  out_col: str) -> Dataset:
+    """Append ``out_col`` = corpus tag owning position ``state[pos_col]``
+    (−1 for separator positions) — one pos-range union-shuffle: state
+    rows route by position part, each doc's (off, len, tag) row
+    replicates into every part its char range overlaps, and a per-part
+    searchsorted resolves ownership. Carries every other state column
+    through untouched."""
+    shift = max(1, (n + num_parts - 1) // num_parts)
+    carry = [c for c in state.schema().names]
+
+    def s_rows(batch: pa.Table) -> pa.Table:
+        p = batch[pos_col].to_numpy(zero_copy_only=False)
+        cols = {"part": pa.array((p // shift).astype(np.int32)),
+                "is_bound": pa.array(np.zeros(len(p), dtype=np.int8))}
+        for c in carry:
+            cols[c] = batch[c]
+        m1 = pa.array(np.full(len(p), -1, dtype=np.int64))
+        cols["b_off"] = m1
+        cols["b_len"] = m1
+        cols["b_tag"] = m1
+        return pa.table(cols)
+
+    def g_rows(batch: pa.Table) -> pa.Table:
+        off = batch["off"].to_numpy(zero_copy_only=False)
+        ln = batch["len"].to_numpy(zero_copy_only=False)
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        keep = ln > 0  # empty docs own no positions
+        off, ln, tag = off[keep], ln[keep], tag[keep]
+        first = off // shift
+        last = (off + ln - 1) // shift
+        reps = (last - first + 1).astype(np.int64)
+        tot = int(reps.sum())
+        if tot == 0:
+            parts = np.empty(0, dtype=np.int64)
+            src = np.empty(0, dtype=np.int64)
+        else:
+            offs_c = np.cumsum(reps) - reps
+            src = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+            within = (np.arange(tot, dtype=np.int64)
+                      - np.repeat(offs_c, reps))
+            parts = first[src] + within
+        cols = {"part": pa.array(parts.astype(np.int32)),
+                "is_bound": pa.array(np.ones(tot, dtype=np.int8))}
+        z = pa.array(np.zeros(tot, dtype=np.int64))
+        for c in carry:
+            cols[c] = z
+        cols["b_off"] = pa.array(off[src], type=pa.int64())
+        cols["b_len"] = pa.array(ln[src], type=pa.int64())
+        cols["b_tag"] = pa.array(tag[src], type=pa.int64())
+        return pa.table(cols)
+
+    def resolve(group: pa.Table) -> pa.Table:
+        is_b = group["is_bound"].to_numpy(zero_copy_only=False) == 1
+        off = group["b_off"].to_numpy(zero_copy_only=False)[is_b]
+        ln = group["b_len"].to_numpy(zero_copy_only=False)[is_b]
+        tag = group["b_tag"].to_numpy(zero_copy_only=False)[is_b]
+        o = np.argsort(off, kind="stable")
+        off, ln, tag = off[o], ln[o], tag[o]
+        srows = ~is_b
+        p = group[pos_col].to_numpy(zero_copy_only=False)[srows]
+        owner = np.full(len(p), -1, dtype=np.int64)
+        if len(off):
+            idx = np.searchsorted(off, p, side="right") - 1
+            idxc = np.maximum(idx, 0)
+            hit = (idx >= 0) & (p < off[idxc] + ln[idxc])
+            owner[hit] = tag[idxc[hit]]
+        mask = pa.array(srows)
+        cols = {c: group[c].filter(mask) for c in carry}
+        cols[out_col] = pa.array(owner)
+        return pa.table(cols)
+
+    return (state.map_batches(s_rows, batch_format="pyarrow")
+            .union(tagged_bounds.map_batches(g_rows,
+                                             batch_format="pyarrow"))
+            .groupby("part").map_groups(resolve, batch_format="pyarrow"))
+
+
+def cross_longest_common(ds_a: Dataset, ds_b: Dataset,
+                         max_compare: int = 4096,
+                         num_parts: int | None = None,
+                         broadcast_rows: int = DESCEND_BROADCAST_ROWS,
+                         sa: "SuffixArray | None" = None) -> Dataset:
+    """One row (cross_common_len) — the longest common substring
+    BETWEEN two corpora: the max length of a string occurring in corpus
+    A's separator-delimited stream AND in corpus B's — the
+    train/test contamination-length measure (the cross-corpus member of
+    the suffix family; ``longest_repeat`` is the within-union variant).
+    Doc ids must be disjoint across the inputs (checked).
+
+    Construction: one generalized suffix array over the UNION corpus
+    (the shared prefix-doubling machinery), then the classic reduction
+    — the answer is the max LCP over ADJACENT suffix-array pairs with
+    DIFFERENT corpus ownership. Soundness: the best cross pair's SA
+    interval shares its first min-LCP ≥ 1 characters, so no
+    separator-start suffix can sit inside it, and ownership must flip
+    at some adjacent pair whose LCP is ≥ the pair's; conversely every
+    adjacent cross LCP is a common substring. Suffixes starting at
+    separators own no corpus (excluded); a match may span a doc
+    boundary only when both streams genuinely contain the same
+    suffix+separator+prefix sequence (stream semantics, mirrored by
+    the SQL oracle).
+
+    Shape: ownership attaches to both pair endpoints via two pos-range
+    union-shuffles against the replicated per-doc bounds (never a
+    driver doc table); the surviving cross pairs descend the retained
+    doubling levels exactly like :meth:`SuffixArray.lcp` (broadcast
+    probes when the state is small, gather/apply exchanges otherwise).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    def tag_rows(tag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "tag": pa.array(np.full(batch.num_rows, tag,
+                                        dtype=np.int64)),
+            })
+        return fn
+
+    if sa is None:
+        union = (ds_a.select_columns(["doc_id", "text"])
+                 .union(ds_b.select_columns(["doc_id", "text"])))
+        sa = SuffixArray(union, max_compare, num_parts)
+    # else: caller-supplied handle MUST be the suffix array of exactly
+    # ds_a ∪ ds_b (the gate reuses the shared full-corpus handle with
+    # slices partitioning it); _tag_bounds raises on any uncovered doc
+    tags = (ds_a.map_batches(tag_rows(0), batch_format="pyarrow")
+            .union(ds_b.map_batches(tag_rows(1), batch_format="pyarrow")))
+    tagged = _tag_bounds(sa.bounds, tags, sa.num_parts)
+
+    pairs = _pair_predecessors(sa.ranks, sa.n, sa.num_parts, 1)
+    pairs = _attach_owner(pairs, tagged, sa.n, sa.num_parts, "a", "ta")
+    pairs = _attach_owner(pairs, tagged, sa.n, sa.num_parts, "b", "tb")
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        ta = batch["ta"].to_numpy(zero_copy_only=False)
+        tb = batch["tb"].to_numpy(zero_copy_only=False)
+        keep = pa.array((ta >= 0) & (tb >= 0) & (ta != tb))
+        return batch.filter(keep).select(["a", "b", "lo"])
+
+    state = (pairs.map_batches(cross_only, batch_format="pyarrow")
+             .repartition(sa.num_parts).materialize())
+    bits = []
+    bit = sa.k_final // 2
+    while bit >= 1:
+        bits.append(bit)
+        bit //= 2
+    n_pairs = state.count()
+    best = 0
+    if 0 < n_pairs <= broadcast_rows:
+        pdf = state.to_pandas()
+        a = pdf["a"].to_numpy()
+        b = pdf["b"].to_numpy()
+        lo = _descend_driver(a, b, np.zeros(len(a), dtype=np.int64),
+                             sa.levels, bits, sa.n)
+        best = int(lo.max()) if len(lo) else 0
+    elif n_pairs > 0:
+        for bit in bits:
+            state = (_descend_one(state, sa.levels[bit], bit, sa.n,
+                                  sa.num_parts)
+                     .repartition(sa.num_parts).materialize())
+        m = state.aggregate(Max("lo", alias_name="m"))["m"]
+        best = int(m) if m is not None else 0
+    return rd.from_arrow(pa.table({
+        "cross_common_len": pa.array([best], type=pa.int64())}))
