@@ -706,21 +706,30 @@ _GATE_PRIORITY = [
     "pmi_collocations", "heaps_fit",
     "dsir_weights", "perplexity_buckets",
     "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
-    "gopher_rules", "gopher_repetition", "temperature_sample",
+    "gopher_rules", "temperature_sample",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
-    "did_you_mean", "suffix_ranks", "sa_dup_coverage", "suffix_lcp",
+    "did_you_mean", "suffix_ranks", "sa_dup_coverage",
     "corpus_diff",
-    "mmr_topk_lambda1", "decontaminate_indexed", "federated_bm25_nostem",
+    "decontaminate_indexed", "federated_bm25_nostem",
     "first_positions", "proximity_boost_topk", "ordered_window_match",
-    "pagerank_knn", "weighted_sample_k", "sample_per_stratum",
+    "pagerank_knn", "weighted_sample_k",
     "significant_terms", "numeric_histogram", "function_score_topk",
-    "export_postings", "index_fsck", "boolean_match_term_routed",
+    "index_fsck", "boolean_match_term_routed",
     "bm25_topk_nostem",
-    "ql_topk_nostem",
     "top_orders_q3",
     "stopword_match", "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
+    # r4-rebalance defers (window is ~50; the r3-VERDICT-named five
+    # above stay inside it): suffix_lcp ⊂ suffix_ranks/sa_dup_coverage
+    # doubling + cross_common_substring's identical descent;
+    # gopher_repetition ⊂ gopher_rules + strip_dup_spans' shingle
+    # machinery; sample_per_stratum ⊂ weighted_sample_k hashing;
+    # ql_topk_nostem ⊂ bm25_topk_nostem index/rank path;
+    # export_postings ⊂ index_fsck recounts; mmr_topk_lambda1 shares
+    # the r3-green brute-force oracle
+    "suffix_lcp", "gopher_repetition", "sample_per_stratum",
+    "ql_topk_nostem", "export_postings", "mmr_topk_lambda1",
     # below here defers within the new-entry block: machinery a
     # higher-ranked sibling exercises (cross_perplexity ⊂ the bigram
     # count-attach exchanges, zipf_fit ⊂ heaps' ordered-fold fit +
