@@ -390,6 +390,11 @@ def _longest_repeat(sf_dir: str):
     return _sa_handle(sf_dir).longest_repeat()
 
 
+def _distinct_substrings(sf_dir: str):
+    from ts_type_filter_ray.functions.suffix import distinct_substrings
+    return distinct_substrings(_docs(sf_dir), sa=_sa_handle(sf_dir))
+
+
 def _cross_common(sf_dir: str):
     """Longest common substring BETWEEN the en and non-en corpora (the
     train/test contamination-length measure): adjacent generalized-SA
@@ -728,7 +733,8 @@ _GATE_PRIORITY = [
     # ql_topk_nostem ⊂ bm25_topk_nostem index/rank path;
     # export_postings ⊂ index_fsck recounts; mmr_topk_lambda1 shares
     # the r3-green brute-force oracle
-    "suffix_lcp", "gopher_repetition", "sample_per_stratum",
+    "suffix_lcp", "distinct_substrings",
+    "gopher_repetition", "sample_per_stratum",
     "ql_topk_nostem", "export_postings", "mmr_topk_lambda1",
     # below here defers within the new-entry block: machinery a
     # higher-ranked sibling exercises (cross_perplexity ⊂ the bigram
@@ -844,6 +850,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against replicated per-doc bounds (functions/suffix.py::
         # cross_longest_common); en vs non-en slices
         "cross_common_substring": _cross_common,
+        # n(n+1)/2 − Σ LCP: the distinct-substring count / corpus
+        # repetitiveness one-number signal — the full-stride LCP array
+        # reduced by one Sum over the shared handle
+        "distinct_substrings": _distinct_substrings,
         # classic longest-repeated-substring: max over the LCP array,
         # computed by filtering pairs to the last still-duplicated
         # doubling class (K <= L < 2K) before descending the low bits
@@ -4761,6 +4771,13 @@ def oracle_sql() -> dict[str, str]:
         f"{_lcp_with}\n"
         f"        select (p - 1)::BIGINT as pos, lo::BIGINT as lcp\n"
         f"        from {_lcp_last} where (p - 1) % {SA_STRIDE} = 0")
+    _nsub = "(select length(s) from g)::BIGINT"
+    out["distinct_substrings"] = (
+        f"{_lcp_with}\n"
+        f"        select {_nsub} as n_chars,\n"
+        f"               ({_nsub} * ({_nsub} + 1) // 2\n"
+        f"                - coalesce(sum(lo), 0))::BIGINT\n"
+        f"                   as n_distinct_substrings from {_lcp_last}")
     out["longest_repeat"] = (
         f"{_lcp_with}\n"
         f"        select coalesce(max(lo), 0)::BIGINT as "

@@ -80,3 +80,29 @@ def test_prebuilt_handle(ray_session):
 def test_overlapping_ids_raise(ray_session):
     with pytest.raises(Exception, match="disjoint"):
         _run([(0, "aaa")], [(0, "bbb")])
+
+
+def test_distinct_substrings_naive_parity(ray_session):
+    from ts_type_filter_ray.functions.suffix import distinct_substrings
+
+    def naive(rows):
+        g = "".join(t.strip(" ").lower() + "\x01" for _, t in sorted(rows))
+        return len(g), len({g[i:j] for i in range(len(g))
+                            for j in range(i + 1, len(g) + 1)})
+
+    cases = [[(0, "abab")], [(0, "abc"), (1, "abc")], [(0, "aaaa")],
+             [(0, "xy"), (1, "")],
+             [(0, "the quick brown fox"), (1, "the quick red fox")]]
+    for rows in cases:
+        got = distinct_substrings(_ds(rows), max_compare=64).take_all()[0]
+        assert (got["n_chars"], got["n_distinct_substrings"]) == naive(rows)
+
+
+def test_distinct_substrings_prebuilt_handle(ray_session):
+    from ts_type_filter_ray.functions.suffix import (
+        SuffixArray, distinct_substrings)
+    rows = [(0, "shared text"), (1, "shared text two")]
+    sa = SuffixArray(_ds(rows), max_compare=128)
+    a = distinct_substrings(_ds(rows), sa=sa).take_all()
+    b = distinct_substrings(_ds(rows), max_compare=128).take_all()
+    assert a == b

@@ -69,7 +69,8 @@ from ray.data import Dataset
 from .partitioning import auto_num_parts
 
 __all__ = ["suffix_ranks", "sa_dup_coverage", "suffix_lcp",
-           "longest_repeat", "SuffixArray"]
+           "longest_repeat", "SuffixArray", "cross_longest_common",
+           "distinct_substrings"]
 
 #: Above this many pairs, the LCP descent switches from the
 #: broadcast-gather path (requests shipped to the rank tables via
@@ -1276,3 +1277,31 @@ def cross_longest_common(ds_a: Dataset, ds_b: Dataset,
         best = int(m) if m is not None else 0
     return rd.from_arrow(pa.table({
         "cross_common_len": pa.array([best], type=pa.int64())}))
+
+
+def distinct_substrings(ds: Dataset, max_compare: int = 4096,
+                        num_parts: int | None = None,
+                        broadcast_rows: int = DESCEND_BROADCAST_ROWS,
+                        sa: "SuffixArray | None" = None) -> Dataset:
+    """One row (n_chars, n_distinct_substrings) — the number of DISTINCT
+    substrings of the separator-delimited corpus stream, the classic
+    suffix-array corollary ``n(n+1)/2 − Σ LCP``: suffix SA[i] contributes
+    its ``n − SA[i]`` prefixes, of which the first ``LCP[i]`` were
+    already contributed by its suffix-array predecessor. A one-number
+    corpus-complexity/repetitiveness signal (its complement,
+    ``Σ LCP / (n(n+1)/2)``, is the fraction of substring mass that is
+    repeated — crawl-dup pressure at a glance). Built on the shared
+    suffix machinery: the full-stride LCP array reduced by one Sum —
+    nothing new shuffles beyond :meth:`SuffixArray.lcp`."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if sa is None:
+        sa = SuffixArray(ds, max_compare, num_parts)
+    lcp = sa.lcp(stride=1, broadcast_rows=broadcast_rows)
+    s = lcp.aggregate(Sum("lcp", alias_name="s"))["s"]
+    total = sa.n * (sa.n + 1) // 2 - int(s if s is not None else 0)
+    return rd.from_arrow(pa.table({
+        "n_chars": pa.array([sa.n], type=pa.int64()),
+        "n_distinct_substrings": pa.array([total], type=pa.int64()),
+    }))
