@@ -412,6 +412,7 @@ def _cross_common(sf_dir: str):
 PMI_MIN_COUNT = 5
 # sorted-neighborhood blocking: first-8-chars normalized-prefix key,
 # rank window 3
+NGRAM_CONTAIN_T = 0.8
 SNB_KEY_CHARS = 8
 SNB_WINDOW = 3
 # hashed-Gram power iteration: 2 all-integer iterations (the int64
@@ -733,7 +734,7 @@ _GATE_PRIORITY = [
     # ql_topk_nostem ⊂ bm25_topk_nostem index/rank path;
     # export_postings ⊂ index_fsck recounts; mmr_topk_lambda1 shares
     # the r3-green brute-force oracle
-    "suffix_lcp", "distinct_substrings",
+    "suffix_lcp", "distinct_substrings", "ngram_containment",
     "gopher_repetition", "sample_per_stratum",
     "ql_topk_nostem", "export_postings", "mmr_topk_lambda1",
     # below here defers within the new-entry block: machinery a
@@ -1371,6 +1372,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": lambda sf: dedup.simhash_near_dup_pairs(_docs(sf)),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             _docs(sf), shingle_k=3, threshold=NGRAM_JACCARD_T),
+        # asymmetric containment |A∩B|/min(|A|,|B|): the quote/subset
+        # detector (Broder's resemblance-vs-containment distinction);
+        # shares the inverted-shingle intersection machinery
+        "ngram_containment": lambda sf: dedup.ngram_containment_pairs(
+            _docs(sf), shingle_k=3, threshold=NGRAM_CONTAIN_T),
         # near-dup pairs → clusters via distributed hash-to-min label
         # propagation (component = min doc_id, checked against a
         # recursive-CTE transitive closure)
@@ -3733,6 +3739,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_copies
             from documents group by sha256(text)""",
         "ngram_jaccard": ngram_pairs_sql,
+        "ngram_containment": ngram_pairs_sql.rsplit("select i.id_a", 1)[0]
+        + f"""select i.id_a, i.id_b,
+                   i.i::DOUBLE / least(sa.n, sb.n) as containment
+            from inter i
+            join sz sa on sa.doc_id = i.id_a
+            join sz sb on sb.doc_id = i.id_b
+            where i.i::DOUBLE / least(sa.n, sb.n)
+                  >= {NGRAM_CONTAIN_T}""",
         "dedup_clusters": f"""
             with recursive
             edges(a, b) as (

@@ -374,3 +374,25 @@ def test_heaps_fit_matches_reference(ray_session):
     assert out["n_points"] == 4
     assert out["slope"] == slope and out["intercept"] == intercept
     assert 0.0 < out["slope"] < 1.0    # sublinear growth
+
+
+def test_ngram_containment_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ts_type_filter_ray.functions.dedup import ngram_containment_pairs
+
+    # doc 1 is a strict subset of doc 0's shingles: containment 1.0
+    # while jaccard is small
+    texts = ["a b c d e f g h i j", "c d e f g", "x y z w v u"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+    rows = ngram_containment_pairs(ds, shingle_k=3,
+                                   threshold=0.9).take_all()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(0, 1)]
+    assert rows[0]["containment"] == 1.0
+    # the same pair fails a 0.9 jaccard bar
+    from ts_type_filter_ray.functions.dedup import ngram_jaccard_pairs
+    jac = ngram_jaccard_pairs(ds, shingle_k=3, threshold=0.9).take_all()
+    assert jac == []

@@ -841,7 +841,8 @@ def minhash_dedup_pairs(ds: Dataset, num_perm: int = 64, shingle_k: int = 3,
 def ngram_jaccard_pairs(ds: Dataset, shingle_k: int = 3,
                         threshold: float = 0.5,
                         num_parts: int | None = None,
-                        max_shingle_df: int | None = 8192) -> Dataset:
+                        max_shingle_df: int | None = 8192,
+                        measure: str = "jaccard") -> Dataset:
     """EXACT n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard) for
     every pair of non-blank docs with token-``shingle_k``-gram Jaccard
     ≥ threshold.
@@ -947,20 +948,44 @@ def ngram_jaccard_pairs(ds: Dataset, shingle_k: int = 3,
                         Min("na", alias_name="na"),
                         Min("nb", alias_name="nb")))
 
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure {measure!r}")
+
     def finish(batch: pa.Table) -> pa.Table:
         inter_n = batch["inter"].to_numpy(zero_copy_only=False)
         na = batch["na"].to_numpy(zero_copy_only=False)
         nb_ = batch["nb"].to_numpy(zero_copy_only=False)
-        jac = inter_n / (na + nb_ - inter_n)
-        keep = jac >= threshold
+        if measure == "containment":
+            score = inter_n / np.minimum(na, nb_)
+        else:
+            score = inter_n / (na + nb_ - inter_n)
+        keep = score >= threshold
         return pa.table({
             "id_a": batch["id_a"].filter(pa.array(keep)),
             "id_b": batch["id_b"].filter(pa.array(keep)),
-            "jaccard": pa.array(jac[keep], type=pa.float64()),
+            measure: pa.array(score[keep], type=pa.float64()),
         })
 
     return inter.map_batches(finish, batch_format="pyarrow").sort(
         ["id_a", "id_b"])
+
+
+def ngram_containment_pairs(ds: Dataset, shingle_k: int = 3,
+                            threshold: float = 0.8,
+                            num_parts: int | None = None,
+                            max_shingle_df: int | None = 8192) -> Dataset:
+    """ASYMMETRIC near-dup pairs: (id_a, id_b, containment) where
+    containment = |A∩B| / min(|A|, |B|) over the distinct
+    token-``shingle_k``-gram sets — the quote/subset detector Jaccard
+    misses (a tweet embedded in an article has tiny Jaccard but
+    containment ≈ 1; Broder's resemblance-vs-containment distinction).
+    Same machinery, exactness, and ``max_shingle_df`` under-report
+    contract as :func:`ngram_jaccard_pairs` (the intersection pass is
+    shared; only the final vectorized ratio differs)."""
+    return ngram_jaccard_pairs(ds, shingle_k=shingle_k,
+                               threshold=threshold, num_parts=num_parts,
+                               max_shingle_df=max_shingle_df,
+                               measure="containment")
 
 
 def tf_cosine_pairs(ds: Dataset, threshold: float = 0.5,
