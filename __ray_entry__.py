@@ -735,6 +735,7 @@ _GATE_PRIORITY = [
     # export_postings ⊂ index_fsck recounts; mmr_topk_lambda1 shares
     # the r3-green brute-force oracle
     "suffix_lcp", "distinct_substrings", "ngram_containment",
+    "revenue_rollup",
     "gopher_repetition", "sample_per_stratum",
     "ql_topk_nostem", "export_postings", "mmr_topk_lambda1",
     # below here defers within the new-entry block: machinery a
@@ -1400,6 +1401,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- relational shapes over the TPC-H-ish tables --
         "pricing_summary": _pricing_summary,
         "revenue_by_nation": _revenue_by_nation,
+        # GROUP BY ROLLUP(nation, mktsegment): one fact pass computes
+        # only the FINEST aggregate (additive measure), coarser levels
+        # derive from the enum-bounded result; 'ALL' super-aggregate
+        # markers on both sides (functions/relational.py::revenue_rollup)
+        "revenue_rollup": lambda sf: _rel_mod().revenue_rollup(sf),
         "customers_without_big_orders": lambda sf:
             _rel_mod().customers_without_big_orders(sf),
         "running_totals": lambda sf: _rel_mod().running_totals(sf),
@@ -3922,6 +3928,7 @@ def oracle_sql() -> dict[str, str]:
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "pricing_summary": _rel_mod().PRICING_SUMMARY_SQL,
         "revenue_by_nation": _rel_mod().REVENUE_BY_NATION_SQL,
+        "revenue_rollup": _rel_mod().REVENUE_ROLLUP_SQL,
         "customers_without_big_orders":
             _rel_mod().CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "running_totals": _rel_mod().RUNNING_TOTALS_SQL,

@@ -78,3 +78,50 @@ def test_inner_join_drops_edges(ray_session, q3_dir):
 def test_empty_segment(ray_session, q3_dir):
     got = top_orders_by_revenue(q3_dir, segment="NOPE", num_parts=4)
     assert got.num_rows == 0
+
+
+def test_revenue_rollup_levels_consistent(ray_session, tmp_path):
+    """The shuffle path (forced tiny broadcast contract) must equal the
+    broadcast path, and super-aggregates must equal their children."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ts_type_filter_ray.functions.relational import (
+        REVENUE_ROLLUP_SQL, revenue_rollup)
+
+    d = str(tmp_path)
+    rng = np.random.RandomState(9)
+    n_cust, n_ord = 40, 300
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(3), type=pa.int64()),
+        "n_name": pa.array(["AAA", "BBB", "CCC"]),
+    }), f"{d}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n_cust), type=pa.int64()),
+        "c_nationkey": pa.array(rng.randint(0, 3, n_cust),
+                                type=pa.int64()),
+        "c_mktsegment": pa.array(
+            [["AUTO", "FOOD"][i % 2] for i in range(n_cust)]),
+    }), f"{d}/customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(rng.randint(0, n_cust, n_ord),
+                              type=pa.int64()),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(10, 1000, n_ord), 2)),
+    }), f"{d}/orders.parquet")
+
+    bc = revenue_rollup(d).take_all()
+    sh = revenue_rollup(d, max_broadcast_rows=1).take_all()
+    assert bc == sh
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(f"create view {t} as select * from '{d}/{t}.parquet'")
+    exp = con.execute(
+        REVENUE_ROLLUP_SQL + " order by n_name, c_mktsegment").df()
+    got = sorted(bc, key=lambda r: (r["n_name"], r["c_mktsegment"]))
+    assert [(r["n_name"], r["c_mktsegment"], r["n_orders"],
+             r["revenue_c"]) for r in got] == \
+        list(map(tuple, exp.values.tolist()))
