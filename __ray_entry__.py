@@ -417,6 +417,7 @@ SNB_KEY_CHARS = 8
 SNB_WINDOW = 3
 # hashed-Gram power iteration: 2 all-integer iterations (the int64
 # bound guard allows exactly 2 at sf corpus magnitudes), 2^10 dims
+GAPFILL_WINDOW_SEC = 3600
 HITS_ITERS = 2
 SPECTRAL_DIM_BITS = 10
 SPECTRAL_ITERS = 2
@@ -653,6 +654,14 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_KNN_K = 5
 
 
+def _gap_filled(sf_dir: str):
+    import ray.data as rd
+    from ts_type_filter_ray.functions.events import gap_filled_windows
+    return gap_filled_windows(
+        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        window_sec=GAPFILL_WINDOW_SEC)
+
+
 def _hits_knn(sf_dir: str):
     """HITS over the exact kNN cosine graph — the directional
     complement of pagerank_knn; all-integer iterates, both score
@@ -706,7 +715,7 @@ _GATE_PRIORITY = [
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
-    "cross_common_substring",
+    "cross_common_substring", "gap_filled_windows",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "stupid_backoff", "kneser_ney_perplexity",
     "pmi_collocations", "heaps_fit",
@@ -1033,6 +1042,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int64 join+sum CTEs on the oracle side, exact degree-product
         # overflow guard engine-side (functions/graph.py::hits)
         "hits_knn": _hits_knn,
+        # time-series resampling with gap fill: the dense (type ×
+        # window) grid SYNTHESIZES distributed via ray.data.range and
+        # zero-fills against the sparse window aggregate in one
+        # co-partitioned merge scan — driver state is the type enum +
+        # [min,max] bounds (functions/events.py::gap_filled_windows)
+        "gap_filled_windows": _gap_filled,
         # Efraimidis–Spirakis weighted sampling without replacement:
         # deterministic ln(u)/w keys from the id hash, exact top-k —
         # quality-weighted subset selection
@@ -4275,6 +4290,27 @@ def oracle_sql() -> dict[str, str]:
         select n as n_points, slope,
                (sy - slope * sx) / n::DOUBLE as intercept
         from fit"""
+    out["gap_filled_windows"] = rf"""
+        with w as (
+          select event_type,
+                 to_timestamp((epoch_us(ts) // {GAPFILL_WINDOW_SEC * 1_000_000})
+                              * {GAPFILL_WINDOW_SEC})::TIMESTAMP as ws,
+                 cast(round(value * 100) as bigint) as cents
+          from events),
+        b as (select min(ws) as lo, max(ws) as hi from w),
+        grid as (
+          select t.event_type, gs.ws
+          from (select distinct event_type from w) t
+          cross join (select unnest(generate_series(
+                          (select lo from b), (select hi from b),
+                          interval {GAPFILL_WINDOW_SEC} seconds)) as ws) gs),
+        agg as (select event_type, ws, count(*)::BIGINT as n,
+                       sum(cents)::BIGINT as c
+                from w group by 1, 2)
+        select g.event_type, g.ws as window_start,
+               coalesce(a.n, 0)::BIGINT as n_events,
+               coalesce(a.c, 0)::BIGINT as value_cents
+        from grid g left join agg a using(event_type, ws)"""
     out["sorted_neighborhood"] = rf"""
         with r as (
           select doc_id,

@@ -1328,3 +1328,45 @@ def test_mmr_lambda1_is_plain_topk(ray_session, emb):
     got = [(r["query_id"], r["rank"], r["vec_id"]) for r in
            mmr_topk(emb, [0, 1, 2], k=7, pool=21, lam=1.0).take_all()]
     assert sorted(got) == sorted(plain)
+
+
+def test_gap_filled_windows(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ts_type_filter_ray.functions.events import gap_filled_windows
+
+    # types a,b over 4 hourly windows; b misses the middle two
+    base = 3_600_000_000  # 1h in us
+    rows = [("a", 0, 1.0), ("a", 1, 2.0), ("a", 3, 3.005),
+            ("b", 0, 5.0), ("b", 3, 7.0), ("a", 0, 0.5)]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([r[1] * base + 5 for r in rows],
+                                dtype="int64")).cast(pa.timestamp("us")),
+        "event_type": pa.array([r[0] for r in rows]),
+        "value": pa.array([r[2] for r in rows]),
+    }))
+    got = gap_filled_windows(ds, window_sec=3600).take_all()
+    assert len(got) == 8  # 2 types x 4 windows, gaps filled
+    by = {(r["event_type"], r["window_start"].hour): (r["n_events"],
+          r["value_cents"]) for r in got}
+    assert by[("a", 0)] == (2, 150)
+    assert by[("a", 2)] == (0, 0)   # zero-filled gap
+    assert by[("a", 3)] == (1, 301)  # half-away rounding of 3.005
+    assert by[("b", 1)] == (0, 0)
+    assert by[("b", 2)] == (0, 0)
+    assert by[("b", 3)] == (1, 700)
+
+
+def test_gap_filled_windows_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ts_type_filter_ray.functions.events import gap_filled_windows
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "event_type": pa.array([], type=pa.string()),
+        "value": pa.array([], type=pa.float64()),
+    }))
+    assert gap_filled_windows(ds, window_sec=60).take_all() == []

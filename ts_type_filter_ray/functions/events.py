@@ -560,3 +560,135 @@ FLOAT_QUANTILES_SQL = """
            percentile_disc(0.9) within group (order by value) as p90,
            percentile_disc(0.99) within group (order by value) as p99
     from events"""
+
+
+def gap_filled_windows(ds: Dataset, window_sec: int = 3600,
+                       num_parts: int = 64) -> Dataset:
+    """(event_type, window_start, n_events, value_cents) for EVERY
+    tumbling window between the stream's first and last event,
+    zero-filled where a type had no events — time-series resampling
+    with gap fill, the dense-grid input a monitoring/forecasting stage
+    expects (sparse window aggregates silently skip empty periods).
+
+    Distributed shape: the sparse per-(type, window) aggregate is the
+    usual per-batch vectorized window computation + one groupby; the
+    dense grid SYNTHESIZES distributed — ``ray.data.range`` over
+    |types| × |windows| index space mapped to (type, window) rows, so
+    a year of minute-windows across thousands of keys never
+    materializes on the driver. Grid and sparse rows co-partition by
+    a hash of (type, window) and zero-fill in one merge scan. Driver
+    state: the type list and the [min, max] window bounds (one tiny
+    aggregate over per-batch partial min/max rows).
+
+    Exactness: counts and half-away cents are integers; window bounds
+    are epoch-truncated under the non-negative-epoch contract — mirrors
+    a ``generate_series`` cross-join left-join SQL oracle exactly."""
+    import ray.data as rd
+
+    win_us = 1_000_000 * window_sec
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        _check_epoch_nonneg(ts)
+        win = pc.multiply(pc.divide(ts, win_us), win_us)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "w": win,
+            "value_cents": _cents(batch["value"]),
+        })
+
+    windowed = ds.map_batches(add_window,
+                              batch_format="pyarrow").materialize()
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"lo": pa.array([int(w.min())], type=pa.int64()),
+                         "hi": pa.array([int(w.max())], type=pa.int64())})
+
+    brows = windowed.map_batches(bounds_partial,
+                                 batch_format="pyarrow").take_all()
+    if not brows:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "window_start": pa.array([], type=pa.timestamp("us")),
+            "n_events": pa.array([], type=pa.int64()),
+            "value_cents": pa.array([], type=pa.int64()),
+        }))
+    lo = min(r["lo"] for r in brows)
+    hi = max(r["hi"] for r in brows)
+    n_windows = (hi - lo) // win_us + 1
+    # the type enum: one tiny distinct aggregate (enum-bounded)
+    types = sorted(r["event_type"] for r in
+                   windowed.groupby("event_type").count().take_all())
+    t_code = {t: i for i, t in enumerate(types)}
+
+    sparse = (windowed.groupby(["event_type", "w"])
+              .aggregate(Count(alias_name="n_events"),
+                         Sum("value_cents", alias_name="value_cents")))
+
+    def key_part(tcode: np.ndarray, w: np.ndarray) -> np.ndarray:
+        k = tcode.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+            ^ w.astype(np.uint64)
+        return (k % np.uint64(num_parts)).astype(np.int32)
+
+    def sparse_rows(batch: pa.Table) -> pa.Table:
+        tc = np.array([t_code[t] for t in
+                       batch["event_type"].to_pylist()], dtype=np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(key_part(tc, w)),
+            "tcode": pa.array(tc),
+            "w": batch["w"],
+            "n_events": batch["n_events"],
+            "value_cents": batch["value_cents"],
+        })
+
+    def grid_rows(batch) -> pa.Table:
+        idx = batch["id"].to_numpy(zero_copy_only=False)
+        tc = idx // n_windows
+        w = lo + (idx % n_windows) * win_us
+        z = np.zeros(len(idx), dtype=np.int64)
+        return pa.table({
+            "part": pa.array(key_part(tc, w)),
+            "tcode": pa.array(tc.astype(np.int64)),
+            "w": pa.array(w.astype(np.int64)),
+            "n_events": pa.array(z),
+            "value_cents": pa.array(z),
+        })
+
+    grid = rd.range(len(types) * int(n_windows)).map_batches(
+        grid_rows, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        tc = group["tcode"].to_numpy(zero_copy_only=False)
+        w = group["w"].to_numpy(zero_copy_only=False)
+        n = group["n_events"].to_numpy(zero_copy_only=False)
+        c = group["value_cents"].to_numpy(zero_copy_only=False)
+        # a slot appears once (grid) or twice (grid + sparse); summing
+        # per slot zero-fills and merges in one pass
+        order = np.lexsort((w, tc))
+        tc, w, n, c = tc[order], w[order], n[order], c[order]
+        new = np.ones(len(tc), dtype=bool)
+        new[1:] = (tc[1:] != tc[:-1]) | (w[1:] != w[:-1])
+        seg = np.cumsum(new) - 1
+        # int64 scatter-adds (bincount weights would round-trip through
+        # float64 — exact only below 2^53 cents per slot)
+        n_out = np.zeros(seg[-1] + 1, dtype=np.int64)
+        np.add.at(n_out, seg, n)
+        c_out = np.zeros(seg[-1] + 1, dtype=np.int64)
+        np.add.at(c_out, seg, c)
+        tnames = np.array(types, dtype=object)
+        return pa.table({
+            "event_type": pa.array(tnames[tc[new]], type=pa.string()),
+            "window_start": pa.array(w[new]).cast(pa.timestamp("us")),
+            "n_events": pa.array(n_out),
+            "value_cents": pa.array(c_out),
+        })
+
+    return (sparse.map_batches(sparse_rows, batch_format="pyarrow")
+            .union(grid)
+            .groupby("part").map_groups(merge, batch_format="pyarrow")
+            .sort(["event_type", "window_start"]))
