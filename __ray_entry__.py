@@ -714,6 +714,7 @@ _GATE_PRIORITY = [
     # (bm25_topk_term_routed ⊂ boolean_match_term_routed + the pytest-
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
+    "custdist_q13", "orders_skyline",
     "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
     "cross_common_substring", "gap_filled_windows",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
@@ -728,13 +729,19 @@ _GATE_PRIORITY = [
     "corpus_diff",
     "decontaminate_indexed", "federated_bm25_nostem",
     "first_positions", "proximity_boost_topk", "ordered_window_match",
-    "pagerank_knn", "weighted_sample_k",
-    "significant_terms", "numeric_histogram", "function_score_topk",
+    "pagerank_knn",
+    "significant_terms", "numeric_histogram",
     "index_fsck", "boolean_match_term_routed",
     "bm25_topk_nostem",
     "top_orders_q3",
-    "stopword_match", "asof_join", "range_join",
+    "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
+    # r4s defers to make room for the new-machinery head entries:
+    # weighted_sample_k ⊂ the r3-green sampling family's hashing,
+    # stopword_match ⊂ boolean_match_nostem + a tokenizer config,
+    # function_score_topk ⊂ bm25_topk_nostem + the significant_terms
+    # rescore window
+    "weighted_sample_k", "stopword_match", "function_score_topk",
     # r4-rebalance defers (window is ~50; the r3-VERDICT-named five
     # above stay inside it): suffix_lcp ⊂ suffix_ranks/sa_dup_coverage
     # doubling + cross_common_substring's identical descent;
@@ -1428,6 +1435,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lineitem co-partitioned by orderkey) + broadcast segment
         # semijoin + per-partition top-k merge
         "top_orders_q3": lambda sf: _rel_mod().top_orders_by_revenue(sf),
+        # TPC-H Q13 shape: LEFT OUTER join as a coarse custkey
+        # union-shuffle + per-partition searchsorted counts (the zero
+        # bucket is the null-extension), then a tiny histogram groupby
+        "custdist_q13": lambda sf: _rel_mod().order_count_distribution(
+            sf).sort("c_count"),
+        # Pareto frontier (max price, min orderdate): distributive
+        # per-block local skylines + one final merge pass — no value
+        # arithmetic, the float price column crosses the gate verbatim
+        "orders_skyline": lambda sf: _rel_mod().orders_skyline(sf),
         # -- stream-shaped windowed operators over the events log --
         "tumbling_window": lambda sf: _events_mod().tumbling_window_agg(
             _events(sf), window_sec=3600),
@@ -3948,6 +3964,8 @@ def oracle_sql() -> dict[str, str]:
             _rel_mod().CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "running_totals": _rel_mod().RUNNING_TOTALS_SQL,
         "top_orders_q3": _rel_mod().TOP_ORDERS_SQL,
+        "custdist_q13": _rel_mod().CUSTDIST_SQL,
+        "orders_skyline": _rel_mod().SKYLINE_SQL,
         "tumbling_window": TUMBLING_HOUR_SQL,
         "hopping_window": HOPPING_SQL.format(k=4, hop_us=900 * 1_000_000),
         "value_percentiles": _events_mod().PERCENTILES_SQL,

@@ -796,3 +796,168 @@ REVENUE_ROLLUP_SQL = """
     join customer c on c.c_custkey = o.o_custkey
     join nation n on n.n_nationkey = c.c_nationkey
     group by rollup(n.n_name, c.c_mktsegment)"""
+
+
+# TPC-H Q13 shape: orders-per-customer distribution constants. The
+# filter is chosen so a meaningful share of customers match NO order —
+# the zero bucket is what makes this a genuine LEFT OUTER join, not an
+# inner join + count.
+Q13_PRIORITY = "1-URGENT"
+Q13_MIN_TOTAL = 200_000.0
+
+
+def order_count_distribution(sf_dir: str,
+                             priority: str = Q13_PRIORITY,
+                             min_total: float = Q13_MIN_TOTAL,
+                             num_parts: int | None = None) -> Dataset:
+    """TPC-H Q13 shape — (c_count, custdist): how many customers placed
+    exactly ``c_count`` qualifying orders, INCLUDING the zero bucket.
+
+    Ray Data has no outer join; the left-outer semantics ride the same
+    coarse custkey union-shuffle as the anti-join
+    (:func:`customers_without_big_orders`): customer rows and filtered
+    order rows land in the same partition, a vectorized searchsorted
+    count per partition assigns every customer its order count (zero
+    when no order row exists — the null-extension), and per-partition
+    COUNT partials of each c_count value merge through one tiny
+    ``groupby`` (shuffle is O(parts × distinct counts), never O(rows)).
+    Reference analog: the df-histogram family (SURVEY.md §2.5 G2) over a
+    relational key instead of a term.
+    """
+    from .partitioning import auto_num_parts
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    if num_parts is None:
+        num_parts = auto_num_parts(orders.count() + cust.count())
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "is_cust": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+        })
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.equal(batch["o_orderpriority"], priority),
+            pc.greater(batch["o_totalprice"], min_total)))
+        return pa.table({
+            "key": batch["o_custkey"].cast(pa.int64()),
+            "is_cust": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pc.cast(pc.bit_wise_and(batch["key"], num_parts - 1),
+                            pa.int32()))
+
+    def count_partial(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        is_cust = group["is_cust"].to_numpy(
+            zero_copy_only=False).astype(bool)
+        ckeys = np.unique(key[is_cust])
+        okeys = np.sort(key[~is_cust])
+        # orders whose custkey has no customer row would be dangling FK
+        # rows; Q13's LEFT JOIN ignores them, and searchsorted counting
+        # does too (counts are only read at customer positions)
+        per_cust = (np.searchsorted(okeys, ckeys, side="right")
+                    - np.searchsorted(okeys, ckeys, side="left"))
+        counts, freq = np.unique(per_cust, return_counts=True)
+        return pa.table({
+            "c_count": pa.array(counts.astype(np.int64)),
+            "custdist": pa.array(freq.astype(np.int64)),
+        })
+
+    stream = (cust.map_batches(cust_rows, batch_format="pyarrow")
+              .union(orders.map_batches(order_rows,
+                                        batch_format="pyarrow")))
+    return (stream.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(count_partial,
+                                        batch_format="pyarrow")
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist")))
+
+
+CUSTDIST_SQL = f"""
+    select c_count, count(*)::BIGINT as custdist from (
+      select c.c_custkey, count(o.o_orderkey)::BIGINT as c_count
+      from customer c left join orders o
+        on o.o_custkey = c.c_custkey
+       and o.o_orderpriority = '{Q13_PRIORITY}'
+       and o.o_totalprice > {Q13_MIN_TOTAL}
+      group by c.c_custkey)
+    group by c_count"""
+
+
+def orders_skyline(sf_dir: str) -> Dataset:
+    """Pareto frontier (skyline) of orders — maximize ``o_totalprice``,
+    minimize ``o_orderdate``: orders for which no other order is at
+    least as expensive AND at least as early with one strict. Exact
+    (p, d) duplicates do not dominate each other, so both survive.
+
+    The skyline operator is distributive: the skyline of a union equals
+    the skyline of the union of per-block skylines (a global dominator
+    that was itself pruned locally is dominated by one of its block's
+    survivors, and dominance is transitive). So each batch runs one
+    vectorized two-sweep local skyline (sort by price desc / date asc,
+    prefix-min of date over strictly-higher-price groups + first-date
+    within the equal-price group), and only the survivors — typically a
+    vanishing fraction of rows, and never more than the true frontier
+    per block — are gathered for one final identical pass. No value
+    arithmetic at all, so the float price column crosses the oracle
+    boundary verbatim.
+
+    Skew/scale note: the final pass is one task over the union of local
+    skylines. For heavily anti-correlated dimensions (frontier ~ O(n))
+    the output itself is that big, and a tree of pairwise skyline
+    merges replaces the single final task; with correlated or
+    independent dims (this data) the union is tiny.
+    """
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        d = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, d, -p))
+        ps, ds = p[order], d[order]
+        n = len(ps)
+        newgrp = np.ones(n, dtype=bool)
+        newgrp[1:] = ps[1:] != ps[:-1]
+        grp = np.cumsum(newgrp) - 1
+        grp_first = np.flatnonzero(newgrp)
+        prefmin = np.minimum.accumulate(ds)
+        # min date among all STRICTLY more expensive rows (prev groups)
+        first_idx = grp_first[grp]
+        prev_min = np.where(first_idx > 0,
+                            prefmin[np.maximum(first_idx - 1, 0)],
+                            np.iinfo(np.int64).max)
+        dom_price = prev_min <= ds       # pricier and not later
+        dom_date = ds > ds[first_idx]    # same price, strictly earlier twin
+        keep = order[~(dom_price | dom_date)]
+        keep.sort()  # stable row order within the block
+        return batch.take(pa.array(keep))
+
+    candidates = orders.map_batches(local_skyline, batch_format="pyarrow")
+    # final pass: one task over the (small) union of local skylines
+    return candidates.repartition(1).map_batches(
+        local_skyline, batch_format="pyarrow",
+        batch_size=None).sort("o_orderkey")
+
+
+SKYLINE_SQL = """
+    select o_orderkey, o_totalprice, o_orderdate from orders a
+    where not exists (
+      select 1 from orders b
+      where b.o_totalprice >= a.o_totalprice
+        and b.o_orderdate <= a.o_orderdate
+        and (b.o_totalprice > a.o_totalprice
+             or b.o_orderdate < a.o_orderdate))"""
