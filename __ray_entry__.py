@@ -714,21 +714,22 @@ _GATE_PRIORITY = [
     # (bm25_topk_term_routed ⊂ boolean_match_term_routed + the pytest-
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
-    "custdist_q13", "orders_skyline",
+    "custdist_q13", "orders_skyline", "funnel_steps", "cohort_retention",
+    "group_ols",
     "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
     "cross_common_substring", "gap_filled_windows",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "stupid_backoff", "kneser_ney_perplexity",
     "pmi_collocations", "heaps_fit",
     "dsir_weights", "perplexity_buckets",
-    "percolate", "strip_dup_spans", "line_dedup", "c4_clean",
-    "gopher_rules", "temperature_sample",
+    "percolate", "strip_dup_spans", "line_dedup",
+    "gopher_rules",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
     "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
     "did_you_mean", "suffix_ranks", "sa_dup_coverage",
     "corpus_diff",
     "decontaminate_indexed", "federated_bm25_nostem",
-    "first_positions", "proximity_boost_topk", "ordered_window_match",
+    "proximity_boost_topk", "ordered_window_match",
     "pagerank_knn",
     "significant_terms", "numeric_histogram",
     "index_fsck", "boolean_match_term_routed",
@@ -740,8 +741,12 @@ _GATE_PRIORITY = [
     # weighted_sample_k ⊂ the r3-green sampling family's hashing,
     # stopword_match ⊂ boolean_match_nostem + a tokenizer config,
     # function_score_topk ⊂ bm25_topk_nostem + the significant_terms
-    # rescore window
+    # rescore window, first_positions ⊂ proximity_boost_topk's
+    # positional value reads, temperature_sample ⊂ the green sampling
+    # hashing + mixture weights, c4_clean ⊂ gopher_rules' vectorized
+    # filters + line_dedup's text rebuild
     "weighted_sample_k", "stopword_match", "function_score_topk",
+    "first_positions", "temperature_sample", "c4_clean",
     # r4-rebalance defers (window is ~50; the r3-VERDICT-named five
     # above stay inside it): suffix_lcp ⊂ suffix_ranks/sa_dup_coverage
     # doubling + cross_common_substring's identical descent;
@@ -1453,6 +1458,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf), window_sec=3600, hop_sec=900),
         "value_percentiles": lambda sf: _events_mod().event_value_percentiles(
             _events(sf)),
+        # strict-chaining funnel: per-user earliest-event chain via one
+        # user-hash shuffle + vectorized minimum.at scatter per step
+        "funnel_steps": lambda sf: _events_mod().funnel_counts(
+            _events(sf)).sort("step_idx"),
+        # cohort retention: first-touch week + distinct active weeks
+        # from the same co-located partition scan
+        "cohort_retention": lambda sf: _events_mod().cohort_retention(
+            _events(sf)).sort(["cohort_week", "week_offset"]),
+        # per-event-type OLS of value on time via exact int64 sufficient
+        # statistics — slope/intercept/Pearson-r floats are value-exact
+        "group_ols": lambda sf: _events_mod().group_ols(
+            _events(sf)).sort("event_type"),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -3971,6 +3988,9 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _events_mod().PERCENTILES_SQL,
         "asof_join": _events_mod().ASOF_SQL,
         "range_join": _events_mod().RANGE_JOIN_SQL,
+        "funnel_steps": _events_mod().FUNNEL_SQL,
+        "cohort_retention": _events_mod().COHORT_SQL,
+        "group_ols": _events_mod().OLS_SQL,
         "float_quantiles": _events_mod().FLOAT_QUANTILES_SQL,
         # k >= n => the KLL path retains every element at weight 1 and
         # percentile_disc semantics hold exactly

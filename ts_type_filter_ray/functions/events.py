@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -692,3 +693,316 @@ def gap_filled_windows(ds: Dataset, window_sec: int = 3600,
             .union(grid)
             .groupby("part").map_groups(merge, batch_format="pyarrow")
             .sort(["event_type", "window_start"]))
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(ds: Dataset, steps: tuple[str, ...] = FUNNEL_STEPS,
+                  num_parts: int | None = None) -> Dataset:
+    """Funnel analysis — how many users reach each step of an ordered
+    event chain: a user reaches step k if they have a step-k event
+    STRICTLY after their earliest qualifying step-(k-1) event (earliest
+    chaining, the standard strict-funnel semantics). Output one row per
+    step: (step_idx, step, n_users), zero counts included.
+
+    One coarse user-hash shuffle co-locates each user's events; the
+    per-partition chain is fully vectorized — per-user minima via
+    ``np.minimum.at`` scatter, then each later step filters its events
+    to those after the user's previous-step time and scatters again.
+    Partition outputs are per-step COUNT partials (≤ len(steps) rows per
+    partition) merged by one tiny groupby; a constant zero-row seed
+    keeps never-reached steps present in the result.
+    """
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+    step_list = list(steps)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(step_list))
+        t = batch.filter(keep)
+        sidx = pc.index_in(t["event_type"],
+                           value_set=pa.array(step_list)).cast(pa.int8())
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["user_id"], num_parts - 1),
+                            pa.int32()),
+            "user_id": t["user_id"],
+            "ts": t["ts"].cast(pa.int64()),
+            "sidx": sidx,
+        })
+
+    def chain(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        sidx = group["sidx"].to_numpy(zero_copy_only=False)
+        uu, uc = np.unique(u, return_inverse=True)
+        nu = len(uu)
+        sentinel = np.iinfo(np.int64).max
+        prev = np.full(nu, -1, dtype=np.int64)  # "before everything"
+        counts = []
+        for k in range(len(step_list)):
+            cur = np.full(nu, sentinel, dtype=np.int64)
+            m = (sidx == k) & (prev[uc] != sentinel) & (ts > prev[uc])
+            np.minimum.at(cur, uc[m], ts[m])
+            counts.append(int((cur != sentinel).sum()))
+            prev = cur
+        return pa.table({
+            "step_idx": pa.array(np.arange(len(step_list),
+                                           dtype=np.int64)),
+            "step": pa.array(step_list, type=pa.string()),
+            "n_users": pa.array(counts, type=pa.int64()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "step_idx": pa.array(np.arange(len(step_list), dtype=np.int64)),
+        "step": pa.array(step_list, type=pa.string()),
+        "n_users": pa.array([0] * len(step_list), type=pa.int64()),
+    }))
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(chain, batch_format="pyarrow")
+            .union(seed)
+            .groupby(["step_idx", "step"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+# note the step-0 chain condition degenerates to "has any step-0 event":
+# prev = -1 < every ts
+FUNNEL_SQL = """
+    with u1 as (select user_id, min(ts) as t from events
+                where event_type = 'view' group by 1),
+    u2 as (select e.user_id, min(e.ts) as t from events e
+           join u1 on e.user_id = u1.user_id and e.ts > u1.t
+           where e.event_type = 'click' group by 1),
+    u3 as (select e.user_id, min(e.ts) as t from events e
+           join u2 on e.user_id = u2.user_id and e.ts > u2.t
+           where e.event_type = 'purchase' group by 1)
+    select 0::BIGINT as step_idx, 'view' as step,
+           count(*)::BIGINT as n_users from u1
+    union all
+    select 1::BIGINT, 'click', count(*)::BIGINT from u2
+    union all
+    select 2::BIGINT, 'purchase', count(*)::BIGINT from u3"""
+
+
+#: epoch seconds of 1970-01-05, the first Monday — week indexes below
+#: are Monday-aligned like ISO weeks
+WEEK_ANCHOR_SEC = 4 * 86400
+WEEK_SEC = 7 * 86400
+
+
+def cohort_retention(ds: Dataset,
+                     num_parts: int | None = None) -> Dataset:
+    """Cohort retention — users bucketed by their FIRST-EVER activity
+    week (the cohort), counted in every later week they were active:
+    (cohort_week, week_offset, n_users) with week_offset = active week −
+    cohort week (0 = the cohort week itself). Weeks are Monday-aligned
+    epoch-week indexes.
+
+    One coarse user-hash shuffle co-locates each user's history, so the
+    first-touch week and the distinct active weeks come from the same
+    vectorized partition scan (per-user min via ``np.minimum.at``,
+    distinct (user, week) via one packed-key ``np.unique``); partitions
+    emit (cohort, offset, count) partials merged by a tiny groupby —
+    shuffle volume is O(rows) once, then O(parts × distinct cells).
+    """
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        _check_epoch_nonneg(ts)
+        sec = pc.divide(ts, 1_000_000)
+        wk = pc.divide(pc.subtract(sec, WEEK_ANCHOR_SEC), WEEK_SEC)
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(batch["user_id"],
+                                            num_parts - 1), pa.int32()),
+            "user_id": batch["user_id"],
+            "wk": wk,
+        })
+
+    def per_part(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        wk = group["wk"].to_numpy(zero_copy_only=False)
+        uu, uc = np.unique(u, return_inverse=True)
+        cohort = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(cohort, uc, wk)
+        # distinct (user, week) cells; week index fits easily in 32 bits
+        packed = np.unique((uc.astype(np.int64) << 32) | wk)
+        puc = packed >> 32
+        pwk = packed & 0xFFFFFFFF
+        cell = np.unique((cohort[puc] << 32) | (pwk - cohort[puc]),
+                         return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(cell[0] >> 32, type=pa.int64()),
+            "week_offset": pa.array(cell[0] & 0xFFFFFFFF,
+                                    type=pa.int64()),
+            "n_users": pa.array(cell[1].astype(np.int64)),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+COHORT_SQL = f"""
+    with w as (select user_id,
+                      (floor(epoch(ts))::BIGINT - {WEEK_ANCHOR_SEC})
+                          // {WEEK_SEC} as wk
+               from events),
+    f as (select user_id, min(wk) as cw from w group by 1),
+    d as (select distinct w.user_id, f.cw, w.wk
+          from w join f using (user_id))
+    select cw as cohort_week, wk - cw as week_offset,
+           count(*)::BIGINT as n_users
+    from d group by 1, 2"""
+
+
+#: hour-zero for :func:`group_ols` — events before this raise (keeps x
+#: non-negative so truncating and flooring division agree, and keeps
+#: the integer sufficient statistics small)
+OLS_EPOCH0 = "2024-01-01"
+_OLS_EPOCH0_SEC = 1_704_067_200
+
+
+def group_ols(ds: Dataset) -> Dataset:
+    """Per-event-type ordinary least squares of value on time — the
+    sufficient-statistics shape: y = integer cents, x = hour index since
+    :data:`OLS_EPOCH0`; per batch one vectorized bincount pass emits the
+    per-type partials (n, Σx, Σy, Σxy, Σx², Σy² — all exact int64), one
+    tiny groupby merges them, and slope/intercept/Pearson-r are single
+    float64 expressions over the exact integer moments, so the float
+    columns themselves are value-exact vs the SQL oracle (numerator and
+    denominators combined in arbitrary-precision Python ints, converted
+    once, divided once — identical to the oracle's ::BIGINT::DOUBLE
+    shapes).
+
+    Overflow soundness: per-type Max(|x|)/Max(|y|) ride along and the
+    final combine proves n·max² < 2^63 (a conservative bound on every
+    moment), raising rather than silently wrapping — the documented
+    scale path beyond ~10⁹ rows per group is a second pass with
+    hi/lo-split moment columns.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist())
+        types, codes = np.unique(et, return_inverse=True)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts // 1_000_000 - _OLS_EPOCH0_SEC) // 3600
+        if x.size and int(x.min()) < 0:
+            raise ValueError(
+                f"events before {OLS_EPOCH0} are outside group_ols's "
+                "non-negative hour-index contract")
+        y = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        if y.size and int(np.abs(y).max()) >= (1 << 21):
+            raise ValueError(
+                "value exceeds the 2^21-cent OLS contract (~$21k) — "
+                "rescale before regressing")
+        k = len(types)
+
+        def bc(w):
+            # np.bincount(weights=...) accumulates in float64 (2^53
+            # exactness cliff on Σy² with big batches) — scatter-add on
+            # an int64 accumulator keeps every moment exact
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, codes, w)
+            return acc
+
+        return pa.table({
+            "event_type": pa.array(types.tolist(), type=pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "sx": pa.array(bc(x)), "sy": pa.array(bc(y)),
+            "sxy": pa.array(bc(x * y)), "sxx": pa.array(bc(x * x)),
+            "syy": pa.array(bc(y * y)),
+            "max_ax": pa.array(np.maximum.reduceat(
+                np.abs(x)[np.argsort(codes, kind="stable")],
+                np.searchsorted(np.sort(codes), np.arange(k)))
+                if len(x) else np.zeros(0, dtype=np.int64)),
+            "max_ay": pa.array(np.maximum.reduceat(
+                np.abs(y)[np.argsort(codes, kind="stable")],
+                np.searchsorted(np.sort(codes), np.arange(k)))
+                if len(y) else np.zeros(0, dtype=np.int64)),
+        })
+
+    moments = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("event_type")
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("sx", alias_name="sx"),
+                          Sum("sy", alias_name="sy"),
+                          Sum("sxy", alias_name="sxy"),
+                          Sum("sxx", alias_name="sxx"),
+                          Sum("syy", alias_name="syy"),
+                          Max("max_ax", alias_name="max_ax"),
+                          Max("max_ay", alias_name="max_ay")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import math
+        rows = batch.to_pylist()
+        out = {"event_type": [], "n_events": [], "slope": [],
+               "intercept": [], "r": []}
+        for row in rows:
+            n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+            sxy, sxx, syy = (int(row["sxy"]), int(row["sxx"]),
+                             int(row["syy"]))
+            mx, my = int(row["max_ax"]), int(row["max_ay"])
+            for bound in (n * mx * mx, n * mx * my, n * my * my):
+                if bound >= (1 << 63):
+                    raise ValueError(
+                        "OLS moment bound n*max^2 exceeds int64 — "
+                        "partial sums may have wrapped; split the "
+                        "moments or rescale")
+            num = n * sxy - sx * sy
+            denx = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            if denx == 0 or deny == 0:
+                raise ValueError(
+                    f"degenerate OLS group {row['event_type']!r}: "
+                    "constant x or y")
+            if max(abs(num), denx, deny) >= (1 << 63):
+                raise ValueError("OLS combined moment exceeds int64 — "
+                                 "oracle-shape contract broken")
+            slope = float(num) / float(denx)
+            out["event_type"].append(row["event_type"])
+            out["n_events"].append(n)
+            out["slope"].append(slope)
+            out["intercept"].append(
+                (float(sy) - slope * float(sx)) / float(n))
+            out["r"].append(float(num) / (math.sqrt(float(denx))
+                                          * math.sqrt(float(deny))))
+        return pa.table({
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_events": pa.array(out["n_events"], type=pa.int64()),
+            "slope": pa.array(out["slope"], type=pa.float64()),
+            "intercept": pa.array(out["intercept"], type=pa.float64()),
+            "r": pa.array(out["r"], type=pa.float64()),
+        })
+
+    return moments.map_batches(finish, batch_format="pyarrow")
+
+
+OLS_SQL = f"""
+    with pts as (
+      select event_type,
+             (floor(epoch(ts))::BIGINT - {_OLS_EPOCH0_SEC}) // 3600 as x,
+             cast(round(value * 100) as bigint) as y
+      from events),
+    s as (select event_type, count(*)::HUGEINT as n,
+                 sum(x) as sx, sum(y) as sy, sum(x*y) as sxy,
+                 sum(x*x) as sxx, sum(y*y) as syy
+          from pts group by 1),
+    t as (select event_type, n, sx, sy,
+                 (n*sxy - sx*sy)::BIGINT as num,
+                 (n*sxx - sx*sx)::BIGINT as denx,
+                 (n*syy - sy*sy)::BIGINT as deny
+          from s),
+    u as (select *, (num::DOUBLE) / (denx::DOUBLE) as slope from t)
+    select event_type, n::BIGINT as n_events, slope,
+           (sy::BIGINT::DOUBLE - slope * sx::BIGINT::DOUBLE)
+               / (n::BIGINT::DOUBLE) as intercept,
+           (num::DOUBLE) / (sqrt(denx::DOUBLE) * sqrt(deny::DOUBLE)) as r
+    from u"""
