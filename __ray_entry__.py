@@ -676,6 +676,28 @@ def _hits_knn(sf_dir: str):
                               src_col="vec_id", dst_col="neighbor_id"))
 
 
+BFS_SEED = 0
+BFS_MAX_HOPS = 6
+
+
+def _bfs_hops_knn(sf_dir: str):
+    """Multi-source BFS hop distances over the exact kNN cosine graph
+    (undirected): the reachability/distance primitive next to
+    pagerank_knn's mass and triangle_count_knn's closure — hop counts
+    are exact integers, value-exact vs a recursive-CTE oracle."""
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions import ann
+    from ts_type_filter_ray.functions.graph import bfs_hops
+    emb = _emb(sf_dir)
+    n = emb.count()
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    t = bfs_hops(edges, n, sources=(BFS_SEED,), max_hops=BFS_MAX_HOPS,
+                 directed=False, src_col="vec_id",
+                 dst_col="neighbor_id")
+    return rd.from_arrow(t.rename_columns(["vec_id", "hops"]))
+
+
 def _pagerank_knn(sf_dir: str):
     """PageRank over the exact kNN cosine graph (the knn_join edge set):
     authority ranking in the similarity graph — representative-document
@@ -715,7 +737,7 @@ _GATE_PRIORITY = [
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "custdist_q13", "orders_skyline", "funnel_steps", "cohort_retention",
-    "group_ols",
+    "group_ols", "bfs_hops_knn",
     "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
     "cross_common_substring", "gap_filled_windows",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
@@ -725,7 +747,7 @@ _GATE_PRIORITY = [
     "percolate", "strip_dup_spans", "line_dedup",
     "gopher_rules",
     "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
-    "kll_quantiles_exact", "hashed_features", "triangle_count_knn",
+    "hashed_features", "triangle_count_knn",
     "did_you_mean", "suffix_ranks", "sa_dup_coverage",
     "corpus_diff",
     "decontaminate_indexed", "federated_bm25_nostem",
@@ -747,6 +769,9 @@ _GATE_PRIORITY = [
     # filters + line_dedup's text rebuild
     "weighted_sample_k", "stopword_match", "function_score_topk",
     "first_positions", "temperature_sample", "c4_clean",
+    # kll_quantiles_exact shares float_quantiles' percentile_disc
+    # oracle verbatim (head slot #~48); the sketch path is pytest-pinned
+    "kll_quantiles_exact",
     # r4-rebalance defers (window is ~50; the r3-VERDICT-named five
     # above stay inside it): suffix_lcp ⊂ suffix_ranks/sa_dup_coverage
     # doubling + cross_common_substring's identical descent;
@@ -1049,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coarse-partition ordered folds; the float rank column itself
         # is on the value-exact gate
         "pagerank_knn": _pagerank_knn,
+        "bfs_hops_knn": _bfs_hops_knn,
         # HITS (Kleinberg 1999) over the same kNN edge set: hubs &
         # authorities by the unnormalized all-integer mutual recursion —
         # int64 join+sum CTEs on the oracle side, exact degree-product
@@ -4049,6 +4075,32 @@ def oracle_sql() -> dict[str, str]:
                 group by e.dst) agg on agg.node = e0.vec_id)"""
             for i in range(1, PAGERANK_ITERS + 1)) + f"""
             select node, r as pagerank from r{PAGERANK_ITERS}"""),
+        "bfs_hops_knn": (f"""
+            with recursive nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select a.vec_id as src, b.vec_id as dst,
+                     ({dot.format(a='a', b='b')}) / (a.nv * b.nv) as sim
+              from nrm a, nrm b where a.vec_id <> b.vec_id),
+            eranked as (
+              select src, dst,
+                     row_number() over (partition by src
+                                        order by sim desc, dst asc) as rank
+              from sims),
+            e0 as (select src, dst from eranked
+                   where rank <= {PAGERANK_KNN_K}),
+            edges as (select src, dst from e0
+                      union select dst, src from e0),
+            walk(node, d) as (
+              select {BFS_SEED}::BIGINT as node, 0::BIGINT as d
+              union
+              select e.dst, w.d + 1 from walk w
+              join edges e on e.src = w.node
+              where w.d < {BFS_MAX_HOPS})
+            select node as vec_id, min(d)::BIGINT as hops
+            from walk group by 1"""),
         "hits_knn": (f"""
             with nrm as (
               select vec_id, embedding,

@@ -543,3 +543,78 @@ def hits(edges: Dataset, num_nodes: int, *, iters: int = 2,
         "hub": pa.array(h),
         "authority": pa.array(a),
     })
+
+
+def bfs_hops(edges: Dataset, num_nodes: int, *, sources,
+             max_hops: int | None = None, directed: bool = False,
+             src_col: str = "src", dst_col: str = "dst",
+             num_parts: int | None = None) -> pa.Table:
+    """Multi-source BFS over a directed edge Dataset with dense node ids
+    ``0..num_nodes-1`` → (node, hops) Arrow table for every node
+    reachable within ``max_hops``, node-ascending. ``hops`` is the
+    minimum hop count from ANY source (0 at the sources themselves);
+    ``directed=False`` treats each edge as bidirectional in the same
+    scan, no materialized reverse edges.
+
+    The missing graph primitive next to connected components (labels,
+    no distances) and pagerank (mass, no reachability): frontier
+    expansion one level at a time — the O(N) distance vector broadcast
+    via ``ray.put`` per round (same bounded-state contract as
+    pagerank's rank vector), one ``map_batches`` edges pass emitting
+    each batch's UNIQUE still-unvisited neighbors of frontier nodes,
+    driver-side union assigning ``h+1``. Rounds stop at frontier
+    exhaustion or ``max_hops``, so total driver traffic is O(reached
+    nodes + per-batch duplicate candidates); beyond ~10^8 nodes the
+    distance vector moves to a hash-partitioned Dataset zip-joined per
+    round (the connected-components shape) instead of a broadcast.
+    """
+    import ray
+
+    if num_nodes <= 0:
+        raise ValueError("num_nodes must be positive")
+    dist = np.full(num_nodes, -1, dtype=np.int64)
+    seeds = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if seeds.size == 0:
+        raise ValueError("bfs_hops needs at least one source")
+    if int(seeds.min()) < 0 or int(seeds.max()) >= num_nodes:
+        raise ValueError(
+            f"source ids must be dense node ids in [0, {num_nodes})")
+    dist[seeds] = 0
+
+    def reach(batch: pa.Table, *, dist_ref, hop: int) -> pa.Table:
+        dv = ray.get(dist_ref)
+        s = batch[src_col].to_numpy(zero_copy_only=False)
+        d = batch[dst_col].to_numpy(zero_copy_only=False)
+        if len(s) and (int(s.max()) >= len(dv) or int(d.max()) >= len(dv)
+                       or int(s.min()) < 0 or int(d.min()) < 0):
+            raise ValueError(
+                "edge endpoint outside [0, num_nodes) — the graph was "
+                "built from a different corpus than this BFS's id space")
+        cand = [d[dv[s] == hop]]
+        if not directed:
+            cand.append(s[dv[d] == hop])
+        c = np.concatenate(cand)
+        c = np.unique(c[dv[c] < 0])
+        return pa.table({"node": pa.array(c.astype(np.int64))})
+
+    h = 0
+    while max_hops is None or h < max_hops:
+        ref = ray.put(dist)
+        rows = edges.map_batches(
+            reach, batch_format="pyarrow",
+            fn_kwargs={"dist_ref": ref, "hop": h}).take_all()
+        if not rows:
+            break
+        new = np.unique(np.fromiter((r["node"] for r in rows),
+                                    dtype=np.int64, count=len(rows)))
+        new = new[dist[new] < 0]  # batches race only against old state
+        if new.size == 0:
+            break
+        dist[new] = h + 1
+        h += 1
+
+    reached = np.flatnonzero(dist >= 0)
+    return pa.table({
+        "node": pa.array(reached.astype(np.int64)),
+        "hops": pa.array(dist[reached]),
+    })
