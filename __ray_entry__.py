@@ -678,6 +678,24 @@ def _hits_knn(sf_dir: str):
 
 BFS_SEED = 0
 BFS_MAX_HOPS = 6
+LPA_ITERS = 2
+
+
+def _label_prop_knn(sf_dir: str):
+    """Label-propagation communities over the exact kNN cosine graph
+    (undirected multigraph — every directed knn edge votes both ways):
+    deterministic (count desc, label asc) argmax per round, labels
+    value-exact vs an unrolled SQL oracle."""
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions import ann
+    from ts_type_filter_ray.functions.graph import label_propagation
+    emb = _emb(sf_dir)
+    n = emb.count()
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    t = label_propagation(edges, n, iters=LPA_ITERS, directed=False,
+                          src_col="vec_id", dst_col="neighbor_id")
+    return rd.from_arrow(t.rename_columns(["vec_id", "label"]))
 
 
 def _bfs_hops_knn(sf_dir: str):
@@ -737,16 +755,16 @@ _GATE_PRIORITY = [
     # pinned fold, ql_jm ⊂ ql, boosted ⊂ bm25 core, dup_token_spans ⊂
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "custdist_q13", "orders_skyline", "funnel_steps", "cohort_retention",
-    "group_ols", "bfs_hops_knn",
+    "group_ols", "bfs_hops_knn", "label_prop_knn", "zscore_normalize",
     "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
     "cross_common_substring", "gap_filled_windows",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "stupid_backoff", "kneser_ney_perplexity",
     "pmi_collocations", "heaps_fit",
-    "dsir_weights", "perplexity_buckets",
+    "dsir_weights",
     "percolate", "strip_dup_spans", "line_dedup",
     "gopher_rules",
-    "unigram_entropy", "select_until_budget", "tf_cosine_pairs",
+    "select_until_budget", "tf_cosine_pairs",
     "hashed_features", "triangle_count_knn",
     "did_you_mean", "suffix_ranks", "sa_dup_coverage",
     "corpus_diff",
@@ -770,8 +788,11 @@ _GATE_PRIORITY = [
     "weighted_sample_k", "stopword_match", "function_score_topk",
     "first_positions", "temperature_sample", "c4_clean",
     # kll_quantiles_exact shares float_quantiles' percentile_disc
-    # oracle verbatim (head slot #~48); the sketch path is pytest-pinned
-    "kll_quantiles_exact",
+    # oracle verbatim (head slot #~48); the sketch path is pytest-pinned;
+    # perplexity_buckets ⊂ bigram_perplexity's scores + the same exact
+    # percentile machinery; unigram_entropy ⊂ bigram_perplexity's
+    # integer-log ordered doc fold
+    "kll_quantiles_exact", "perplexity_buckets", "unigram_entropy",
     # r4-rebalance defers (window is ~50; the r3-VERDICT-named five
     # above stay inside it): suffix_lcp ⊂ suffix_ranks/sa_dup_coverage
     # doubling + cross_common_substring's identical descent;
@@ -1075,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is on the value-exact gate
         "pagerank_knn": _pagerank_knn,
         "bfs_hops_knn": _bfs_hops_knn,
+        "label_prop_knn": _label_prop_knn,
         # HITS (Kleinberg 1999) over the same kNN edge set: hubs &
         # authorities by the unnormalized all-integer mutual recursion —
         # int64 join+sum CTEs on the oracle side, exact degree-product
@@ -1496,6 +1518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # statistics — slope/intercept/Pearson-r floats are value-exact
         "group_ols": lambda sf: _events_mod().group_ols(
             _events(sf)).sort("event_type"),
+        # per-type z-score feature normalization: broadcast exact
+        # moments → one shuffle-free per-row map; z floats value-exact
+        "zscore_normalize": lambda sf: _events_mod().zscore_normalize(
+            _events(sf)).sort("event_id"),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -4017,6 +4043,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": _events_mod().FUNNEL_SQL,
         "cohort_retention": _events_mod().COHORT_SQL,
         "group_ols": _events_mod().OLS_SQL,
+        "zscore_normalize": _events_mod().ZSCORE_SQL,
         "float_quantiles": _events_mod().FLOAT_QUANTILES_SQL,
         # k >= n => the KLL path retains every element at weight 1 and
         # percentile_disc semantics hold exactly
@@ -4075,6 +4102,41 @@ def oracle_sql() -> dict[str, str]:
                 group by e.dst) agg on agg.node = e0.vec_id)"""
             for i in range(1, PAGERANK_ITERS + 1)) + f"""
             select node, r as pagerank from r{PAGERANK_ITERS}"""),
+        "label_prop_knn": (f"""
+            with nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select a.vec_id as src, b.vec_id as dst,
+                     ({dot.format(a='a', b='b')}) / (a.nv * b.nv) as sim
+              from nrm a, nrm b where a.vec_id <> b.vec_id),
+            eranked as (
+              select src, dst,
+                     row_number() over (partition by src
+                                        order by sim desc, dst asc) as rank
+              from sims),
+            e0 as (select src, dst from eranked
+                   where rank <= {PAGERANK_KNN_K}),
+            edges as (select src, dst from e0
+                      union all select dst, src from e0),
+            l0 as (select vec_id as node, vec_id::BIGINT as label
+                   from embeddings)""" + "".join(f""",
+            cnt{i} as (
+              select e.dst as node, l.label, count(*)::BIGINT as c
+              from edges e join l{i - 1} l on l.node = e.src
+              group by 1, 2),
+            pick{i} as (
+              select node, label, row_number() over
+                  (partition by node order by c desc, label asc) as rn
+              from cnt{i}),
+            l{i} as (
+              select p0.node, coalesce(p.label, p0.label) as label
+              from l{i - 1} p0 left join
+                   (select node, label from pick{i} where rn = 1) p
+                   on p.node = p0.node)"""
+            for i in range(1, LPA_ITERS + 1)) + f"""
+            select node as vec_id, label from l{LPA_ITERS}"""),
         "bfs_hops_knn": (f"""
             with recursive nrm as (
               select vec_id, embedding,

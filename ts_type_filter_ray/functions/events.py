@@ -1006,3 +1006,98 @@ OLS_SQL = f"""
                / (n::BIGINT::DOUBLE) as intercept,
            (num::DOUBLE) / (sqrt(denx::DOUBLE) * sqrt(deny::DOUBLE)) as r
     from u"""
+
+
+def zscore_normalize(ds: Dataset) -> Dataset:
+    """Per-event-type z-score feature normalization — the standard ML
+    preprocessing stage: (event_id, event_type, z) with
+    ``z = (cents − mean) / sample_sd`` over exact integer cents.
+
+    Two-pass broadcast-statistics shape: pass 1 computes per-type exact
+    int64 moments (n, Σy, Σy² — the :func:`group_ols` partial-combine
+    pattern) through one tiny groupby; the ≤ |types| (mean, sd) rows are
+    computed driver-side with the oracle's exact float64 expression
+    shapes and closure-captured into pass 2, a pure vectorized per-row
+    map with NO shuffle. The float z column itself is value-exact vs the
+    SQL oracle (identical ::DOUBLE conversion and operation order).
+    Groups need n ≥ 2 and non-constant values (sample sd > 0) — anything
+    else raises rather than emitting infinities.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist())
+        types, codes = np.unique(et, return_inverse=True)
+        y = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        if y.size and int(np.abs(y).max()) >= (1 << 21):
+            raise ValueError(
+                "value exceeds the 2^21-cent z-score contract (~$21k) "
+                "— rescale first")
+        k = len(types)
+        acc_y = np.zeros(k, dtype=np.int64)
+        acc_yy = np.zeros(k, dtype=np.int64)
+        np.add.at(acc_y, codes, y)
+        np.add.at(acc_yy, codes, y * y)
+        return pa.table({
+            "event_type": pa.array(types.tolist(), type=pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "sy": pa.array(acc_y), "syy": pa.array(acc_yy),
+        })
+
+    moments = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("event_type")
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("sy", alias_name="sy"),
+                          Sum("syy", alias_name="syy"))
+               .take_all())  # ≤ |event types| rows
+    stats = {}
+    import math
+    for row in moments:
+        n, sy, syy = int(row["n"]), int(row["sy"]), int(row["syy"])
+        if n < 2:
+            raise ValueError(
+                f"z-score group {row['event_type']!r} has n < 2")
+        var_num = n * syy - sy * sy
+        if var_num == 0:
+            raise ValueError(
+                f"constant-valued z-score group {row['event_type']!r}")
+        if var_num >= (1 << 63) or n * (n - 1) >= (1 << 63):
+            raise ValueError("z-score moment exceeds int64 — "
+                             "oracle-shape contract broken")
+        mean = float(sy) / float(n)
+        sd = math.sqrt(float(var_num) / float(n * (n - 1)))
+        stats[row["event_type"]] = (mean, sd)
+
+    def transform(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        y = _cents(batch["value"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mean = np.fromiter((stats[t][0] for t in et), dtype=np.float64,
+                           count=len(et))
+        sd = np.fromiter((stats[t][1] for t in et), dtype=np.float64,
+                         count=len(et))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "z": pa.array((y - mean) / sd, type=pa.float64()),
+        })
+
+    return ds.map_batches(transform, batch_format="pyarrow")
+
+
+ZSCORE_SQL = """
+    with pts as (
+      select event_id, event_type,
+             cast(round(value * 100) as bigint) as y
+      from events),
+    s as (select event_type, count(*)::HUGEINT as n,
+                 sum(y) as sy, sum(y*y) as syy
+          from pts group by 1),
+    m as (select event_type,
+                 (sy::BIGINT::DOUBLE) / (n::BIGINT::DOUBLE) as mean,
+                 sqrt(((n*syy - sy*sy)::BIGINT::DOUBLE)
+                      / ((n*(n-1))::BIGINT::DOUBLE)) as sd
+          from s)
+    select p.event_id, p.event_type,
+           (p.y::DOUBLE - m.mean) / m.sd as z
+    from pts p join m using (event_type)"""

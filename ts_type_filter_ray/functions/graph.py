@@ -618,3 +618,98 @@ def bfs_hops(edges: Dataset, num_nodes: int, *, sources,
         "node": pa.array(reached.astype(np.int64)),
         "hops": pa.array(dist[reached]),
     })
+
+
+def label_propagation(edges: Dataset, num_nodes: int, *, iters: int = 2,
+                      directed: bool = False, src_col: str = "src",
+                      dst_col: str = "dst",
+                      num_parts: int | None = None) -> pa.Table:
+    """Synchronous label-propagation community detection over dense node
+    ids ``0..num_nodes-1`` → (node, label) Arrow table, node-ascending.
+    Labels start as node ids; each round every node adopts its
+    neighbors' most frequent label with the deterministic tie-break
+    (count desc, label asc); isolated nodes keep their own label.
+    MULTIGRAPH semantics: every edge instance votes (an oracle mirrors
+    this with ``union all``, never ``union``) — dedupe the edge Dataset
+    first for simple-graph LPA.
+    Fixed ``iters`` keeps the synchronous schedule deterministic (and
+    SQL-unrollable) — convergence-looped LPA oscillates on bipartite
+    structures.
+
+    The community primitive between connected components (structure
+    only) and pagerank (mass): per round the O(N) label vector rides one
+    ``ray.put`` broadcast (pagerank's bounded-state contract) and one
+    edges pass emits per-batch (dst, neighbor-label) PAIR COUNTS (a
+    packed-key unique per batch — never raw edge rows) into a coarse
+    dst-hash groupby whose fold merges counts and argmaxes per node
+    vectorized. Driver applies ≤ N (node, label) updates per round.
+    """
+    import ray
+
+    if num_nodes <= 0:
+        raise ValueError("num_nodes must be positive")
+    if num_parts is None:
+        num_parts = auto_num_parts(edges)
+    if num_nodes > (1 << 31):
+        raise ValueError("label packing uses 31 bits per field — "
+                         "re-pack keys for > 2^31 nodes")
+    labels = np.arange(num_nodes, dtype=np.int64)
+
+    def pair_counts(batch: pa.Table, *, labels_ref) -> pa.Table:
+        lv = ray.get(labels_ref)
+        s = batch[src_col].to_numpy(zero_copy_only=False)
+        d = batch[dst_col].to_numpy(zero_copy_only=False)
+        if len(s) and (int(max(s.max(), d.max())) >= len(lv)
+                       or int(min(s.min(), d.min())) < 0):
+            raise ValueError(
+                "edge endpoint outside [0, num_nodes) — the graph was "
+                "built from a different corpus than this id space")
+        if directed:
+            nodes, nbr_label = d, lv[s]
+        else:
+            nodes = np.concatenate([d, s])
+            nbr_label = np.concatenate([lv[s], lv[d]])
+        packed, cnt = np.unique((nodes << 31) | nbr_label,
+                                return_counts=True)
+        return pa.table({
+            "part": pa.array(((packed >> 31) % num_parts)
+                             .astype(np.int32)),
+            "key": pa.array(packed),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def argmax_label(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        # merge duplicate (node,label) keys across batches
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(tot, inv, n)
+        node = uk >> 31
+        lab = uk & ((1 << 31) - 1)
+        # per node: count desc, label asc → sort and take first of group
+        order = np.lexsort((lab, -tot, node))
+        node_s = node[order]
+        first = np.ones(node_s.size, dtype=bool)
+        first[1:] = node_s[1:] != node_s[:-1]
+        return pa.table({
+            "node": pa.array(node_s[first], type=pa.int64()),
+            "label": pa.array(lab[order][first], type=pa.int64()),
+        })
+
+    for _ in range(iters):
+        ref = ray.put(labels)
+        rows = (edges.map_batches(pair_counts, batch_format="pyarrow",
+                                  fn_kwargs={"labels_ref": ref})
+                .groupby("part")
+                .map_groups(argmax_label, batch_format="pyarrow")
+                .take_all())  # ≤ num_nodes rows (the O(N) contract)
+        nxt = labels.copy()
+        for row in rows:
+            nxt[row["node"]] = row["label"]
+        labels = nxt
+
+    return pa.table({
+        "node": pa.array(np.arange(num_nodes, dtype=np.int64)),
+        "label": pa.array(labels),
+    })
