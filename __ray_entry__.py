@@ -679,6 +679,29 @@ def _hits_knn(sf_dir: str):
 BFS_SEED = 0
 BFS_MAX_HOPS = 6
 LPA_ITERS = 2
+SP_DIST_CAP = 24
+
+
+def _shortest_paths_knn(sf_dir: str):
+    """Bellman-Ford weighted shortest paths over the exact kNN cosine
+    graph, weight = neighbor rank (1..k): integer distances value-exact
+    vs a recursive-CTE oracle. Both sides cap at dist <
+    :data:`SP_DIST_CAP` — sound because every prefix of an optimal
+    path costs strictly less than its final distance, so bounded
+    exploration finds every under-cap optimum."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions import ann
+    from ts_type_filter_ray.functions.graph import shortest_paths
+    emb = _emb(sf_dir)
+    n = emb.count()
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    t = shortest_paths(edges, n, sources=(BFS_SEED,), rounds=64,
+                       weight_col="rank", directed=False,
+                       src_col="vec_id", dst_col="neighbor_id")
+    t = t.filter(pc.less(t["dist"], SP_DIST_CAP))
+    return rd.from_arrow(t.rename_columns(["vec_id", "dist"]))
 
 
 def _label_prop_knn(sf_dir: str):
@@ -756,17 +779,18 @@ _GATE_PRIORITY = [
     # strip_dup_spans, corpus_checksum ⊂ corpus_diff's content hashing)
     "custdist_q13", "orders_skyline", "funnel_steps", "cohort_retention",
     "group_ols", "bfs_hops_knn", "label_prop_knn", "zscore_normalize",
+    "event_transitions", "pivot_weekly", "shortest_paths_knn",
     "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
     "cross_common_substring", "gap_filled_windows",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
-    "stupid_backoff", "kneser_ney_perplexity",
-    "pmi_collocations", "heaps_fit",
+    "kneser_ney_perplexity",
+    "heaps_fit",
     "dsir_weights",
     "percolate", "strip_dup_spans", "line_dedup",
     "gopher_rules",
     "select_until_budget", "tf_cosine_pairs",
     "hashed_features", "triangle_count_knn",
-    "did_you_mean", "suffix_ranks", "sa_dup_coverage",
+    "did_you_mean", "suffix_ranks",
     "corpus_diff",
     "decontaminate_indexed", "federated_bm25_nostem",
     "proximity_boost_topk", "ordered_window_match",
@@ -791,8 +815,13 @@ _GATE_PRIORITY = [
     # oracle verbatim (head slot #~48); the sketch path is pytest-pinned;
     # perplexity_buckets ⊂ bigram_perplexity's scores + the same exact
     # percentile machinery; unigram_entropy ⊂ bigram_perplexity's
-    # integer-log ordered doc fold
+    # integer-log ordered doc fold; stupid_backoff ⊂ the same bigram
+    # count-attach exchanges + a branch; pmi_collocations ⊂
+    # cooccurrence_counts (green r3) + the integer-log convention;
+    # sa_dup_coverage ⊂ suffix_ranks' doubling + strip_dup_spans'
+    # interval-island machinery
     "kll_quantiles_exact", "perplexity_buckets", "unigram_entropy",
+    "stupid_backoff", "pmi_collocations", "sa_dup_coverage",
     # r4-rebalance defers (window is ~50; the r3-VERDICT-named five
     # above stay inside it): suffix_lcp ⊂ suffix_ranks/sa_dup_coverage
     # doubling + cross_common_substring's identical descent;
@@ -1097,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_knn": _pagerank_knn,
         "bfs_hops_knn": _bfs_hops_knn,
         "label_prop_knn": _label_prop_knn,
+        "shortest_paths_knn": _shortest_paths_knn,
         # HITS (Kleinberg 1999) over the same kNN edge set: hubs &
         # authorities by the unnormalized all-integer mutual recursion —
         # int64 join+sum CTEs on the oracle side, exact degree-product
@@ -1522,6 +1552,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moments → one shuffle-free per-row map; z floats value-exact
         "zscore_normalize": lambda sf: _events_mod().zscore_normalize(
             _events(sf)).sort("event_id"),
+        # Markov flow analysis: the LAG-window shape — per-partition
+        # sort + shift-compare pair counts, tiny |types|² merge
+        "event_transitions": lambda sf: _events_mod().event_transitions(
+            _events(sf)).sort(["prev_type", "next_type"]),
+        # warehouse PIVOT: (week × event_type) counts cross-tabbed into
+        # one count column per type over the enum-bounded result
+        "pivot_weekly": lambda sf: _events_mod().pivot_weekly_counts(
+            _events(sf)),
         # -- typefilter capability family (AST semantics → rows-only;
         #    fidelity covered by tests/test_typefilter.py goldens) --
         "prune_types": _prune_types,
@@ -4044,6 +4082,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _events_mod().COHORT_SQL,
         "group_ols": _events_mod().OLS_SQL,
         "zscore_normalize": _events_mod().ZSCORE_SQL,
+        "event_transitions": _events_mod().TRANSITIONS_SQL,
+        "pivot_weekly": _events_mod().PIVOT_WEEKLY_SQL,
         "float_quantiles": _events_mod().FLOAT_QUANTILES_SQL,
         # k >= n => the KLL path retains every element at weight 1 and
         # percentile_disc semantics hold exactly
@@ -4102,6 +4142,32 @@ def oracle_sql() -> dict[str, str]:
                 group by e.dst) agg on agg.node = e0.vec_id)"""
             for i in range(1, PAGERANK_ITERS + 1)) + f"""
             select node, r as pagerank from r{PAGERANK_ITERS}"""),
+        "shortest_paths_knn": (f"""
+            with recursive nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select a.vec_id as src, b.vec_id as dst,
+                     ({dot.format(a='a', b='b')}) / (a.nv * b.nv) as sim
+              from nrm a, nrm b where a.vec_id <> b.vec_id),
+            eranked as (
+              select src, dst,
+                     row_number() over (partition by src
+                                        order by sim desc, dst asc) as rank
+              from sims),
+            e0 as (select src, dst, rank as w from eranked
+                   where rank <= {PAGERANK_KNN_K}),
+            edges as (select src, dst, w from e0
+                      union all select dst, src, w from e0),
+            walk(node, d) as (
+              select {BFS_SEED}::BIGINT as node, 0::BIGINT as d
+              union
+              select e.dst, w2.d + e.w from walk w2
+              join edges e on e.src = w2.node
+              where w2.d + e.w < {SP_DIST_CAP})
+            select node as vec_id, min(d)::BIGINT as dist
+            from walk group by 1 having min(d) < {SP_DIST_CAP}"""),
         "label_prop_knn": (f"""
             with nrm as (
               select vec_id, embedding,

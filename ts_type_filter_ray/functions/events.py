@@ -1101,3 +1101,139 @@ ZSCORE_SQL = """
     select p.event_id, p.event_type,
            (p.y::DOUBLE - m.mean) / m.sd as z
     from pts p join m using (event_type)"""
+
+
+def event_transitions(ds: Dataset,
+                      num_parts: int | None = None) -> Dataset:
+    """Markov flow analysis — per-user ordered event-type transitions
+    counted corpus-wide: (prev_type, next_type, n) for every
+    consecutive pair in each user's (ts, event_id) log. The LAG-window
+    shape: one coarse user-hash shuffle, a vectorized per-partition
+    sort + shift-compare (no per-user dispatch), per-partition pair
+    COUNT partials, one tiny groupby merge — shuffle №2 is
+    O(parts × |types|²), never O(rows)."""
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(batch["user_id"],
+                                            num_parts - 1), pa.int32()),
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["event_type"].to_pylist())
+        types, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, u))
+        u, codes = u[order], codes[order]
+        same = u[1:] == u[:-1]  # consecutive rows of the same user
+        prev_c = codes[:-1][same]
+        next_c = codes[1:][same]
+        k = len(types)
+        key, n = np.unique(prev_c * k + next_c, return_counts=True)
+        return pa.table({
+            "prev_type": pa.array(types[key // k].tolist(),
+                                  type=pa.string()),
+            "next_type": pa.array(types[key % k].tolist(),
+                                  type=pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(pairs, batch_format="pyarrow")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+TRANSITIONS_SQL = """
+    with ordered as (
+      select user_id, event_type,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_type
+      from events)
+    select prev_type, event_type as next_type, count(*)::BIGINT as n
+    from ordered where prev_type is not null
+    group by 1, 2"""
+
+
+def pivot_weekly_counts(ds: Dataset,
+                        types: tuple[str, ...] | None = None) -> Dataset:
+    """Cross-tab / PIVOT — one row per Monday-aligned week with a count
+    COLUMN per event type (the warehouse pivot shape over an
+    enum-bounded column set). ``types=None`` discovers the distinct
+    event types with one tiny pre-pass (the column set must be bounded
+    and known before the schema exists — discovery is O(|types|)).
+
+    Per batch one packed-key unique emits (week, type) partials; a tiny
+    groupby merges; the vectorized pivot runs over the ≤ weeks × types
+    result — never a second pass over the raw rows."""
+    if types is None:
+        # enum-bounded discovery pass (column pruned to one column)
+        types = tuple(sorted(
+            ds.select_columns(["event_type"]).unique("event_type")))
+    if not types:
+        raise ValueError("pivot needs at least one event type")
+    type_list = list(types)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        _check_epoch_nonneg(ts)
+        sec = ts.to_numpy(zero_copy_only=False) // 1_000_000
+        wk = (sec - WEEK_ANCHOR_SEC) // WEEK_SEC
+        code = pc.index_in(batch["event_type"],
+                           value_set=pa.array(type_list)).to_numpy(
+                               zero_copy_only=False)
+        known = code >= 0  # types outside the pivot set are dropped
+        key, n = np.unique(wk[known] * len(type_list)
+                           + code[known].astype(np.int64),
+                           return_counts=True)
+        return pa.table({
+            "week": pa.array(key // len(type_list), type=pa.int64()),
+            "code": pa.array(key % len(type_list), type=pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["week", "code"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def pivot(group: pa.Table) -> pa.Table:
+        wk = group["week"].to_numpy(zero_copy_only=False)
+        code = group["code"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        weeks = np.unique(wk)
+        mat = np.zeros((weeks.size, len(type_list)), dtype=np.int64)
+        mat[np.searchsorted(weeks, wk), code] = n
+        cols = {"week": pa.array(weeks, type=pa.int64())}
+        for j, t in enumerate(type_list):
+            cols[f"n_{t}"] = pa.array(mat[:, j])
+        return pa.table(cols)
+
+    # weeks × types is enum-bounded → one pivot task is the right size;
+    # for an unbounded pivot key, hash-partition on week instead
+    return merged.repartition(1).map_batches(
+        pivot, batch_format="pyarrow", batch_size=None).sort("week")
+
+
+PIVOT_WEEKLY_SQL = f"""
+    with w as (select (floor(epoch(ts))::BIGINT - {WEEK_ANCHOR_SEC})
+                          // {WEEK_SEC} as week,
+                      event_type
+               from events)
+    select week,
+           count(*) filter (event_type = 'click')::BIGINT as n_click,
+           count(*) filter (event_type = 'error')::BIGINT as n_error,
+           count(*) filter (event_type = 'purchase')::BIGINT
+               as n_purchase,
+           count(*) filter (event_type = 'signup')::BIGINT as n_signup,
+           count(*) filter (event_type = 'view')::BIGINT as n_view
+    from w group by week"""

@@ -713,3 +713,107 @@ def label_propagation(edges: Dataset, num_nodes: int, *, iters: int = 2,
         "node": pa.array(np.arange(num_nodes, dtype=np.int64)),
         "label": pa.array(labels),
     })
+
+
+def shortest_paths(edges: Dataset, num_nodes: int, *, sources,
+                   rounds: int, weight_col: str,
+                   directed: bool = False, src_col: str = "src",
+                   dst_col: str = "dst",
+                   num_parts: int | None = None) -> pa.Table:
+    """Bounded-round Bellman-Ford single/multi-source shortest paths
+    with non-negative INTEGER edge weights → (node, dist) for every
+    node whose ≤ ``rounds``-edge shortest path is final, node-ascending.
+    After k rounds the tentative distance equals the true shortest
+    distance over paths of ≤ k edges — exact (and oracle-unrollable)
+    for any k ≥ the graph's hop diameter.
+
+    The weighted complement of :func:`bfs_hops` (hop counts) built on a
+    MIN-fold where pagerank folds sums: per round the O(N) int64
+    distance vector broadcasts via ``ray.put``; one edges pass emits
+    per-batch per-dst MINIMUM relaxation partials (a sort + reduceat,
+    never raw edge rows); a coarse dst-hash groupby folds mins; the
+    driver applies ≤ N updates. Integer weights make every comparison
+    exact — no float accumulation order to match."""
+    import ray
+
+    if num_nodes <= 0:
+        raise ValueError("num_nodes must be positive")
+    if num_parts is None:
+        num_parts = auto_num_parts(edges)
+    INF = np.int64(np.iinfo(np.int64).max)
+    dist = np.full(num_nodes, INF, dtype=np.int64)
+    seeds = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if seeds.size == 0:
+        raise ValueError("shortest_paths needs at least one source")
+    if int(seeds.min()) < 0 or int(seeds.max()) >= num_nodes:
+        raise ValueError(
+            f"source ids must be dense node ids in [0, {num_nodes})")
+    dist[seeds] = 0
+
+    def relax(batch: pa.Table, *, dist_ref) -> pa.Table:
+        dv = ray.get(dist_ref)
+        s = batch[src_col].to_numpy(zero_copy_only=False)
+        d = batch[dst_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        if len(w) and (not np.issubdtype(w.dtype, np.integer)
+                       or int(w.min()) < 0):
+            raise ValueError("shortest_paths needs non-negative "
+                             "integer edge weights")
+        if len(s) and (int(max(s.max(), d.max())) >= len(dv)
+                       or int(min(s.min(), d.min())) < 0):
+            raise ValueError(
+                "edge endpoint outside [0, num_nodes) — the graph was "
+                "built from a different corpus than this id space")
+        if not directed:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+            w = np.concatenate([w, w])
+        reach = dv[s] != INF
+        s, d, w = s[reach], d[reach], w[reach]
+        cand = dv[s] + w.astype(np.int64)
+        better = cand < dv[d]
+        d, cand = d[better], cand[better]
+        order = np.argsort(d, kind="stable")
+        d, cand = d[order], cand[order]
+        first = np.ones(d.size, dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        mins = np.minimum.reduceat(cand, np.flatnonzero(first)) \
+            if d.size else cand
+        return pa.table({
+            "part": pa.array((d[first] % num_parts).astype(np.int32)),
+            "node": pa.array(d[first], type=pa.int64()),
+            "cand": pa.array(mins, type=pa.int64()),
+        })
+
+    def min_fold(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        cand = group["cand"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node, cand = node[order], cand[order]
+        first = np.ones(node.size, dtype=bool)
+        first[1:] = node[1:] != node[:-1]
+        return pa.table({
+            "node": pa.array(node[first], type=pa.int64()),
+            "cand": pa.array(np.minimum.reduceat(
+                cand, np.flatnonzero(first)), type=pa.int64()),
+        })
+
+    for _ in range(rounds):
+        ref = ray.put(dist)
+        rows = (edges.map_batches(relax, batch_format="pyarrow",
+                                  fn_kwargs={"dist_ref": ref})
+                .groupby("part")
+                .map_groups(min_fold, batch_format="pyarrow")
+                .take_all())  # ≤ num_nodes rows
+        changed = False
+        for row in rows:
+            if row["cand"] < dist[row["node"]]:
+                dist[row["node"]] = row["cand"]
+                changed = True
+        if not changed:
+            break
+
+    reached = np.flatnonzero(dist != INF)
+    return pa.table({
+        "node": pa.array(reached.astype(np.int64)),
+        "dist": pa.array(dist[reached]),
+    })
