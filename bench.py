@@ -247,8 +247,12 @@ def main() -> None:
         trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
         # scaling runs use a larger corpus than the latency bench: at
         # 150k docs the 32-cpu build is ~4 s and fixed job overhead
-        # dominates the ratio; 600k keeps the measured part the workload
-        num_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "600000"))
+        # dominates the ratio; 600k was enough until the late-r4 host
+        # speedup (~2× absolute throughput) shrank the measured part
+        # again (0.78 at 600k vs 0.86 at 1.2M in back-to-back runs) —
+        # the corpus must scale WITH the host so the ratio measures the
+        # workload, not Ray's per-task dispatch floor
+        num_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "1200000"))
 
         def run_once(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -128,3 +128,66 @@ def test_group_ols_guards(ray_session):
     const = _ev([(1, 0, 1, "a", 1.0), (2, 1000, 1, "a", 2.0)])
     with pytest.raises(Exception, match="degenerate"):
         group_ols(rd.from_arrow(const)).take_all()
+
+
+def test_funnel_pre_epoch_raises(ray_session):
+    bad = _ev([(1, -BASE - US, 1, "view", 1)])  # negative epoch
+    with pytest.raises(Exception, match="pre-epoch"):
+        funnel_counts(rd.from_arrow(bad), num_parts=2).take_all()
+
+
+def test_zscore_overflow_guard(ray_session):
+    """n·max² ≥ 2^63 must raise the contract error, not wrap."""
+    from ts_type_filter_ray.functions.events import zscore_normalize
+    n = 4000
+    vals = [20_000.0] * (n - 1) + [19_999.0]
+    t = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "event_type": pa.array(["a"] * n),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    # the bound trips at n·max² ≥ 2^63: with max ≈ 2^21 cents that is
+    # n ≈ 2.1M rows of near-cap values
+    nb = 2_200_000
+    vals = np.full(nb, 20_971.0)
+    vals[-1] = 20_970.0
+    big = pa.table({
+        "event_id": pa.array(np.arange(nb), type=pa.int64()),
+        "event_type": pa.array(["a"] * nb),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    # 2.2e6 * (2097100)^2 ≈ 9.7e18 >= 2^63 → guard fires
+    with pytest.raises(Exception, match="n\\*max\\^2"):
+        zscore_normalize(rd.from_arrow(big)).take_all()
+    # the smaller case is inside the bound and must succeed
+    out = zscore_normalize(rd.from_arrow(t)).take_all()
+    assert len(out) == n
+
+
+def test_pivot_pre_anchor_week_truncates_like_oracle(ray_session):
+    """Days 1970-01-01..04 precede the Monday anchor: engine truncation
+    must match DuckDB's // (regression for the floor-division bug)."""
+    import duckdb
+    from ts_type_filter_ray.functions.events import (
+        PIVOT_WEEKLY_SQL, pivot_weekly_counts)
+    t = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([86400 * US, BASE],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "event_type": pa.array(["view", "view"]),
+        "value": pa.array([1.0, 1.0]),
+    })
+    got = pivot_weekly_counts(rd.from_arrow(t),
+                              types=("view",)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", t)
+    sql = PIVOT_WEEKLY_SQL
+    for c in ("click", "error", "purchase", "signup"):
+        sql = sql.replace(
+            f"count(*) filter (event_type = '{c}')::BIGINT as n_{c},",
+            "")
+    want = con.execute(sql + " order by week").fetchdf()
+    assert got.reset_index(drop=True).equals(
+        want[got.columns].reset_index(drop=True))
+    assert 0 in got["week"].tolist()  # 1970-01-02 truncates to week 0

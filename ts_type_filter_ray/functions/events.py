@@ -723,13 +723,15 @@ def funnel_counts(ds: Dataset, steps: tuple[str, ...] = FUNNEL_STEPS,
     def add_part(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["event_type"], value_set=pa.array(step_list))
         t = batch.filter(keep)
+        ts = t["ts"].cast(pa.int64())
+        _check_epoch_nonneg(ts)  # the prev = -1 chain sentinel needs it
         sidx = pc.index_in(t["event_type"],
                            value_set=pa.array(step_list)).cast(pa.int8())
         return pa.table({
             "part": pc.cast(pc.bit_wise_and(t["user_id"], num_parts - 1),
                             pa.int32()),
             "user_id": t["user_id"],
-            "ts": t["ts"].cast(pa.int64()),
+            "ts": ts,
             "sidx": sidx,
         })
 
@@ -862,6 +864,15 @@ COHORT_SQL = f"""
     from d group by 1, 2"""
 
 
+def _scatter_max(codes: np.ndarray, vals: np.ndarray,
+                 k: int) -> np.ndarray:
+    """Per-code maxima of non-negative vals via one linear unbuffered
+    scatter (the np.add.at idiom, max edition)."""
+    acc = np.zeros(k, dtype=np.int64)
+    np.maximum.at(acc, codes, vals)
+    return acc
+
+
 #: hour-zero for :func:`group_ols` — events before this raise (keeps x
 #: non-negative so truncating and flooring division agree, and keeps
 #: the integer sufficient statistics small)
@@ -919,14 +930,8 @@ def group_ols(ds: Dataset) -> Dataset:
             "sx": pa.array(bc(x)), "sy": pa.array(bc(y)),
             "sxy": pa.array(bc(x * y)), "sxx": pa.array(bc(x * x)),
             "syy": pa.array(bc(y * y)),
-            "max_ax": pa.array(np.maximum.reduceat(
-                np.abs(x)[np.argsort(codes, kind="stable")],
-                np.searchsorted(np.sort(codes), np.arange(k)))
-                if len(x) else np.zeros(0, dtype=np.int64)),
-            "max_ay": pa.array(np.maximum.reduceat(
-                np.abs(y)[np.argsort(codes, kind="stable")],
-                np.searchsorted(np.sort(codes), np.arange(k)))
-                if len(y) else np.zeros(0, dtype=np.int64)),
+            "max_ax": pa.array(_scatter_max(codes, np.abs(x), k)),
+            "max_ay": pa.array(_scatter_max(codes, np.abs(y), k)),
         })
 
     moments = (ds.map_batches(partial, batch_format="pyarrow")
@@ -1042,13 +1047,15 @@ def zscore_normalize(ds: Dataset) -> Dataset:
             "n": pa.array(np.bincount(codes, minlength=k)
                           .astype(np.int64)),
             "sy": pa.array(acc_y), "syy": pa.array(acc_yy),
+            "max_ay": pa.array(_scatter_max(codes, np.abs(y), k)),
         })
 
     moments = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby("event_type")
                .aggregate(Sum("n", alias_name="n"),
                           Sum("sy", alias_name="sy"),
-                          Sum("syy", alias_name="syy"))
+                          Sum("syy", alias_name="syy"),
+                          Max("max_ay", alias_name="max_ay"))
                .take_all())  # ≤ |event types| rows
     stats = {}
     import math
@@ -1057,6 +1064,13 @@ def zscore_normalize(ds: Dataset) -> Dataset:
         if n < 2:
             raise ValueError(
                 f"z-score group {row['event_type']!r} has n < 2")
+        my = int(row["max_ay"])
+        if n * my * my >= (1 << 63):
+            # conservative-sound: Σy² ≤ n·max² — proves the int64
+            # partials can never have wrapped (the group_ols proof)
+            raise ValueError(
+                "z-score moment bound n*max^2 exceeds int64 — partial "
+                "sums may have wrapped; split the moments or rescale")
         var_num = n * syy - sy * sy
         if var_num == 0:
             raise ValueError(
@@ -1068,18 +1082,21 @@ def zscore_normalize(ds: Dataset) -> Dataset:
         sd = math.sqrt(float(var_num) / float(n * (n - 1)))
         stats[row["event_type"]] = (mean, sd)
 
+    type_list = sorted(stats)
+    mean_v = np.array([stats[t][0] for t in type_list])
+    sd_v = np.array([stats[t][1] for t in type_list])
+
     def transform(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_pylist()
         y = _cents(batch["value"]).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        mean = np.fromiter((stats[t][0] for t in et), dtype=np.float64,
-                           count=len(et))
-        sd = np.fromiter((stats[t][1] for t in et), dtype=np.float64,
-                         count=len(et))
+        code = pc.index_in(batch["event_type"],
+                           value_set=pa.array(type_list)).to_numpy(
+                               zero_copy_only=False)
         return pa.table({
             "event_id": batch["event_id"],
             "event_type": batch["event_type"],
-            "z": pa.array((y - mean) / sd, type=pa.float64()),
+            "z": pa.array((y - mean_v[code]) / sd_v[code],
+                          type=pa.float64()),
         })
 
     return ds.map_batches(transform, batch_format="pyarrow")
@@ -1188,7 +1205,11 @@ def pivot_weekly_counts(ds: Dataset,
         ts = batch["ts"].cast(pa.int64())
         _check_epoch_nonneg(ts)
         sec = ts.to_numpy(zero_copy_only=False) // 1_000_000
-        wk = (sec - WEEK_ANCHOR_SEC) // WEEK_SEC
+        rel = sec - WEEK_ANCHOR_SEC
+        # TRUNCATING division like the oracle's DuckDB ``//`` — numpy
+        # // floors and disagrees for the in-contract days before the
+        # Monday anchor (1970-01-01..04)
+        wk = np.where(rel >= 0, rel // WEEK_SEC, -((-rel) // WEEK_SEC))
         code = pc.index_in(batch["event_type"],
                            value_set=pa.array(type_list)).to_numpy(
                                zero_copy_only=False)

@@ -547,8 +547,7 @@ def hits(edges: Dataset, num_nodes: int, *, iters: int = 2,
 
 def bfs_hops(edges: Dataset, num_nodes: int, *, sources,
              max_hops: int | None = None, directed: bool = False,
-             src_col: str = "src", dst_col: str = "dst",
-             num_parts: int | None = None) -> pa.Table:
+             src_col: str = "src", dst_col: str = "dst") -> pa.Table:
     """Multi-source BFS over a directed edge Dataset with dense node ids
     ``0..num_nodes-1`` → (node, hops) Arrow table for every node
     reachable within ``max_hops``, node-ascending. ``hops`` is the
