@@ -27,6 +27,11 @@ TF_COSINE_T = 0.8
 # stopword-like), so a binding df cap empties the result — gate the
 # uncapped exactness contract; pytest covers the cap semantics
 TF_COSINE_MAX_DF = None
+#: dictionary for the phrase_dictionary gate — includes a
+#: self-overlapping phrase ('batch batch') so the non-overlap counting
+#: contract is genuinely exercised
+PHRASE_DICT = ("batch batch", "merge line", "the fast",
+               "window window", "data")
 
 
 def _docs(sf_dir: str):
@@ -47,6 +52,11 @@ def _events(sf_dir: str):
 def _events_mod():
     from ts_type_filter_ray.functions import events
     return events
+
+
+def _textstats_mod():
+    from ts_type_filter_ray.functions import textstats
+    return textstats
 
 
 def _rel_mod():
@@ -780,6 +790,7 @@ _GATE_PRIORITY = [
     "custdist_q13", "orders_skyline", "funnel_steps", "cohort_retention",
     "group_ols", "bfs_hops_knn", "label_prop_knn", "zscore_normalize",
     "event_transitions", "pivot_weekly", "shortest_paths_knn",
+    "big_volume_q18", "phrase_dictionary",
     "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
     "cross_common_substring", "gap_filled_windows",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
@@ -788,8 +799,8 @@ _GATE_PRIORITY = [
     "dsir_weights",
     "percolate", "strip_dup_spans", "line_dedup",
     "gopher_rules",
-    "select_until_budget", "tf_cosine_pairs",
-    "hashed_features", "triangle_count_knn",
+    "tf_cosine_pairs",
+    "triangle_count_knn",
     "did_you_mean", "suffix_ranks",
     "corpus_diff",
     "decontaminate_indexed", "federated_bm25_nostem",
@@ -819,9 +830,13 @@ _GATE_PRIORITY = [
     # count-attach exchanges + a branch; pmi_collocations ⊂
     # cooccurrence_counts (green r3) + the integer-log convention;
     # sa_dup_coverage ⊂ suffix_ranks' doubling + strip_dup_spans'
-    # interval-island machinery
+    # interval-island machinery; hashed_features ⊂ the green md5
+    # fingerprint family (a pure per-batch map); select_until_budget ⊂
+    # deterministic_shuffle's exact global order (green r3) +
+    # running_totals' cumsum (green r2)
     "kll_quantiles_exact", "perplexity_buckets", "unigram_entropy",
     "stupid_backoff", "pmi_collocations", "sa_dup_coverage",
+    "hashed_features", "select_until_budget",
     # r4-rebalance defers (window is ~50; the r3-VERDICT-named five
     # above stay inside it): suffix_lcp ⊂ suffix_ranks/sa_dup_coverage
     # doubling + cross_common_substring's identical descent;
@@ -1501,6 +1516,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["vec_id", "rank", "neighbor_id"]),
         # -- misc text analysis (heuristic → rows-only) --
         "language_id": lambda sf: textstats.language_id(_docs(sf)),
+        # dictionary tagging: non-overlapping multi-phrase substring
+        # counts, one vectorized count_substring sweep per phrase
+        # (Aho-Corasick automaton actor = the 10^5-pattern scale path)
+        "phrase_dictionary": lambda sf: textstats.phrase_counts(
+            _docs(sf), PHRASE_DICT).sort(["doc_id", "phrase"]),
         "rolling_fingerprints": lambda sf: textstats.rolling_fingerprints(
             _docs(sf)),
         # -- relational shapes over the TPC-H-ish tables --
@@ -1518,6 +1538,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lineitem co-partitioned by orderkey) + broadcast segment
         # semijoin + per-partition top-k merge
         "top_orders_q3": lambda sf: _rel_mod().top_orders_by_revenue(sf),
+        # TPC-H Q18 shape: aggregate + HAVING + join-back on the SAME
+        # key in one orderkey co-partition (no separate aggregate
+        # shuffle)
+        "big_volume_q18": lambda sf: _rel_mod().big_volume_orders(
+            sf).sort("o_orderkey"),
         # TPC-H Q13 shape: LEFT OUTER join as a coarse custkey
         # union-shuffle + per-partition searchsorted counts (the zero
         # bucket is the null-extension), then a tiny histogram groupby
@@ -3007,6 +3032,8 @@ def oracle_sql() -> dict[str, str]:
               from toks group by doc_id)
             select d.doc_id, coalesce(a.n_bpe, 0)::BIGINT as n_bpe
             from documents d left join agg a using (doc_id)""",
+        "phrase_dictionary": _textstats_mod().phrase_counts_sql(
+            PHRASE_DICT),
         "fingerprints": r"""
             select doc_id,
                    md5(lower(regexp_replace(trim(text),'\s+',' ','g'))) as fp
@@ -4073,6 +4100,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_q3": _rel_mod().TOP_ORDERS_SQL,
         "custdist_q13": _rel_mod().CUSTDIST_SQL,
         "orders_skyline": _rel_mod().SKYLINE_SQL,
+        "big_volume_q18": _rel_mod().BIG_VOLUME_SQL,
         "tumbling_window": TUMBLING_HOUR_SQL,
         "hopping_window": HOPPING_SQL.format(k=4, hop_us=900 * 1_000_000),
         "value_percentiles": _events_mod().PERCENTILES_SQL,

@@ -961,3 +961,96 @@ SKYLINE_SQL = """
         and b.o_orderdate <= a.o_orderdate
         and (b.o_totalprice > a.o_totalprice
              or b.o_orderdate < a.o_orderdate))"""
+
+
+# TPC-H Q18 shape: large-volume orders threshold (quantity cents)
+Q18_MIN_QTY_C = 15_000
+
+
+def big_volume_orders(sf_dir: str, min_qty_c: int = Q18_MIN_QTY_C,
+                      num_parts: int | None = None) -> Dataset:
+    """TPC-H Q18 shape — orders whose total lineitem quantity exceeds
+    the threshold, with the order row joined back: (o_orderkey,
+    o_custkey, total_c, sum_qty_c). The aggregate-then-join-back-on-
+    the-same-key pattern costs ONE co-partition here: orders and
+    lineitems ride the same coarse orderkey union-shuffle (the Q3
+    layout), so the per-orderkey quantity sum, the HAVING filter and
+    the join to the order's own columns are all one vectorized
+    partition scan — the aggregate never shuffles separately from the
+    join. Quantities/prices as exact integer cents."""
+    from .partitioning import auto_num_parts
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+    if num_parts is None:
+        num_parts = auto_num_parts(orders.count() + items.count())
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["o_orderkey"].cast(pa.int64()),
+            "custkey": batch["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(_half_away_cents(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False))),
+            "is_order": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+        })
+
+    def item_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["l_orderkey"].cast(pa.int64()),
+            "custkey": pa.array(np.zeros(n, dtype=np.int64)),
+            "cents": pa.array(_half_away_cents(
+                batch["l_quantity"].to_numpy(zero_copy_only=False))),
+            "is_order": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pc.cast(pc.bit_wise_and(batch["key"], num_parts - 1),
+                            pa.int32()))
+
+    def agg_join(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        custkey = group["custkey"].to_numpy(zero_copy_only=False)
+        is_order = group["is_order"].to_numpy(
+            zero_copy_only=False).astype(bool)
+        okeys = key[is_order]
+        # per-order quantity sums via sorted-searchsorted segment adds
+        ikey = key[~is_order]
+        iqty = cents[~is_order]
+        order = np.argsort(ikey, kind="stable")
+        ikey, iqty = ikey[order], iqty[order]
+        pos = np.searchsorted(ikey, okeys, side="left")
+        end = np.searchsorted(ikey, okeys, side="right")
+        csum = np.concatenate(([0], np.cumsum(iqty)))
+        qty = csum[end] - csum[pos]  # 0 for lineitem-less orders
+        keep = qty > min_qty_c
+        return pa.table({
+            "o_orderkey": pa.array(okeys[keep], type=pa.int64()),
+            "o_custkey": pa.array(custkey[is_order][keep],
+                                  type=pa.int64()),
+            "total_c": pa.array(cents[is_order][keep], type=pa.int64()),
+            "sum_qty_c": pa.array(qty[keep], type=pa.int64()),
+        })
+
+    stream = (orders.map_batches(order_rows, batch_format="pyarrow")
+              .union(items.map_batches(item_rows,
+                                       batch_format="pyarrow")))
+    return (stream.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(agg_join,
+                                        batch_format="pyarrow"))
+
+
+BIG_VOLUME_SQL = f"""
+    select o.o_orderkey, o.o_custkey,
+           cast(round(o.o_totalprice * 100) as bigint) as total_c,
+           sum(cast(round(l.l_quantity * 100) as bigint))::BIGINT
+               as sum_qty_c
+    from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+    group by 1, 2, 3
+    having sum(cast(round(l.l_quantity * 100) as bigint))
+               > {Q18_MIN_QTY_C}"""
