@@ -681,7 +681,7 @@ def _hits_knn(sf_dir: str):
     import ray.data as rd
     emb = _emb(sf_dir)
     n = emb.count()
-    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K).materialize()
     return rd.from_arrow(hits(edges, n, iters=HITS_ITERS,
                               src_col="vec_id", dst_col="neighbor_id"))
 
@@ -690,6 +690,26 @@ BFS_SEED = 0
 BFS_MAX_HOPS = 6
 LPA_ITERS = 2
 SP_DIST_CAP = 24
+KCORE_K = 7
+KCORE_ROUNDS = 8
+
+
+def _kcore_knn(sf_dir: str):
+    """k-core membership of the exact kNN cosine graph (undirected
+    multigraph degree): iterative peel, engine max_rounds pinned to the
+    oracle's unroll depth so a deeper-than-expected cascade fails
+    loudly instead of silently diverging (peeling is monotone — once
+    stable, extra unrolled oracle rounds are no-ops)."""
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions import ann
+    from ts_type_filter_ray.functions.graph import kcore
+    emb = _emb(sf_dir)
+    n = emb.count()
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K).materialize()
+    t = kcore(edges, n, k=KCORE_K, src_col="vec_id",
+              dst_col="neighbor_id", max_rounds=KCORE_ROUNDS)
+    return rd.from_arrow(t.rename_columns(["vec_id"]))
 
 
 def _shortest_paths_knn(sf_dir: str):
@@ -706,7 +726,7 @@ def _shortest_paths_knn(sf_dir: str):
     from ts_type_filter_ray.functions.graph import shortest_paths
     emb = _emb(sf_dir)
     n = emb.count()
-    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K).materialize()
     t = shortest_paths(edges, n, sources=(BFS_SEED,), rounds=64,
                        weight_col="rank", directed=False,
                        src_col="vec_id", dst_col="neighbor_id")
@@ -725,7 +745,7 @@ def _label_prop_knn(sf_dir: str):
     from ts_type_filter_ray.functions.graph import label_propagation
     emb = _emb(sf_dir)
     n = emb.count()
-    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K).materialize()
     t = label_propagation(edges, n, iters=LPA_ITERS, directed=False,
                           src_col="vec_id", dst_col="neighbor_id")
     return rd.from_arrow(t.rename_columns(["vec_id", "label"]))
@@ -742,7 +762,7 @@ def _bfs_hops_knn(sf_dir: str):
     from ts_type_filter_ray.functions.graph import bfs_hops
     emb = _emb(sf_dir)
     n = emb.count()
-    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K).materialize()
     t = bfs_hops(edges, n, sources=(BFS_SEED,), max_hops=BFS_MAX_HOPS,
                  directed=False, src_col="vec_id",
                  dst_col="neighbor_id")
@@ -759,7 +779,7 @@ def _pagerank_knn(sf_dir: str):
     from ts_type_filter_ray.functions.graph import pagerank
     emb = _emb(sf_dir)
     n = emb.count()
-    edges = ann.knn_join(emb, k=PAGERANK_KNN_K)
+    edges = ann.knn_join(emb, k=PAGERANK_KNN_K).materialize()
     return pagerank(edges, n, iters=PAGERANK_ITERS,
                     damping=PAGERANK_DAMPING,
                     src_col="vec_id", dst_col="neighbor_id")
@@ -790,8 +810,8 @@ _GATE_PRIORITY = [
     "custdist_q13", "orders_skyline", "funnel_steps", "cohort_retention",
     "group_ols", "bfs_hops_knn", "label_prop_knn", "zscore_normalize",
     "event_transitions", "pivot_weekly", "shortest_paths_knn",
-    "big_volume_q18", "phrase_dictionary",
-    "edit_join", "spectral_doc_proj", "sorted_neighborhood", "hits_knn",
+    "big_volume_q18", "phrase_dictionary", "kcore_knn",
+    "edit_join", "spectral_doc_proj", "sorted_neighborhood",
     "cross_common_substring", "gap_filled_windows",
     "classifier_scores", "bigram_perplexity", "semantic_dedup_exact",
     "kneser_ney_perplexity",
@@ -837,6 +857,10 @@ _GATE_PRIORITY = [
     "kll_quantiles_exact", "perplexity_buckets", "unigram_entropy",
     "stupid_backoff", "pmi_collocations", "sa_dup_coverage",
     "hashed_features", "select_until_budget",
+    # hits_knn ⊂ pagerank_knn's broadcast-iterate + ordered per-dst
+    # folds (the stronger float check); HITS' directional wrinkle is
+    # pytest-pinned vs a pure-Python reference
+    "hits_knn",
     # r4-rebalance defers (window is ~50; the r3-VERDICT-named five
     # above stay inside it): suffix_lcp ⊂ suffix_ranks/sa_dup_coverage
     # doubling + cross_common_substring's identical descent;
@@ -1142,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops_knn": _bfs_hops_knn,
         "label_prop_knn": _label_prop_knn,
         "shortest_paths_knn": _shortest_paths_knn,
+        "kcore_knn": _kcore_knn,
         # HITS (Kleinberg 1999) over the same kNN edge set: hubs &
         # authorities by the unnormalized all-integer mutual recursion —
         # int64 join+sum CTEs on the oracle side, exact degree-product
@@ -4170,6 +4195,39 @@ def oracle_sql() -> dict[str, str]:
                 group by e.dst) agg on agg.node = e0.vec_id)"""
             for i in range(1, PAGERANK_ITERS + 1)) + f"""
             select node, r as pagerank from r{PAGERANK_ITERS}"""),
+        "kcore_knn": (f"""
+            with nrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            sims as (
+              select a.vec_id as src, b.vec_id as dst,
+                     ({dot.format(a='a', b='b')}) / (a.nv * b.nv) as sim
+              from nrm a, nrm b where a.vec_id <> b.vec_id),
+            eranked as (
+              select src, dst,
+                     row_number() over (partition by src
+                                        order by sim desc, dst asc) as rank
+              from sims),
+            e0 as MATERIALIZED (select src, dst from eranked
+                   where rank <= {PAGERANK_KNN_K}),
+            a0 as MATERIALIZED (select vec_id as node from embeddings)"""
+            + "".join(f""",
+            deg{i} as MATERIALIZED (
+              select node, count(*)::BIGINT as deg from (
+                select e.src as node from e0 e
+                join a{i - 1} x on x.node = e.src
+                join a{i - 1} y on y.node = e.dst
+                union all
+                select e.dst from e0 e
+                join a{i - 1} x on x.node = e.src
+                join a{i - 1} y on y.node = e.dst)
+              group by 1),
+            a{i} as MATERIALIZED (select a.node from a{i - 1} a
+                     join deg{i} d on d.node = a.node
+                     where d.deg >= {KCORE_K})"""
+            for i in range(1, KCORE_ROUNDS + 1)) + f"""
+            select node as vec_id from a{KCORE_ROUNDS}"""),
         "shortest_paths_knn": (f"""
             with recursive nrm as (
               select vec_id, embedding,
@@ -4212,19 +4270,20 @@ def oracle_sql() -> dict[str, str]:
               from sims),
             e0 as (select src, dst from eranked
                    where rank <= {PAGERANK_KNN_K}),
-            edges as (select src, dst from e0
+            edges as MATERIALIZED (select src, dst from e0
                       union all select dst, src from e0),
-            l0 as (select vec_id as node, vec_id::BIGINT as label
+            l0 as MATERIALIZED (select vec_id as node,
+                   vec_id::BIGINT as label
                    from embeddings)""" + "".join(f""",
-            cnt{i} as (
+            cnt{i} as MATERIALIZED (
               select e.dst as node, l.label, count(*)::BIGINT as c
               from edges e join l{i - 1} l on l.node = e.src
               group by 1, 2),
-            pick{i} as (
+            pick{i} as MATERIALIZED (
               select node, label, row_number() over
                   (partition by node order by c desc, label asc) as rn
               from cnt{i}),
-            l{i} as (
+            l{i} as MATERIALIZED (
               select p0.node, coalesce(p.label, p0.label) as label
               from l{i - 1} p0 left join
                    (select node, label from pick{i} where rn = 1) p

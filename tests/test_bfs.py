@@ -72,3 +72,46 @@ def test_bfs_knn_gate_matches_oracle(ray_session):
             .reset_index(drop=True))
     assert len(got) > 1
     assert got.equals(want[got.columns])
+
+
+def test_kcore_triangle_peel(ray_session):
+    from ts_type_filter_ray.functions.graph import kcore
+    # triangle {0,1,2} + pendant 3 attached to 0: 2-core = the triangle
+    e = _edges([(0, 1), (1, 2), (0, 2), (0, 3)])
+    t = kcore(e, 4, k=2)
+    assert t["node"].to_pylist() == [0, 1, 2]
+    # 3-core empty (triangle degrees are 2)
+    assert kcore(e, 4, k=3).num_rows == 0
+    # cascade: chain 4-5 attached to the triangle peels in two rounds
+    e2 = _edges([(0, 1), (1, 2), (0, 2), (0, 4), (4, 5)])
+    t2 = kcore(e2, 6, k=2)
+    assert t2["node"].to_pylist() == [0, 1, 2]
+
+
+def test_kcore_multigraph_and_guards(ray_session):
+    import pytest as _pytest
+
+    from ts_type_filter_ray.functions.graph import kcore
+    # double edge counts twice: node 0 and 1 have degree 2 → 2-core
+    e = _edges([(0, 1), (0, 1)])
+    assert kcore(e, 2, k=2)["node"].to_pylist() == [0, 1]
+    with _pytest.raises(RuntimeError, match="stabilize"):
+        # chain needs 3 peel rounds; max_rounds=1 must raise loudly
+        kcore(_edges([(0, 1), (1, 2), (2, 3)]), 4, k=2, max_rounds=1)
+
+
+def test_kcore_knn_gate_matches_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    got = (entry.queries()["kcore_knn"](sf).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"create view embeddings as select * from "
+                f"'{sf}/embeddings.parquet'")
+    want = (con.execute(entry.oracle_sql()["kcore_knn"]
+                        + " order by vec_id").fetchdf()
+            .reset_index(drop=True))
+    assert 0 < len(got) < 500  # a real, non-trivial core
+    assert got.equals(want[got.columns])

@@ -816,3 +816,80 @@ def shortest_paths(edges: Dataset, num_nodes: int, *, sources,
         "node": pa.array(reached.astype(np.int64)),
         "dist": pa.array(dist[reached]),
     })
+
+
+def kcore(edges: Dataset, num_nodes: int, *, k: int,
+          src_col: str = "src", dst_col: str = "dst",
+          max_rounds: int = 100,
+          num_parts: int | None = None) -> pa.Table:
+    """k-core decomposition membership — iteratively peel nodes of
+    degree < k (degree counted over edges whose BOTH endpoints are
+    still alive) until stable → (node,) table of the k-core's members,
+    node-ascending. UNDIRECTED MULTIGRAPH semantics like
+    :func:`label_propagation`: every edge instance counts toward the
+    degree of BOTH its endpoints (a directed edge list is fine — each
+    row is treated as one incident edge at each end).
+
+    The peel loop is the third broadcast-iterate variant (BFS =
+    frontier, LPA = argmax, k-core = degree threshold): per round the
+    O(N) alive bitmap broadcasts via ``ray.put``; one edges pass emits
+    per-batch alive-degree COUNT partials (packed unique, never raw
+    edges); a coarse node-hash groupby sums; the driver kills nodes
+    under k. Rounds are O(peel depth); ``max_rounds`` exhaustion
+    RAISES rather than returning a superset of the core."""
+    import ray
+
+    if num_nodes <= 0:
+        raise ValueError("num_nodes must be positive")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if num_parts is None:
+        num_parts = auto_num_parts(edges)
+    alive = np.ones(num_nodes, dtype=bool)
+
+    def deg_partial(batch: pa.Table, *, alive_ref) -> pa.Table:
+        av = ray.get(alive_ref)
+        s = batch[src_col].to_numpy(zero_copy_only=False)
+        d = batch[dst_col].to_numpy(zero_copy_only=False)
+        if len(s) and (int(max(s.max(), d.max())) >= len(av)
+                       or int(min(s.min(), d.min())) < 0):
+            raise ValueError(
+                "edge endpoint outside [0, num_nodes) — the graph was "
+                "built from a different corpus than this id space")
+        both = av[s] & av[d]
+        node, n = np.unique(np.concatenate([s[both], d[both]]),
+                            return_counts=True)
+        return pa.table({
+            "part": pa.array((node % num_parts).astype(np.int32)),
+            "node": pa.array(node, type=pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    def sum_fold(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(node, return_inverse=True)
+        tot = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pa.table({"node": pa.array(uk, type=pa.int64()),
+                         "deg": pa.array(tot)})
+
+    for _ in range(max_rounds):
+        ref = ray.put(alive)
+        rows = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                                  fn_kwargs={"alive_ref": ref})
+                .groupby("part")
+                .map_groups(sum_fold, batch_format="pyarrow")
+                .take_all())  # ≤ num_nodes rows
+        deg = np.zeros(num_nodes, dtype=np.int64)
+        for row in rows:
+            deg[row["node"]] = row["deg"]
+        kill = alive & (deg < k)
+        if not kill.any():
+            members = np.flatnonzero(alive)
+            return pa.table({
+                "node": pa.array(members.astype(np.int64))})
+        alive[kill] = False
+    raise RuntimeError(
+        f"kcore did not stabilize in {max_rounds} rounds — raise "
+        "max_rounds (each round peels at least one node)")
