@@ -1147,16 +1147,21 @@ def knn_graph_descent(ds: Dataset, k: int = 5, iters: int = 3,
 
     init = ds.select_columns(["vec_id"]).map_batches(
         init_pairs, batch_format="pyarrow")
+    # round discipline: bound the block count at every materialize
+    # boundary — the per-round union otherwise grows blocks linearly
+    # and per-block task overhead dominates (the connected-components
+    # lesson, NOTES r4)
     graph = _graph_topk_merge(
         both_directions(_eval_pair_sims(distinct(init), blobs, num_parts)),
-        k, num_parts).materialize()
+        k, num_parts).repartition(num_parts).materialize()
 
     for _ in range(iters):
         cand = distinct(neighborhood_pairs(graph))
         new_edges = both_directions(_eval_pair_sims(cand, blobs, num_parts))
         graph = _graph_topk_merge(
             graph.select_columns(["vec_id", "neighbor_id", "sim"])
-            .union(new_edges), k, num_parts).materialize()
+            .union(new_edges), k, num_parts).repartition(
+                num_parts).materialize()
 
     return graph.sort(["vec_id", "rank"])
 
