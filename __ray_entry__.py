@@ -54,6 +54,27 @@ def _events_mod():
     return events
 
 
+CMS_JOIN_DEPTH = 4
+CMS_JOIN_WIDTH = 16
+
+
+def _cms_join_size(sf_dir: str):
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import cms_join_size
+    return rd.from_arrow(cms_join_size(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id"]), "user_id",
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"]), "o_custkey",
+        depth=CMS_JOIN_DEPTH, width=CMS_JOIN_WIDTH))
+
+
+def _sketches_mod():
+    from ts_type_filter_ray.functions import sketches
+    return sketches
+
+
 def _textstats_mod():
     from ts_type_filter_ray.functions import textstats
     return textstats
@@ -832,6 +853,9 @@ _GATE_PRIORITY = [
     "top_orders_q3",
     "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
+    # first two past the ~50 window — round-5 head candidates (ordered
+    # string_agg fold; CMS sketch algebra)
+    "event_sequences", "cms_join_size",
     # r4s defers to make room for the new-machinery head entries:
     # weighted_sample_k ⊂ the r3-green sampling family's hashing,
     # stopword_match ⊂ boolean_match_nostem + a tokenizer config,
@@ -1606,6 +1630,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort + shift-compare pair counts, tiny |types|² merge
         "event_transitions": lambda sf: _events_mod().event_transitions(
             _events(sf)).sort(["prev_type", "next_type"]),
+        # ordered per-group string aggregation (string_agg ... order by):
+        # vectorized ListArray offsets + one binary_join per partition
+        "event_sequences": lambda sf: _events_mod().user_event_sequences(
+            _events(sf)).sort("user_id"),
+        # join-size estimation WITHOUT executing the join: CMS inner
+        # product (AMS-style), overestimate-only, min over depth —
+        # value-exact because the oracle computes the same sketches
+        "cms_join_size": lambda sf: _cms_join_size(sf),
         # warehouse PIVOT: (week × event_type) counts cross-tabbed into
         # one count column per type over the enum-bounded result
         "pivot_weekly": lambda sf: _events_mod().pivot_weekly_counts(
@@ -4137,6 +4169,10 @@ def oracle_sql() -> dict[str, str]:
         "zscore_normalize": _events_mod().ZSCORE_SQL,
         "event_transitions": _events_mod().TRANSITIONS_SQL,
         "pivot_weekly": _events_mod().PIVOT_WEEKLY_SQL,
+        "event_sequences": _events_mod().EVENT_SEQ_SQL,
+        "cms_join_size": _sketches_mod().cms_join_size_sql(
+            "events", "user_id", "orders", "o_custkey",
+            CMS_JOIN_DEPTH, CMS_JOIN_WIDTH),
         "float_quantiles": _events_mod().FLOAT_QUANTILES_SQL,
         # k >= n => the KLL path retains every element at weight 1 and
         # percentile_disc semantics hold exactly

@@ -79,3 +79,36 @@ def test_empty_corpus(ray_session):
     assert cms_estimate(np.zeros((2, 8), dtype=np.int64), []).size == 0
     assert cms_term_counts(ds, depth=2, width=8, num_parts=1).num_rows \
         == 0
+
+
+def test_cms_join_size_overestimate_and_exact(ray_session):
+    """CMS inner-product join-size estimate: always >= the true join
+    size; equals the SQL oracle bit-for-bit; exact when width is
+    collision-free."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import (cms_join_size,
+                                                       cms_join_size_sql)
+    rng = np.random.default_rng(4)
+    a = pa.table({"k": pa.array(rng.integers(0, 20, 300),
+                                type=pa.int64())})
+    b = pa.table({"k2": pa.array(rng.integers(0, 20, 150),
+                                 type=pa.int64())})
+    con = duckdb.connect()
+    con.register("ta", a)
+    con.register("tb", b)
+    true = con.execute(
+        "select count(*) from ta join tb on tb.k2 = ta.k").fetchone()[0]
+    for width in (8, 4096):
+        got = cms_join_size(rd.from_arrow(a), "k", rd.from_arrow(b),
+                            "k2", depth=3, width=width)
+        est = got["est_join_size"][0].as_py()
+        want = con.execute(cms_join_size_sql(
+            "ta", "k", "tb", "k2", 3, width)).fetchone()[2]
+        assert est == want
+        assert est >= true
+        if width == 4096:  # 20 keys in 4096 slots: no collisions
+            assert est == true

@@ -120,3 +120,22 @@ def test_shortest_paths_knn_gate_matches_oracle(ray_session):
             .reset_index(drop=True))
     assert len(got) > 1
     assert got.equals(want[got.columns])
+
+
+def test_event_sequences_order_and_ties(ray_session):
+    import duckdb
+
+    from ts_type_filter_ray.functions.events import (EVENT_SEQ_SQL,
+                                                     user_event_sequences)
+    rows = [(2, 0, 1, "b", 0), (1, 0, 1, "a", 0),  # same-ts tie: id order
+            (3, 5, 1, "c", 0), (4, 0, 2, "view", 0)]
+    t = _ev(rows)
+    got = (user_event_sequences(rd.from_arrow(t), num_parts=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", t)
+    want = (con.execute(EVENT_SEQ_SQL + " order by user_id").fetchdf()
+            .reset_index(drop=True))
+    assert got.equals(want[got.columns])
+    assert got.loc[got.user_id == 1, "seq"].iloc[0] == "abc"
+    assert got.loc[got.user_id == 2, "seq"].iloc[0] == "v"

@@ -1258,3 +1258,57 @@ PIVOT_WEEKLY_SQL = f"""
            count(*) filter (event_type = 'signup')::BIGINT as n_signup,
            count(*) filter (event_type = 'view')::BIGINT as n_view
     from w group by week"""
+
+
+def user_event_sequences(ds: Dataset,
+                         num_parts: int | None = None) -> Dataset:
+    """Ordered per-group string aggregation (the warehouse
+    ``string_agg(... order by ...)`` shape): per user, the
+    concatenation of each event type's FIRST letter in (ts, event_id)
+    order — the canonical sequence-mining / clickstream-signature
+    input. One coarse user-hash shuffle; per partition a vectorized
+    sort + zero-copy ListArray construction over per-user offsets +
+    one ``pc.binary_join`` — no per-user Python concatenation."""
+    from .partitioning import auto_num_parts
+
+    if num_parts is None:
+        num_parts = auto_num_parts(ds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(batch["user_id"],
+                                            num_parts - 1), pa.int32()),
+            "user_id": batch["user_id"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "letter": pc.utf8_slice_codeunits(batch["event_type"], 0, 1),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u = u[order]
+        letters = pc.take(group["letter"].combine_chunks(),
+                          pa.array(order))
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, len(u)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                         letters)
+        return pa.table({
+            "user_id": pa.array(u[starts], type=pa.int64()),
+            "seq": pc.binary_join(lists, ""),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(fold, batch_format="pyarrow"))
+
+
+EVENT_SEQ_SQL = """
+    select user_id,
+           string_agg(substr(event_type, 1, 1), ''
+                      order by ts, event_id) as seq
+    from events group by user_id"""

@@ -583,3 +583,98 @@ def cms_term_counts(ds: Dataset, depth: int = 4, width: int = 1024,
         "tf": words["n"],
         "cms_count": pa.array(ests),
     })
+
+
+def cms_key_sketch(ds: Dataset, key_col: str, depth: int = 4,
+                   width: int = 1024) -> np.ndarray:
+    """Count-Min sketch of an INTEGER key column's frequencies — the
+    key is hashed through the oracle-shared md5 convention via its
+    decimal string (``md5(key::VARCHAR || ':' || d) % width``), so a
+    SQL oracle reproduces identical slots. Same bounded-partial shape
+    as :func:`cms_sketch`: per-batch ≤ depth·width counters, one
+    packed-key Sum groupby, driver fold."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].cast(pa.string())
+        enc = pc.dictionary_encode(keys)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        if len(codes) == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"key": z, "count": z})
+        n_u = np.bincount(codes, minlength=len(enc.dictionary)) \
+            .astype(np.int64)
+        slots = _cms_row_hashes(enc.dictionary, depth, width)
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            np.add.at(acc[d], slots[d], n_u)
+        rows, cols = np.nonzero(acc)
+        return pa.table({
+            "key": pa.array(rows * width + cols),
+            "count": pa.array(acc[rows, cols]),
+        })
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("key").aggregate(Sum("count", alias_name="count"))
+              .take_all())  # ≤ depth·width rows
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for r in merged:
+        sketch[r["key"] // width, r["key"] % width] = r["count"]
+    return sketch
+
+
+def cms_join_size(ds_a: Dataset, col_a: str, ds_b: Dataset, col_b: str,
+                  depth: int = 4, width: int = 1024) -> pa.Table:
+    """Equi-join SIZE estimation from two Count-Min sketches (the
+    AMS-style inner-product estimator, Cormode & Muthukrishnan 2005):
+    ``est = min_d Σ_w A[d,w]·B[d,w]`` — an OVERESTIMATE-ONLY bound on
+    ``|A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k)`` (collisions only ever add
+    cross-terms; the min over depth rows keeps it tight). The classic
+    query-planner cardinality estimate WITHOUT executing the join:
+    each side costs one bounded-state sketch pass, the estimate is a
+    driver dot product over 2·depth·width counters. One row out:
+    (depth, width, est_join_size). All-integer arithmetic → the
+    estimate itself is value-exact against a SQL oracle computing the
+    same sketches."""
+    a = cms_key_sketch(ds_a, col_a, depth=depth, width=width)
+    b = cms_key_sketch(ds_b, col_b, depth=depth, width=width)
+    # Python-int dot products: row sums can exceed int64 in principle
+    # (n_a·n_b per slot); exact arbitrary precision keeps the oracle
+    # shape (HUGEINT sums) honest
+    ests = [sum(int(x) * int(y) for x, y in zip(a[d], b[d]))
+            for d in range(depth)]
+    est = min(ests)
+    if est >= (1 << 63):
+        raise ValueError("join-size estimate exceeds int64 — the "
+                         "oracle-shape (::BIGINT) contract breaks")
+    return pa.table({
+        "depth": pa.array([depth], type=pa.int64()),
+        "width": pa.array([width], type=pa.int64()),
+        "est_join_size": pa.array([est], type=pa.int64()),
+    })
+
+
+def cms_join_size_sql(table_a: str, col_a: str, table_b: str,
+                      col_b: str, depth: int, width: int) -> str:
+    """DuckDB mirror of :func:`cms_join_size` (same md5 slots, HUGEINT
+    row dot products, min over depth)."""
+    def sk(table, col, name):
+        return f"""
+    {name} as (
+      select d, md5_number_lower({col}::VARCHAR || ':' || d) % {width}
+                 as slot,
+             count(*)::BIGINT as cnt
+      from {table} cross join range(0, {depth}) as r(d)
+      group by 1, 2)"""
+    return f"""
+    with {sk(table_a, col_a, 'sa')[5:]},
+    {sk(table_b, col_b, 'sb')[5:]},
+    dots as (
+      select sa.d, sum(sa.cnt::HUGEINT * sb.cnt::HUGEINT) as dot
+      from sa join sb on sb.d = sa.d and sb.slot = sa.slot
+      group by sa.d)
+    select {depth}::BIGINT as depth, {width}::BIGINT as width,
+           min(dot)::BIGINT as est_join_size
+    from dots"""
