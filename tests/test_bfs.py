@@ -115,3 +115,16 @@ def test_kcore_knn_gate_matches_oracle(ray_session):
             .reset_index(drop=True))
     assert 0 < len(got) < 500  # a real, non-trivial core
     assert got.equals(want[got.columns])
+
+
+def test_kcore_exact_depth_cascade_matches_unroll(ray_session):
+    """A cascade needing exactly max_rounds kill rounds must SUCCEED
+    (regression: the old loop raised one round early)."""
+    from ts_type_filter_ray.functions.graph import kcore
+    # path of 8 nodes, k=2: each round peels both endpoints → 4 kill
+    # rounds empty the graph
+    e = _edges([(i, i + 1) for i in range(7)])
+    t = kcore(e, 8, k=2, max_rounds=4)
+    assert t.num_rows == 0
+    with pytest.raises(RuntimeError, match="stabilize"):
+        kcore(e, 8, k=2, max_rounds=3)

@@ -112,3 +112,31 @@ def test_cms_join_size_overestimate_and_exact(ray_session):
         assert est >= true
         if width == 4096:  # 20 keys in 4096 slots: no collisions
             assert est == true
+
+
+def test_cms_join_size_null_keys_and_empty(ray_session):
+    """Null keys drop (equi-join semantics, SQL mirror parity); an
+    empty side yields 0 on BOTH sides (coalesce in the oracle)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import (cms_join_size,
+                                                       cms_join_size_sql)
+    a = pa.table({"k": pa.array([1, None, 2, 1], type=pa.int64())})
+    b = pa.table({"k2": pa.array([1, None], type=pa.int64())})
+    empty = pa.table({"k2": pa.array([], type=pa.int64())})
+    con = duckdb.connect()
+    con.register("ta", a)
+    con.register("tb", b)
+    con.register("te", empty)
+    got = cms_join_size(rd.from_arrow(a), "k", rd.from_arrow(b), "k2",
+                        depth=2, width=64)["est_join_size"][0].as_py()
+    want = con.execute(cms_join_size_sql(
+        "ta", "k", "tb", "k2", 2, 64)).fetchone()[2]
+    assert got == want == 2  # only the two k=1 rows join the one k2=1
+    got0 = cms_join_size(rd.from_arrow(a), "k", rd.from_arrow(empty),
+                         "k2", depth=2, width=64)
+    want0 = con.execute(cms_join_size_sql(
+        "ta", "k", "te", "k2", 2, 64)).fetchone()[2]
+    assert got0["est_join_size"][0].as_py() == want0 == 0

@@ -1275,6 +1275,13 @@ def user_event_sequences(ds: Dataset,
         num_parts = auto_num_parts(ds)
 
     def add_part(batch: pa.Table) -> pa.Table:
+        if batch["event_type"].null_count:
+            # a null letter would propagate to a NULL seq through
+            # binary_join while the SQL string_agg SKIPS nulls — out of
+            # contract, raise rather than silently diverge
+            raise ValueError(
+                "null event_type is outside user_event_sequences' "
+                "contract — filter or fill first")
         return pa.table({
             "part": pc.cast(pc.bit_wise_and(batch["user_id"],
                                             num_parts - 1), pa.int32()),

@@ -888,7 +888,11 @@ def kcore(edges: Dataset, num_nodes: int, *, k: int,
         return pa.table({"node": pa.array(uk, type=pa.int64()),
                          "deg": pa.array(tot)})
 
-    for _ in range(max_rounds):
+    # max_rounds bounds the KILL rounds; the stability-confirming pass
+    # after the last kill is free (so an exactly-max_rounds-deep
+    # cascade matches a max_rounds-unrolled oracle instead of raising)
+    kills = 0
+    while True:
         ref = ray.put(alive)
         rows = (edges.map_batches(deg_partial, batch_format="pyarrow",
                                   fn_kwargs={"alive_ref": ref})
@@ -903,7 +907,9 @@ def kcore(edges: Dataset, num_nodes: int, *, k: int,
             members = np.flatnonzero(alive)
             return pa.table({
                 "node": pa.array(members.astype(np.int64))})
+        if kills == max_rounds:
+            raise RuntimeError(
+                f"kcore did not stabilize in {max_rounds} rounds — "
+                "raise max_rounds (each round peels at least one node)")
         alive[kill] = False
-    raise RuntimeError(
-        f"kcore did not stabilize in {max_rounds} rounds — raise "
-        "max_rounds (each round peels at least one node)")
+        kills += 1

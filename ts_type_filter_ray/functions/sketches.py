@@ -508,6 +508,23 @@ def _cms_row_hashes(terms, depth: int, width: int) -> np.ndarray:
     return out
 
 
+
+def _sketch_partial_table(dictionary: pa.Array, per_code_counts,
+                          depth: int, width: int) -> pa.Table:
+    """Shared CMS accumulation body: per-unique-value counts scattered
+    into a (depth, width) counter grid via the oracle-shared md5 slots,
+    packed to nonzero (key, count) rows."""
+    slots = _cms_row_hashes(dictionary, depth, width)
+    acc = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        np.add.at(acc[d], slots[d], per_code_counts)
+    rows, cols = np.nonzero(acc)
+    return pa.table({
+        "key": pa.array(rows * width + cols),
+        "count": pa.array(acc[rows, cols]),
+    })
+
+
 def cms_sketch(ds: Dataset, depth: int = 4, width: int = 1024) -> np.ndarray:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of the corpus
     TERM frequencies: a ``(depth, width)`` int64 counter array where
@@ -534,15 +551,7 @@ def cms_sketch(ds: Dataset, depth: int = 4, width: int = 1024) -> np.ndarray:
         codes = enc.indices.to_numpy(zero_copy_only=False)
         tf_u = np.bincount(codes, minlength=len(enc.dictionary)) \
             .astype(np.int64)
-        slots = _cms_row_hashes(enc.dictionary, depth, width)
-        acc = np.zeros((depth, width), dtype=np.int64)
-        for d in range(depth):
-            np.add.at(acc[d], slots[d], tf_u)
-        rows, cols = np.nonzero(acc)
-        return pa.table({
-            "key": pa.array(rows * width + cols),
-            "count": pa.array(acc[rows, cols]),
-        })
+        return _sketch_partial_table(enc.dictionary, tf_u, depth, width)
 
     merged = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("key").aggregate(Sum("count", alias_name="count"))
@@ -596,7 +605,11 @@ def cms_key_sketch(ds: Dataset, key_col: str, depth: int = 4,
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].cast(pa.string())
+        col = batch[key_col]
+        # null keys never join (SQL equi-join semantics; NULL slots in
+        # the oracle's md5 expression never match) — drop, don't crash
+        col = col.filter(pc.is_valid(col))
+        keys = col.cast(pa.string())
         enc = pc.dictionary_encode(keys)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
@@ -606,15 +619,7 @@ def cms_key_sketch(ds: Dataset, key_col: str, depth: int = 4,
             return pa.table({"key": z, "count": z})
         n_u = np.bincount(codes, minlength=len(enc.dictionary)) \
             .astype(np.int64)
-        slots = _cms_row_hashes(enc.dictionary, depth, width)
-        acc = np.zeros((depth, width), dtype=np.int64)
-        for d in range(depth):
-            np.add.at(acc[d], slots[d], n_u)
-        rows, cols = np.nonzero(acc)
-        return pa.table({
-            "key": pa.array(rows * width + cols),
-            "count": pa.array(acc[rows, cols]),
-        })
+        return _sketch_partial_table(enc.dictionary, n_u, depth, width)
 
     merged = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("key").aggregate(Sum("count", alias_name="count"))
@@ -676,5 +681,5 @@ def cms_join_size_sql(table_a: str, col_a: str, table_b: str,
       from sa join sb on sb.d = sa.d and sb.slot = sa.slot
       group by sa.d)
     select {depth}::BIGINT as depth, {width}::BIGINT as width,
-           min(dot)::BIGINT as est_join_size
+           coalesce(min(dot), 0)::BIGINT as est_join_size
     from dots"""
