@@ -56,6 +56,7 @@ def _events_mod():
 
 CMS_JOIN_DEPTH = 4
 CMS_JOIN_WIDTH = 16
+HLL_P = 8
 
 
 def _cms_join_size(sf_dir: str):
@@ -853,9 +854,9 @@ _GATE_PRIORITY = [
     "top_orders_q3",
     "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
-    # first two past the ~50 window — round-5 head candidates (ordered
-    # string_agg fold; CMS sketch algebra)
-    "event_sequences", "cms_join_size",
+    # first three past the ~50 window — round-5 head candidates
+    # (ordered string_agg fold; CMS sketch algebra; value-exact HLL)
+    "event_sequences", "cms_join_size", "hll_distinct_by_lang",
     # r4s defers to make room for the new-machinery head entries:
     # weighted_sample_k ⊂ the r3-green sampling family's hashing,
     # stopword_match ⊂ boolean_match_nostem + a tokenizer config,
@@ -1638,6 +1639,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product (AMS-style), overestimate-only, min over depth —
         # value-exact because the oracle computes the same sketches
         "cms_join_size": lambda sf: _cms_join_size(sf),
+        # per-group HLL distinct estimates, VALUE-EXACT (registers and
+        # float estimate shapes reproduced in SQL — the cms_counts
+        # trick, HLL edition; upgrades the rows-only HLL family)
+        "hll_distinct_by_lang": lambda sf:
+            _sketches_mod().hll_distinct_by_group(_docs(sf), p=HLL_P),
         # warehouse PIVOT: (week × event_type) counts cross-tabbed into
         # one count column per type over the enum-bounded result
         "pivot_weekly": lambda sf: _events_mod().pivot_weekly_counts(
@@ -4173,6 +4179,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_join_size": _sketches_mod().cms_join_size_sql(
             "events", "user_id", "orders", "o_custkey",
             CMS_JOIN_DEPTH, CMS_JOIN_WIDTH),
+        "hll_distinct_by_lang": _sketches_mod().hll_group_sql(
+            "lang", HLL_P),
         "float_quantiles": _events_mod().FLOAT_QUANTILES_SQL,
         # k >= n => the KLL path retains every element at weight 1 and
         # percentile_disc semantics hold exactly

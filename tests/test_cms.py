@@ -140,3 +140,40 @@ def test_cms_join_size_null_keys_and_empty(ray_session):
     want0 = con.execute(cms_join_size_sql(
         "ta", "k", "te", "k2", 2, 64)).fetchone()[2]
     assert got0["est_join_size"][0].as_py() == want0 == 0
+
+
+def test_hll_group_exact_vs_oracle_and_accuracy(ray_session):
+    """Per-group HLL: registers + estimate bit-identical to the SQL
+    mirror, raw-branch accuracy within 8% at p=10 on a 4k vocabulary."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import (
+        hll_distinct_by_group, hll_group_sql)
+    rng = np.random.default_rng(6)
+    texts, langs = [], []
+    for i in range(400):
+        n = int(rng.integers(20, 60))
+        words = [f"w{int(rng.integers(0, 4000))}" for _ in range(n)]
+        texts.append(" ".join(words))
+        langs.append(["en", "de"][i % 2])
+    t = pa.table({"doc_id": pa.array(range(400), type=pa.int64()),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    got = (hll_distinct_by_group(rd.from_arrow(t), p=10).to_pandas()
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(hll_group_sql("lang", 10)
+                       + " order by grp").fetchdf().reset_index(drop=True)
+    assert (got["estimate"].values == want["estimate"].values).all()
+    true = con.execute("""
+        select lang, count(distinct term) as n from (
+          select lang, unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) as term
+          from documents where trim(text) <> '') group by 1
+        order by 1""").fetchdf()
+    for g, est in zip(got["grp"], got["estimate"]):
+        tv = int(true.loc[true.lang == g, "n"].iloc[0])
+        assert abs(est - tv) / tv < 0.08, (g, est, tv)

@@ -683,3 +683,151 @@ def cms_join_size_sql(table_a: str, col_a: str, table_b: str,
     select {depth}::BIGINT as depth, {width}::BIGINT as width,
            coalesce(min(dot), 0)::BIGINT as est_join_size
     from dots"""
+
+
+def _rho_from_hash(h: np.ndarray, p: int) -> np.ndarray:
+    """HLL rho per 64-bit hash: leading zeros of the low ``64-p`` bits
+    (left-aligned convention) + 1; all-zero rest → ``64-p+1``."""
+    q = 64 - p
+    low = h & np.uint64((1 << q) - 1)
+    rho = np.full(len(h), q + 1, dtype=np.int64)
+    nz = low != 0
+    bl = np.zeros(len(h), dtype=np.int64)
+    r = low[nz]
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = r >= (np.uint64(1) << np.uint64(shift))
+        bl[nz] = bl[nz] + np.where(big, shift, 0)
+        r = np.where(big, r >> np.uint64(shift), r)
+    bl[nz] += 1  # bit_length(low)
+    rho[nz] = q - bl[nz] + 1
+    return rho
+
+
+def hll_distinct_by_group(ds: Dataset, group_col: str = "lang",
+                          p: int = 8) -> Dataset:
+    """HyperLogLog distinct-term estimates PER GROUP — and, unlike the
+    classic "approximate → rows-only" framing, VALUE-EXACT on the gate:
+    HLL is a deterministic function of the md5 hashes, so a SQL oracle
+    reproduces the registers (reg = top ``p`` hash bits, rho via
+    ``bin()`` length on the low bits) and the exact float expression
+    shapes (ordered ``2^-rho`` fold in register order + the
+    linear-counting small-range branch). The cms_counts trick, HLL
+    edition.
+
+    Distributed shape: per-batch unique (group, term) pairs → md5 the
+    batch-unique terms once → per-(group, register) MAX-rho partials
+    (≤ groups·2^p rows per batch) → one tiny groupby Max → driver fold
+    over ≤ groups·2^p rows. Output (group, estimate:float64,
+    n_registers), group-ascending."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Max as AggMax
+
+    from ..text.hashvec import md5_lower64_strings
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({
+                "grp": pa.array([], type=pa.string()),
+                "reg": pa.array([], type=pa.int32()),
+                "rho": pa.array([], type=pa.int64()),
+            })
+        low = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(low)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        hu = md5_lower64_strings(enc.dictionary)
+        h = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        grp = batch[group_col]
+        genc = pc.dictionary_encode(
+            grp.combine_chunks() if isinstance(grp, pa.ChunkedArray)
+            else grp)
+        if isinstance(genc, pa.ChunkedArray):
+            genc = genc.combine_chunks()
+        gcodes = genc.indices.to_numpy(zero_copy_only=False)[
+            parents.to_numpy(zero_copy_only=False)]
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rho = _rho_from_hash(h, p)
+        # per-batch max rho per (group, register)
+        key = gcodes.astype(np.int64) * m + reg
+        uk, inv = np.unique(key, return_inverse=True)
+        mx = np.zeros(uk.size, dtype=np.int64)
+        np.maximum.at(mx, inv, rho)
+        return pa.table({
+            "grp": genc.dictionary.take(pa.array(uk // m)),
+            "reg": pa.array((uk % m).astype(np.int32)),
+            "rho": pa.array(mx),
+        })
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["grp", "reg"])
+            .aggregate(AggMax("rho", alias_name="rho"))
+            .take_all())  # ≤ groups · 2^p rows
+    per = {}
+    for r in rows:
+        per.setdefault(r["grp"], []).append((r["reg"], r["rho"]))
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    out_g, out_e = [], []
+    for g in sorted(per):
+        regs = sorted(per[g])
+        # ordered left fold in register order — mirrors the oracle's
+        # list_aggregate(list(... order by reg), 'sum')
+        acc = 0.0
+        for _, rho in regs:
+            acc += 2.0 ** (-float(rho))
+        zeros = m - len(regs)
+        den = acc + float(zeros)
+        est = alpha * float(m) * float(m) / den
+        if est <= 2.5 * m and zeros > 0:
+            est = float(m) * math.log(float(m) / float(zeros))
+        out_g.append(g)
+        out_e.append(est)
+    return rd.from_arrow(pa.table({
+        "grp": pa.array(out_g, type=pa.string()),
+        "estimate": pa.array(out_e, type=pa.float64()),
+        "n_registers": pa.array([m] * len(out_g), type=pa.int64()),
+    }))
+
+
+def hll_group_sql(group_col: str, p: int) -> str:
+    """DuckDB mirror of :func:`hll_distinct_by_group`: identical md5
+    registers and float expression shapes."""
+    m = 1 << p
+    q = 64 - p
+    mask = (1 << q) - 1
+    alpha = f"(0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / {m}::DOUBLE))"
+    return f"""
+    with toks as (
+      select {group_col} as grp,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 as term
+      from documents where trim(text) <> ''),
+    u as (select distinct grp, term from toks),
+    h as (select grp, md5_number_lower(term) as hv from u),
+    rr as (select grp, (hv >> {q})::BIGINT as reg,
+                  case when (hv & {mask}) = 0 then {q + 1}
+                       else {q} - length(bin((hv & {mask})::BIGINT)) + 1
+                  end as rho
+           from h),
+    regs as (select grp, reg, max(rho)::BIGINT as rho
+             from rr group by 1, 2),
+    sums as (select grp,
+                    list_aggregate(
+                        list(power(2::DOUBLE, -rho::DOUBLE)
+                             order by reg), 'sum') as acc,
+                    count(*)::BIGINT as n_nz
+             from regs group by 1),
+    est as (select grp,
+                   {alpha} * {m}::DOUBLE * {m}::DOUBLE
+                       / (acc + ({m} - n_nz)::DOUBLE) as raw,
+                   ({m} - n_nz) as zeros
+            from sums)
+    select grp,
+           case when raw <= {2.5 * m} and zeros > 0
+                then {m}::DOUBLE * ln({m}::DOUBLE / zeros::DOUBLE)
+                else raw end as estimate,
+           {m}::BIGINT as n_registers
+    from est"""
