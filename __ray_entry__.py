@@ -857,6 +857,7 @@ _GATE_PRIORITY = [
     # first three past the ~50 window — round-5 head candidates
     # (ordered string_agg fold; CMS sketch algebra; value-exact HLL)
     "event_sequences", "cms_join_size", "hll_distinct_by_lang",
+    "hll_set_ops_lang",
     # r4s defers to make room for the new-machinery head entries:
     # weighted_sample_k ⊂ the r3-green sampling family's hashing,
     # stopword_match ⊂ boolean_match_nostem + a tokenizer config,
@@ -1644,6 +1645,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trick, HLL edition; upgrades the rows-only HLL family)
         "hll_distinct_by_lang": lambda sf:
             _sketches_mod().hll_distinct_by_group(_docs(sf), p=HLL_P),
+        # HLL set algebra: union = register-wise max (mergeability),
+        # intersection by inclusion-exclusion — approximate answers,
+        # exactly reproducible (same registers + float shapes in SQL)
+        "hll_set_ops_lang": lambda sf: _sketches_mod().hll_set_ops(
+            _docs(sf), "lang", "en", "de", p=HLL_P),
         # warehouse PIVOT: (week × event_type) counts cross-tabbed into
         # one count column per type over the enum-bounded result
         "pivot_weekly": lambda sf: _events_mod().pivot_weekly_counts(
@@ -4181,6 +4187,8 @@ def oracle_sql() -> dict[str, str]:
             CMS_JOIN_DEPTH, CMS_JOIN_WIDTH),
         "hll_distinct_by_lang": _sketches_mod().hll_group_sql(
             "lang", HLL_P),
+        "hll_set_ops_lang": _sketches_mod().hll_set_ops_sql(
+            "lang", "en", "de", HLL_P),
         "float_quantiles": _events_mod().FLOAT_QUANTILES_SQL,
         # k >= n => the KLL path retains every element at weight 1 and
         # percentile_disc semantics hold exactly

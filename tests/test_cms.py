@@ -177,3 +177,37 @@ def test_hll_group_exact_vs_oracle_and_accuracy(ray_session):
     for g, est in zip(got["grp"], got["estimate"]):
         tv = int(true.loc[true.lang == g, "n"].iloc[0])
         assert abs(est - tv) / tv < 0.08, (g, est, tv)
+
+
+def test_hll_set_ops_union_intersection(ray_session):
+    """Union via register max + inclusion-exclusion intersection:
+    bit-identical to SQL, and accurate on genuinely disjoint-ish
+    vocabularies (A∪B ≈ 3000, A∩B ≈ 1000 at p=10)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import (hll_set_ops,
+                                                       hll_set_ops_sql)
+    rng = np.random.default_rng(8)
+    texts, langs = [], []
+    for i in range(400):
+        lang = ["en", "de"][i % 2]
+        lo = 0 if lang == "en" else 1000  # en: 0..1999, de: 1000..2999
+        words = [f"w{int(rng.integers(lo, lo + 2000))}"
+                 for _ in range(40)]
+        texts.append(" ".join(words))
+        langs.append(lang)
+    t = pa.table({"doc_id": pa.array(range(400), type=pa.int64()),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+    got = hll_set_ops(rd.from_arrow(t), "lang", "en", "de",
+                      p=10).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(hll_set_ops_sql("lang", "en", "de", 10)).fetchdf()
+    assert (got.values == want[got.columns].values).all()
+    # accuracy: union ≈ 3000, intersection ≈ 1000 (±12%; the
+    # intersection inherits both sketches' error)
+    assert abs(got["est_union"][0] - 3000) / 3000 < 0.08
+    assert abs(got["est_intersection"][0] - 1000) / 1000 < 0.15

@@ -719,72 +719,22 @@ def hll_distinct_by_group(ds: Dataset, group_col: str = "lang",
     (≤ groups·2^p rows per batch) → one tiny groupby Max → driver fold
     over ≤ groups·2^p rows. Output (group, estimate:float64,
     n_registers), group-ascending."""
-    import math
-
     import ray.data as rd
     from ray.data.aggregate import Max as AggMax
-
-    from ..text.hashvec import md5_lower64_strings
     m = 1 << p
 
-    def partial(batch: pa.Table) -> pa.Table:
-        _, flat, parents = _tokens(batch)
-        if len(flat) == 0:
-            return pa.table({
-                "grp": pa.array([], type=pa.string()),
-                "reg": pa.array([], type=pa.int32()),
-                "rho": pa.array([], type=pa.int64()),
-            })
-        low = pc.utf8_lower(flat)
-        enc = pc.dictionary_encode(low)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        hu = md5_lower64_strings(enc.dictionary)
-        h = hu[enc.indices.to_numpy(zero_copy_only=False)]
-        grp = batch[group_col]
-        genc = pc.dictionary_encode(
-            grp.combine_chunks() if isinstance(grp, pa.ChunkedArray)
-            else grp)
-        if isinstance(genc, pa.ChunkedArray):
-            genc = genc.combine_chunks()
-        gcodes = genc.indices.to_numpy(zero_copy_only=False)[
-            parents.to_numpy(zero_copy_only=False)]
-        reg = (h >> np.uint64(64 - p)).astype(np.int64)
-        rho = _rho_from_hash(h, p)
-        # per-batch max rho per (group, register)
-        key = gcodes.astype(np.int64) * m + reg
-        uk, inv = np.unique(key, return_inverse=True)
-        mx = np.zeros(uk.size, dtype=np.int64)
-        np.maximum.at(mx, inv, rho)
-        return pa.table({
-            "grp": genc.dictionary.take(pa.array(uk // m)),
-            "reg": pa.array((uk % m).astype(np.int32)),
-            "rho": pa.array(mx),
-        })
-
-    rows = (ds.map_batches(partial, batch_format="pyarrow")
+    rows = (ds.map_batches(_hll_group_partial_fn(group_col, p),
+                           batch_format="pyarrow")
             .groupby(["grp", "reg"])
             .aggregate(AggMax("rho", alias_name="rho"))
             .take_all())  # ≤ groups · 2^p rows
     per = {}
     for r in rows:
         per.setdefault(r["grp"], []).append((r["reg"], r["rho"]))
-    alpha = 0.7213 / (1.0 + 1.079 / float(m))
     out_g, out_e = [], []
     for g in sorted(per):
-        regs = sorted(per[g])
-        # ordered left fold in register order — mirrors the oracle's
-        # list_aggregate(list(... order by reg), 'sum')
-        acc = 0.0
-        for _, rho in regs:
-            acc += 2.0 ** (-float(rho))
-        zeros = m - len(regs)
-        den = acc + float(zeros)
-        est = alpha * float(m) * float(m) / den
-        if est <= 2.5 * m and zeros > 0:
-            est = float(m) * math.log(float(m) / float(zeros))
         out_g.append(g)
-        out_e.append(est)
+        out_e.append(_hll_estimate(sorted(per[g]), m))
     return rd.from_arrow(pa.table({
         "grp": pa.array(out_g, type=pa.string()),
         "estimate": pa.array(out_e, type=pa.float64()),
@@ -831,3 +781,161 @@ def hll_group_sql(group_col: str, p: int) -> str:
                 else raw end as estimate,
            {m}::BIGINT as n_registers
     from est"""
+
+
+def _hll_estimate(regs: list, m: int) -> float:
+    """Shared estimate fold: ordered 2^-rho left fold over (reg, rho)
+    pairs in register order + the linear-counting small-range branch —
+    the exact float shapes :func:`hll_group_sql` mirrors."""
+    import math
+    acc = 0.0
+    for _, rho in sorted(regs):
+        acc += 2.0 ** (-float(rho))
+    zeros = m - len(regs)
+    den = acc + float(zeros)
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    est = alpha * float(m) * float(m) / den
+    if est <= 2.5 * m and zeros > 0:
+        est = float(m) * math.log(float(m) / float(zeros))
+    return est
+
+
+def hll_set_ops(ds: Dataset, group_col: str, group_a: str,
+                group_b: str, p: int = 8) -> Dataset:
+    """HLL SET ALGEBRA over two corpus slices' vocabularies — the
+    mergeability that makes HLL the distributed sketch: the union
+    sketch is the REGISTER-WISE MAX of the two slices' sketches (no
+    re-scan), and the intersection estimate follows by
+    inclusion-exclusion. One row: (est_a, est_b, est_union,
+    est_intersection), every float value-exact vs a SQL oracle
+    computing the same registers, the same max-merge, and the same
+    ordered folds — approximate answers, exactly reproducible.
+
+    Same distributed shape as :func:`hll_distinct_by_group` (the
+    per-(group, register) partials are shared machinery); the merge is
+    a driver fold over ≤ 2·2^p rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Max as AggMax
+
+    m = 1 << p
+    reg_rows = (ds.map_batches(_hll_group_partial_fn(group_col, p),
+                               batch_format="pyarrow")
+                .groupby(["grp", "reg"])
+                .aggregate(AggMax("rho", alias_name="rho"))
+                .take_all())  # ≤ groups · 2^p rows
+    per = {group_a: {}, group_b: {}}
+    for r in reg_rows:
+        if r["grp"] in per:
+            per[r["grp"]][r["reg"]] = r["rho"]
+    ra = sorted(per[group_a].items())
+    rb = sorted(per[group_b].items())
+    merged: dict = dict(ra)
+    for reg, rho in rb:
+        merged[reg] = max(merged.get(reg, 0), rho)
+    est_a = _hll_estimate(ra, m)
+    est_b = _hll_estimate(rb, m)
+    est_u = _hll_estimate(sorted(merged.items()), m)
+    est_i = est_a + est_b - est_u
+    return rd.from_arrow(pa.table({
+        "est_a": pa.array([est_a], type=pa.float64()),
+        "est_b": pa.array([est_b], type=pa.float64()),
+        "est_union": pa.array([est_u], type=pa.float64()),
+        "est_intersection": pa.array([est_i], type=pa.float64()),
+    }))
+
+
+def _hll_group_partial_fn(group_col: str, p: int):
+    """The per-batch (group, register, max rho) partial shared by
+    :func:`hll_distinct_by_group` and :func:`hll_set_ops`."""
+    from ..text.hashvec import md5_lower64_strings
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat, parents = _tokens(batch)
+        if len(flat) == 0:
+            return pa.table({
+                "grp": pa.array([], type=pa.string()),
+                "reg": pa.array([], type=pa.int32()),
+                "rho": pa.array([], type=pa.int64()),
+            })
+        low = pc.utf8_lower(flat)
+        enc = pc.dictionary_encode(low)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        hu = md5_lower64_strings(enc.dictionary)
+        h = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        grp = batch[group_col]
+        genc = pc.dictionary_encode(
+            grp.combine_chunks() if isinstance(grp, pa.ChunkedArray)
+            else grp)
+        if isinstance(genc, pa.ChunkedArray):
+            genc = genc.combine_chunks()
+        gcodes = genc.indices.to_numpy(zero_copy_only=False)[
+            parents.to_numpy(zero_copy_only=False)]
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rho = _rho_from_hash(h, p)
+        key = gcodes.astype(np.int64) * m + reg
+        uk, inv = np.unique(key, return_inverse=True)
+        mx = np.zeros(uk.size, dtype=np.int64)
+        np.maximum.at(mx, inv, rho)
+        return pa.table({
+            "grp": genc.dictionary.take(pa.array(uk // m)),
+            "reg": pa.array((uk % m).astype(np.int32)),
+            "rho": pa.array(mx),
+        })
+
+    return partial
+
+
+def hll_set_ops_sql(group_col: str, group_a: str, group_b: str,
+                    p: int) -> str:
+    """DuckDB mirror of :func:`hll_set_ops`: per-group registers,
+    register-wise max merge for the union, identical estimate shapes,
+    inclusion-exclusion intersection."""
+    m = 1 << p
+    q = 64 - p
+    mask = (1 << q) - 1
+    alpha = f"(0.7213::DOUBLE / (1::DOUBLE + 1.079::DOUBLE / {m}::DOUBLE))"
+
+    def est(regs_cte, name):
+        return f"""
+    {name}_s as (select list_aggregate(
+                     list(power(2::DOUBLE, -rho::DOUBLE)
+                          order by reg), 'sum') as acc,
+                   count(*)::BIGINT as n_nz
+            from {regs_cte}),
+    {name}_e as (select case
+          when {alpha} * {m}::DOUBLE * {m}::DOUBLE
+                   / (acc + ({m} - n_nz)::DOUBLE) <= {2.5 * m}
+               and ({m} - n_nz) > 0
+          then {m}::DOUBLE * ln({m}::DOUBLE / ({m} - n_nz)::DOUBLE)
+          else {alpha} * {m}::DOUBLE * {m}::DOUBLE
+                   / (acc + ({m} - n_nz)::DOUBLE) end as est
+        from {name}_s)"""
+
+    return f"""
+    with toks as (
+      select {group_col} as grp,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 as term
+      from documents
+      where trim(text) <> '' and {group_col} in ('{group_a}',
+                                                 '{group_b}')),
+    u as (select distinct grp, term from toks),
+    h as (select grp, md5_number_lower(term) as hv from u),
+    rr as (select grp, (hv >> {q})::BIGINT as reg,
+                  case when (hv & {mask}) = 0 then {q + 1}
+                       else {q} - length(bin((hv & {mask})::BIGINT)) + 1
+                  end as rho
+           from h),
+    regs as (select grp, reg, max(rho)::BIGINT as rho
+             from rr group by 1, 2),
+    ra as (select reg, rho from regs where grp = '{group_a}'),
+    rb as (select reg, rho from regs where grp = '{group_b}'),
+    ru as (select reg, max(rho)::BIGINT as rho
+           from (select * from ra union all select * from rb)
+           group by reg),{est('ra', 'a')},{est('rb', 'b')},{est('ru',
+                                                               'un')}
+    select a_e.est as est_a, b_e.est as est_b, un_e.est as est_union,
+           a_e.est + b_e.est - un_e.est as est_intersection
+    from a_e, b_e, un_e"""
