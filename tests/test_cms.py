@@ -211,3 +211,17 @@ def test_hll_set_ops_union_intersection(ray_session):
     # intersection inherits both sketches' error)
     assert abs(got["est_union"][0] - 3000) / 3000 < 0.08
     assert abs(got["est_intersection"][0] - 1000) / 1000 < 0.15
+
+
+def test_hll_set_ops_guards(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.sketches import hll_set_ops
+    t = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                  "text": pa.array(["a b"]), "lang": pa.array(["en"])})
+    with _pytest.raises(ValueError, match="distinct groups"):
+        hll_set_ops(rd.from_arrow(t), "lang", "en", "en").take_all()
+    with _pytest.raises(ValueError, match="no tokens"):
+        hll_set_ops(rd.from_arrow(t), "lang", "en", "xx").take_all()

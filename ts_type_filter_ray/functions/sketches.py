@@ -823,10 +823,19 @@ def hll_set_ops(ds: Dataset, group_col: str, group_a: str,
                 .groupby(["grp", "reg"])
                 .aggregate(AggMax("rho", alias_name="rho"))
                 .take_all())  # ≤ groups · 2^p rows
+    if group_a == group_b:
+        raise ValueError("hll_set_ops needs two distinct groups")
     per = {group_a: {}, group_b: {}}
     for r in reg_rows:
         if r["grp"] in per:
             per[r["grp"]][r["reg"]] = r["rho"]
+    for g, regs in per.items():
+        if not regs:
+            # an absent/empty group would estimate 0.0 here while the
+            # SQL mirror's empty-CTE aggregate yields NULL — out of
+            # contract, raise loudly
+            raise ValueError(
+                f"group {g!r} has no tokens under {group_col!r}")
     ra = sorted(per[group_a].items())
     rb = sorted(per[group_b].items())
     merged: dict = dict(ra)
