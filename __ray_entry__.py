@@ -857,7 +857,7 @@ _GATE_PRIORITY = [
     # first three past the ~50 window — round-5 head candidates
     # (ordered string_agg fold; CMS sketch algebra; value-exact HLL)
     "event_sequences", "cms_join_size", "hll_distinct_by_lang",
-    "hll_set_ops_lang",
+    "hll_set_ops_lang", "hybrid_rrf",
     # r4s defers to make room for the new-machinery head entries:
     # weighted_sample_k ⊂ the r3-green sampling family's hashing,
     # stopword_match ⊂ boolean_match_nostem + a tokenizer config,
@@ -1333,6 +1333,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-list ensemble shape hybrid search uses), rank-only
         "rrf_fusion_nostem":
             lambda sf: flagship.rrf_fusion_nostem_table(sf),
+        # hybrid lexical+dense retrieval: RRF of BM25 and exact cosine
+        # lists over the shared doc_id ≡ vec_id space — rank-only,
+        # value-exact (pipelines/flagship.py::hybrid_rrf_table)
+        "hybrid_rrf":
+            lambda sf: flagship.hybrid_rrf_table(sf, ANN_QUERY_IDS),
         # "did you mean": (distance asc, df desc, term asc) corrections
         "spell_correct": lambda sf: flagship.spell_correct_table(sf),
         # "related searches": top co-occurring terms within each query's
@@ -2230,6 +2235,52 @@ def oracle_sql() -> dict[str, str]:
               full outer join
                    (select * from tr where rank <= {RRF_DEPTH}) t
                 on b.query_idx = t.query_idx and b.doc_id = t.doc_id)"""
+        + _ranked_select("fused", f"rank <= {BM25_NOSTEM_K}"))
+
+    # HYBRID retrieval: RRF of the lexical BM25 list (text query i)
+    # and the dense cosine list (query vector ANN_QUERY_IDS[i]) over
+    # the shared doc_id ≡ vec_id id space — the same rank-CTE stack
+    # for the lexical leg, the ann_topk nrm/sims shape for the dense
+    # leg, the same coalesce-sum fusion (lexical term first)
+    hybrid_rows = ",".join(
+        f"({qi},'{t}')"
+        for qi, q in enumerate(BM25_NOSTEM_QUERY_SET[:len(ANN_QUERY_IDS)])
+        for t in query_stems(q, stemmer=identity_stemmer))
+    hybrid_qmap = ",".join(
+        f"({i},{v})" for i, v in enumerate(ANN_QUERY_IDS))
+    hybrid_sql = (_mk_rank_ctes(hybrid_rows) + rf"""
+            , hb as (select query_idx, doc_id,
+                          row_number() over (partition by query_idx
+                                             order by score desc,
+                                                      doc_id asc) as rank
+                   from bscored),
+            hnrm as (
+              select vec_id, embedding,
+                     sqrt({dot.format(a='e', b='e')}) as nv
+              from embeddings e),
+            hsims as (
+              select q.vec_id as qv, t.vec_id as vec_id,
+                     ({dot.format(a='q', b='t')}) / (q.nv * t.nv) as sim
+              from hnrm q, hnrm t
+              where q.vec_id in {qids}),
+            hdr as (
+              select qv, vec_id,
+                     row_number() over (partition by qv
+                                        order by sim desc, vec_id asc)
+                         as rank
+              from hsims),
+            qmap(query_idx, qv) as (values {hybrid_qmap}),
+            hd as (select m.query_idx, r.vec_id as doc_id, r.rank
+                   from qmap m join hdr r on r.qv = m.qv),
+            fused as (
+              select coalesce(b.query_idx, d.query_idx) as query_idx,
+                     coalesce(b.doc_id, d.doc_id) as doc_id,
+                     coalesce(1.0 / ({RRF_K0} + b.rank), 0.0)
+                     + coalesce(1.0 / ({RRF_K0} + d.rank), 0.0) as score
+              from (select * from hb where rank <= {RRF_DEPTH}) b
+              full outer join
+                   (select * from hd where rank <= {RRF_DEPTH}) d
+                on b.query_idx = d.query_idx and b.doc_id = d.doc_id)"""
         + _ranked_select("fused", f"rank <= {BM25_NOSTEM_K}"))
 
     # BM25F fielded ranking (pipelines/fielded.py): title = first
@@ -3904,6 +3955,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_page2_nostem": bm25_page2_sql,
         "bm25_filtered_nostem": bm25_filtered_sql,
         "rrf_fusion_nostem": rrf_sql,
+        "hybrid_rrf": hybrid_sql,
         "spell_correct": spell_sql,
         "related_terms": related_sql,
         "index_statistics_nostem": r"""

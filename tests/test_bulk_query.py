@@ -121,3 +121,30 @@ def test_top_vocabulary_tie_break(ray_session):
     })
     from ts_type_filter_ray.functions.textstats import top_vocabulary
     assert top_vocabulary(rd.from_arrow(tbl), 2) == ["a", "b"]
+
+
+def test_hybrid_rrf_matches_oracle(ray_session):
+    """Hybrid lexical+dense RRF: rank-only output equals the DuckDB
+    oracle (both rankings + same fusion arithmetic) at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    got = (entry.queries()["hybrid_rrf"](sf).to_pandas()
+           .sort_values(["query_idx", "rank"]).reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"create view {t} as select * from "
+                    f"'{sf}/{t}.parquet'")
+    want = (con.execute(entry.oracle_sql()["hybrid_rrf"]
+                        + " order by query_idx, rank").fetchdf()
+            .reset_index(drop=True))
+    for c in got.columns:  # driver compare is dtype-KIND-insensitive
+        assert (got[c].astype("int64").values
+                == want[c].astype("int64").values).all(), c
+    # the dense leg genuinely contributes: some top results are not in
+    # the lexical-only ranking
+    lex = (entry.queries()["bm25_topk_nostem"](sf).to_pandas())
+    lex_pairs = set(zip(lex["query_idx"], lex["doc_id"]))
+    hyb_pairs = set(zip(got["query_idx"], got["doc_id"]))
+    assert hyb_pairs - lex_pairs

@@ -1890,3 +1890,57 @@ def index_statistics_stopworded_table(sf_dir: str) -> pa.Table:
         "num_postings": pa.array([s.num_postings], type=pa.int64()),
         "total_doc_len": pa.array([s.total_doc_len], type=pa.int64()),
     })
+
+
+def hybrid_rrf_table(sf_dir: str, query_vec_ids: list[int],
+                     k: int = BM25_NOSTEM_K,
+                     queries: list | None = None,
+                     depth: int = RRF_DEPTH) -> pa.Table:
+    """(query_idx, rank, doc_id) — HYBRID retrieval: reciprocal-rank
+    fusion of a LEXICAL list (BM25 over the nostem index for text
+    query i) and a DENSE list (exact cosine top-``depth`` for query
+    vector ``query_vec_ids[i]``) over the shared doc_id ≡ vec_id id
+    space — the modern lexical+semantic search stack as one composed
+    pipeline. Fusion arithmetic and order mirror
+    :func:`rrf_fusion_nostem_table` (lexical contribution added first,
+    then dense; missing-from-list contributes 0; tie (score desc,
+    doc_id asc)); rank-only output, value-exact vs a DuckDB oracle
+    computing both rankings and the same fusion.
+
+    Docs outside the dense index's id space simply never receive a
+    dense contribution — the partial-coverage semantics a staged
+    dense-index rollout has."""
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions import ann
+    queries = list(queries or BM25_NOSTEM_QUERY_SET[:len(query_vec_ids)])
+    if len(queries) != len(query_vec_ids):
+        raise ValueError("one text query per query vector")
+    idx = build_documents_index_nostem(sf_dir)
+    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    dense = ann.brute_force_topk(
+        emb, list(query_vec_ids),
+        k=depth).to_pandas()  # ≤ queries·depth rows
+    qi, rk, di = [], [], []
+    for i, q in enumerate(queries):
+        scores: dict[int, float] = {}
+        for r, (doc_id, _s) in enumerate(searcher.bm25(q, k=depth),
+                                         start=1):
+            scores[doc_id] = 1.0 / (RRF_K0 + r)
+        drows = dense[dense["query_id"] == query_vec_ids[i]]
+        drows = drows.sort_values("rank")
+        for r, doc_id in zip(drows["rank"], drows["vec_id"]):
+            scores[int(doc_id)] = (scores.get(int(doc_id), 0.0)
+                                   + 1.0 / (RRF_K0 + int(r)))
+        ranked = sorted(scores.items(),
+                        key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (doc_id, _s) in enumerate(ranked, start=1):
+            qi.append(i)
+            rk.append(r)
+            di.append(doc_id)
+    return pa.table({
+        "query_idx": pa.array(qi, type=pa.int64()),
+        "rank": pa.array(rk, type=pa.int64()),
+        "doc_id": pa.array(di, type=pa.int64()),
+    })
