@@ -854,8 +854,9 @@ _GATE_PRIORITY = [
     "top_orders_q3",
     "asof_join", "range_join",
     "float_quantiles", "training_prep", "winnow_fingerprints",
-    # first three past the ~50 window — round-5 head candidates
-    # (ordered string_agg fold; CMS sketch algebra; value-exact HLL)
+    # parked just past the ~50 window — round-5 head candidates
+    # (ordered string_agg fold; CMS sketch algebra; value-exact HLL +
+    # register-max set algebra; hybrid lexical+dense RRF)
     "event_sequences", "cms_join_size", "hll_distinct_by_lang",
     "hll_set_ops_lang", "hybrid_rrf",
     # r4s defers to make room for the new-machinery head entries:
