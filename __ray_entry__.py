@@ -1891,7 +1891,7 @@ def oracle_sql() -> dict[str, str]:
     from ts_type_filter_ray.functions.scrub import (EMAIL_RE as _EMAIL_RE,
                                                     IPV4_RE as _IPV4_RE)
     stop = "('the','and','of','a','to','in','is','it','that','for')"
-    qids = "(0,1,2,3,4)"
+    qids = "(" + ",".join(map(str, ANN_QUERY_IDS)) + ")"
 
     def _inlist(words):
         return "(" + ",".join(f"'{w}'" for w in sorted(words)) + ")"

@@ -129,7 +129,7 @@ def test_hybrid_rrf_matches_oracle(ray_session):
     import duckdb
 
     import __ray_entry__ as entry
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     got = (entry.queries()["hybrid_rrf"](sf).to_pandas()
            .sort_values(["query_idx", "rank"]).reset_index(drop=True))
     con = duckdb.connect()

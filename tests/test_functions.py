@@ -1370,3 +1370,25 @@ def test_gap_filled_windows_empty(ray_session):
         "value": pa.array([], type=pa.float64()),
     }))
     assert gap_filled_windows(ds, window_sec=60).take_all() == []
+
+
+def test_brute_force_topk_tie_exact_across_batch_cutoff(ray_session):
+    """Duplicate vectors tied at the local top-k boundary must resolve
+    by (sim desc, vec_id asc) — regression for the argpartition
+    arbitrary-tie drop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.ann import brute_force_topk
+    # 30 identical vectors (all sim ties) + the query vector itself
+    n = 30
+    emb = [[1.0, 0.0]] * n
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+    })
+    out = (brute_force_topk(rd.from_arrow(t), [0], k=5).to_pandas()
+           .sort_values("rank"))
+    # every sim is 1.0 → the k smallest vec_ids win, in order
+    assert out["vec_id"].tolist() == [0, 1, 2, 3, 4]

@@ -63,13 +63,20 @@ class _BatchTopK:
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         sims = self._q @ emb.T  # (#queries, batch)
         k = min(self._k, sims.shape[1])
-        # local top-k per query (unordered partial)
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        # local top-k per query with the GLOBAL tie-break (sim desc,
+        # vec_id asc): a plain argpartition keeps an arbitrary member
+        # of a sim tie straddling the local cutoff — the dropped twin
+        # may be the one the final lexsort (and the SQL oracle's
+        # row_number) would rank first. A full per-query lexsort of
+        # the batch is exact under any tie structure and costs
+        # O(n log n) on a few-thousand-row batch — noise next to the
+        # matmul above.
         qid_col, vid_col, sim_col = [], [], []
         for qi in range(sims.shape[0]):
-            qid_col.extend([int(self._qids[qi])] * k)
-            vid_col.extend(vec_ids[idx[qi]].tolist())
-            sim_col.extend(sims[qi, idx[qi]].tolist())
+            pick = np.lexsort((vec_ids, -sims[qi]))[:k]
+            qid_col.extend([int(self._qids[qi])] * len(pick))
+            vid_col.extend(vec_ids[pick].tolist())
+            sim_col.extend(sims[qi, pick].tolist())
         return pa.table({
             "query_id": pa.array(qid_col, type=pa.int64()),
             "vec_id": pa.array(vid_col, type=pa.int64()),

@@ -1929,7 +1929,8 @@ def hybrid_rrf_table(sf_dir: str, query_vec_ids: list[int],
                                          start=1):
             scores[doc_id] = 1.0 / (RRF_K0 + r)
         drows = dense[dense["query_id"] == query_vec_ids[i]]
-        drows = drows.sort_values("rank")
+        # iteration order is immaterial: each vec_id appears at most
+        # once per query, contributions are keyed per doc
         for r, doc_id in zip(drows["rank"], drows["vec_id"]):
             scores[int(doc_id)] = (scores.get(int(doc_id), 0.0)
                                    + 1.0 / (RRF_K0 + int(r)))
