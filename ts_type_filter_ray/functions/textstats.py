@@ -1200,4 +1200,4 @@ def phrase_counts_sql(phrases: tuple[str, ...]) -> str:
                    // length('{esc}'))::BIGINT as n
         from documents
         where length(text) - length(replace(text, '{esc}', '')) > 0""")
-    return "union all".join(branches)
+    return "\nunion all\n".join(branches)
