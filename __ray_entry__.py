@@ -855,7 +855,7 @@ _GATE_PRIORITY = [
     "collapsed_topk_nostem", "bm25f_topk_nostem",
     # -- ANN exactness-configuration gates (the identity trick) --
     "ann_ivf_exhaustive", "pq_exhaustive_refine",
-    "knn_join_probed_exhaustive", "mmr_topk_lambda1",
+    "knn_join_probed_exhaustive", "graph_search_exhaustive",
     # ---- tail: the 30 remaining never-checked entries, every one
     # machinery-covered by a green (or head-50) sibling — r6 head
     # candidates in this order ----
@@ -878,6 +878,9 @@ _GATE_PRIORITY = [
     # selection/sampling siblings of green hashing machinery
     "dsir_select", "temperature_sample", "select_until_budget",
     "spectral_direction",
+    # mmr λ=1 ⊂ the same brute-force oracle the head's ANN trio +
+    # graph_search_exhaustive already cover
+    "mmr_topk_lambda1",
 ]
 
 
@@ -1374,6 +1377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 __import__("tempfile").mkdtemp(prefix="graft_graph_idx_")),
             ANN_QUERY_IDS, k=ANN_K).select_columns(
                 ["query_id", "rank", "vec_id"]),
+        # exactness-configuration gate for the beam (r5, VERDICT #7): a
+        # COMPLETE graph (k = N-1) makes one hop visit every vector, so
+        # beam top-k ≡ brute force — value-exact over the SAME
+        # bucket-pruned written layouts the approximate entry drives
+        "graph_search_exhaustive": _graph_search_exhaustive,
         "knn_graph": lambda sf: ann.knn_graph_descent(
             _emb(sf), k=5, iters=2).select_columns(
                 ["vec_id", "rank", "neighbor_id"]),
@@ -1786,6 +1794,22 @@ def _validate_carts(sf_dir: str):
         fn_constructor_args=(VALIDATE_GRAPH_SOURCE, "Cart"),
         batch_format="pyarrow",
         concurrency=2).select_columns(["cart_id", "valid"])
+
+
+def _graph_search_exhaustive(sf_dir: str):
+    import tempfile
+
+    from ts_type_filter_ray.functions import ann
+    emb = _emb(sf_dir)
+    n = emb.count()
+    complete = ann.knn_join(emb, k=n - 1, block_rows=256)
+    return ann.graph_search_topk(
+        ann.write_vector_index(
+            _emb(sf_dir), tempfile.mkdtemp(prefix="graft_vec_idx_ex_")),
+        ann.write_graph_index(
+            complete, tempfile.mkdtemp(prefix="graft_graph_idx_ex_")),
+        ANN_QUERY_IDS, k=ANN_K, ef=max(64, ANN_K),
+        num_hops=1).select_columns(["query_id", "rank", "vec_id"])
 
 
 def _normalize_carts(sf_dir: str):
@@ -4939,6 +4963,11 @@ def oracle_sql() -> dict[str, str]:
     # MMR at lambda=1.0 degenerates exactly to cosine top-k (zero
     # redundancy weight, same (sim desc, vec_id asc) selection fold)
     out["mmr_topk_lambda1"] = out["ann_topk"]
+    # beam search over a COMPLETE kNN graph (k = N-1) visits every
+    # vector in one hop and keeps the best ef ≥ k → exact → shares the
+    # brute-force cosine oracle, while still driving the bucket-pruned
+    # write_graph_index/write_vector_index hop path (VERDICT r4 #7)
+    out["graph_search_exhaustive"] = out["ann_topk"]
     # probed kNN join at nprobe ≥ #cells runs every block pair → exact
     out["knn_join_probed_exhaustive"] = out["knn_join"]
 

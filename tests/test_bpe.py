@@ -180,3 +180,43 @@ def test_encode_trained_matches_naive(ray_session):
         toks = row["text"].strip().lower().split()
         want = sum(len(naive_encode(t, merges)) for t in toks)
         assert out[row["doc_id"]] == want
+
+
+def test_sharded_trainer_bit_identical(ray_session):
+    from ts_type_filter_ray.functions.bpe import train_bpe_sharded
+    rng = np.random.default_rng(4)
+    words = ["low", "lower", "newest", "widest", "the", "then", "than",
+             "loly", "lowest", "newer"]
+    docs = [" ".join(rng.choice(words, rng.integers(3, 20)))
+            for _ in range(300)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "text": pa.array(docs)}))
+    a = train_bpe(ds, 15).to_pandas()
+    b = train_bpe_sharded(ds, 15).to_pandas()
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_sharded_trainer_wide_vocabulary(ray_session):
+    """Many distinct words spread over many shards (num_parts floor is
+    16): the driver folds only pair deltas; state lives in the shard
+    actors. Bit-identity with the single-process trainer over a
+    30k-distinct-word synthetic vocabulary."""
+    from ts_type_filter_ray.functions.bpe import train_bpe_sharded
+    rng = np.random.default_rng(9)
+    alphabet = "abcdefgh"
+    vocab = list({"".join(rng.choice(list(alphabet),
+                                     rng.integers(3, 9)))
+                  for _ in range(30_000)})
+    docs = [" ".join(vocab[j] for j in rng.integers(0, len(vocab), 40))
+            for _ in range(800)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(800, dtype=np.int64)),
+        "text": pa.array(docs)}))
+    a = train_bpe(ds, 8).to_pandas()
+    b = train_bpe_sharded(ds, 8).to_pandas()
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
