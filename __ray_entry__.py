@@ -866,7 +866,7 @@ _GATE_PRIORITY = [
     "bulk_bm25_topk_nostem", "function_score_topk",
     # positional/field/stopword variants of green match machinery
     "ordered_proximity_match", "first_positions", "range_filter_match",
-    "field_stats_match", "stopword_match", "index_statistics_stopworded",
+    "field_stats_match", "stopword_match",
     "sorted_match", "faceted_match_counts", "term_vectors",
     "export_postings",
     # vocab-sweep wildcard siblings of the head's indexed paths
@@ -1225,8 +1225,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from postings AND doc_len) — the stopword machinery itself on
         # the value-exact gate via the identity-stemmer build
         "stopword_match": lambda sf: flagship.stopword_match_table(sf),
-        "index_statistics_stopworded":
-            lambda sf: flagship.index_statistics_stopworded_table(sf),
         # value-exact oracles never sampled in r1-r3
         "asof_join": lambda sf: _events_mod().asof_join_prior(_events(sf)),
         "range_join": lambda sf: _events_mod().range_join_count(
@@ -3879,22 +3877,6 @@ def oracle_sql() -> dict[str, str]:
             q(query_idx, term) as (values {stopword_rows})
             select distinct q.query_idx, t.doc_id
             from q join toks t on t.term = q.term""",
-        "index_statistics_stopworded": rf"""
-            with toks as (
-              select doc_id, term from (
-                select doc_id,
-                       unnest(regexp_split_to_array(lower(trim(text)),
-                                                    '\s+')) as term
-                from documents where trim(text) <> '')
-              where term not in ({_stop_inlist}))
-            select (select count(*) from documents)::BIGINT
-                       as num_documents,
-                   (select count(distinct term) from toks)::BIGINT
-                       as num_unique_terms,
-                   (select count(*) from
-                       (select distinct doc_id, term from toks))::BIGINT
-                       as num_postings,
-                   (select count(*) from toks)::BIGINT as total_doc_len""",
         "term_vectors": rf"""
             select doc_id, term, count(*)::BIGINT as tf
             from (select doc_id,
