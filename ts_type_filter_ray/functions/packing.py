@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .textstats import _tokens
@@ -101,12 +102,14 @@ def pack_token_spans(ds: Dataset, seq_len: int,
         off += int(r["part_n"])
     base_ref = ray.put(base)
 
-    def spans(group):
+    def spans(group: pa.Table) -> pa.Table:
         bases = ray.get(base_ref)
-        part = int(group["part"].iloc[0])
-        g = group.sort_values("doc_id")
-        n = g["n"].to_numpy().astype(np.int64)
-        doc = g["doc_id"].to_numpy().astype(np.int64)
+        part = int(group["part"][0].as_py())
+        order = pc.sort_indices(group["doc_id"])
+        n = group["n"].take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = group["doc_id"].take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         off = bases[part] + np.concatenate(
             ([0], np.cumsum(n)))[:-1]  # exclusive scan + part base
         keep = n > 0
@@ -116,7 +119,7 @@ def pack_token_spans(ds: Dataset, seq_len: int,
                 "doc_id": pa.array([], type=pa.int64()),
                 "seq_id": pa.array([], type=pa.int64()),
                 "n_tokens": pa.array([], type=pa.int64()),
-            }).to_pandas()
+            })
         first = off // seq_len
         last = (off + n - 1) // seq_len
         nseq = (last - first + 1).astype(np.int64)
@@ -126,11 +129,10 @@ def pack_token_spans(ds: Dataset, seq_len: int,
         seq = np.repeat(first, nseq) + _ragged_arange(nseq)
         take = (np.minimum((seq + 1) * seq_len, end_r)
                 - np.maximum(seq * seq_len, off_r))
-        out = pa.table({
+        return pa.table({
             "doc_id": pa.array(doc_r, type=pa.int64()),
             "seq_id": pa.array(seq, type=pa.int64()),
             "n_tokens": pa.array(take, type=pa.int64()),
         })
-        return out.to_pandas()
 
-    return c.groupby("part").map_groups(spans, batch_format="pandas")
+    return c.groupby("part").map_groups(spans, batch_format="pyarrow")

@@ -156,23 +156,30 @@ def significant_terms_table(sf_dir: str,
         return batch.append_column(
             "bg_df", pa.array(dfs[idx], type=pa.int64()))
 
-    def topk(group) -> "pa.Table":
-        import pandas as pd  # noqa: F401 (pandas group format)
-        i = int(group["query_idx"].iloc[0])
-        g = group[~group["term"].isin(stems[i])]
-        g = g[g["fg_df"] >= min_fg]
-        fg = g["fg_df"].to_numpy(dtype=np.int64)
-        bg = g["bg_df"].to_numpy(dtype=np.int64)
+    def topk(group: pa.Table) -> pa.Table:
+        i = int(group["query_idx"][0].as_py())
+        own = pa.array(sorted(stems[i]), type=pa.string())
+        keep = pc.and_(
+            pc.invert(pc.is_in(group["term"], value_set=own)),
+            pc.greater_equal(group["fg_df"], min_fg))
+        g = group.filter(keep)
+        fg = g["fg_df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bg = g["bg_df"].to_numpy(zero_copy_only=False).astype(np.int64)
         # exact int64 products, one rounded division — the oracle's
         # (fg_df * n)::DOUBLE / (bg_df * n_fg)::DOUBLE expression
         lift = (fg * n_total).astype(np.float64) / \
             (bg * np.int64(n_fg[i])).astype(np.float64)
-        g = g.assign(lift=lift)
-        g = g.sort_values(["lift", "fg_df", "term"],
-                          ascending=[False, False, True],
-                          kind="stable").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_idx", "rank", "term", "fg_df", "bg_df", "lift"]]
+        g = g.append_column("lift", pa.array(lift))
+        order = pc.sort_indices(
+            g, sort_keys=[("lift", "descending"),
+                          ("fg_df", "descending"),
+                          ("term", "ascending")])[:k]
+        g = g.take(order)
+        g = g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1,
+                                       dtype=np.int64)))
+        return g.select(["query_idx", "rank", "term", "fg_df",
+                         "bg_df", "lift"])
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
@@ -180,8 +187,10 @@ def significant_terms_table(sf_dir: str,
              .groupby(["query_idx", "term"]).aggregate(Sum("fg_df"))
              .rename_columns(["query_idx", "term", "fg_df"])
              .map_batches(attach_bg, batch_format="pyarrow")
-             .groupby("query_idx").map_groups(topk, batch_format="pandas"))
-    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+             .groupby("query_idx").map_groups(topk,
+                                              batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        b for b in agg.iter_batches(batch_format="pyarrow"))
     return pa.table({
         "query_idx": tbl["query_idx"].cast(pa.int64()),
         "rank": tbl["rank"].cast(pa.int64()),

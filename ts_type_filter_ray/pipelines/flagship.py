@@ -1008,14 +1008,20 @@ def related_terms_table(sf_dir: str,
             "df": pa.array(out_d, type=pa.int64()),
         })
 
-    def topk(group) -> "pa.Table":
-        import pandas as pd
-        i = int(group["query_idx"].iloc[0])
-        g = group[~group["term"].isin(stems[i])]
-        g = g.sort_values(["df", "term"],
-                          ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_idx", "rank", "term", "df"]]
+    def topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        i = int(group["query_idx"][0].as_py())
+        own = pa.array(sorted(stems[i]), type=pa.string())
+        g = group.filter(
+            pc.invert(pc.is_in(group["term"], value_set=own)))
+        order = pc.sort_indices(
+            g, sort_keys=[("df", "descending"),
+                          ("term", "ascending")])[:k]
+        g = g.take(order)
+        g = g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1,
+                                       dtype=np.int64)))
+        return g.select(["query_idx", "rank", "term", "df"])
 
     import ray.data as rd
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -1023,8 +1029,10 @@ def related_terms_table(sf_dir: str,
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["query_idx", "term"]).aggregate(Sum("df"))
              .rename_columns(["query_idx", "term", "df"])
-             .groupby("query_idx").map_groups(topk, batch_format="pandas"))
-    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+             .groupby("query_idx").map_groups(topk,
+                                              batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        b for b in agg.iter_batches(batch_format="pyarrow"))
     return pa.table({
         "query_idx": tbl["query_idx"].cast(pa.int64()),
         "rank": tbl["rank"].cast(pa.int64()),
