@@ -1172,21 +1172,6 @@ def suffix_match_indexed_table(sf_dir: str,
                      "doc_id": pa.array(di, type=pa.int64())})
 
 
-def infix_match_nostem_table(sf_dir: str,
-                             infixes: list[str] | None = None) -> pa.Table:
-    """(query_idx, doc_id) '*infix*' wildcard match sets — vectorized
-    match_substring vocab sweep + postings union
-    (``LocalSearcher.match_contains``), vs a SQL LIKE '%infix%' oracle."""
-    idx = build_documents_index_nostem(sf_dir)
-    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
-    qi, di = [], []
-    for i, s in enumerate(infixes or INFIX_QUERY_SET):
-        for doc_id in searcher.match_contains(s).tolist():
-            qi.append(i)
-            di.append(doc_id)
-    return pa.table({"query_idx": pa.array(qi, type=pa.int64()),
-                     "doc_id": pa.array(di, type=pa.int64())})
-
 
 def tfidf_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
                             queries: list | None = None) -> pa.Table:
@@ -1306,27 +1291,6 @@ BULK_QUERY_SET: list[str] = (
        "customer vector line"]
 )
 
-
-def bulk_match_nostem_table(sf_dir: str,
-                            queries: list | None = None) -> pa.Table:
-    """(query_idx, doc_id) boolean matches for the BULK query workload,
-    executed as a DATASET of queries streaming through a
-    :class:`pipelines.bulk.BulkSearcher` actor pool (query-partitioned
-    parallelism, searcher built once per actor) — the distributed
-    bulk-execution shape on the value-exact gate: the same DuckDB
-    lowercase-token oracle as ``boolean_match_nostem``, over this
-    workload's query set."""
-    from .bulk import bulk_match
-
-    idx = build_documents_index_nostem(sf_dir)
-    ds = bulk_match(idx.root, queries or BULK_QUERY_SET,
-                    stemmer=identity_stemmer, concurrency=2)
-    df = ds.to_pandas()
-    tbl = pa.Table.from_pandas(df, preserve_index=False)
-    return pa.table({
-        "query_idx": tbl["query_idx"].cast(pa.int64()),
-        "doc_id": tbl["doc_id"].cast(pa.int64()),
-    })
 
 
 def bulk_bm25_topk_table(sf_dir: str, k: int = BM25_NOSTEM_K,
@@ -1657,33 +1621,6 @@ def boosted_bm25_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
 JM_LAMBDA = 0.7
 
 
-def ql_jm_topk_nostem_table(sf_dir: str, k: int = BM25_NOSTEM_K,
-                            queries: list | None = None) -> pa.Table:
-    """(query_idx, rank, doc_id) Jelinek-Mercer query-likelihood top-k
-    from the identity-stemmer index — RANK-ONLY, value-exact vs a
-    DuckDB oracle computing the same linearly-interpolated language
-    model (same λ, ctf/C, qtf multiplicities, float64 expression
-    shapes, ascending-term left fold + post-fold query constant, and
-    (score desc, doc_id asc) tie-break). The fourth ranked scorer
-    (``LocalSearcher.query_likelihood_jm``)."""
-    idx = build_documents_index_nostem(sf_dir)
-    searcher = LocalSearcher(idx, stemmer=identity_stemmer)
-    qi, rk, di = [], [], []
-    for i, q in enumerate(queries or BM25_NOSTEM_QUERY_SET):
-        ranked = searcher.query_likelihood_jm(q, k=k, lam=JM_LAMBDA)
-        for r, (doc_id, _score) in enumerate(ranked, start=1):
-            qi.append(i)
-            rk.append(r)
-            di.append(doc_id)
-    return pa.table({
-        "query_idx": pa.array(qi, type=pa.int64()),
-        "rank": pa.array(rk, type=pa.int64()),
-        "doc_id": pa.array(di, type=pa.int64()),
-    })
-
-
-# -- Numeric field surfaces: range filters, sort-by-field, field stats ----
-# (the Lucene points / doc-values analog — pipelines/numeric.py)
 
 def numeric_index_for(sf_dir: str) -> "object":
     """Numeric field index over ``documents.n_chars``, nested under the
@@ -1885,19 +1822,6 @@ def index_fsck_table(sf_dir: str) -> pa.Table:
     idx = build_documents_index_nostem(sf_dir)
     return fsck_index(idx.root, corpus_from_documents(sf_dir))
 
-
-def index_statistics_stopworded_table(sf_dir: str) -> pa.Table:
-    """Distributed aggregates of the stopworded index — total_doc_len
-    must exclude stopword occurrences (the doc_len side of StopFilter
-    semantics), num_unique_terms must exclude the stoplist."""
-    idx = build_documents_index_stopworded(sf_dir)
-    s = idx.stats
-    return pa.table({
-        "num_documents": pa.array([s.num_documents], type=pa.int64()),
-        "num_unique_terms": pa.array([s.num_unique_terms], type=pa.int64()),
-        "num_postings": pa.array([s.num_postings], type=pa.int64()),
-        "total_doc_len": pa.array([s.total_doc_len], type=pa.int64()),
-    })
 
 
 def hybrid_rrf_table(sf_dir: str, query_vec_ids: list[int],
