@@ -2398,72 +2398,10 @@ def oracle_sql() -> dict[str, str]:
     boosted_bm25_sql = boosted_bm25_sql + _ranked_select(
         "wscored", f"rank <= {BM25_NOSTEM_K}")
 
-    # Jelinek-Mercer query likelihood (LocalSearcher.query_likelihood_jm):
-    # linear interpolation instead of the Dirichlet prior. Per-doc fold of
-    # qtf·ln(1 + ((1-λ)/λ)·(tf/dl)/(ctf/C)) over matched terms ascending,
-    # plus the query-only constant Σ qtf·ln(λ·ctf/C) — itself an
-    # ascending-term list fold so the float is bit-identical on both
-    # sides.
-    from ts_type_filter_ray.pipelines.flagship import JM_LAMBDA
-    jm_nostem_sql = rf"""
-            with base as (
-              select doc_id,
-                     case when trim(text) = '' then cast([] as varchar[])
-                          else regexp_split_to_array(lower(trim(text)),'\s+')
-                     end as arr
-              from documents),
-            dl_t as (select doc_id, len(arr)::BIGINT as dl from base),
-            stats as (select coalesce(sum(dl), 0)::BIGINT as tdl from dl_t),
-            tf_t as (
-              select doc_id, term, count(*)::BIGINT as tf
-              from (select doc_id, unnest(arr) as term from base)
-              group by doc_id, term),
-            ctf_t as (select term, sum(tf)::BIGINT as ctf
-                      from tf_t group by term),
-            q(query_idx, term, qtf) as (values {ql_rows}),
-            qconst_t as (
-              select q.query_idx,
-                     list_aggregate(list(
-                       q.qtf * ln({JM_LAMBDA} * (f.ctf / s.tdl))
-                       order by q.term asc), 'sum') as qconst
-              from q join ctf_t f on f.term = q.term
-              cross join stats s
-              group by q.query_idx),
-            jscored as (
-              select q.query_idx, t.doc_id,
-                     list_aggregate(list(
-                       q.qtf * ln(1.0 + ((1.0 - {JM_LAMBDA}) / {JM_LAMBDA})
-                                  * ((t.tf / l.dl) / (f.ctf / s.tdl)))
-                       order by q.term asc), 'sum')
-                     + qc.qconst as score
-              from q
-              join tf_t t on t.term = q.term
-              join ctf_t f on f.term = q.term
-              join dl_t l on l.doc_id = t.doc_id
-              join qconst_t qc on qc.query_idx = q.query_idx
-              cross join stats s
-              group by q.query_idx, t.doc_id, qc.qconst)"""
-    jm_nostem_sql = jm_nostem_sql + _ranked_select(
-        "jscored", f"rank <= {BM25_NOSTEM_K}")
     # ---- late-r4 query surfaces ----
     from ts_type_filter_ray.pipelines.flagship import (
-        BULK_QUERY_SET, COLLAPSE_K, MLT_K, MLT_SEED_DOC_IDS, MLT_TERMS,
+        COLLAPSE_K, MLT_K, MLT_SEED_DOC_IDS, MLT_TERMS,
         REGEX_QUERY_SET)
-    # bulk workload: same lowercase-token match oracle as
-    # boolean_match_nostem, over the bulk query set's stem rows
-    bulk_rows = ",".join(
-        f"({qi},'{t}')" for qi, q in enumerate(BULK_QUERY_SET)
-        for t in query_stems(q, stemmer=identity_stemmer))
-    bulk_match_sql = rf"""
-            with q(query_idx, term) as (values {bulk_rows}),
-            toks as (
-              select distinct doc_id, term from (
-                select doc_id,
-                       unnest(regexp_split_to_array(lower(trim(text)),'\s+'))
-                       as term
-                from documents where trim(text) <> ''))
-            select distinct q.query_idx, t.doc_id
-            from q join toks t using (term)"""
     # regex vocabulary match: DuckDB regexp_matches is RE2 partial-match,
     # identical semantics to the engine's match_substring_regex sweep
     regex_rows = ",".join(f"({i},'{p}')"
@@ -2640,7 +2578,6 @@ def oracle_sql() -> dict[str, str]:
     # broadcast-count pipeline) — all generated from the SAME constant
     # query sets the engine answers (pipelines/flagship.py)
     from ts_type_filter_ray.pipelines.flagship import (FUZZY_QUERY_SET,
-                                                       INFIX_QUERY_SET,
                                                        MINSHOULD_QUERY_SET,
                                                        SUFFIX_QUERY_SET)
     minshould_branches = []
@@ -2677,12 +2614,6 @@ def oracle_sql() -> dict[str, str]:
     suffix_sql = (nostem_toks_cte + "\n" +
                   "\nunion all\n".join(suffix_branches))
 
-    infix_branches = [
-        f"select distinct cast({i} as bigint) as query_idx, doc_id"
-        f" from toks where term like '%{_like_body(s)}%' escape '\\'"
-        for i, s in enumerate(INFIX_QUERY_SET)]
-    infix_sql = (nostem_toks_cte + "\n" +
-                 "\nunion all\n".join(infix_branches))
 
     # trigram-indexed surfaces: same LIKE '%q%' / regexp_matches oracle
     # shapes over their own (len ≥ 3 / literal-factor) query panels
