@@ -20,8 +20,13 @@ import sys
 def _ensure_ray(num_cpus: int | None) -> None:
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # honor RAY_ADDRESS so `ray job submit` runs attach to the
+        # cluster's GCS; num_cpus is only legal when starting local Ray
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if addr == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=addr, **kwargs)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
