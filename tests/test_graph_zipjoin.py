@@ -113,3 +113,78 @@ def test_dataset_mode_rejects_foreign_ids(ray_session):
     }))
     with pytest.raises(Exception, match="node"):
         pagerank(edges, 4, state_mode="dataset").to_pandas()
+
+
+# -- alternating-star connected components (r5) ------------------------
+
+
+def _uf_labels(n, pairs):
+    p = list(range(n))
+
+    def find(x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            p[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)])
+
+
+def _cc_pair(n, pairs, **kw):
+    from ts_type_filter_ray.functions.graph import connected_components
+    nodes = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64))}))
+    edges = rd.from_arrow(pa.table({
+        "id_a": pa.array(np.array([a for a, b in pairs],
+                                  dtype=np.int64)),
+        "id_b": pa.array(np.array([b for a, b in pairs],
+                                  dtype=np.int64))}))
+    got = (connected_components(nodes, edges, algorithm="star", **kw)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == n
+    assert (got["component"].to_numpy() == _uf_labels(n, pairs)).all()
+
+
+def test_star_cc_random(ray_session):
+    rng = np.random.default_rng(7)
+    pairs = ([(i, i + 1) for i in range(0, 40, 2)]
+             + [(int(rng.integers(0, 200)), int(rng.integers(0, 200)))
+                for _ in range(150)])
+    _cc_pair(220, pairs)
+
+
+def test_star_cc_long_chain(ray_session):
+    # the diameter-bound killer: min-label needs one round per hop
+    # (400 here); the star variant converges in O(log n)
+    _cc_pair(420, [(i, i + 1) for i in range(400)])
+
+
+def test_star_cc_loops_dups_cliques(ray_session):
+    _cc_pair(30, [(5, 5), (1, 2), (2, 1), (1, 2), (10, 11)])
+    pairs = ([(a, b) for a in range(10) for b in range(a + 1, 10)]
+             + [(a, b) for a in range(30, 40) for b in range(a + 1, 40)])
+    _cc_pair(50, pairs)
+
+
+def test_star_cc_matches_minlabel(ray_session):
+    from ts_type_filter_ray.functions.graph import connected_components
+    rng = np.random.default_rng(11)
+    n = 300
+    pairs = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+             for _ in range(200)]
+    nodes = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64))}))
+    edges = rd.from_arrow(pa.table({
+        "id_a": pa.array(np.array([a for a, b in pairs],
+                                  dtype=np.int64)),
+        "id_b": pa.array(np.array([b for a, b in pairs],
+                                  dtype=np.int64))}))
+    a = (connected_components(nodes, edges)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (connected_components(nodes, edges, algorithm="star")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (a["component"].to_numpy() == b["component"].to_numpy()).all()

@@ -42,7 +42,8 @@ def connected_components(nodes: Dataset, edges: Dataset,
                          node_col: str = "doc_id",
                          a_col: str = "id_a", b_col: str = "id_b",
                          max_iters: int = 50,
-                         num_parts: int | None = None) -> Dataset:
+                         num_parts: int | None = None,
+                         algorithm: str = "minlabel") -> Dataset:
     """(node_col, component) for every node — ``component`` is the
     minimum node id of the node's connected component (isolated nodes
     map to themselves). *edges* is undirected pairs; self-loops and
@@ -50,11 +51,19 @@ def connected_components(nodes: Dataset, edges: Dataset,
 
     Convergence: plain min-label propagation — the minimum travels one
     hop per round, so the round count is O(component DIAMETER) (near-dup
-    clusters are dense, diameter is tiny in practice; the
-    large-star/small-star O(log) variant is the upgrade path if chains
-    ever dominate). If ``max_iters`` rounds pass without reaching the
-    fixpoint the function RAISES rather than returning silently split
-    components."""
+    clusters are dense, diameter is tiny in practice). For chain-shaped
+    components pass ``algorithm="star"`` — the alternating
+    Large-Star/Small-Star variant (:func:`connected_components_star`,
+    r5) converges in O(log n) rounds regardless of diameter, identical
+    output (union-find-verified pytest). If ``max_iters`` rounds pass
+    without reaching the fixpoint the function RAISES rather than
+    returning silently split components."""
+    if algorithm == "star":
+        return connected_components_star(
+            nodes, edges, node_col=node_col, a_col=a_col, b_col=b_col,
+            num_parts=num_parts)
+    if algorithm != "minlabel":
+        raise ValueError("algorithm must be 'minlabel' or 'star'")
     if num_parts is None:
         num_parts = auto_num_parts(nodes)
 
@@ -1945,3 +1954,159 @@ def _kcore_dataset(edges: Dataset, num_nodes: int, *, k: int,
         return pa.table({"node": t["node"]})
 
     return state.map_batches(emit, batch_format="pyarrow").sort("node")
+
+
+# ---------------------------------------------------------------------------
+# Alternating-star connected components (the O(log) rounds variant)
+# ---------------------------------------------------------------------------
+
+
+def _pair_signature(lo: np.ndarray, hi: np.ndarray) -> tuple[int, int]:
+    """(count, order-insensitive xor fingerprint) of a canonical pair
+    set — the convergence test for the star rounds (the edge multiset
+    shrinks monotonically toward the star fixpoint; equal signatures on
+    consecutive rounds ⇒ fixpoint)."""
+    if lo.size == 0:
+        return 0, 0
+    z = lo.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+        ^ hi.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = z ^ (z >> np.uint64(27))
+    acc = np.bitwise_xor.reduce(z)
+    return int(lo.size), int(acc)
+
+
+def connected_components_star(nodes: Dataset, edges: Dataset,
+                              node_col: str = "doc_id",
+                              a_col: str = "id_a", b_col: str = "id_b",
+                              max_iters: int = 60,
+                              num_parts: int | None = None) -> Dataset:
+    """:func:`connected_components` semantics via alternating
+    Large-Star / Small-Star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — public): per round
+    each node attaches its larger (large-star) or smaller (small-star)
+    neighbors to its minimum neighbor, which contracts every component
+    to a star around its minimum id in **O(log n) rounds regardless of
+    diameter** — the upgrade path the min-label docstring names for
+    chain-shaped components (min propagation needs one round per hop;
+    a 10^6-node path graph is 10^6 rounds there and ~20 here).
+
+    Distributed shape per round: the canonical edge set doubles into
+    (center, neighbor) rows, one coarse center-hash groupby runs the
+    vectorized star kernel (per-segment min via ``minimum.reduceat``,
+    masked emission, partition-local pair dedup), and an O(parts)
+    signature fold decides convergence. At the fixpoint every edge is
+    (component-min, member); labels come from one Min groupby over the
+    star edges unioned with node self-rows."""
+    if num_parts is None:
+        num_parts = auto_num_parts(nodes)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"lo": pa.array(lo[keep]),
+                         "hi": pa.array(hi[keep])})
+
+    cur = (edges.map_batches(canon, batch_format="pyarrow")
+           .repartition(num_parts).materialize())
+
+    def double(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([lo, hi])
+        v = np.concatenate([hi, lo])
+        return pa.table({
+            "part": pa.array((u & (num_parts - 1)).astype(np.int32)),
+            "u": pa.array(u), "v": pa.array(v),
+        })
+
+    def make_star(large: bool):
+        def star(group: pa.Table) -> pa.Table:
+            u = group["u"].to_numpy(zero_copy_only=False)
+            v = group["v"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            first, starts = _zip_segments(u)
+            lens = np.diff(np.append(starts, u.size))
+            m = np.minimum(np.minimum.reduceat(v, starts), u[starts])
+            m_full = np.repeat(m, lens)
+            if large:
+                mask = v > u
+                lo, hi = m_full[mask], v[mask]
+            else:
+                mask = (v < u) & (v != m_full)
+                lo, hi = m_full[mask], v[mask]
+                centers = u[starts] != m
+                lo = np.concatenate([lo, m[centers]])
+                hi = np.concatenate([hi, u[starts][centers]])
+            keep = lo != hi
+            lo, hi = lo[keep], hi[keep]
+            # partition-local canonical dedup (global dedup falls out
+            # of the next round's groupby)
+            order2 = np.lexsort((hi, lo))
+            lo, hi = lo[order2], hi[order2]
+            fresh = np.ones(lo.size, dtype=bool)
+            fresh[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+            return pa.table({"lo": pa.array(lo[fresh]),
+                             "hi": pa.array(hi[fresh])})
+        return star
+
+    def sig_partial(batch: pa.Table) -> pa.Table:
+        n, x = _pair_signature(
+            batch["lo"].to_numpy(zero_copy_only=False),
+            batch["hi"].to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([n], type=pa.int64()),
+                         "x": pa.array([np.int64(np.uint64(x)
+                                        .astype(np.int64))])})
+
+    def signature(ds: Dataset) -> tuple[int, int]:
+        n = x = 0
+        for b in _fold_arrays(ds.map_batches(sig_partial,
+                                             batch_format="pyarrow")):
+            n += int(b["n"].sum())
+            for val in b["x"]:
+                x ^= int(np.uint64(np.int64(val)))
+        return n, x
+
+    prev = None
+    converged = False
+    for _ in range(max_iters):
+        for large in (True, False):
+            cur = (cur.map_batches(double, batch_format="pyarrow")
+                   .groupby("part")
+                   .map_groups(make_star(large), batch_format="pyarrow")
+                   .repartition(num_parts).materialize())
+        sig = signature(cur)
+        if sig == prev:
+            converged = True
+            break
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds — raise max_iters (expected O(log n) rounds)")
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[node_col], pa.int64())
+        return pa.table({"node": ids, "label": ids})
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        # star edges: member hi labeled by center lo; the center labels
+        # itself via its node self-row
+        return pa.table({"node": batch["hi"], "label": batch["lo"]})
+
+    labels = (nodes.select_columns([node_col])
+              .map_batches(self_rows, batch_format="pyarrow")
+              .union(cur.map_batches(edge_rows, batch_format="pyarrow"))
+              .groupby("node")
+              .aggregate(Min("label", alias_name="label")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({node_col: batch["node"],
+                         "component": batch["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
