@@ -113,3 +113,60 @@ def test_persisted_df_tracks_extend_and_compact(corpora, tmp_path,
     assert load_global_df(idx).equals(meta_df(idx))
     idx = compact_index(str(tmp_path / "dfinc"))
     assert load_global_df(idx).equals(meta_df(idx))
+
+
+def test_maybe_compact_policy(ray_session, tmp_path):
+    """Tiered policy: metadata-only no-op below both thresholds,
+    compacts past the segment cap, and result equals an eager
+    compaction (same stats, 1 segment)."""
+    from ts_type_filter_ray.pipelines.build import (build_index,
+                                                    extend_index,
+                                                    maybe_compact)
+    from ts_type_filter_ray.sources.corpus import read_corpus
+    from ts_type_filter_ray.sources.synthetic import generate_corpus
+
+    base = str(tmp_path / "c0")
+    generate_corpus(base, num_docs=60, seed=31, num_files=2)
+    root = str(tmp_path / "idx")
+    build_index(read_corpus(base), root)
+
+    exts = []
+    for i in range(3):
+        d = str(tmp_path / f"c{i+1}")
+        generate_corpus(d, num_docs=20, seed=40 + i, num_files=1)
+        exts.append(d)
+        extend_index(root, read_corpus(d))
+
+    # 4 segments total — at the default cap, not over it
+    did, idx = maybe_compact(root, max_segments=4)
+    assert not did and idx.stats.num_segments == 4
+
+    did, idx = maybe_compact(root, max_segments=3)
+    assert did and idx.stats.num_segments == 1
+    assert idx.stats.num_documents == 120
+
+    # already compact: no-op again
+    did, idx = maybe_compact(root, max_segments=3)
+    assert not did
+
+
+def test_maybe_compact_tombstone_trigger(ray_session, tmp_path):
+    from ts_type_filter_ray.pipelines.build import (build_index,
+                                                    delete_docs,
+                                                    maybe_compact)
+    from ts_type_filter_ray.sources.corpus import read_corpus
+    from ts_type_filter_ray.sources.synthetic import generate_corpus
+
+    base = str(tmp_path / "c0")
+    generate_corpus(base, num_docs=50, seed=33, num_files=2)
+    root = str(tmp_path / "idx")
+    build_index(read_corpus(base), root)
+
+    delete_docs(root, list(range(5)))           # 10% tombstoned
+    did, idx = maybe_compact(root, max_tombstone_fraction=0.2)
+    assert not did
+
+    delete_docs(root, list(range(5, 20)))       # 40% tombstoned
+    did, idx = maybe_compact(root, max_tombstone_fraction=0.2)
+    assert did
+    assert idx.stats.num_documents == 30

@@ -70,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
                              "bucket (tightens pruning; results unchanged) "
                              "and purge any delete tombstones")
     cp.add_argument("index")
+    cp.add_argument("--if-needed", action="store_true",
+                    help="tiered policy: compact only when segments > "
+                         "--max-segments or tombstones exceed "
+                         "--max-tombstone-fraction of docs")
+    cp.add_argument("--max-segments", type=int, default=4)
+    cp.add_argument("--max-tombstone-fraction", type=float, default=0.2)
 
     mg = sub.add_parser("merge",
                         help="merge independently built shard indexes "
@@ -235,12 +241,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
-        from .pipelines.build import compact_index
+        from .pipelines.build import compact_index, maybe_compact
         if not os.path.exists(os.path.join(args.index, "stats.json")):
             print(f"error: no index at {args.index!r} (missing stats.json)",
                   file=sys.stderr)
             return 2
-        idx = compact_index(args.index)
+        if args.if_needed:
+            did, idx = maybe_compact(
+                args.index, max_segments=args.max_segments,
+                max_tombstone_fraction=args.max_tombstone_fraction)
+            if not did:
+                s = idx.stats
+                print(f"no compaction needed ({s.num_segments} segments)")
+                return 0
+        else:
+            idx = compact_index(args.index)
         s = idx.stats
         print(f"compacted to 1 segment: {s.num_documents} docs, "
               f"{s.num_unique_terms} terms, {s.num_postings} postings")

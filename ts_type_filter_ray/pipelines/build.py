@@ -747,6 +747,31 @@ def _count_all_buckets(postings_dir: str) -> tuple[int, int]:
     return sum(r[0] for r in results), sum(r[1] for r in results)
 
 
+def maybe_compact(root: str, *, max_segments: int = 4,
+                  max_tombstone_fraction: float = 0.2
+                  ) -> tuple[bool, "BuiltIndex"]:
+    """Tiered compaction policy — the LSM maintenance decision a
+    recurring ingestion runs after each :func:`extend_index` /
+    :func:`delete_docs` batch: compact when the segment count exceeds
+    *max_segments* (every query's per-bucket merge scan touches every
+    segment, so read amplification grows linearly with segments) or
+    when tombstones exceed *max_tombstone_fraction* of the indexed
+    documents (every match/score call filters them, and statistics
+    stay frozen at pre-delete values until a purge). Returns
+    ``(compacted, index)`` — the policy check itself is metadata-only
+    (stats.json + tombstone id count; no postings are read)."""
+    idx = BuiltIndex.load(root)
+    st = idx.stats
+    tombs = load_tombstones(root)
+    trigger = (st.num_segments > max_segments
+               or (st.num_documents > 0
+                   and tombs.size / st.num_documents
+                   > max_tombstone_fraction))
+    if trigger:
+        return True, compact_index(root)
+    return False, idx
+
+
 def _merge_one_bucket(bucket_dirs: list[str], out_dir: str, bucket: int,
                       avgdl: float, k1: float, b: float,
                       file_name: str = "merged.parquet") -> tuple[int, int]:
