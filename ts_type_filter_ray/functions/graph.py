@@ -2064,13 +2064,14 @@ def connected_components_star(nodes: Dataset, edges: Dataset,
                                         .astype(np.int64))])})
 
     def signature(ds: Dataset) -> tuple[int, int]:
-        n = x = 0
+        n = 0
+        x = np.uint64(0)
         for b in _fold_arrays(ds.map_batches(sig_partial,
                                              batch_format="pyarrow")):
             n += int(b["n"].sum())
-            for val in b["x"]:
-                x ^= int(np.uint64(np.int64(val)))
-        return n, x
+            if b["x"].size:
+                x ^= np.bitwise_xor.reduce(b["x"].astype(np.uint64))
+        return n, int(x)
 
     prev = None
     converged = False

@@ -398,6 +398,11 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
 
         hot_tbl = (hist.map_batches(keep_hot, batch_format="pyarrow")
                    .to_pandas())  # ≤ total/thr rows — ≤ 4·num_parts on auto
+        if len(hot_tbl) > (1 << 20):
+            raise ValueError(
+                f"hot_threshold={thr} marks {len(hot_tbl)} keys hot — the "
+                "broadcast would be vocabulary-sized, defeating the salt. "
+                "Raise hot_threshold (auto never exceeds 4*num_parts keys)")
         if len(hot_tbl):
             order = np.argsort(hot_tbl["h1"].to_numpy())
             hot_ref = _ray.put((
@@ -989,6 +994,11 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
 
         hot_tbl = (hist.map_batches(keep_hot, batch_format="pyarrow")
                    .to_pandas())  # ≤ n_total/thr rows
+        if len(hot_tbl) > (1 << 20):
+            raise ValueError(
+                f"hot_threshold={thr} marks {len(hot_tbl)} keys hot — the "
+                "broadcast would be vocabulary-sized, defeating the salt. "
+                "Raise hot_threshold (auto never exceeds 4*num_parts keys)")
         if len(hot_tbl):
             order = np.argsort(hot_tbl["h"].to_numpy())
             hot_ref = _ray.put((
@@ -1359,6 +1369,11 @@ def kneser_ney_scores(ds: Dataset, discount: tuple[int, int] = (3, 4),
 
         hot_tbl = (hist.map_batches(keep_hot, batch_format="pyarrow")
                    .to_pandas())  # ≤ 2·bigrams/thr rows
+        if len(hot_tbl) > (1 << 20):
+            raise ValueError(
+                f"hot_threshold={thr} marks {len(hot_tbl)} keys hot — the "
+                "broadcast would be vocabulary-sized, defeating the salt. "
+                "Raise hot_threshold (auto never exceeds 4*num_parts keys)")
         if len(hot_tbl):
             role = hot_tbl["role"].to_numpy()
             hv = hot_tbl["h"].to_numpy()
