@@ -1230,6 +1230,70 @@ def write_vector_index(ds: Dataset, out_dir: str,
     return out_dir
 
 
+def max_indexed_vec_id(vdir: str) -> int:
+    """Largest vec_id in a :func:`write_vector_index` layout, from
+    parquet FOOTER statistics only (no data pages read) — the
+    collision-check anchor for :func:`extend_vector_index`. -1 for an
+    empty layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    best = -1
+    for bd in os.listdir(vdir):
+        if not bd.startswith("bucket="):
+            continue
+        full = os.path.join(vdir, bd)
+        for fn in os.listdir(full):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(full, fn)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("vec_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    best = max(best, int(st.max))
+    return best
+
+
+def extend_vector_index(vdir: str, ds: Dataset) -> str:
+    """Append NEW vectors to an existing :func:`write_vector_index`
+    layout — the ANN mirror of the inverted index's LSM ``extend``:
+    fresh parquet files land inside the existing ``bucket=`` partitions
+    (existing files untouched, so a crash mid-extend leaves the old
+    index readable), and every pruned read
+    (:func:`_read_vectors_indexed`, beam-search candidate gathers)
+    spans old and new files transparently via the hive dataset scan.
+
+    Ids must be strictly greater than everything already indexed (the
+    id-ceiling contract the inverted index uses): the ceiling comes
+    from one footer-statistics scan, broadcasts into the write tasks,
+    and any violating batch RAISES before a single file is written."""
+    import json
+    import os
+
+    with open(os.path.join(vdir, "_meta.json")) as f:
+        num_buckets = json.load(f)["num_buckets"]
+    mask = num_buckets - 1
+    ceiling = max_indexed_vec_id(vdir)
+
+    ds = ds.select_columns(["vec_id", "embedding"]).sort("vec_id")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(v) and int(v.min()) <= ceiling:
+            raise ValueError(
+                f"extend_vector_index: new vec_id {int(v.min())} is not "
+                f"above the indexed ceiling {ceiling} — ids must be "
+                "fresh (the id-ceiling contract)")
+        b = (v & mask).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    (ds.map_batches(add_bucket, batch_format="pyarrow")
+     .write_parquet(vdir, partition_cols=["bucket"]))
+    return vdir
+
+
 def _read_vectors_indexed(vdir: str, ids: list[int]) -> pa.Table:
     """Pruned (vec_id, embedding) read from a :func:`write_vector_index`
     layout: only the ids' buckets are opened, vec_id row-group stats
