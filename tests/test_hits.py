@@ -66,50 +66,3 @@ def test_overflow_guard(ray_session):
     with pytest.raises(ValueError, match="2\\^62"):
         hits(_edges(pairs), 12, iters=12)
 
-
-# -- vector-index LSM extend (r5) --------------------------------------
-
-
-def test_extend_vector_index(ray_session, tmp_path):
-    """Appending fresh vectors to a written vector index: pruned reads
-    and beam search over the extended layout are identical to a
-    one-shot build over the union; id collisions raise before any file
-    is written."""
-    import numpy as np
-    import pyarrow as pa
-    import ray.data as rd
-
-    from ts_type_filter_ray.functions import ann
-
-    rng = np.random.default_rng(2)
-    n, d = 300, 8
-    emb = rng.normal(size=(n, d)).astype(np.float32)
-
-    def tbl(sl):
-        return rd.from_arrow(pa.table({
-            "vec_id": pa.array(np.arange(n, dtype=np.int64)[sl]),
-            "embedding": pa.array(list(emb[sl]),
-                                  type=pa.list_(pa.float32()))}))
-
-    full = str(tmp_path / "full")
-    ann.write_vector_index(tbl(slice(None)), full)
-    part = str(tmp_path / "part")
-    ann.write_vector_index(tbl(slice(0, 200)), part)
-    assert ann.max_indexed_vec_id(part) == 199
-    ann.extend_vector_index(part, tbl(slice(200, n)))
-
-    ids = [0, 42, 199, 200, 299]
-    a = ann._read_vectors_indexed(full, ids).sort_by("vec_id")
-    b = ann._read_vectors_indexed(part, ids).sort_by("vec_id")
-    assert a.equals(b)
-
-    import pytest
-    with pytest.raises(Exception, match="ceiling"):
-        ann.extend_vector_index(part, tbl(slice(50, 60)))
-
-    g = ann.write_graph_index(
-        ann.knn_join(tbl(slice(None)), k=4, block_rows=128),
-        str(tmp_path / "g"))
-    r1 = ann.graph_search_topk(full, g, [3, 250], k=4).to_pandas()
-    r2 = ann.graph_search_topk(part, g, [3, 250], k=4).to_pandas()
-    assert (r1.values == r2.values).all()

@@ -1267,8 +1267,11 @@ def extend_vector_index(vdir: str, ds: Dataset) -> str:
 
     Ids must be strictly greater than everything already indexed (the
     id-ceiling contract the inverted index uses): the ceiling comes
-    from one footer-statistics scan, broadcasts into the write tasks,
-    and any violating batch RAISES before a single file is written."""
+    from one footer-statistics scan and the NEW ids' minimum is checked
+    in a separate pass BEFORE the write starts — a streaming per-batch
+    guard alone could let non-violating blocks land before a violating
+    block raised, leaving a half-extended layout. (The per-batch guard
+    stays as a belt against a mutated input between the two passes.)"""
     import json
     import os
 
@@ -1277,7 +1280,14 @@ def extend_vector_index(vdir: str, ds: Dataset) -> str:
     mask = num_buckets - 1
     ceiling = max_indexed_vec_id(vdir)
 
-    ds = ds.select_columns(["vec_id", "embedding"]).sort("vec_id")
+    ds = (ds.select_columns(["vec_id", "embedding"])
+          .sort("vec_id").materialize())
+    new_min = ds.min("vec_id")
+    if new_min is not None and int(new_min) <= ceiling:
+        raise ValueError(
+            f"extend_vector_index: new vec_id {int(new_min)} is not "
+            f"above the indexed ceiling {ceiling} — ids must be fresh "
+            "(the id-ceiling contract); nothing was written")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         v = batch["vec_id"].to_numpy(zero_copy_only=False)

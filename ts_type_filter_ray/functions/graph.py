@@ -61,7 +61,7 @@ def connected_components(nodes: Dataset, edges: Dataset,
     if algorithm == "star":
         return connected_components_star(
             nodes, edges, node_col=node_col, a_col=a_col, b_col=b_col,
-            num_parts=num_parts)
+            max_iters=max_iters, num_parts=num_parts)
     if algorithm != "minlabel":
         raise ValueError("algorithm must be 'minlabel' or 'star'")
     if num_parts is None:
@@ -681,8 +681,7 @@ def bfs_hops(edges: Dataset, num_nodes: int, *, sources,
         chunks = [b["node"] for b in _fold_arrays(cand)]
         if not chunks:
             break
-        new = np.unique(np.concatenate(chunks)) if chunks else \
-            np.empty(0, dtype=np.int64)
+        new = np.unique(np.concatenate(chunks))
         new = new[dist[new] < 0]  # batches race only against old state
         if new.size == 0:
             break
@@ -1050,8 +1049,14 @@ def _edges_by_src(edges: Dataset, src_col: str, dst_col: str,
         if weight_col is None:
             w = np.ones(len(s), dtype=np.int64)
         else:
-            w = batch[weight_col].to_numpy(
-                zero_copy_only=False).astype(np.int64)
+            w = batch[weight_col].to_numpy(zero_copy_only=False)
+            if len(w) and not np.issubdtype(w.dtype, np.integer):
+                # broadcast mode RAISES on float weights; an astype
+                # here would silently truncate instead
+                raise ValueError(
+                    "edge weights must be integers (float weights "
+                    "would be silently truncated)")
+            w = w.astype(np.int64)
         if undirect:
             s, d = np.concatenate([s, d]), np.concatenate([d, s])
             w = np.concatenate([w, w])
@@ -1712,15 +1717,12 @@ def _sssp_dataset(edges: Dataset, num_nodes: int, *, sources,
             f"source ids must be dense node ids in [0, {num_nodes})")
     E = _edges_by_src(edges, src_col, dst_col, weight_col, num_parts,
                       not directed, num_nodes)
-
-    def check_w(batch: pa.Table) -> pa.Table:
-        w = batch["w"].to_numpy(zero_copy_only=False)
-        if len(w) and int(w.min()) < 0:
-            raise ValueError("shortest_paths needs non-negative "
-                             "integer edge weights")
-        return batch
-
-    E = E.map_batches(check_w, batch_format="pyarrow").materialize()
+    # one metadata-cheap aggregate over the already-materialized table —
+    # a second map+materialize would hold two full doubled-edge copies
+    wmin = E.min("w")
+    if wmin is not None and int(wmin) < 0:
+        raise ValueError("shortest_paths needs non-negative "
+                         "integer edge weights")
 
     def init_state(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1879,7 +1881,8 @@ def _kcore_dataset(edges: Dataset, num_nodes: int, *, k: int,
     def gather_dst(group: pa.Table) -> pa.Table:
         # rows surviving BOTH checks: count degree at the dst node
         # (doubled edges make this cover each endpoint once per
-        # original instance)
+        # original instance). Pad to the state_flat schema — unions
+        # must not rely on Ray's null-fill of mismatched schemas.
         sel, vals = _attach_state(group, ["alive"])
         keep = vals["alive"] == 1
         node, cnt = np.unique(sel["node"][keep], return_counts=True)
@@ -1888,6 +1891,7 @@ def _kcore_dataset(edges: Dataset, num_nodes: int, *, k: int,
             "node": pa.array(node, type=pa.int64()),
             "deg": pa.array(cnt.astype(np.int64)),
             "side": pa.array(np.ones(node.size, dtype=np.int8)),
+            "alive": pa.array(np.zeros(node.size, dtype=np.int64)),
         })
 
     def state_flat(batch: pa.Table) -> pa.Table:

@@ -129,6 +129,24 @@ def _log_int(vals: np.ndarray) -> np.ndarray:
     return logs[inv]
 
 
+def _auto_hot_threshold(total: int, num_parts: int) -> int:
+    """The shared "auto" salting threshold: only keys that could
+    dominate a partition are hot, so at most 4·num_parts exist."""
+    return max(65536, total // (4 * num_parts))
+
+
+def _hot_membership(keys: np.ndarray, vals: np.ndarray):
+    """(is_member mask, clipped positions) of *vals* against the SORTED
+    hot-key array — the one searchsorted idiom every salted path
+    shares. Safe on empty keys."""
+    if len(keys) == 0:
+        return np.zeros(len(vals), dtype=bool), np.zeros(len(vals),
+                                                         dtype=np.int64)
+    p = np.minimum(np.searchsorted(keys, vals), len(keys) - 1)
+    return keys[p] == vals, p
+
+
+
 _MIX_C1 = np.uint64(0x9E3779B97F4A7C15)
 _MIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX_C3 = np.uint64(0x94D049BB133111EB)
@@ -186,8 +204,15 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
     ``c12`` stays a partition-local count and ``c1`` comes off the
     broadcast. Counts are exact integers on both routes → the scores
     are BIT-IDENTICAL with salting on, off, or forced low
-    (pytest-pinned on a planted hot-history corpus). ``None`` disables
-    the extra detection pass (the pre-r5 single-exchange shape)."""
+    (pytest-pinned on a planted hot-history corpus).
+
+    Cost of the default: the exploded stream is pinned once (the sort
+    shuffle that follows materializes its input in the object store
+    regardless — salting extends that residency by one detection pass,
+    it does not create a new copy class; plasma spills as usual) plus
+    one coarse count aggregate — measured ~20% on the bench LM leg.
+    ``None`` disables detection entirely and restores the pre-r5
+    streaming single-exchange shape for corpora known to be skew-free."""
     from .partitioning import auto_num_parts
     from ..text.hashvec import md5_lower64_strings
 
@@ -301,8 +326,8 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
                                   minlength=int(inv1c.max()) + 1)
                 c1_out[cold] = c1c[inv1c]
             if hot.any():
-                pos_h = np.searchsorted(hot_keys, h1[hot])
-                if not (hot_keys[pos_h] == h1[hot]).all():
+                is_m, pos_h = _hot_membership(hot_keys, h1[hot])
+                if not is_m.all():
                     raise ValueError("hot-flagged history missing from "
                                      "the broadcast hot-key table")
                 c1_out[hot] = hot_counts[pos_h]
@@ -390,7 +415,7 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
                 .materialize())
         if hot_threshold == "auto":
             total = int(hist.sum("n") or 0)
-            thr = max(65536, total // (4 * num_parts))
+            thr = _auto_hot_threshold(total, num_parts)
         else:
             thr = int(hot_threshold)
         def keep_hot(batch: pa.Table) -> pa.Table:
@@ -413,9 +438,7 @@ def bigram_logprob_scores(ds: Dataset, alpha: int = 1,
                 hot_keys, _ = _ray.get(hot_ref)
                 h1 = batch["h1"].to_numpy(zero_copy_only=False)
                 h12 = batch["h12"].to_numpy(zero_copy_only=False)
-                p = np.searchsorted(hot_keys, h1)
-                p = np.minimum(p, len(hot_keys) - 1)
-                ishot = hot_keys[p] == h1
+                ishot, _ = _hot_membership(hot_keys, h1)
                 hpart = np.where(ishot, h12 % num_parts,
                                  h1 % num_parts).astype(np.int32)
                 return (batch.set_column(
@@ -864,15 +887,11 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
         if hot_ref is not None:
             hot_keys, hot_counts = _ray.get(hot_ref)
             h1k = h1[keep]
-            p1 = np.minimum(np.searchsorted(hot_keys, h1k),
-                            len(hot_keys) - 1)
-            is_hot1 = hot_keys[p1] == h1k
+            is_hot1, p1 = _hot_membership(hot_keys, h1k)
             c1u_out = np.where(is_hot1, hot_counts[p1], c1u_out)
             # hot successors: pre-attach the broadcast c(w2) and spread
             # the stage-B route by the doc hash instead of w2's
-            p2 = np.minimum(np.searchsorted(hot_keys, h2),
-                            len(hot_keys) - 1)
-            is_hot2 = hot_keys[p2] == h2
+            is_hot2, p2 = _hot_membership(hot_keys, h2)
             c2u_pre = np.where(is_hot2, hot_counts[p2], c2u_pre)
             dids_k = group["doc_id"].to_numpy(
                 zero_copy_only=False)[keep]
@@ -985,7 +1004,7 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
         hist = (train_ug_a.groupby("hpart")
                 .map_groups(ug_sum, batch_format="pyarrow"))
         if hot_threshold == "auto":
-            thr = max(65536, n_total // (4 * num_parts))
+            thr = _auto_hot_threshold(n_total, num_parts)
         else:
             thr = int(hot_threshold)
 
@@ -1013,9 +1032,8 @@ def stupid_backoff_scores(ds: Dataset, backoff: float = 0.4,
                 h1 = batch["h1"].to_numpy(zero_copy_only=False)
                 h12 = batch["h12"].to_numpy(zero_copy_only=False)
                 src = batch["src"].to_numpy(zero_copy_only=False)
-                p = np.minimum(np.searchsorted(hot_keys, h1),
-                               len(hot_keys) - 1)
-                ishot = (hot_keys[p] == h1) & (src != 2)
+                is_m, _ = _hot_membership(hot_keys, h1)
+                ishot = is_m & (src != 2)
                 hpart = np.where(ishot, h12 % num_parts,
                                  h1 % num_parts).astype(np.int32)
                 return batch.set_column(
@@ -1231,13 +1249,11 @@ def kneser_ney_scores(ds: Dataset, discount: tuple[int, int] = (3, 4),
         if hot_ref is not None:
             (k1, c1_hot, n1h_hot, k2, c2_hot, nc2_hot) = _ray.get(hot_ref)
             if len(k1):
-                p1 = np.minimum(np.searchsorted(k1, h1), len(k1) - 1)
-                ih1 = k1[p1] == h1
+                ih1, p1 = _hot_membership(k1, h1)
                 c1_out = np.where(ih1, c1_hot[p1], c1_out)
                 n1h_out = np.where(ih1, n1h_hot[p1], n1h_out)
             if len(k2):
-                p2 = np.minimum(np.searchsorted(k2, h2), len(k2) - 1)
-                ih2 = k2[p2] == h2
+                ih2, p2 = _hot_membership(k2, h2)
                 nc2_pre = np.where(ih2, nc2_hot[p2], nc2_pre)
                 dids = group["doc_id"].to_numpy(zero_copy_only=False)
                 cpart = np.where(ih2,
@@ -1360,7 +1376,7 @@ def kneser_ney_scores(ds: Dataset, discount: tuple[int, int] = (3, 4),
                 .materialize())
         if hot_threshold == "auto":
             total = int(hist.sum("n") or 0) // 2  # both roles counted
-            thr = max(65536, total // (4 * num_parts))
+            thr = _auto_hot_threshold(total, num_parts)
         else:
             thr = int(hot_threshold)
 
@@ -1394,9 +1410,7 @@ def kneser_ney_scores(ds: Dataset, discount: tuple[int, int] = (3, 4),
                 h12 = batch["h12"].to_numpy(zero_copy_only=False)
                 out = []
                 if len(kk1):
-                    p = np.minimum(np.searchsorted(kk1, h1),
-                                   len(kk1) - 1)
-                    m = kk1[p] == h1
+                    m, _ = _hot_membership(kk1, h1)
                     u, first = np.unique(h12[m], return_index=True)
                     out.append(pa.table({
                         "part": pa.array(
@@ -1408,9 +1422,7 @@ def kneser_ney_scores(ds: Dataset, discount: tuple[int, int] = (3, 4),
                         "pair": pa.array(u),
                     }))
                 if len(kk2):
-                    p = np.minimum(np.searchsorted(kk2, h2),
-                                   len(kk2) - 1)
-                    m = kk2[p] == h2
+                    m, _ = _hot_membership(kk2, h2)
                     rp = _combine_hash(h2[m], h1[m])
                     u, first = np.unique(rp, return_index=True)
                     out.append(pa.table({
@@ -1466,8 +1478,7 @@ def kneser_ney_scores(ds: Dataset, discount: tuple[int, int] = (3, 4),
                 h12 = batch["h12"].to_numpy(zero_copy_only=False)
                 if len(k1) == 0:
                     return batch
-                p = np.minimum(np.searchsorted(k1, h1), len(k1) - 1)
-                ishot = k1[p] == h1
+                ishot, _ = _hot_membership(k1, h1)
                 hpart = np.where(ishot, h12 % num_parts,
                                  h1 % num_parts).astype(np.int32)
                 return batch.set_column(

@@ -189,8 +189,18 @@ def significant_terms_table(sf_dir: str,
              .map_batches(attach_bg, batch_format="pyarrow")
              .groupby("query_idx").map_groups(topk,
                                               batch_format="pyarrow"))
-    tbl = pa.concat_tables(
-        b for b in agg.iter_batches(batch_format="pyarrow"))
+    batches = [b for b in agg.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:  # all groups filtered to nothing (e.g. min_fg high)
+        return pa.table({
+            "query_idx": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "fg_df": pa.array([], type=pa.int64()),
+            "bg_df": pa.array([], type=pa.int64()),
+            "lift": pa.array([], type=pa.float64()),
+        })
+    tbl = pa.concat_tables(batches)
     return pa.table({
         "query_idx": tbl["query_idx"].cast(pa.int64()),
         "rank": tbl["rank"].cast(pa.int64()),

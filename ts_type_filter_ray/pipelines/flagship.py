@@ -1031,8 +1031,16 @@ def related_terms_table(sf_dir: str,
              .rename_columns(["query_idx", "term", "df"])
              .groupby("query_idx").map_groups(topk,
                                               batch_format="pyarrow"))
-    tbl = pa.concat_tables(
-        b for b in agg.iter_batches(batch_format="pyarrow"))
+    batches = [b for b in agg.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:  # every candidate term was a query's own stem
+        return pa.table({
+            "query_idx": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+        })
+    tbl = pa.concat_tables(batches)
     return pa.table({
         "query_idx": tbl["query_idx"].cast(pa.int64()),
         "rank": tbl["rank"].cast(pa.int64()),
