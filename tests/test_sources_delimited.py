@@ -81,3 +81,31 @@ def test_index_from_jsonl_equals_parquet(ray_session, corpus_dirs,
     assert list(sj.match("import def")) == list(sp.match("import def"))
     assert [tuple(r) for r in sj.bm25("running w3", k=5)] == \
            [tuple(r) for r in sp.bm25("running w3", k=5)]
+
+
+def test_gzip_jsonl_equals_plain(ray_session, corpus_dirs, tmp_path):
+    """*.jsonl.gz files (pyarrow decompresses by extension — the crawl
+    delivery format) produce the identical dense-id corpus as the plain
+    files, including mixed plain/gz directories."""
+    import gzip
+
+    jd = corpus_dirs[0]
+    gz = tmp_path / "gz"
+    os.makedirs(gz)
+    for i, name in enumerate(sorted(os.listdir(jd))):
+        src = os.path.join(jd, name)
+        if i == 1:  # mixed: one file stays plain
+            with open(src) as f, open(gz / name, "w") as out:
+                out.write(f.read())
+        else:
+            with open(src, "rb") as f, gzip.open(
+                    gz / (name + ".gz"), "wb") as out:
+                out.write(f.read())
+
+    plain = (read_corpus_delimited(jd, "jsonl").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    mixed = (read_corpus_delimited(str(gz), "jsonl").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert len(plain) == len(mixed)
+    for c in ("doc_id", "content", "path"):
+        assert (plain[c].to_numpy() == mixed[c].to_numpy()).all(), c

@@ -244,7 +244,12 @@ def read_corpus_delimited(path_or_dir: str | list[str], fmt: str,
         files = sorted(path_or_dir)
     elif os.path.isdir(path_or_dir):
         ext = "jsonl" if fmt == "jsonl" else "csv"
-        files = sorted(glob.glob(os.path.join(path_or_dir, f"*.{ext}")))
+        # .gz variants decompress transparently in the pyarrow readers
+        # (compression inferred from the extension) — the common
+        # crawl-dump delivery format
+        files = sorted(
+            glob.glob(os.path.join(path_or_dir, f"*.{ext}"))
+            + glob.glob(os.path.join(path_or_dir, f"*.{ext}.gz")))
     else:
         files = sorted(glob.glob(path_or_dir))
     if not files:
