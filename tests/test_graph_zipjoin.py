@@ -188,3 +188,14 @@ def test_star_cc_matches_minlabel(ray_session):
     b = (connected_components(nodes, edges, algorithm="star")
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (a["component"].to_numpy() == b["component"].to_numpy()).all()
+
+
+def test_auto_state_mode(graph):
+    from ts_type_filter_ray.functions.graph import _resolve_state_mode
+    n, edges = graph
+    # below the threshold auto = broadcast (pa.Table result)
+    out = pagerank(edges, n, iters=1, state_mode="auto")
+    assert isinstance(out, pa.Table)
+    assert _resolve_state_mode("auto", 10 ** 9) == "dataset"
+    with pytest.raises(ValueError, match="auto"):
+        pagerank(edges, n, state_mode="typo")

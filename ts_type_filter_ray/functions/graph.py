@@ -38,6 +38,20 @@ def _fold_arrays(ds: Dataset):
                for c in batch.column_names}
 
 
+# broadcast-iterate ops hold an O(num_nodes) driver/plasma vector per
+# round; past this node count `state_mode="auto"` switches to the
+# zip-join Dataset state (8 B/node ≈ 800 MB at the threshold — the
+# driver-memory bound, not a wall-time crossover)
+AUTO_DATASET_STATE_NODES = 100_000_000
+
+
+def _resolve_state_mode(state_mode: str, num_nodes: int) -> str:
+    if state_mode == "auto":
+        return ("dataset" if num_nodes > AUTO_DATASET_STATE_NODES
+                else "broadcast")
+    return state_mode
+
+
 def connected_components(nodes: Dataset, edges: Dataset,
                          node_col: str = "doc_id",
                          a_col: str = "id_a", b_col: str = "id_b",
@@ -305,13 +319,15 @@ def pagerank(edges: Dataset, num_nodes: int, *, iters: int = 3,
 
     if num_parts is None:
         num_parts = auto_num_parts(edges)
+    state_mode = _resolve_state_mode(state_mode, num_nodes)
     if state_mode == "dataset":
         return _pagerank_dataset(
             edges, num_nodes, iters=iters, damping=damping,
             flat_teleport=flat_teleport, weight_col=weight_col,
             src_col=src_col, dst_col=dst_col, num_parts=num_parts)
     if state_mode != "broadcast":
-        raise ValueError("state_mode must be 'broadcast' or 'dataset'")
+        raise ValueError(
+            "state_mode must be 'broadcast', 'dataset', or 'auto'")
 
     # out-degree vector: one distributed partial-count pass
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -548,13 +564,15 @@ def hits(edges: Dataset, num_nodes: int, *, iters: int = 2,
     import ray
     from ray.data.aggregate import Sum
 
+    state_mode = _resolve_state_mode(state_mode, num_nodes)
     if state_mode == "dataset":
         return _hits_dataset(
             edges, num_nodes, iters=iters, src_col=src_col,
             dst_col=dst_col,
             num_parts=num_parts or auto_num_parts(edges))
     if state_mode != "broadcast":
-        raise ValueError("state_mode must be 'broadcast' or 'dataset'")
+        raise ValueError(
+            "state_mode must be 'broadcast', 'dataset', or 'auto'")
 
     in_max = [0]
     out_max = [0]
@@ -640,13 +658,15 @@ def bfs_hops(edges: Dataset, num_nodes: int, *, sources,
 
     if num_nodes <= 0:
         raise ValueError("num_nodes must be positive")
+    state_mode = _resolve_state_mode(state_mode, num_nodes)
     if state_mode == "dataset":
         return _bfs_dataset(
             edges, num_nodes, sources=sources, max_hops=max_hops,
             directed=directed, src_col=src_col, dst_col=dst_col,
             num_parts=num_parts or auto_num_parts(edges))
     if state_mode != "broadcast":
-        raise ValueError("state_mode must be 'broadcast' or 'dataset'")
+        raise ValueError(
+            "state_mode must be 'broadcast', 'dataset', or 'auto'")
     dist = np.full(num_nodes, -1, dtype=np.int64)
     seeds = np.unique(np.asarray(list(sources), dtype=np.int64))
     if seeds.size == 0:
@@ -733,12 +753,14 @@ def label_propagation(edges: Dataset, num_nodes: int, *, iters: int = 2,
     if num_nodes > (1 << 31):
         raise ValueError("label packing uses 31 bits per field — "
                          "re-pack keys for > 2^31 nodes")
+    state_mode = _resolve_state_mode(state_mode, num_nodes)
     if state_mode == "dataset":
         return _lpa_dataset(edges, num_nodes, iters=iters,
                             directed=directed, src_col=src_col,
                             dst_col=dst_col, num_parts=num_parts)
     if state_mode != "broadcast":
-        raise ValueError("state_mode must be 'broadcast' or 'dataset'")
+        raise ValueError(
+            "state_mode must be 'broadcast', 'dataset', or 'auto'")
     labels = np.arange(num_nodes, dtype=np.int64)
 
     def pair_counts(batch: pa.Table, *, labels_ref) -> pa.Table:
@@ -833,13 +855,15 @@ def shortest_paths(edges: Dataset, num_nodes: int, *, sources,
         raise ValueError("num_nodes must be positive")
     if num_parts is None:
         num_parts = auto_num_parts(edges)
+    state_mode = _resolve_state_mode(state_mode, num_nodes)
     if state_mode == "dataset":
         return _sssp_dataset(
             edges, num_nodes, sources=sources, rounds=rounds,
             weight_col=weight_col, directed=directed, src_col=src_col,
             dst_col=dst_col, num_parts=num_parts)
     if state_mode != "broadcast":
-        raise ValueError("state_mode must be 'broadcast' or 'dataset'")
+        raise ValueError(
+            "state_mode must be 'broadcast', 'dataset', or 'auto'")
     INF = np.int64(np.iinfo(np.int64).max)
     dist = np.full(num_nodes, INF, dtype=np.int64)
     seeds = np.unique(np.asarray(list(sources), dtype=np.int64))
@@ -952,12 +976,14 @@ def kcore(edges: Dataset, num_nodes: int, *, k: int,
         raise ValueError("k must be >= 1")
     if num_parts is None:
         num_parts = auto_num_parts(edges)
+    state_mode = _resolve_state_mode(state_mode, num_nodes)
     if state_mode == "dataset":
         return _kcore_dataset(edges, num_nodes, k=k, src_col=src_col,
                               dst_col=dst_col, max_rounds=max_rounds,
                               num_parts=num_parts)
     if state_mode != "broadcast":
-        raise ValueError("state_mode must be 'broadcast' or 'dataset'")
+        raise ValueError(
+            "state_mode must be 'broadcast', 'dataset', or 'auto'")
     alive = np.ones(num_nodes, dtype=bool)
 
     def deg_partial(batch: pa.Table, *, alive_ref) -> pa.Table:
