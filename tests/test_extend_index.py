@@ -218,3 +218,36 @@ def test_extend_vector_index(ray_session, tmp_path):
     r1 = ann.graph_search_topk(full, g, [3, 250], k=4).to_pandas()
     r2 = ann.graph_search_topk(part, g, [3, 250], k=4).to_pandas()
     assert (r1.values == r2.values).all()
+
+
+def test_topk_recall(ray_session):
+    """Recall evaluator: exact-vs-self is 1.0; a half-degraded result
+    reports the exact per-query fractions; mismatched query sets
+    raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from ts_type_filter_ray.functions.ann import topk_recall
+
+    def res(rows):
+        return pa.table({
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int32()),
+            "vec_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        })
+
+    exact = res([(0, 1, 10), (0, 2, 11), (0, 3, 12),
+                 (1, 1, 20), (1, 2, 21), (1, 3, 22)])
+    perfect = topk_recall(exact, exact)
+    assert perfect["recall"].to_pylist() == [1.0, 1.0]
+
+    approx = res([(0, 1, 10), (0, 2, 99), (0, 3, 12),
+                  (1, 1, 50), (1, 2, 51), (1, 3, 52)])
+    r = topk_recall(approx, exact)
+    assert r["query_id"].to_pylist() == [0, 1]
+    assert r["n_hits"].to_pylist() == [2, 0]
+    assert r["recall"].to_pylist() == [2 / 3, 0.0]
+
+    with pytest.raises(Exception, match="different query sets"):
+        topk_recall(res([(7, 1, 1)]), exact)

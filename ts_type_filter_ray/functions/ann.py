@@ -1706,3 +1706,76 @@ def semantic_dedup(ds: Dataset, threshold: float, n_clusters: int = 8,
         })
 
     return comp.map_batches(add_keep, batch_format="pyarrow")
+
+
+def topk_recall(approx: Dataset | pa.Table,
+                exact: Dataset | pa.Table) -> pa.Table:
+    """Per-query recall of an approximate top-k result against the
+    exact one — the evaluation loop every approximate ANN config
+    (IVF nprobe, PQ refine, beam ef/hops, LSH bands) is tuned with.
+    Inputs are two (query_id, rank, vec_id[, ...]) result sets (any
+    of this module's top-k outputs); output is
+    ``(query_id, n_hits, n_exact, recall)`` ordered by query_id plus
+    the convention that recall is measured against the EXACT set's
+    size (an approximate result with extra rows cannot exceed 1.0).
+
+    Distributed shape: both sides project to fixed-width (query_id,
+    vec_id, side) rows, one coarse query-hash groupby intersects
+    per query — queries are the tiny side by the module's standing
+    contract, so the result is a driver-friendly table."""
+    import ray.data as rd
+
+    def rows(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            q = batch["query_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": pa.array((q % 64).astype(np.int32)),
+                "query_id": pa.array(q.astype(np.int64)),
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "side": pa.array(np.full(len(q), side, dtype=np.int8)),
+            })
+        return fn
+
+    def to_ds(x) -> Dataset:
+        return rd.from_arrow(x) if isinstance(x, pa.Table) else x
+
+    def intersect(group: pa.Table) -> pa.Table:
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        s = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, v, q))
+        q, v, s = q[order], v[order], s[order]
+        # a (q, v) present on both sides becomes two adjacent rows
+        both = np.zeros(len(q), dtype=bool)
+        if len(q) > 1:
+            both[1:] = ((q[1:] == q[:-1]) & (v[1:] == v[:-1])
+                        & (s[1:] != s[:-1]))
+        uq, inv = np.unique(q, return_inverse=True)
+        hits = np.bincount(inv[both], minlength=uq.size)
+        n_exact = np.bincount(inv[s == 1], minlength=uq.size)
+        if (n_exact == 0).any():
+            raise ValueError(
+                "query present in the approximate result but missing "
+                "from the exact result — the two result sets cover "
+                "different query sets")
+        return pa.table({
+            "query_id": pa.array(uq, type=pa.int64()),
+            "n_hits": pa.array(hits.astype(np.int64)),
+            "n_exact": pa.array(n_exact.astype(np.int64)),
+            "recall": pa.array(hits / n_exact),
+        })
+
+    out = (to_ds(approx).map_batches(rows(0), batch_format="pyarrow")
+           .union(to_ds(exact).map_batches(rows(1),
+                                           batch_format="pyarrow"))
+           .groupby("part")
+           .map_groups(intersect, batch_format="pyarrow"))
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")
+         if b.num_rows]
+        or [pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "n_hits": pa.array([], type=pa.int64()),
+                      "n_exact": pa.array([], type=pa.int64()),
+                      "recall": pa.array([], type=pa.float64())})])
+    import pyarrow.compute as pc
+    return tbl.take(pc.sort_indices(tbl["query_id"]))
