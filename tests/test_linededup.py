@@ -96,3 +96,38 @@ def test_fuzz_matches_naive(ray_session):
                    num_parts=rng.choice([1, 2, 8]))
         assert got == naive_dedup_lines(texts, min_chars=mc), (
             trial, mc, texts)
+
+
+def test_paragraph_granularity(ray_session):
+    """delimiter='\\n\\n' dedups whole paragraphs: a repeated paragraph
+    survives only at its first (doc_id, idx) occurrence, and rebuilt
+    text re-joins with the same delimiter."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ts_type_filter_ray.functions.linededup import dedup_lines
+
+    boiler = "same boilerplate para"
+    docs = [
+        f"{boiler}\n\nunique one",
+        f"another body\n\n{boiler}",
+        f"{boiler}\n\n{boiler}",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(docs)}))
+    out = {r["doc_id"]: r for r in
+           dedup_lines(ds, delimiter="\n\n").take_all()}
+    assert out[0]["text"] == f"{boiler}\n\nunique one"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["text"] == "another body"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["text"] == ""
+    assert out[2]["n_removed"] == 2
+    # newline-internal content is untouched at paragraph granularity
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["a\nb", "a\nb"])}))
+    out2 = {r["doc_id"]: r["text"] for r in
+            dedup_lines(ds2, delimiter="\n\n").take_all()}
+    assert out2 == {0: "a\nb", 1: ""}

@@ -42,13 +42,14 @@ from .dedup import join_lists
 from .partitioning import auto_num_parts
 
 
-def _split_lines(texts) -> tuple[pa.Array, np.ndarray]:
-    """``(flat_lines, offsets)`` — split a text column on ``\\n``.
-    ``str.split('\\n')`` semantics: an empty text is one empty line."""
+def _split_lines(texts, delimiter: str = "\n"
+                 ) -> tuple[pa.Array, np.ndarray]:
+    """``(flat_units, offsets)`` — split a text column on *delimiter*
+    (``str.split`` semantics: an empty text is one empty unit)."""
     col = texts if isinstance(texts, pa.ChunkedArray) else (
         pa.chunked_array([texts]))
-    # null text ≡ '' (one blank line) — null counts poison the offsets
-    lines = pc.split_pattern(pc.fill_null(col, ""), pattern="\n")
+    # null text ≡ '' (one blank unit) — null counts poison the offsets
+    lines = pc.split_pattern(pc.fill_null(col, ""), pattern=delimiter)
     counts = pc.list_value_length(lines).to_numpy(
         zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(lines).combine_chunks()
@@ -76,7 +77,8 @@ def _hash_lines(flat: pa.Array) -> np.ndarray:
 
 
 def dedup_lines(ds: Dataset, min_chars: int = 1,
-                num_parts: int | None = None) -> Dataset:
+                num_parts: int | None = None,
+                delimiter: str = "\n") -> Dataset:
     """``(doc_id, text, n_lines, n_removed)`` — the corpus with every
     non-first occurrence of each duplicated line removed (first = min
     ``(doc_id, line_idx)`` among ALL occurrences, same-document repeats
@@ -86,12 +88,17 @@ def dedup_lines(ds: Dataset, min_chars: int = 1,
     including the rebuilt strings.
 
     Lines with fewer than ``min_chars`` characters are exempt: they
-    never participate in dedup and always survive."""
+    never participate in dedup and always survive.
+
+    ``delimiter`` generalizes the unit: ``"\\n\\n"`` dedups at
+    PARAGRAPH granularity (the other CCNet/Dolma convention) with the
+    identical machinery — split, hash-route, first-occurrence scan,
+    rebuild joined with the same delimiter."""
     if num_parts is None:
         num_parts = auto_num_parts(ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        flat, off = _split_lines(batch["text"])
+        flat, off = _split_lines(batch["text"], delimiter)
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
         counts = np.diff(off)
         doc_of = np.repeat(np.arange(len(did), dtype=np.int64), counts)
@@ -152,7 +159,7 @@ def dedup_lines(ds: Dataset, min_chars: int = 1,
         texts = group["text"].combine_chunks().filter(
             pa.array(is_doc)).take(pa.array(doc_order))
         doc_ids = did_all[is_doc][doc_order]
-        flat, off = _split_lines(texts)
+        flat, off = _split_lines(texts, delimiter)
         counts = np.diff(off)
         r_did = did_all[~is_doc]
         r_idx = idx_all[~is_doc]
@@ -175,7 +182,7 @@ def dedup_lines(ds: Dataset, min_chars: int = 1,
             kept_flat)
         return pa.table({
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "text": join_lists(lst, "\n"),
+            "text": join_lists(lst, delimiter),
             "n_lines": pa.array(counts),
             "n_removed": pa.array(removed_per_doc),
         })
