@@ -1704,12 +1704,13 @@ def _bfs_dataset(edges: Dataset, num_nodes: int, *, sources,
                .union(cand)
                .groupby("gpart")
                .map_groups(make_combine(h), batch_format="pyarrow")
-               .materialize())
+               .repartition(num_parts).materialize())
         # per-group constant column → max = total new assignments > 0?
         # (each group stamps its own count; any nonzero means progress)
         n_new = nxt.max("nnew") or 0
-        state = (nxt.drop_columns(["nnew"])
-                 .repartition(num_parts).materialize())
+        # lazy projection over the materialized blocks — no second
+        # materialize per round
+        state = nxt.drop_columns(["nnew"])
         if n_new == 0:
             break
         h += 1
@@ -1833,10 +1834,9 @@ def _sssp_dataset(edges: Dataset, num_nodes: int, *, sources,
                .union(relaxed)
                .groupby("gpart")
                .map_groups(combine, batch_format="pyarrow")
-               .materialize())
+               .repartition(num_parts).materialize())
         changed = nxt.max("nchg") or 0
-        state = (nxt.drop_columns(["nchg"])
-                 .repartition(num_parts).materialize())
+        state = nxt.drop_columns(["nchg"])  # lazy projection
         if changed == 0:
             break
 
@@ -1967,10 +1967,9 @@ def _kcore_dataset(edges: Dataset, num_nodes: int, *, k: int,
                .union(degs)
                .groupby("gpart")
                .map_groups(combine, batch_format="pyarrow")
-               .materialize())
+               .repartition(num_parts).materialize())
         n_kill = nxt.max("nkill") or 0
-        state = (nxt.drop_columns(["nkill"])
-                 .repartition(num_parts).materialize())
+        state = nxt.drop_columns(["nkill"])  # lazy projection
         if n_kill == 0:
             break
         if kills == max_rounds:
