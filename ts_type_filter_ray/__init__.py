@@ -47,6 +47,12 @@ _EXPORTS = {
     "corpus_from_documents": ".sources.corpus",
     "build_index": ".pipelines.build",
     "BuiltIndex": ".pipelines.build",
+    "extend_index": ".pipelines.build",
+    "compact_index": ".pipelines.build",
+    "maybe_compact": ".pipelines.build",
+    "delete_docs": ".pipelines.build",
+    "upsert_docs": ".pipelines.build",
+    "merge_index_roots": ".pipelines.build",
     "build_index_checkpointed": ".state.manifest",
     "LocalSearcher": ".pipelines.query",
     "match_dataset": ".pipelines.query",
